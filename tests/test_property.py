@@ -1,0 +1,62 @@
+"""Property-based round-trip tests (SURVEY.md §5.3 layer 2, hypothesis)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webcodec.kernels import bitpack, delta, deltalength, fsst, prefix, rle
+
+int64s = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(int64s, max_size=400))
+def test_delta_property(xs):
+    v = np.array(xs, dtype=np.int64)
+    assert (delta.decode(delta.encode(v), len(v)) == v).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**20), max_size=400), st.just(21))
+def test_rle_property(xs, width):
+    v = np.array(xs, dtype=np.uint64)
+    assert (rle.decode(rle.encode(v, width), width, len(v)) == v).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**13 - 1), max_size=300))
+def test_bitpack_property(xs):
+    v = np.array(xs, dtype=np.uint64)
+    assert (bitpack.unpack(bitpack.pack(v, 13), 13, len(v)) == v).all()
+
+
+def _parts(values):
+    arr = pa.array(values, type=pa.binary())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(values) + 1).astype(np.int64)
+    return offsets, bytes(arr.buffers()[2] or b"")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.binary(max_size=60), max_size=120))
+def test_deltalength_property(values):
+    offsets, data = _parts(values)
+    out = deltalength.decode(deltalength.encode(offsets, data), len(values), pa.binary())
+    assert out.to_pylist() == values
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.binary(max_size=60), max_size=120))
+def test_prefix_property(values):
+    offsets, data = _parts(values)
+    out = prefix.decode(prefix.encode(offsets, data), len(values), pa.binary())
+    assert out.to_pylist() == values
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=3000))
+def test_fsst_property(data):
+    table = fsst.build_table(data[:1024])
+    assert fsst.decode(fsst.encode(data, table), table) == data

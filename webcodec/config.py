@@ -1,0 +1,59 @@
+"""Encoder configuration — knob-for-knob parity with the reference writer defaults.
+
+Reference evidence (SURVEY.md §2.B4): ``ParquetProperties`` constants
+``DEFAULT_PAGE_SIZE=1048576``, ``DEFAULT_DICTIONARY_PAGE_SIZE=1048576``,
+``DEFAULT_IS_DICTIONARY_ENABLED=true``, ``DEFAULT_PAGE_ROW_COUNT_LIMIT=20000``,
+``DEFAULT_STATISTICS_TRUNCATE_LENGTH`` etc.; option-name surface mirrors the
+pyarrow writer kwargs (SURVEY.md §2.B6, pyarrow/parquet/core.py:747-871).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EncoderConfig:
+    # Page sizing (reference: ParquetProperties DEFAULT_PAGE_SIZE / PAGE_ROW_COUNT_LIMIT)
+    data_page_size: int = 1 << 20          # 1 MiB uncompressed payload target
+    page_row_count_limit: int = 20_000
+    # Dictionary (reference: DEFAULT_IS_DICTIONARY_ENABLED / DICTIONARY_PAGE_SIZE)
+    use_dictionary: bool | list[str] = True
+    dictionary_pagesize_limit: int = 1 << 20
+    # Block compression applied per page after encoding (reference: CompressionCodecName)
+    compression: str | dict[str, str] = "zstd"   # none|snappy|gzip|zstd|lz4|brotli
+    compression_level: int | None = None
+    # Per-column encoding override, mirrors pyarrow ``column_encoding``
+    # values: plain|rle|dict|delta_binary_packed|delta_length|delta_byte_array|
+    #         byte_stream_split|fsst|auto
+    column_encoding: str | dict[str, str] = "auto"
+    # FSST
+    use_fsst: bool = True
+    fsst_sample_bytes: int = 1 << 14
+    # Statistics / page index
+    statistics_enabled: bool = True
+    statistics_truncate_length: int = 64    # reference: DEFAULT_COLUMN_INDEX_TRUNCATE_LENGTH
+    write_page_checksum: bool = True        # reference: DEFAULT_PAGE_WRITE_CHECKSUM_ENABLED
+    # Codec auto-selector sampling
+    selector_sample_values: int = 4_096
+    # Sort rows within partition by these columns before encoding (None = keep order).
+    sort_columns: tuple[str, ...] | None = None
+
+    # per-column resolved helpers -------------------------------------------------
+    def compression_for(self, column: str) -> str:
+        if isinstance(self.compression, dict):
+            return self.compression.get(column, self.compression.get("*", "zstd"))
+        return self.compression
+
+    def encoding_for(self, column: str) -> str:
+        if isinstance(self.column_encoding, dict):
+            return self.column_encoding.get(column, "auto")
+        return self.column_encoding
+
+    def dictionary_for(self, column: str) -> bool:
+        if isinstance(self.use_dictionary, list):
+            return column in self.use_dictionary
+        return bool(self.use_dictionary)
+
+
+DEFAULT_CONFIG = EncoderConfig()

@@ -1,0 +1,80 @@
+"""Bit-pack kernels, widths 0..64, little-endian bit order.
+
+Reference parity: generated per-width packers in parquet-encoding
+(``BytePacker.pack8Values/unpack8Values``, ``ByteBitPackingLE``; SURVEY.md §2.A5).
+Here a single vectorized numpy path handles every width at once — numpy is the
+SIMD unit (SURVEY.md §4.2), no per-width codegen needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def bit_length(values: np.ndarray) -> np.ndarray:
+    """Exact per-element bit length of uint64 values, vectorized (branchless CLZ)."""
+    v = values.astype(_U64, copy=True)
+    bl = np.zeros(v.shape, dtype=np.uint8)
+    for shift in (32, 16, 8, 4, 2, 1):
+        s = _U64(shift)
+        mask = (v >> s) > 0
+        bl[mask] += np.uint8(shift)
+        v[mask] >>= s
+    bl[v > 0] += np.uint8(1)
+    return bl
+
+
+def max_bit_width(values: np.ndarray) -> int:
+    if len(values) == 0:
+        return 0
+    m = int(values.astype(_U64, copy=False).max())
+    return m.bit_length()
+
+
+def pack(values: np.ndarray, width: int) -> bytes:
+    """Pack unsigned ints (< 2**width) at ``width`` bits each, LSB-first.
+
+    Total bits are padded up to a byte boundary with zeros.
+    """
+    n = len(values)
+    if width == 0 or n == 0:
+        return b""
+    v = values.astype(_U64, copy=False)
+    if width > 64:
+        raise ValueError(f"width {width} > 64")
+    shifts = np.arange(width, dtype=_U64)
+    bits = ((v[:, None] >> shifts) & _U64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def unpack(data: bytes | memoryview, width: int, n: int) -> np.ndarray:
+    """Inverse of :func:`pack`; returns uint64 array of length n."""
+    if width == 0:
+        return np.zeros(n, dtype=_U64)
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    need = (n * width + 7) // 8
+    raw = np.frombuffer(data, dtype=np.uint8, count=need)
+    bits = np.unpackbits(raw, bitorder="little")[: n * width].reshape(n, width)
+    shifts = np.arange(width, dtype=_U64)
+    return (bits.astype(_U64) << shifts).sum(axis=1, dtype=_U64)
+
+
+def packed_size(n: int, width: int) -> int:
+    return (n * width + 7) // 8
+
+
+def pack_bools(mask: np.ndarray) -> bytes:
+    """Booleans at 1 bit/value LSB-first (reference: BooleanPlainValuesWriter, A2)."""
+    if len(mask) == 0:
+        return b""
+    return np.packbits(mask.astype(np.uint8), bitorder="little").tobytes()
+
+
+def unpack_bools(data: bytes | memoryview, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=bool)
+    raw = np.frombuffer(data, dtype=np.uint8, count=(n + 7) // 8)
+    return np.unpackbits(raw, bitorder="little")[:n].astype(bool)
