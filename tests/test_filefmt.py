@@ -1,0 +1,147 @@
+"""File-level round-trip tests (SURVEY.md §5.3 layers 3-4)."""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from webcodec import filefmt
+from webcodec.config import EncoderConfig
+from webcodec.fixtures import webpages, webpages_variant
+from webcodec.types import Encoding
+
+
+def _roundtrip(table: pa.Table, config: EncoderConfig | None = None) -> tuple[pa.Table, dict]:
+    buf = io.BytesIO()
+    footer = filefmt.write_table(table, buf, config)
+    out = filefmt.read_table(buf.getvalue())
+    return out, footer
+
+
+def assert_tables_equal(a: pa.Table, b: pa.Table):
+    assert a.schema.names == b.schema.names
+    for name in a.schema.names:
+        ca, cb = a.column(name).combine_chunks(), b.column(name).combine_chunks()
+        assert ca.to_pylist() == cb.to_pylist(), f"column {name} mismatch"
+
+
+def test_webpages_roundtrip():
+    t = webpages(5_000)
+    out, footer = _roundtrip(t)
+    assert_tables_equal(t, out)
+    assert footer["num_rows"] == 5_000
+
+
+@pytest.mark.parametrize(
+    "variant", ["nulls", "const", "unique", "sorted", "binary", "empty", "one", "widechars"]
+)
+def test_variant_roundtrip(variant):
+    t = webpages_variant(variant, 1_000)
+    out, _ = _roundtrip(t)
+    assert_tables_equal(t, out)
+
+
+@pytest.mark.parametrize("codec", ["none", "gzip", "zstd", "snappy", "lz4"])
+def test_codecs(codec):
+    t = webpages(1_000)
+    out, footer = _roundtrip(t, EncoderConfig(compression=codec))
+    assert_tables_equal(t, out)
+
+
+def test_selector_choices_on_webpages():
+    t = webpages(20_000)
+    _, footer = _roundtrip(t)
+    enc = {c["name"]: Encoding(c["encoding"]) for c in footer["chunks"]}
+    assert enc["lang"] == Encoding.DICT        # cardinality 6
+    assert enc["warc_ts"] == Encoding.DELTA_BINARY_PACKED  # sorted ts
+    assert enc["url"] in (Encoding.DICT, Encoding.FSST, Encoding.DELTA_LENGTH, Encoding.DELTA_BYTE_ARRAY)
+    assert enc["text"] in (Encoding.FSST, Encoding.DELTA_LENGTH)
+
+
+def test_sorted_urls_get_prefix_encoding():
+    t = webpages_variant("sorted", 5_000)
+    _, footer = _roundtrip(t)
+    enc = {c["name"]: Encoding(c["encoding"]) for c in footer["chunks"]}
+    assert enc["url"] == Encoding.DELTA_BYTE_ARRAY
+
+
+def test_size_guard_never_worse_than_raw():
+    """A7 invariant: encoded bytes (pre-compression) <= raw bytes + page overhead."""
+    for variant in ["unique", "binary"]:
+        t = webpages_variant(variant, 2_000)
+        _, footer = _roundtrip(t, EncoderConfig(compression="none"))
+        for c in footer["chunks"]:
+            overhead = 64 * (len(c["pages"]) + 1) + 2048
+            assert c["encoded_bytes"] <= c["raw_bytes"] + overhead, c["name"]
+
+
+def test_size_budget_vs_reference_writer():
+    """north_star: total compressed bytes <= pq.write_table at matched codec."""
+    t = webpages(20_000)
+    buf_ref = io.BytesIO()
+    pq.write_table(t, buf_ref, compression="zstd")
+    ref_size = buf_ref.tell()
+    buf = io.BytesIO()
+    footer = filefmt.write_table(t, buf, EncoderConfig(compression="zstd"))
+    assert buf.tell() <= ref_size, f"ours {buf.tell()} > reference {ref_size}"
+
+
+def test_projection_reads_only_requested_columns():
+    t = webpages(2_000)
+    buf = io.BytesIO()
+    filefmt.write_table(t, buf)
+    out = filefmt.read_table(buf.getvalue(), columns=["url", "lang"])
+    assert out.schema.names == ["url", "lang"]
+    assert out.column("url").to_pylist() == t.column("url").to_pylist()
+
+
+def test_predicate_pruning_correct():
+    t = webpages(20_000)
+    buf = io.BytesIO()
+    cfg = EncoderConfig(page_row_count_limit=1_000)
+    filefmt.write_table(t, buf, cfg)
+    lo = t.column("warc_ts")[15_000].as_py()
+    out = filefmt.read_table(buf.getvalue(), predicate=("warc_ts", ">=", int(lo.timestamp() * 1e6)))
+    import pyarrow.compute as pc
+
+    expect = t.filter(pc.greater_equal(t.column("warc_ts"), pa.scalar(lo)))
+    assert out.num_rows == expect.num_rows
+
+
+def test_footer_stats_present():
+    t = webpages(2_000)
+    _, footer = _roundtrip(t)
+    lang = next(c for c in footer["chunks"] if c["name"] == "lang")
+    assert lang["stats"]["min"] == "de"
+    assert lang["stats"]["max"] == "zh"
+    assert lang["stats"]["null_count"] == 0
+
+
+def test_crc_detects_corruption():
+    t = webpages(500)
+    buf = io.BytesIO()
+    filefmt.write_table(t, buf)
+    data = bytearray(buf.getvalue())
+    data[100] ^= 0xFF
+    with pytest.raises(ValueError):
+        filefmt.read_table(bytes(data))
+
+
+def test_timestamp_precision_is_exact():
+    t = webpages(1_000)
+    out, _ = _roundtrip(t)
+    a = t.column("warc_ts").cast(pa.int64()).to_pylist()
+    b = out.column("warc_ts").combine_chunks().cast(pa.int64()).to_pylist()
+    assert a == b
+
+
+def test_embeddings_list_float32():
+    rng = np.random.default_rng(7)
+    vecs = [rng.standard_normal(8).astype(np.float32).tolist() for _ in range(200)]
+    t = pa.table({"vec_id": pa.array(range(200), pa.int64()), "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    out, _ = _roundtrip(t)
+    assert_tables_equal(t, out)

@@ -1,0 +1,492 @@
+"""webcodec file format: pages + column chunks + JSON footer.
+
+Layout (reference parity SURVEY.md §2.C — ParquetFileWriter / PageHeader /
+FileMetaData analogues; Parquet-compatible page-header *field set* per
+SURVEY.md §7.0 design decision):
+
+    magic "WCD1"
+    [per column: optional dict page, data pages...]   (any order; offsets in footer)
+    footer-json (utf8)
+    u32 footer_len | u32 footer_crc | magic "WCD1"
+
+Page on disk:  32-byte fixed header | compressed payload
+Header fields: page_type u8 | encoding u8 | codec u8 | phys_type u8 |
+               n_values u32 | n_nulls u32 | uncompressed_size u32 |
+               compressed_size u32 | crc u32 | first_row u64
+(the PageHeader field set from format-structures: type, sizes, crc, counts,
+encoding — C5 parity).
+
+Page payload (uncompressed):
+    u32 validity_len | [validity RLE-hybrid bytes if n_nulls>0] | value bytes
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webcodec import colcodec, selector
+from webcodec.config import DEFAULT_CONFIG, EncoderConfig
+from webcodec.kernels import dictionary, rle
+from webcodec.stats import page_stats, raw_byte_size, sample_stats
+from webcodec.types import (
+    CODEC_NAMES,
+    Codec,
+    Encoding,
+    PhysType,
+    arrow_type_from_json,
+    arrow_type_json,
+    phys_type_of,
+)
+
+MAGIC = b"WCD1"
+PAGE_HEADER = struct.Struct("<BBBBIIIIIQ")
+PAGE_DATA, PAGE_DICT = 0, 1
+
+
+def compress(data: bytes, codec: Codec, level: int | None = None) -> bytes:
+    if codec == Codec.NONE:
+        return data
+    if codec == Codec.GZIP:
+        return zlib.compress(data, level if level is not None else 6)
+    return pa.compress(data, codec=codec.name.lower(), asbytes=True)
+
+
+def decompress(data: bytes | memoryview, codec: Codec, out_size: int) -> bytes:
+    if codec == Codec.NONE:
+        return bytes(data)
+    if codec == Codec.GZIP:
+        return zlib.decompress(bytes(data))
+    return pa.decompress(bytes(data), decompressed_size=out_size, codec=codec.name.lower(), asbytes=True)
+
+
+class _PageOut:
+    __slots__ = ("header", "payload", "meta")
+
+    def __init__(self, header: bytes, payload: bytes, meta: dict):
+        self.header, self.payload, self.meta = header, payload, meta
+
+
+def _build_page(
+    page_type: int,
+    encoding: Encoding,
+    codec: Codec,
+    phys: PhysType,
+    n_values: int,
+    n_nulls: int,
+    validity: bytes,
+    values: bytes,
+    first_row: int,
+    stats: dict | None,
+    check_crc: bool,
+    level: int | None,
+) -> _PageOut:
+    body = struct.pack("<I", len(validity)) + validity + values
+    comp = compress(body, codec, level)
+    if len(comp) >= len(body) and codec != Codec.NONE:
+        comp, codec = body, Codec.NONE  # incompressible page: store raw
+    crc = zlib.crc32(comp) if check_crc else 0
+    header = PAGE_HEADER.pack(
+        page_type, int(encoding), int(codec), int(phys),
+        n_values, n_nulls, len(body), len(comp), crc, first_row,
+    )
+    meta = {
+        "n_values": n_values,
+        "n_nulls": n_nulls,
+        "first_row": first_row,
+        "uncompressed_size": len(body),
+        "compressed_size": len(comp),
+    }
+    if stats:
+        meta.update(stats)
+    return _PageOut(header, comp, meta)
+
+
+def _page_ranges(n: int, avg_bytes: float, config: EncoderConfig) -> list[tuple[int, int]]:
+    """Cut rows into pages by row limit and uncompressed byte target (B4 parity
+    — sizes are known up front from Arrow buffers, no adaptive estimate needed)."""
+    if n == 0:
+        return [(0, 0)]
+    by_bytes = max(int(config.data_page_size / max(avg_bytes, 1e-9)), 1)
+    step = max(min(config.page_row_count_limit, by_bytes), 256)
+    return [(s, min(s + step, n)) for s in range(0, n, step)]
+
+
+def _validity_of(arr: pa.Array) -> tuple[np.ndarray | None, int]:
+    n_nulls = arr.null_count
+    if n_nulls == 0:
+        return None, 0
+    mask = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
+    return mask, int(n_nulls)
+
+
+def _encode_chunk(
+    name: str,
+    arr: pa.Array,
+    config: EncoderConfig,
+    out: io.BufferedIOBase,
+    offset0: int,
+) -> tuple[dict, int]:
+    """Encode one column chunk; writes pages; returns (chunk_meta, new_offset)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    phys = phys_type_of(arr.type)
+    codec = CODEC_NAMES[config.compression_for(name).lower()]
+    n = len(arr)
+    raw = raw_byte_size(arr)
+    stats = sample_stats(arr, phys, config.selector_sample_values)
+    encoding = selector.choose(name, phys, stats, config)
+    fb = selector.fallback_encoding(phys)
+    offset = offset0
+    chunk: dict = {
+        "name": name,
+        "type": arrow_type_json(arr.type),
+        "phys": int(phys),
+        "codec": int(codec),
+        "raw_bytes": int(raw),
+        "pages": [],
+        "dict": None,
+    }
+
+    avg_bytes = raw / max(n, 1)
+    ranges = _page_ranges(n, avg_bytes, config)
+
+    dict_values = None
+    indices = None
+    dp: _PageOut | None = None
+    if encoding == Encoding.DICT:
+        valid = arr.drop_null()
+        dict_values, idx_valid = dictionary.build(valid)
+        dict_raw = raw_byte_size(dict_values)
+        if dict_raw > config.dictionary_pagesize_limit or len(dict_values) > 2**31 - 2:
+            encoding = fb  # reference: shouldFallBack() on dict size (A7)
+        else:
+            # scatter indices back to full-length (null slots get 0; masked out)
+            mask, _ = _validity_of(arr)
+            if mask is None:
+                indices = idx_valid
+            else:
+                indices = np.zeros(n, dtype=np.int64)
+                indices[mask] = idx_valid
+            dict_payload, dict_inner = colcodec.encode_dict_page(
+                dict_values, phys, config.use_fsst, config.fsst_sample_bytes
+            )
+            dp = _build_page(
+                PAGE_DICT, dict_inner, codec, phys, len(dict_values), 0, b"",
+                dict_payload, 0, None, config.write_page_checksum, config.compression_level,
+            )
+            chunk["dict"] = {
+                "n": len(dict_values),
+                "inner_encoding": int(dict_inner),
+                **{k: dp.meta[k] for k in ("uncompressed_size", "compressed_size")},
+            }
+
+    encoded_total = 0
+    tried_fallback = encoding == fb
+    pages_out: list[_PageOut] = []
+    i = 0
+    while i < len(ranges):
+        s, e = ranges[i]
+        sl = arr.slice(s, e - s)
+        mask, n_nulls = _validity_of(sl)
+        validity = rle.encode_validity(mask) if mask is not None else b""
+        if encoding == Encoding.DICT:
+            page_idx = indices[s:e]
+            if mask is not None:
+                page_idx = page_idx[mask]  # only non-null slots are stored
+            values = colcodec.encode_dict_indices(page_idx, len(dict_values))
+        else:
+            nonnull = sl.drop_null() if n_nulls else sl
+            values = colcodec.encode_values(nonnull, phys, encoding, config.fsst_sample_bytes)
+        # A7 guard on the FIRST page: encoded (+dict) must beat raw, else fall back
+        if i == 0 and not tried_fallback:
+            page_raw = raw_byte_size(sl)
+            dict_sz = chunk["dict"]["uncompressed_size"] if chunk["dict"] else 0
+            if not selector.is_compression_satisfying(page_raw + 1, len(values) + len(validity), dict_sz):
+                encoding = fb
+                tried_fallback = True
+                chunk["dict"] = None
+                dict_values = None
+                continue  # re-encode page 0 with the fallback
+        st = page_stats(sl, phys, config.statistics_truncate_length) if config.statistics_enabled else None
+        p = _build_page(
+            PAGE_DATA, encoding, codec, phys, e - s, n_nulls, validity, values,
+            s, st, config.write_page_checksum, config.compression_level,
+        )
+        pages_out.append(p)
+        encoded_total += len(values) + len(validity)
+        i += 1
+
+    if encoding == Encoding.DICT and dp is not None and chunk["dict"] is not None:
+        out.write(dp.header)
+        out.write(dp.payload)
+        chunk["dict"]["offset"] = offset
+        chunk["dict"]["size"] = PAGE_HEADER.size + len(dp.payload)
+        offset += chunk["dict"]["size"]
+    for p in pages_out:
+        out.write(p.header)
+        out.write(p.payload)
+        p.meta["offset"] = offset
+        p.meta["size"] = PAGE_HEADER.size + len(p.payload)
+        offset += p.meta["size"]
+        chunk["pages"].append(p.meta)
+
+    chunk["encoding"] = int(encoding)
+    chunk["encoded_bytes"] = int(encoded_total)
+    chunk["compressed_bytes"] = int(
+        sum(p["size"] for p in chunk["pages"])
+        + (chunk["dict"]["size"] if chunk["dict"] else 0)
+    )
+    # chunk-level stats roll-up
+    mins = [p["min"] for p in chunk["pages"] if p.get("min") is not None]
+    maxs = [p["max"] for p in chunk["pages"] if p.get("max") is not None]
+    chunk["stats"] = {
+        "min": min(mins) if mins else None,
+        "max": max(maxs) if maxs else None,
+        "null_count": int(sum(p.get("null_count", 0) for p in chunk["pages"])),
+    }
+    return chunk, offset
+
+
+def write_table(
+    table: pa.Table,
+    where: str | io.BufferedIOBase,
+    config: EncoderConfig | None = None,
+    extra_metadata: dict | None = None,
+) -> dict:
+    """Encode an Arrow table into one webcodec file; returns the footer dict."""
+    config = config or DEFAULT_CONFIG
+    own = isinstance(where, str)
+    out: io.BufferedIOBase = open(where, "wb") if own else where  # type: ignore[assignment]
+    try:
+        out.write(MAGIC)
+        offset = len(MAGIC)
+        t0 = time.perf_counter()
+        chunks = []
+        for name in table.column_names:
+            chunk, offset = _encode_chunk(name, table.column(name), config, out, offset)
+            chunks.append(chunk)
+        encode_secs = time.perf_counter() - t0
+        footer = {
+            "version": 1,
+            "num_rows": table.num_rows,
+            "schema": [
+                {"name": f.name, "type": arrow_type_json(f.type), "nullable": f.nullable}
+                for f in table.schema
+            ],
+            "chunks": chunks,
+            "raw_bytes": int(sum(c["raw_bytes"] for c in chunks)),
+            "compressed_bytes": int(sum(c["compressed_bytes"] for c in chunks)),
+            "encode_secs": encode_secs,
+            "created_by": "webcodec-0.1",
+            "metadata": extra_metadata or {},
+        }
+        fj = json.dumps(footer, separators=(",", ":")).encode()
+        out.write(fj)
+        out.write(struct.pack("<II", len(fj), zlib.crc32(fj)))
+        out.write(MAGIC)
+        return footer
+    finally:
+        if own:
+            out.close()
+
+
+# ------------------------------ read path ------------------------------------
+
+
+def read_footer(data: bytes | memoryview) -> dict:
+    buf = memoryview(data)
+    if bytes(buf[:4]) != MAGIC or bytes(buf[-4:]) != MAGIC:
+        raise ValueError("not a webcodec file")
+    flen, fcrc = struct.unpack("<II", buf[-12:-4])
+    fj = bytes(buf[-12 - flen : -12])
+    if zlib.crc32(fj) != fcrc:
+        raise ValueError("footer crc mismatch")
+    return json.loads(fj)
+
+
+def _read_page(buf: memoryview, offset: int, verify_crc: bool = True):
+    h = PAGE_HEADER.unpack(buf[offset : offset + PAGE_HEADER.size])
+    (ptype, enc, codec, phys, n_values, n_nulls, usize, csize, crc, first_row) = h
+    payload = buf[offset + PAGE_HEADER.size : offset + PAGE_HEADER.size + csize]
+    if verify_crc and crc and zlib.crc32(payload) != crc:
+        raise ValueError(f"page crc mismatch at offset {offset}")
+    body = decompress(payload, Codec(codec), usize)
+    (vlen,) = struct.unpack("<I", body[:4])
+    validity = body[4 : 4 + vlen]
+    values = memoryview(body)[4 + vlen :]
+    return ptype, Encoding(enc), PhysType(phys), n_values, n_nulls, validity, values, first_row
+
+
+def _rebuild_with_nulls(values: pa.Array, mask: np.ndarray, arrow_type: pa.DataType) -> pa.Array:
+    """Expand a null-free decoded array to full length with a validity bitmap."""
+    n = len(mask)
+    from webcodec.kernels.bitpack import pack_bools
+
+    bitmap = pa.py_buffer(pack_bools(mask))
+    if pa.types.is_boolean(arrow_type):
+        full = np.zeros(n, dtype=bool)
+        full[mask] = values.to_numpy(zero_copy_only=False).astype(bool)
+        return pa.Array.from_buffers(arrow_type, n, [bitmap, pa.py_buffer(pack_bools(full))], null_count=int((~mask).sum()))
+    if pa.types.is_string(arrow_type) or pa.types.is_binary(arrow_type) or pa.types.is_large_string(arrow_type) or pa.types.is_large_binary(arrow_type):
+        offsets, data = colcodec.varlen_parts(values)
+        lens = np.diff(offsets)
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[mask] = lens
+        big = pa.types.is_large_string(arrow_type) or pa.types.is_large_binary(arrow_type)
+        odt = np.int64 if big else np.int32
+        full_off = np.zeros(n + 1, dtype=odt)
+        np.cumsum(full_lens, out=full_off[1:])
+        payload = memoryview(data)[int(offsets[0]) : int(offsets[-1])]
+        return pa.Array.from_buffers(
+            arrow_type, n, [bitmap, pa.py_buffer(full_off.tobytes()), pa.py_buffer(bytes(payload))],
+            null_count=int((~mask).sum()),
+        )
+    if pa.types.is_list(arrow_type):
+        # outer validity over list offsets
+        inner = values
+        offs = np.frombuffer(inner.buffers()[1], dtype=np.int32, count=len(inner) + 1)
+        lens = np.diff(offs)
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[mask] = lens
+        full_off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(full_lens, out=full_off[1:])
+        return pa.ListArray.from_arrays(
+            pa.array(full_off, type=pa.int32()), inner.flatten(),
+        )  # note: nulls become empty lists; acceptable only if outer non-null
+    # fixed width
+    base = arrow_type
+    if pa.types.is_timestamp(arrow_type):
+        base = pa.int64()
+        values = values.cast(pa.int64())
+    elif pa.types.is_date32(arrow_type):
+        base = pa.int32()
+        values = values.cast(pa.int32())
+    dt = values.type.to_pandas_dtype()
+    full = np.zeros(n, dtype=dt)
+    full[mask] = values.to_numpy(zero_copy_only=False)
+    out = pa.Array.from_buffers(base, n, [bitmap, pa.py_buffer(full.tobytes())], null_count=int((~mask).sum()))
+    return out.cast(arrow_type) if base != arrow_type else out
+
+
+def _decode_chunk(buf: memoryview, chunk: dict, verify_crc: bool = True) -> pa.Array:
+    arrow_type = arrow_type_from_json(chunk["type"])
+    phys = PhysType(chunk["phys"])
+    dict_values = None
+    if chunk.get("dict"):
+        d = chunk["dict"]
+        _, inner, _, dn, _, _, dvals, _ = _read_page(buf, d["offset"], verify_crc)
+        dict_values = colcodec.decode_dict_page(dvals, phys, inner, dn, arrow_type)
+    parts: list[pa.Array] = []
+    for pm in chunk["pages"]:
+        ptype, enc, _, n_values, n_nulls, validity, values, _ = _read_page(buf, pm["offset"], verify_crc)
+        n_valid = n_values - n_nulls
+        if enc == Encoding.DICT:
+            idx = colcodec.decode_dict_indices(values, n_valid)
+            arr = dictionary.take(dict_values, idx)
+            if arr.type != arrow_type:
+                arr = arr.cast(arrow_type)
+        else:
+            arr = colcodec.decode_values(values, phys, enc, n_valid, arrow_type)
+        if n_nulls:
+            mask = rle.decode_validity(validity, n_values)
+            arr = _rebuild_with_nulls(arr, mask, arrow_type)
+        elif arr.type != arrow_type:
+            arr = arr.cast(arrow_type)
+        parts.append(arr)
+    if not parts:
+        return pa.array([], type=arrow_type)
+    return pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
+
+
+def _page_overlaps(pm: dict, op: str, value) -> bool:
+    lo, hi = pm.get("min"), pm.get("max")
+    if lo is None or hi is None:
+        return True
+    try:
+        if op == "==":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+    except TypeError:
+        return True
+    return True
+
+
+def read_table(
+    source: str | bytes | memoryview,
+    columns: list[str] | None = None,
+    predicate: tuple[str, str, object] | None = None,
+    verify_crc: bool = True,
+) -> pa.Table:
+    """Decode a webcodec file to an Arrow table.
+
+    ``columns``: projection — only those chunks are decoded (D6 parity; free by
+    columnar layout). ``predicate``: ('col', op, value) — pages whose min/max
+    cannot match are skipped across ALL columns via row-range sync (D3 parity),
+    then the residual filter is applied exactly.
+    """
+    if isinstance(source, str):
+        with open(source, "rb") as f:
+            data = f.read()
+    else:
+        data = source
+    buf = memoryview(data)
+    footer = read_footer(buf)
+    by_name = {c["name"]: c for c in footer["chunks"]}
+    names = columns or [c["name"] for c in footer["chunks"]]
+
+    keep_rows: np.ndarray | None = None
+    if predicate is not None:
+        col, op, value = predicate
+        pc_chunk = by_name[col]
+        keep_rows = np.zeros(footer["num_rows"], dtype=bool)
+        any_skipped = False
+        for pm in pc_chunk["pages"]:
+            if _page_overlaps(pm, op, value):
+                keep_rows[pm["first_row"] : pm["first_row"] + pm["n_values"]] = True
+            else:
+                any_skipped = True
+        if not any_skipped:
+            keep_rows = None  # nothing prunable; decode everything
+
+    arrays = []
+    fields = []
+    for name in names:
+        chunk = by_name[name]
+        arr = _decode_chunk(buf, chunk, verify_crc)
+        # note: page skipping decodes all pages of the predicate column but can
+        # skip page ranges per column; for simplicity we decode full chunks and
+        # slice — the win at scale comes from file-level pruning in the manifest.
+        arrays.append(arr)
+        fields.append(pa.field(name, arr.type))
+    table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+    if keep_rows is not None:
+        table = table.filter(pa.array(keep_rows))
+    if predicate is not None:
+        col, op, value = predicate
+        import pyarrow.compute as _pc
+
+        ops = {
+            "==": _pc.equal, "<": _pc.less, "<=": _pc.less_equal,
+            ">": _pc.greater, ">=": _pc.greater_equal,
+        }
+        col_type = table.column(col).type
+        scalar = pa.scalar(value)
+        if not scalar.type.equals(col_type):
+            scalar = scalar.cast(col_type)
+        table = table.filter(ops[op](table.column(col), scalar))
+    return table

@@ -89,6 +89,6 @@ def webpages_variant(kind: str, n: int = 2_000, seed: int = 42) -> pa.Table:
     if kind == "one":
         return t.slice(0, 1)
     if kind == "widechars":
-        texts = ["中文内容" * (i % 5), "русский текст", "", "x"] * (n // 4 + 1)
+        texts = [s for i in range(n // 4 + 1) for s in ("中文内容" * (i % 5), "русский текст", "", "x")]
         return t.set_column(3, "text", pa.array(texts[:n], type=pa.string()))
     raise ValueError(kind)

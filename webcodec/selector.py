@@ -1,0 +1,89 @@
+"""Per-column codec auto-selection.
+
+Two layers (SURVEY.md §2.B, §4.1):
+- a-priori rule table over sampled stats (ndv ratio, mean run length, byte
+  entropy, prefix ratio) — our extension, richer than the reference's
+  type-default tables (DefaultV1/V2ValuesWriterFactory, B2/B3);
+- a-posteriori guard with the reference's ``FallbackValuesWriter`` semantics
+  (A7): ``isCompressionSatisfying(raw, encoded)`` ⇔ encoded (+ dict page) < raw,
+  decided on the first encoded page; on failure the chunk falls back to the
+  type's plain-est encoding.
+"""
+
+from __future__ import annotations
+
+from webcodec.config import EncoderConfig
+from webcodec.stats import SampleStats
+from webcodec.types import Encoding, PhysType
+
+_NAME_TO_ENC = {
+    "plain": Encoding.PLAIN,
+    "rle": Encoding.RLE,
+    "dict": Encoding.DICT,
+    "delta_binary_packed": Encoding.DELTA_BINARY_PACKED,
+    "delta_length": Encoding.DELTA_LENGTH,
+    "delta_byte_array": Encoding.DELTA_BYTE_ARRAY,
+    "byte_stream_split": Encoding.BYTE_STREAM_SPLIT,
+    "fsst": Encoding.FSST,
+}
+
+
+def encoding_from_name(name: str) -> Encoding:
+    return _NAME_TO_ENC[name.lower()]
+
+
+def fallback_encoding(phys: PhysType) -> Encoding:
+    """The 'plain-est' encoding per type — the A7 fallback target."""
+    if phys in (PhysType.STRING, PhysType.BINARY):
+        return Encoding.DELTA_LENGTH  # Arrow-native layout; never worse than PLAIN
+    if phys == PhysType.BOOL:
+        return Encoding.PLAIN
+    if phys == PhysType.LIST_FLOAT32:
+        return Encoding.BYTE_STREAM_SPLIT
+    return Encoding.PLAIN
+
+
+def choose(column: str, phys: PhysType, stats: SampleStats, config: EncoderConfig) -> Encoding:
+    """A-priori choice. The encoder still applies the A7 size guard afterwards."""
+    override = config.encoding_for(column)
+    if override != "auto":
+        return encoding_from_name(override)
+    dict_ok = config.dictionary_for(column)
+
+    if phys == PhysType.BOOL:
+        # reference V2 default: RLE for booleans (B3)
+        return Encoding.RLE if stats.mean_run_length >= 2 else Encoding.PLAIN
+
+    if phys == PhysType.LIST_FLOAT32:
+        return Encoding.BYTE_STREAM_SPLIT
+
+    if phys in (PhysType.INT32, PhysType.INT64, PhysType.TIMESTAMP_US, PhysType.DATE32):
+        if dict_ok and stats.ndv_ratio < 0.05 and stats.n >= 64:
+            return Encoding.DICT
+        # FOR + delta + bit-pack wins on sorted/clustered ints (warc_ts)
+        return Encoding.DELTA_BINARY_PACKED
+
+    if phys in (PhysType.FLOAT32, PhysType.FLOAT64):
+        if dict_ok and stats.ndv_ratio < 0.05 and stats.n >= 64:
+            return Encoding.DICT
+        return Encoding.BYTE_STREAM_SPLIT
+
+    # varlen string/binary
+    if dict_ok and stats.ndv_ratio < 0.10 and stats.n >= 64:
+        return Encoding.DICT
+    if stats.prefix_ratio > 0.4 and stats.sortedness > 0.9:
+        return Encoding.DELTA_BYTE_ARRAY  # sorted urls
+    if (
+        config.use_fsst
+        and phys == PhysType.STRING
+        and stats.byte_entropy < 6.0
+        and stats.avg_len >= 8
+    ):
+        return Encoding.FSST
+    return Encoding.DELTA_LENGTH
+
+
+def is_compression_satisfying(raw_size: int, encoded_size: int, dict_size: int = 0) -> bool:
+    """A7 parity: FallbackValuesWriter.isCompressionSatisfying bytecode
+    ⇔ ``encodedSize + dictionaryByteSize < rawDataByteSize``."""
+    return encoded_size + dict_size < raw_size

@@ -1,0 +1,163 @@
+"""Column statistics: sampled selector stats + per-page min/max stats.
+
+Reference parity: min/max/null-count statistics per page/chunk with truncation
+(SURVEY.md §2.C6, parquet-java ``Statistics``/``BinaryStatistics`` +
+``DEFAULT_COLUMN_INDEX_TRUNCATE_LENGTH=64``); the *sampled* selector stats
+(ndv ratio, mean run length, byte entropy) are our extension per the
+north_star ('codec auto-selector driven by sampled cardinality/run-length/
+entropy statistics'), validated by BtrBlocks (SIGMOD'23, PAPERS.md).
+"""
+
+from __future__ import annotations
+
+import base64
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from webcodec.types import IS_VARLEN, NUMPY_OF, PhysType
+
+
+@dataclass
+class SampleStats:
+    n: int
+    ndv_ratio: float          # distinct / sampled
+    mean_run_length: float    # consecutive-equal runs
+    byte_entropy: float       # bits/byte over the value bytes (varlen/fixed view)
+    avg_len: float            # bytes per value
+    prefix_ratio: float       # avg adjacent common-prefix / avg_len (varlen only)
+    sortedness: float         # fraction of non-decreasing adjacent pairs
+
+
+def _entropy_bits(raw: np.ndarray) -> float:
+    if len(raw) == 0:
+        return 0.0
+    counts = np.bincount(raw, minlength=256).astype(np.float64)
+    p = counts[counts > 0] / len(raw)
+    return float(-(p * np.log2(p)).sum())
+
+
+def sample_stats(arr: pa.Array, phys: PhysType, sample_n: int = 4096) -> SampleStats:
+    """Compute selector statistics from the first ``sample_n`` non-null values."""
+    s = arr.drop_null().slice(0, sample_n)
+    n = len(s)
+    if n == 0:
+        return SampleStats(0, 1.0, 1.0, 8.0, 0.0, 0.0, 0.0)
+    if phys == PhysType.LIST_FLOAT32:  # nested: BSS path, no distinct-count kernel
+        return SampleStats(n, 1.0, 1.0, 8.0, 0.0, 0.0, 0.0)
+    ndv = pc.count_distinct(s).as_py()
+    ndv_ratio = ndv / n
+
+    if phys in IS_VARLEN:
+        s2 = s.cast(pa.large_binary()) if not pa.types.is_large_binary(s.type) else s
+        buffers = s2.combine_chunks().buffers() if isinstance(s2, pa.ChunkedArray) else s2.buffers()
+        offsets = np.frombuffer(buffers[1], dtype=np.int64, count=n + 1)
+        data = np.frombuffer(buffers[2] or b"", dtype=np.uint8, count=int(offsets[-1]))
+        lens = np.diff(offsets)
+        avg_len = float(lens.mean()) if n else 0.0
+        entropy = _entropy_bits(data[: 1 << 16])
+        # adjacent common prefix via the prefix kernel
+        from webcodec.kernels.prefix import prefix_lengths
+
+        p = prefix_lengths(offsets, data.tobytes())
+        prefix_ratio = float(p[1:].mean() / avg_len) if n > 1 and avg_len > 0 else 0.0
+        # runs / sortedness on hashes-of-values is enough for equality runs
+        eq = pc.equal(s.slice(0, n - 1), s.slice(1)).to_numpy(zero_copy_only=False) if n > 1 else np.array([])
+        runs = 1 + int((~eq.astype(bool)).sum()) if n > 1 else 1
+        mrl = n / runs
+        sortedness = 0.0
+        if n > 1:
+            le = pc.less_equal(s.slice(0, n - 1), s.slice(1)).to_numpy(zero_copy_only=False)
+            sortedness = float(np.nanmean(le.astype(np.float64)))
+        return SampleStats(n, ndv_ratio, mrl, entropy, avg_len, prefix_ratio, sortedness)
+
+    if phys == PhysType.BOOL:
+        v = s.to_numpy(zero_copy_only=False).astype(np.uint8)
+    elif phys == PhysType.LIST_FLOAT32:
+        return SampleStats(n, ndv_ratio, 1.0, 8.0, 0.0, 0.0, 0.0)
+    else:
+        v = s.to_numpy(zero_copy_only=False).view(NUMPY_OF[phys])
+    from webcodec.kernels.rle import mean_run_length
+
+    mrl = mean_run_length(v)
+    raw = np.ascontiguousarray(v).view(np.uint8)
+    entropy = _entropy_bits(raw[: 1 << 16])
+    sortedness = float((v[1:] >= v[:-1]).mean()) if n > 1 else 1.0
+    return SampleStats(n, ndv_ratio, mrl, entropy, float(v.dtype.itemsize), 0.0, sortedness)
+
+
+# ---- page/chunk min-max stats (footer) ---------------------------------------
+
+
+def _bump_last(s: str) -> str:
+    """Increment the last char so a truncated MAX stays an upper bound
+    (reference parity: BinaryTruncator for the column index)."""
+    for i in range(len(s) - 1, -1, -1):
+        c = ord(s[i])
+        if c < 0x10FFFF:
+            return s[:i] + chr(c + 1)
+    return s
+
+
+def _encode_stat(v, phys: PhysType, truncate: int, is_max: bool = False):
+    if v is None:
+        return None
+    if phys in (PhysType.STRING,):
+        s = str(v)
+        if len(s) > truncate:
+            s = s[:truncate]
+            if is_max:
+                s = _bump_last(s)
+        return s
+    if phys == PhysType.BINARY:
+        b = v if isinstance(v, bytes) else bytes(v)
+        if len(b) > truncate:
+            b = b[:truncate]
+            if is_max:
+                bb = bytearray(b)
+                for i in range(len(bb) - 1, -1, -1):
+                    if bb[i] < 0xFF:
+                        bb[i] += 1
+                        b = bytes(bb[: i + 1])
+                        break
+                else:
+                    return None  # cannot bound; drop the stat
+        return base64.b64encode(b).decode()
+    if phys == PhysType.TIMESTAMP_US:
+        if hasattr(v, "value"):  # pa scalar
+            return int(v.value)
+        if hasattr(v, "timestamp"):  # datetime -> epoch micros
+            import calendar
+
+            return int(calendar.timegm(v.utctimetuple())) * 1_000_000 + v.microsecond
+        return int(v)
+    if phys == PhysType.DATE32:
+        if hasattr(v, "toordinal"):
+            return v.toordinal() - 719_163  # days since epoch
+        return int(v)
+    if phys == PhysType.LIST_FLOAT32:
+        return None
+    if phys in (PhysType.FLOAT32, PhysType.FLOAT64):
+        return float(v)
+    return int(v) if not isinstance(v, bool) else bool(v)
+
+
+def page_stats(arr: pa.Array, phys: PhysType, truncate: int = 64) -> dict:
+    """min/max/null_count for one page (truncated like the reference column index)."""
+    null_count = arr.null_count
+    valid = arr.drop_null()
+    if len(valid) == 0 or phys == PhysType.LIST_FLOAT32:
+        return {"min": None, "max": None, "null_count": int(null_count)}
+    mm = pc.min_max(valid)
+    return {
+        "min": _encode_stat(mm["min"].as_py(), phys, truncate),
+        "max": _encode_stat(mm["max"].as_py(), phys, truncate, is_max=True),
+        "null_count": int(null_count),
+    }
+
+
+def raw_byte_size(arr: pa.Array) -> int:
+    """Arrow buffer bytes of a column — the 'raw' side of the A7 size guard."""
+    return arr.nbytes

@@ -1,0 +1,128 @@
+"""Physical type and encoding enums for the webcodec page format."""
+
+from __future__ import annotations
+
+import enum
+
+import numpy as np
+import pyarrow as pa
+
+
+class PhysType(enum.IntEnum):
+    BOOL = 0
+    INT32 = 1
+    INT64 = 2
+    FLOAT32 = 3
+    FLOAT64 = 4
+    STRING = 5
+    BINARY = 6
+    TIMESTAMP_US = 7
+    LIST_FLOAT32 = 8  # embeddings support: offsets delta + child BSS
+    DATE32 = 9
+
+
+class Encoding(enum.IntEnum):
+    """Superset of the reference's Encoding enum (SURVEY.md §2 A1–A12)."""
+
+    PLAIN = 0
+    RLE = 1                 # bools / raw small ints, hybrid stream
+    DICT = 2                # RLE_DICTIONARY analogue
+    DELTA_BINARY_PACKED = 3
+    DELTA_LENGTH = 4
+    DELTA_BYTE_ARRAY = 5    # prefix
+    BYTE_STREAM_SPLIT = 6
+    FSST = 7                # delta lengths + FSST-compressed payload (our extension)
+
+
+class Codec(enum.IntEnum):
+    """Block compression after encoding (reference: CompressionCodecName, C9)."""
+
+    NONE = 0
+    SNAPPY = 1
+    GZIP = 2
+    ZSTD = 3
+    LZ4 = 4
+    BROTLI = 5
+
+
+CODEC_NAMES = {c.name.lower(): c for c in Codec}
+
+_ARROW_TO_PHYS = [
+    (pa.bool_(), PhysType.BOOL),
+    (pa.int32(), PhysType.INT32),
+    (pa.int64(), PhysType.INT64),
+    (pa.float32(), PhysType.FLOAT32),
+    (pa.float64(), PhysType.FLOAT64),
+    (pa.string(), PhysType.STRING),
+    (pa.large_string(), PhysType.STRING),
+    (pa.binary(), PhysType.BINARY),
+    (pa.large_binary(), PhysType.BINARY),
+    (pa.timestamp("us"), PhysType.TIMESTAMP_US),
+    (pa.date32(), PhysType.DATE32),
+    (pa.list_(pa.float32()), PhysType.LIST_FLOAT32),
+]
+
+
+def phys_type_of(t: pa.DataType) -> PhysType:
+    for at, pt in _ARROW_TO_PHYS:
+        if t.equals(at):
+            return pt
+    if pa.types.is_timestamp(t):
+        return PhysType.TIMESTAMP_US
+    raise TypeError(f"unsupported arrow type: {t}")
+
+
+def arrow_type_of(pt: PhysType, original: pa.DataType | None = None) -> pa.DataType:
+    if original is not None:
+        return original
+    return {
+        PhysType.BOOL: pa.bool_(),
+        PhysType.INT32: pa.int32(),
+        PhysType.INT64: pa.int64(),
+        PhysType.FLOAT32: pa.float32(),
+        PhysType.FLOAT64: pa.float64(),
+        PhysType.STRING: pa.string(),
+        PhysType.BINARY: pa.binary(),
+        PhysType.TIMESTAMP_US: pa.timestamp("us"),
+        PhysType.LIST_FLOAT32: pa.list_(pa.float32()),
+        PhysType.DATE32: pa.date32(),
+    }[pt]
+
+
+NUMPY_OF = {
+    PhysType.INT32: np.dtype("<i4"),
+    PhysType.INT64: np.dtype("<i8"),
+    PhysType.FLOAT32: np.dtype("<f4"),
+    PhysType.FLOAT64: np.dtype("<f8"),
+    PhysType.TIMESTAMP_US: np.dtype("<i8"),
+    PhysType.DATE32: np.dtype("<i4"),
+}
+
+IS_VARLEN = {PhysType.STRING, PhysType.BINARY}
+IS_FIXED = set(NUMPY_OF)
+
+
+def arrow_type_json(t: pa.DataType) -> str:
+    return str(t)
+
+
+def arrow_type_from_json(s: str) -> pa.DataType:
+    mapping = {
+        "bool": pa.bool_(),
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "large_string": pa.large_string(),
+        "binary": pa.binary(),
+        "large_binary": pa.large_binary(),
+        "timestamp[us]": pa.timestamp("us"),
+        "date32[day]": pa.date32(),
+        "list<item: float>": pa.list_(pa.float32()),
+    }
+    if s in mapping:
+        return mapping[s]
+    if s.startswith("timestamp[us, tz="):
+        return pa.timestamp("us", tz=s[len("timestamp[us, tz=") : -1])
+    raise TypeError(f"cannot parse arrow type {s!r}")
