@@ -23,8 +23,17 @@ def varlen_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     odt = np.int64 if big else np.int32
     offsets = np.frombuffer(buffers[1], dtype=odt, count=arr.offset + len(arr) + 1)
     offsets = offsets[arr.offset :].astype(np.int64)
-    data = bytes(buffers[2] or b"")
+    data = memoryview(buffers[2]) if buffers[2] is not None else memoryview(b"")
     return offsets, data
+
+
+def sample_payload(arr: pa.Array, max_values: int = 2048, max_bytes: int = 1 << 14) -> bytes:
+    """First <=max_bytes of the value bytes of a null-free varlen array."""
+    sl = arr.slice(0, max_values)
+    if isinstance(sl, pa.ChunkedArray):
+        sl = sl.combine_chunks()
+    offsets, data = varlen_parts(sl)
+    return bytes(data[int(offsets[0]) : int(offsets[0]) + max_bytes])
 
 
 def fixed_values(arr: pa.Array, phys: PhysType) -> np.ndarray:
@@ -35,7 +44,13 @@ def fixed_values(arr: pa.Array, phys: PhysType) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False).view(NUMPY_OF[phys])
 
 
-def encode_values(arr: pa.Array, phys: PhysType, encoding: Encoding, fsst_sample: int = 1 << 14) -> bytes:
+def encode_values(
+    arr: pa.Array,
+    phys: PhysType,
+    encoding: Encoding,
+    fsst_sample: int = 1 << 14,
+    fsst_table=None,
+) -> bytes:
     """Encode a null-free array slice. DICT is handled at chunk level, not here."""
     n = len(arr)
     if phys == PhysType.BOOL:
@@ -61,7 +76,7 @@ def encode_values(arr: pa.Array, phys: PhysType, encoding: Encoding, fsst_sample
             return prefix.encode(offsets, data)
         if encoding == Encoding.FSST:
             lens_enc, payload = deltalength.encode_parts(offsets, data)
-            blob = fsst.compress(payload, fsst_sample)
+            blob = fsst.compress(payload, fsst_sample, table=fsst_table)
             return write_uvarint(len(lens_enc)) + lens_enc + blob
         if encoding == Encoding.PLAIN:
             return plain.encode_binary(offsets, data)

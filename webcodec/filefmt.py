@@ -190,6 +190,7 @@ def _encode_chunk(
 
     encoded_total = 0
     tried_fallback = encoding == fb
+    fsst_table = None  # one symbol table per chunk, shared by all pages
     pages_out: list[_PageOut] = []
     i = 0
     while i < len(ranges):
@@ -204,7 +205,15 @@ def _encode_chunk(
             values = colcodec.encode_dict_indices(page_idx, len(dict_values))
         else:
             nonnull = sl.drop_null() if n_nulls else sl
-            values = colcodec.encode_values(nonnull, phys, encoding, config.fsst_sample_bytes)
+            if encoding == Encoding.FSST and fsst_table is None:
+                from webcodec.kernels import fsst as _fsst
+
+                fsst_table = _fsst.build_table(
+                    colcodec.sample_payload(nonnull, 2048, config.fsst_sample_bytes)
+                )
+            values = colcodec.encode_values(
+                nonnull, phys, encoding, config.fsst_sample_bytes, fsst_table
+            )
         # A7 guard on the FIRST page: encoded (+dict) must beat raw, else fall back
         if i == 0 and not tried_fallback:
             page_raw = raw_byte_size(sl)

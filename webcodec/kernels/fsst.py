@@ -70,6 +70,24 @@ def _tokenize(data: bytes, table: SymbolTable) -> list[bytes]:
     return table._pattern.findall(data)
 
 
+def _dedupe_prefixes(ranked: list[bytes]) -> list[bytes]:
+    """Keep at most ONE symbol of length >= 3 per 2-byte prefix (FSST-paper
+    style restriction) so the vectorized encoder resolves longest-match with
+    direct table lookups while staying exact greedy w.r.t. this table."""
+    out: list[bytes] = []
+    seen_long: set[bytes] = set()
+    for s in ranked:
+        if len(s) >= 3:
+            p = s[:2]
+            if p in seen_long:
+                continue
+            seen_long.add(p)
+        out.append(s)
+        if len(out) >= MAX_SYMBOLS:
+            break
+    return out
+
+
 def build_table(sample: bytes, iterations: int = 5) -> SymbolTable:
     """Iterative greedy symbol-table construction on a sample."""
     if not sample:
@@ -88,13 +106,13 @@ def build_table(sample: bytes, iterations: int = 5) -> SymbolTable:
             cat = a + b
             if len(cat) <= MAX_SYMBOL_LEN:
                 gain[cat] += len(cat)
-        best = [s for s, _ in gain.most_common(MAX_SYMBOLS)]
-        table = SymbolTable(best)
+        ranked = [s for s, _ in gain.most_common(MAX_SYMBOLS * 4)]
+        table = SymbolTable(_dedupe_prefixes(ranked))
     return table
 
 
-def encode(data: bytes, table: SymbolTable) -> bytes:
-    """Longest-match encode; unmatched bytes escape as 0xFF + byte."""
+def encode_regex(data: bytes, table: SymbolTable) -> bytes:
+    """Reference scalar encode (used for differential tests and tiny inputs)."""
     sub_map = table._sub_map
 
     def repl(m: re.Match) -> bytes:
@@ -103,6 +121,124 @@ def encode(data: bytes, table: SymbolTable) -> bytes:
         return code if code is not None else b"\xff" + s
 
     return table._pattern.sub(repl, data)
+
+
+_CHASE_STRIDE = 32  # anchor spacing for the vectorized greedy chase
+
+
+def encode(data: bytes, table: SymbolTable) -> bytes:
+    """Vectorized exact-greedy encode against the (prefix-restricted) table.
+
+    Because build_table keeps at most one >=3-byte symbol per 2-byte prefix,
+    longest-match at a position is resolved with direct lookups: the unique
+    long candidate via a 64K table on the first two bytes (verified against
+    its key — low 4 bytes wide, high bytes on the surviving subset only),
+    else the exact 2-byte symbol, else the 1-byte symbol, else escape. The
+    greedy token walk is vectorized with pointer doubling to stride-S anchors
+    + lockstep chain advance; per-token code gathers happen only at the ~n/4
+    token positions.
+    """
+    n = len(data)
+    if n == 0:
+        return b""
+    if n < 4096 or not table.symbols:
+        return encode_regex(data, table)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    padded = np.concatenate((raw, np.zeros(8, dtype=np.uint8)))
+
+    NOSYM = np.uint8(255)
+    lut1 = np.full(256, NOSYM, dtype=np.uint8)
+    lut2 = np.full(65536, NOSYM, dtype=np.uint8)
+    lut_long = np.full(65536, NOSYM, dtype=np.uint8)
+    key_lo = np.zeros(256, dtype=np.uint32)
+    mask_lo = np.zeros(256, dtype=np.uint32)
+    key_hi = np.zeros(256, dtype=np.uint32)
+    mask_hi = np.zeros(256, dtype=np.uint32)
+    sym_len = np.zeros(256, dtype=np.uint8)
+    for code, s in enumerate(table.symbols):
+        L = len(s)
+        sym_len[code] = L
+        full = int.from_bytes(s, "little")
+        m = (1 << (8 * L)) - 1
+        key_lo[code] = full & 0xFFFFFFFF
+        mask_lo[code] = m & 0xFFFFFFFF
+        key_hi[code] = (full >> 32) & 0xFFFFFFFF
+        mask_hi[code] = (m >> 32) & 0xFFFFFFFF
+        if L == 1:
+            lut1[s[0]] = code
+        elif L == 2:
+            lut2[s[0] | (s[1] << 8)] = code
+        else:
+            lut_long[s[0] | (s[1] << 8)] = code
+
+    # contiguous windows via shift-or of aligned loads (no unaligned views)
+    w2 = raw.astype(np.uint16)
+    w2 |= padded[1 : n + 1].astype(np.uint16) << np.uint16(8)
+    w2i = w2.astype(np.intp)  # one cast, reused by all 64K-table gathers
+    w4 = w2.astype(np.uint32)
+    w4 |= padded[2 : n + 2].astype(np.uint32) << np.uint32(16)
+    w4 |= padded[3 : n + 3].astype(np.uint32) << np.uint32(24)
+
+    cand = lut_long[w2i]
+    candi = cand.astype(np.intp)
+    cl = sym_len[candi]
+    pos = np.arange(n, dtype=np.int64)
+    long_hit = (cand != NOSYM) & ((w4 & mask_lo[candi]) == key_lo[candi]) & (pos <= n - cl)
+    # high-dword verify only where the low dword already matched a >4-byte symbol
+    sub = np.flatnonzero(long_hit & (cl > 4))
+    if len(sub):
+        w4h = padded[sub + 4].astype(np.uint32)
+        w4h |= padded[sub + 5].astype(np.uint32) << np.uint32(8)
+        w4h |= padded[sub + 6].astype(np.uint32) << np.uint32(16)
+        w4h |= padded[sub + 7].astype(np.uint32) << np.uint32(24)
+        ci = candi[sub]
+        bad = (w4h & mask_hi[ci]) != key_hi[ci]
+        long_hit[sub[bad]] = False
+
+    two_code = lut2[w2i]
+    two_hit = two_code != NOSYM
+    if n >= 1:
+        two_hit[-1] = False
+    one_code = lut1[raw]
+
+    best_len = np.where(
+        long_hit, cl, np.where(two_hit, 2, (one_code != NOSYM).view(np.uint8))
+    ).astype(np.int32)
+
+    # jump table with sentinel at n (escape advances 1)
+    j1 = np.full(n + 1, n, dtype=np.int32)
+    np.minimum(pos + np.maximum(best_len, 1), n, out=j1[:n], casting="unsafe")
+    js = j1
+    s = 1
+    while s < _CHASE_STRIDE:
+        js = js[js]
+        s *= 2
+    anchors = [0]
+    a = 0
+    while True:
+        a = int(js[a])
+        if a >= n:
+            break
+        anchors.append(a)
+    A = np.array(anchors, dtype=np.int32)
+    chains = np.empty((_CHASE_STRIDE, len(A)), dtype=np.int32)
+    chains[0] = A
+    for t in range(1, _CHASE_STRIDE):
+        chains[t] = j1[chains[t - 1]]
+    tok = chains.T.reshape(-1)
+    tok = tok[tok < n].astype(np.intp)
+
+    # per-token codes (subset gathers only)
+    lh_t = long_hit[tok]
+    th_t = two_hit[tok]
+    bl_t = best_len[tok]
+    code_t = np.where(lh_t, cand[tok], np.where(th_t, two_code[tok], one_code[tok]))
+    esc = bl_t == 0
+    mat = np.empty((len(tok), 2), dtype=np.uint8)
+    mat[:, 0] = np.where(esc, ESCAPE, code_t)
+    mat[:, 1] = raw[tok]  # only read where esc
+    sel = np.arange(2)[None, :] < np.where(esc, 2, 1)[:, None]
+    return mat[sel].tobytes()
 
 
 def decode(data: bytes | memoryview, table: SymbolTable) -> bytes:
@@ -151,9 +287,14 @@ def decode(data: bytes | memoryview, table: SymbolTable) -> bytes:
 # -- page-level helpers --------------------------------------------------------
 
 
-def compress(data: bytes, sample_bytes: int = 1 << 14) -> bytes:
-    """Self-contained blob: serialized table + u64 payload len + encoded bytes."""
-    table = build_table(data[:sample_bytes])
+def compress(data: bytes, sample_bytes: int = 1 << 14, table: SymbolTable | None = None) -> bytes:
+    """Self-contained blob: serialized table + u64 payload len + encoded bytes.
+
+    Pass a prebuilt ``table`` to amortize table construction across the pages
+    of one column chunk (the reference builds its dictionary per chunk too).
+    """
+    if table is None:
+        table = build_table(data[:sample_bytes])
     enc = encode(data, table)
     head = table.serialize()
     return len(head).to_bytes(4, "little") + head + len(enc).to_bytes(8, "little") + enc
