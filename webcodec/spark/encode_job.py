@@ -1,0 +1,204 @@
+"""Distributed encode: DataFrame -> webcodec table (SURVEY.md §3.4 lifecycle).
+
+Spark-first design:
+- Catalyst plans the scan/filter/projection; the encode engine is a leaf.
+- Explicit partition sizing: N = ceil(raw_bytes / target_partition_bytes),
+  estimated from a driver-side sample (north_rule: 'explicit target partition
+  sizing').
+- Skew: heavy-hitter domains are salted — hot domains (from a sampled
+  histogram, broadcast-joined) get k salt buckets so one domain never exceeds
+  a partition, while cold domains stay fully clustered for prefix/dict wins
+  (north_rule: 'salted repartitioning on hash(url)').
+- The shuffle is the single groupBy(_pid); inside each group an Arrow UDF
+  (applyInArrow, zero per-row Python) sorts by the sort key and encodes all
+  columns to ONE file, emitting a lineage row (input files, codec choices,
+  page counts, throughput) -> metrics table (north_rule lineage requirement).
+- Resume: completed partition_ids from the current snapshot are excluded with
+  a filter BEFORE the shuffle, so re-runs do no redundant encode work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from webcodec.config import EncoderConfig
+from webcodec.spark.table import SnapshotTable
+
+LINEAGE_SCHEMA = (
+    "partition_id int, file string, rows long, raw_bytes long, encoded_bytes long, "
+    "compressed_bytes long, encode_secs double, codec_choices string, "
+    "column_stats string, input_files string, attempt string"
+)
+
+
+def estimate_partitions(
+    df: DataFrame, target_partition_bytes: int, sample_rows: int = 2_000
+) -> tuple[int, float]:
+    """(num_partitions, avg_row_bytes) from a driver-side head sample."""
+    sample = df.limit(sample_rows).toPandas()
+    if len(sample) == 0:
+        return 1, 0.0
+    avg = float(
+        sum(
+            sample[c].map(lambda v: len(v) if isinstance(v, (str, bytes)) else 8).sum()
+            for c in sample.columns
+        )
+        / len(sample)
+    )
+    total = df.count()
+    n = max(1, int(total * avg / target_partition_bytes + 0.5))
+    return n, avg
+
+
+def salted_partition_ids(
+    df: DataFrame,
+    url_col: str,
+    num_partitions: int,
+    rows_per_partition: int,
+    hot_sample_fraction: float = 0.01,
+    seed: int = 42,
+) -> DataFrame:
+    """Add a ``_pid`` column: hash(domain, salt) % N with per-domain salt count
+    k = ceil(domain_rows / rows_per_partition) from a sampled histogram.
+
+    Cold domains (k=1) cluster fully -> max prefix/dict compression; hot
+    domains split across k partitions -> no straggler (SURVEY.md §4.3).
+    """
+    domain = F.substring_index(F.substring_index(F.col(url_col), "://", -1), "/", 1)
+    dfd = df.withColumn("_domain", domain)
+    frac = min(1.0, hot_sample_fraction)
+    hist = (
+        dfd.sample(frac, seed=seed)
+        .groupBy("_domain")
+        .count()
+        .withColumn("_k", F.greatest(F.lit(1), F.ceil(F.col("count") / F.lit(max(int(rows_per_partition * frac), 1)))))
+        .filter(F.col("_k") > 1)
+        .select("_domain", "_k")
+    )
+    dfj = dfd.join(F.broadcast(hist), on="_domain", how="left").withColumn(
+        "_k", F.coalesce(F.col("_k"), F.lit(1))
+    )
+    salt = F.pmod(F.xxhash64(F.col(url_col), F.lit(seed)), F.col("_k"))
+    pid = F.pmod(F.xxhash64(F.col("_domain"), salt), F.lit(num_partitions)).cast("int")
+    return dfj.withColumn("_pid", pid).drop("_domain", "_k")
+
+
+def _make_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | None, schema_json: str):
+    """Grouped-map Arrow UDF: one group (= one _pid) -> one .wcd file + lineage row."""
+
+    def encode_group(keys: tuple, table: pa.Table) -> pa.Table:
+        from webcodec import filefmt  # executor-side import
+
+        pid = keys[0].as_py()
+        table = table.drop_columns(["_pid"])
+        if sort_key and sort_key in table.column_names:
+            import pyarrow.compute as pc
+
+            table = table.take(pc.sort_indices(table, sort_keys=[(sort_key, "ascending")]))
+        attempt = uuid.uuid4().hex[:12]
+        fname = f"part-{pid:05d}-{attempt}.wcd"
+        fpath = os.path.join(data_dir, fname)
+        t0 = time.perf_counter()
+        tmp = fpath + ".tmp"
+        footer = filefmt.write_table(table, tmp, config)
+        os.rename(tmp, fpath)
+        secs = time.perf_counter() - t0
+        choices = {c["name"]: c["encoding"] for c in footer["chunks"]}
+        col_stats = {c["name"]: c["stats"] for c in footer["chunks"]}
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        inputs = json.dumps({"stage": ctx.stageId() if ctx else -1, "task": ctx.taskAttemptId() if ctx else -1})
+        return pa.table(
+            {
+                "partition_id": pa.array([pid], pa.int32()),
+                "file": pa.array([fname]),
+                "rows": pa.array([table.num_rows], pa.int64()),
+                "raw_bytes": pa.array([footer["raw_bytes"]], pa.int64()),
+                "encoded_bytes": pa.array([int(sum(c["encoded_bytes"] for c in footer["chunks"]))], pa.int64()),
+                "compressed_bytes": pa.array([footer["compressed_bytes"]], pa.int64()),
+                "encode_secs": pa.array([secs], pa.float64()),
+                "codec_choices": pa.array([json.dumps(choices)]),
+                "column_stats": pa.array([json.dumps(col_stats)]),
+                "input_files": pa.array([inputs]),
+                "attempt": pa.array([attempt]),
+            }
+        )
+
+    return encode_group
+
+
+def encode_table(
+    df: DataFrame,
+    table_dir: str,
+    config: EncoderConfig | None = None,
+    url_col: str | None = None,
+    sort_key: str | None = None,
+    target_partition_bytes: int = 128 << 20,
+    num_partitions: int | None = None,
+    resume: bool = True,
+    write_metrics: bool = True,
+) -> dict:
+    """Encode ``df`` into a webcodec snapshot table; returns the new snapshot.
+
+    The full pipeline is declarative up to the single groupBy shuffle; all
+    encode kernels run inside one Arrow UDF per partition.
+    """
+    config = config or EncoderConfig()
+    spark = df.sparkSession
+    tbl = SnapshotTable(table_dir)
+    tbl.init()
+
+    if num_partitions is None:
+        num_partitions, avg_row = estimate_partitions(df, target_partition_bytes)
+    else:
+        _, avg_row = 0, 0.0
+    rows_per_partition = int(target_partition_bytes / max(avg_row, 1.0)) if avg_row else 1 << 20
+
+    if url_col is not None:
+        dfp = salted_partition_ids(df, url_col, num_partitions, rows_per_partition)
+        sort_key = sort_key or url_col
+    else:
+        first = df.columns[0]
+        dfp = df.withColumn(
+            "_pid", F.pmod(F.xxhash64(F.col(first)), F.lit(num_partitions)).cast("int")
+        )
+
+    done = tbl.completed_partition_ids() if resume else set()
+    if done:
+        dfp = dfp.filter(~F.col("_pid").isin(list(done)))
+
+    schema_json = df.schema.json()
+    fn = _make_encode_fn(tbl.data_dir, config, sort_key, schema_json)
+    lineage = dfp.groupBy("_pid").applyInArrow(fn, LINEAGE_SCHEMA)
+    rows = lineage.collect()
+
+    files = []
+    for r in rows:
+        files.append(
+            {
+                "partition_id": r["partition_id"],
+                "path": os.path.join("data", r["file"]),
+                "rows": r["rows"],
+                "raw_bytes": r["raw_bytes"],
+                "compressed_bytes": r["compressed_bytes"],
+                "codec_choices": json.loads(r["codec_choices"]),
+                "column_stats": json.loads(r["column_stats"]),
+            }
+        )
+    schema = [{"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable} for f in df.schema.fields]
+    snap = tbl.commit(files, schema, properties={"sort_key": sort_key or ""})
+
+    if write_metrics and rows:
+        mdir = os.path.join(table_dir, "metrics")
+        spark.createDataFrame(rows, LINEAGE_SCHEMA).withColumn(
+            "snapshot_id", F.lit(snap["snapshot_id"])
+        ).write.mode("append").parquet(mdir)
+    return snap

@@ -1,0 +1,128 @@
+"""Iceberg-style snapshot/manifest layer (dependency-free).
+
+SURVEY.md §7.0: no Iceberg jar in the sandbox — we implement the minimal
+snapshot semantics the north_rule needs: a table directory
+
+    table/
+      data/part-<pid>-<token>.wcd      encoded partition files
+      meta/snapshot-<N>.json           manifest: files + per-file stats + lineage
+      meta/current                     text file holding the latest snapshot N
+
+Commits are atomic (write tmp + rename). A restarted job reads the current
+snapshot and skips partitions already committed (resume = anti-join on
+partition_id — SURVEY.md §2.G).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class SnapshotTable:
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        self.data_dir = os.path.join(table_dir, "data")
+        self.meta_dir = os.path.join(table_dir, "meta")
+
+    def init(self) -> None:
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # -- snapshots --------------------------------------------------------------
+
+    def current_snapshot_id(self) -> int | None:
+        cur = os.path.join(self.meta_dir, "current")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            txt = f.read().strip()
+        return int(txt) if txt else None
+
+    def read_snapshot(self, snapshot_id: int | None = None) -> dict | None:
+        if snapshot_id is None:
+            snapshot_id = self.current_snapshot_id()
+        if snapshot_id is None:
+            return None
+        path = os.path.join(self.meta_dir, f"snapshot-{snapshot_id}.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def commit(self, files: list[dict], schema: list[dict], properties: dict | None = None) -> dict:
+        """Two-phase commit: merge new files over the parent snapshot, write
+        snapshot-(N+1) via tmp+rename, then flip ``current``."""
+        self.init()
+        parent_id = self.current_snapshot_id()
+        parent = self.read_snapshot(parent_id) if parent_id is not None else None
+        merged: dict[int, dict] = {}
+        if parent:
+            for f in parent["files"]:
+                merged[f["partition_id"]] = f
+        for f in files:
+            merged[f["partition_id"]] = f
+        new_id = (parent_id or 0) + 1
+        snap = {
+            "snapshot_id": new_id,
+            "parent_id": parent_id,
+            "committed_at": time.time(),
+            "schema": schema,
+            "properties": properties or {},
+            "files": sorted(merged.values(), key=lambda f: f["partition_id"]),
+            "total_rows": int(sum(f["rows"] for f in merged.values())),
+            "total_raw_bytes": int(sum(f["raw_bytes"] for f in merged.values())),
+            "total_compressed_bytes": int(sum(f["compressed_bytes"] for f in merged.values())),
+        }
+        tmp = os.path.join(self.meta_dir, f".snapshot-{new_id}-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.rename(tmp, os.path.join(self.meta_dir, f"snapshot-{new_id}.json"))
+        cur_tmp = os.path.join(self.meta_dir, f".current-{uuid.uuid4().hex}.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(new_id))
+        os.rename(cur_tmp, os.path.join(self.meta_dir, "current"))
+        return snap
+
+    def completed_partition_ids(self) -> set[int]:
+        snap = self.read_snapshot()
+        if not snap:
+            return set()
+        return {f["partition_id"] for f in snap["files"]}
+
+    def data_files(self, predicate: tuple[str, str, object] | None = None) -> list[dict]:
+        """Files of the current snapshot, pruned by chunk-level min/max stats
+        when a predicate is given (file-level D2 analogue)."""
+        snap = self.read_snapshot()
+        if not snap:
+            return []
+        files = snap["files"]
+        if predicate is None:
+            return files
+        col, op, value = predicate
+        kept = []
+        for f in files:
+            st = (f.get("column_stats") or {}).get(col)
+            if st is None or _overlaps(st, op, value):
+                kept.append(f)
+        return kept
+
+
+def _overlaps(st: dict, op: str, value) -> bool:
+    lo, hi = st.get("min"), st.get("max")
+    if lo is None or hi is None:
+        return True
+    try:
+        if op == "==":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+    except TypeError:
+        return True
+    return True
