@@ -1,38 +1,282 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the real engine (encode -> .wcd pages -> decode), and its
+``oracle_sql()`` twin expresses the same result directly over the source
+parquet in DuckDB SQL. A hash match therefore proves the engine round-trips
+bit-identically (north_star invariant) — the decode output IS the query input.
+
+Numeric outputs are quantized to BIGINT via order-independent per-row integer
+ops (floor(x*K+0.5)) so Spark and DuckDB hash identically regardless of
+float formatting or aggregation order.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+# ---------------------------------------------------------------------------
+# plumbing
+# ---------------------------------------------------------------------------
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship the webcodec package to executors (works for any driver session)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_webcodec_shipped", False):
+        return
+    zip_path = os.path.join(_REPO, "webcodec.zip")
+    if not os.path.exists(zip_path):
+        pkg = os.path.join(_REPO, "webcodec")
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, _REPO))
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already registered (same content) — fine
+    sc._webcodec_shipped = True
+
+
+def _prep(spark: SparkSession) -> None:
+    _ensure_pyfiles(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _encode_decode(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    url_col: str | None = None,
+    sort_key: str | None = None,
+    num_partitions: int = 4,
+    columns: list[str] | None = None,
+    predicate: tuple[str, str, object] | None = None,
+) -> DataFrame:
+    """Encode a source parquet table into a webcodec snapshot table in a temp
+    dir, then scan it back. The returned DataFrame is the engine's decode
+    output — the oracle compares it against the raw source."""
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+
+    _prep(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    out = tempfile.mkdtemp(prefix=f"wcq_{table}_")
+    encode_table(
+        df,
+        os.path.join(out, "t"),
+        url_col=url_col,
+        sort_key=sort_key,
+        num_partitions=num_partitions,
+        write_metrics=False,
+    )
+    return read_encoded(spark, os.path.join(out, "t"), columns=columns, predicate=predicate)
+
+
+def _src(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _prep(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# quantizers: per-row, order-independent, bit-identical across engines
+def _q100(c):  # double -> cents as BIGINT
+    return F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# queries — each returns the engine's output for one operator family
+# ---------------------------------------------------------------------------
+
+
+def _rt_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full round-trip of `documents` (dict/FSST/delta-length string paths,
+    FOR+delta ints). SURVEY.md §2 A6/A8/A9/A12, C2-C5, D7."""
+    return _encode_decode(spark, sf_dir, "documents", sort_key="doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def _rt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip of `events`: timestamp[us] FOR+delta (A8), double BSS (A11),
+    low-cardinality dict+RLE (A6+A3)."""
+    df = _encode_decode(spark, sf_dir, "events", sort_key="event_id")
+    return df.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        _q100(F.col("value")).alias("value_c"),
+        "props",
+    )
+
+
+def _rt_lineitem_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate over the round-tripped `lineitem` — proves
+    numeric columns decode bit-identically under a real aggregation plan."""
+    df = _encode_decode(spark, sf_dir, "lineitem", sort_key="l_orderkey", num_partitions=8)
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_q100(F.col("l_extendedprice"))).alias("sum_price_c"),
+            F.sum(_q100(F.col("l_discount"))).alias("sum_disc_c"),
+        )
+    )
+
+
+def _rt_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip of `embeddings` (list<float> via delta lengths + BSS child,
+    A8+A11); checksum folds every element exactly (float->double widening)."""
+    df = _encode_decode(spark, sf_dir, "embeddings", sort_key="vec_id")
+    chk = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        chk.alias("emb_chk"),
+        "label",
+    )
+
+
+def _scan_prune_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate pushdown through the engine's read path: only
+    (doc_id, lang) pages are decoded, files pruned via manifest min/max (D2/D6)."""
+    df = _encode_decode(
+        spark,
+        sf_dir,
+        "documents",
+        sort_key="lang",
+        columns=["doc_id", "lang"],
+        predicate=("lang", "==", "en"),
+    )
+    return df.filter(F.col("lang") == "en")  # residual — exact regardless of stats
+
+
+def _stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer statistics (C6): min/max/rows aggregated from the snapshot
+    manifest, no data decode at all — must match the raw table."""
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.table import SnapshotTable
+
+    _prep(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = tempfile.mkdtemp(prefix="wcq_stats_")
+    encode_table(df, os.path.join(out, "t"), num_partitions=4, write_metrics=False)
+    snap = SnapshotTable(os.path.join(out, "t")).read_snapshot()
+    mins, maxs, rows = [], [], 0
+    for f in snap["files"]:
+        st = f["column_stats"]["n_chars"]
+        mins.append(st["min"])
+        maxs.append(st["max"])
+        rows += f["rows"]
+    return spark.createDataFrame(
+        [(int(min(mins)), int(max(maxs)), int(rows))],
+        "min_nchars long, max_nchars long, total_rows long",
+    )
+
+
+def _agg_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over decoded output (dict+RLE column feeding a groupBy)."""
+    df = _encode_decode(spark, sf_dir, "documents", sort_key="lang", columns=["lang"])
+    return df.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication by content hash (training-data pipeline op):
+    keep the smallest doc_id per distinct text."""
+    df = _src(spark, sf_dir, "documents")
+    return (
+        df.select(F.sha2(F.col("text"), 256).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dupes"))
+    )
+
+
+def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + simple quality signals (training-data pipeline op)."""
+    df = _src(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return df.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_c"),
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.filter(words, lambda w: w == F.lit("the"))).cast("long").alias("n_the"),
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("long").alias("n_alpha"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rt_documents": _rt_documents,
+        "rt_events": _rt_events,
+        "rt_lineitem_q1": _rt_lineitem_q1,
+        "rt_embeddings": _rt_embeddings,
+        "scan_prune_en": _scan_prune_en,
+        "stats_minmax": _stats_minmax,
+        "agg_lang_counts": _agg_lang_counts,
+        "dedup_exact": _dedup_exact,
+        "text_tokens": _text_tokens,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rt_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "rt_events": (
+            "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, "
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_c, props FROM events"
+        ),
+        "rt_lineitem_q1": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+            "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+            "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_c, "
+            "sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS sum_disc_c "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "rt_embeddings": (
+            "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, "
+            "list_sum(list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))) AS emb_chk, "
+            "label FROM embeddings"
+        ),
+        "scan_prune_en": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
+        "stats_minmax": (
+            "SELECT CAST(min(n_chars) AS BIGINT) AS min_nchars, "
+            "CAST(max(n_chars) AS BIGINT) AS max_nchars, count(*) AS total_rows FROM documents"
+        ),
+        "agg_lang_counts": "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+        "dedup_exact": (
+            "SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS dupes "
+            "FROM documents GROUP BY sha256(text)"
+        ),
+        "text_tokens": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_c, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_filter(string_split(text, ' '), w -> w = 'the')) AS BIGINT) AS n_the, "
+            "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha "
+            "FROM documents"
+        ),
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full encode->pages->decode round-trip of documents sf0.001."""
+    return _rt_documents(spark, "/root/testdata/sf0.001")

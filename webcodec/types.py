@@ -125,4 +125,7 @@ def arrow_type_from_json(s: str) -> pa.DataType:
         return mapping[s]
     if s.startswith("timestamp[us, tz="):
         return pa.timestamp("us", tz=s[len("timestamp[us, tz=") : -1])
+    # list child field name varies by producer ("item", "element", ...)
+    if s.startswith("list<") and s.endswith(": float>"):
+        return pa.list_(pa.float32())
     raise TypeError(f"cannot parse arrow type {s!r}")
