@@ -1,0 +1,383 @@
+"""Headline benchmark for the webcodec engine.
+
+Default mode (driver contract): runs the headline encode/decode jobs at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., ...extras...}
+
+Extras carry the BASELINE.json metric: encode/decode throughput (GB/s over
+raw Arrow bytes) and compressed-size ratio vs the reference Parquet writer
+(pyarrow ``pq.write_table``, same zstd codec) on the same input.
+
+``--scaling`` mode produces the north_rule N -> 4N evidence: the same encode
+job at local[N] and local[4N] on the same pre-materialized input, throughput
+at both + scaling efficiency, written to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+CACHE_DIR = "/tmp/webcodec_bench"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# vectorized webpages generator (BASELINE.json input_hint shape, GB/s-fast)
+# ---------------------------------------------------------------------------
+
+
+def gen_webpages(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic Common-Crawl-style table (url, warc_ts, html, text, lang).
+
+    All string assembly happens in Arrow C++ (binary_join_element_wise) — no
+    per-row Python — so multi-GB inputs materialize in seconds.
+    """
+    rng = np.random.default_rng(seed)
+    n_domains = 500
+    tlds = ["com", "org", "net", "io", "de", "fr"]
+    domains = pa.array([f"https://site{i:04d}.{tlds[i % 6]}/" for i in range(n_domains)])
+    ranks = np.arange(1, n_domains + 1, dtype=np.float64)
+    probs = ranks**-1.3
+    probs /= probs.sum()
+    dom_idx = rng.choice(n_domains, size=n, p=probs).astype(np.int32)
+    dom = domains.take(pa.array(dom_idx))
+
+    path_pool = pa.array([f"section{i % 37}/page" for i in range(200)])
+    paths = path_pool.take(pa.array((np.arange(n) % 200).astype(np.int32)))
+    ids = pa.array(np.arange(n).astype(str))
+    url = pc.binary_join_element_wise(dom, paths, ids, pa.scalar(".html"), "")
+
+    # sentence pool -> 3 sampled sentences per row, joined in C++
+    vocab = (
+        "the quick brown fox jumps over lazy dog web page content data model "
+        "spark encode column value stream batch language token corpus crawl"
+    ).split()
+    pool = pa.array(
+        [" ".join(rng.choice(vocab, size=rng.integers(24, 64))) for _ in range(1024)]
+    )
+    t1 = pool.take(pa.array(rng.integers(0, 1024, n, dtype=np.int32)))
+    t2 = pool.take(pa.array(rng.integers(0, 1024, n, dtype=np.int32)))
+    t3 = pool.take(pa.array(rng.integers(0, 1024, n, dtype=np.int32)))
+    text = pc.binary_join_element_wise(t1, t2, t3, " ")
+
+    html = pc.binary_join_element_wise(
+        pa.scalar("<html><head><title>p</title></head><body>"),
+        text,
+        text,
+        text,
+        pa.scalar("</body></html>"),
+        " ",
+    ).cast(pa.binary())
+
+    warc_ts = 1_700_000_000_000_000 + np.sort(
+        rng.integers(0, 10_000_000_000_000, size=n, dtype=np.int64)
+    )
+    langs = pa.array(["en", "de", "fr", "es", "zh", "ru"])
+    lang = langs.take(
+        pa.array(rng.choice(6, size=n, p=[0.6, 0.1, 0.1, 0.08, 0.07, 0.05]).astype(np.int32))
+    )
+    return pa.table(
+        {
+            "url": url,
+            "warc_ts": pa.array(warc_ts, pa.timestamp("us")),
+            "html": html,
+            "text": text,
+            "lang": lang,
+        }
+    )
+
+
+def materialize_webpages(n: int) -> str:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"webpages_{n}_rg.parquet")
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        t = gen_webpages(n)
+        # small row groups so the scan splits across cores (scan-mode encode)
+        pq.write_table(t, path, compression="zstd", row_group_size=max(n // 64, 4096))
+        log(f"materialized {n} rows ({t.nbytes/1e9:.2f} GB raw) in {time.perf_counter()-t0:.1f}s")
+    return path
+
+
+def table_raw_bytes(path: str) -> int:
+    return pq.read_table(path).nbytes
+
+
+# ---------------------------------------------------------------------------
+# timed jobs
+# ---------------------------------------------------------------------------
+
+
+def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.session import get_spark
+
+    spark = get_spark("webcodec-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    wp_path = materialize_webpages(rows)
+    raw_bytes = table_raw_bytes(wp_path)
+    work = tempfile.mkdtemp(prefix="wcbench_")
+    # split the scan at row-group boundaries so scan-mode encode parallelizes
+    comp_sz = os.path.getsize(wp_path)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(comp_sz // (2 * cpus), 1 << 20)))
+
+    # warm up the JVM + python workers once (excluded from timings)
+    spark.read.parquet(wp_path).limit(1000).count()
+
+    # -- encode webpages, files mode (headline: zero shuffle, zero JVM transfer) --
+    df = spark.read.parquet(wp_path)
+    t0 = time.perf_counter()
+    for r in range(repeats):
+        out = os.path.join(work, f"wp_{r}")
+        encode_table(
+            df, out, url_col="url", write_metrics=False, mode="files",
+            target_partition_bytes=max(raw_bytes // (2 * cpus), 8 << 20),
+        )
+    enc_wall = time.perf_counter() - t0
+    queries["encode_webpages"] = enc_wall / repeats
+    extras["encode_webpages_gbps"] = raw_bytes * repeats / enc_wall / 1e9
+
+    # -- encode webpages, salted-repartition mode (north_rule skew path) --
+    n_parts = max(4 * cpus, 16)
+    t0 = time.perf_counter()
+    encode_table(
+        df, os.path.join(work, "wp_salted"), url_col="url",
+        num_partitions=n_parts, write_metrics=False,
+    )
+    queries["encode_webpages_salted"] = time.perf_counter() - t0
+    extras["encode_salted_gbps"] = raw_bytes / queries["encode_webpages_salted"] / 1e9
+
+    from webcodec.spark.table import SnapshotTable
+
+    snap = SnapshotTable(os.path.join(work, "wp_0")).read_snapshot()
+    extras["webpages_raw_bytes"] = snap["total_raw_bytes"]
+    extras["webpages_compressed_bytes"] = snap["total_compressed_bytes"]
+
+    # -- decode webpages (full-materialization agg) --
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        dec = read_encoded(spark, os.path.join(work, "wp_0"))
+        dec.agg(
+            F.sum(F.length("text")), F.sum(F.length("url")), F.sum(F.length("html"))
+        ).collect()
+    dec_wall = time.perf_counter() - t0
+    queries["decode_webpages"] = dec_wall / repeats
+    extras["decode_webpages_gbps"] = raw_bytes * repeats / dec_wall / 1e9
+
+    # -- reference Parquet writer/reader (pyarrow, same zstd codec) --
+    wp_table = pq.read_table(wp_path)
+    ref_path = os.path.join(work, "ref.parquet")
+    t0 = time.perf_counter()
+    pq.write_table(wp_table, ref_path, compression="zstd")
+    queries["ref_write_webpages"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pq.read_table(ref_path)
+    queries["ref_read_webpages"] = time.perf_counter() - t0
+    extras["ref_compressed_bytes"] = os.path.getsize(ref_path)
+    extras["size_ratio_vs_ref"] = extras["webpages_compressed_bytes"] / extras["ref_compressed_bytes"]
+    extras["ref_write_gbps"] = raw_bytes / queries["ref_write_webpages"] / 1e9
+
+    # -- lineitem roundtrip from the sf dir (TPC-H-ish mixed types) --
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.exists(li):
+        li_raw = table_raw_bytes(li)
+        dfl = spark.read.parquet(li)
+        t0 = time.perf_counter()
+        out = os.path.join(work, "li")
+        encode_table(dfl, out, sort_key="l_orderkey", num_partitions=2 * cpus, write_metrics=False)
+        queries["encode_lineitem"] = time.perf_counter() - t0
+        extras["encode_lineitem_gbps"] = li_raw / queries["encode_lineitem"] / 1e9
+        t0 = time.perf_counter()
+        read_encoded(spark, out).agg(F.sum("l_orderkey"), F.sum("l_quantity")).collect()
+        queries["decode_lineitem"] = time.perf_counter() - t0
+
+    shutil.rmtree(work, ignore_errors=True)
+    return {"queries": queries, "extras": extras, "raw_bytes": raw_bytes}
+
+
+# ---------------------------------------------------------------------------
+# scaling mode: same job at local[N] and local[4N]
+# ---------------------------------------------------------------------------
+
+
+def run_scaling_child(cpus: int, rows: int, repeats: int, out_json: str) -> None:
+    """One measured config in a fresh JVM (invoked as a subprocess)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.session import get_spark
+
+    import shutil
+    import tempfile
+
+    wp_path = materialize_webpages(rows)
+    raw_bytes = table_raw_bytes(wp_path)
+    spark = get_spark(f"wc-scale-{cpus}", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # fixed split size across configs: identical work units, more slots at 4N
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(os.path.getsize(wp_path) // 128, 1 << 20)))
+    df = spark.read.parquet(wp_path)
+    df.limit(1000).count()  # warm-up
+    work = tempfile.mkdtemp(prefix=f"wcscale{cpus}_")
+    res = {"cpus": cpus, "rows": rows, "repeats": repeats, "raw_bytes": raw_bytes}
+    for mode in ("files", "salted"):
+        # identical work units at both cluster sizes: 128 fixed splits/partitions
+        kw = (
+            {"mode": mode, "target_partition_bytes": max(raw_bytes // 128, 1 << 20)}
+            if mode == "files"
+            else {"num_partitions": 128}
+        )
+        t0 = time.perf_counter()
+        for r in range(repeats):
+            encode_table(
+                df, os.path.join(work, f"{mode}{r}"), url_col="url",
+                write_metrics=False, **kw,
+            )
+        wall = time.perf_counter() - t0
+        res[f"wall_{mode}_s"] = wall
+        res[f"throughput_{mode}_gbps"] = raw_bytes * repeats / wall / 1e9
+        log(f"scaling child local[{cpus}] {mode}: {wall:.1f}s, {res[f'throughput_{mode}_gbps']:.3f} GB/s")
+    shutil.rmtree(work, ignore_errors=True)
+    with open(out_json, "w") as f:
+        json.dump(res, f)
+
+
+def run_scaling(n_cores: int, rows: int, repeats: int) -> dict:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    materialize_webpages(rows)  # build cache once, outside both measurements
+    results = {}
+    for cpus in (n_cores, 4 * n_cores):
+        out = os.path.join(CACHE_DIR, f"scale_{cpus}.json")
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--scaling-child",
+            "--cpus", str(cpus), "--rows", str(rows), "--repeats", str(repeats),
+            "--out-json", out,
+        ]
+        log(f"launching {' '.join(cmd[1:])}")
+        subprocess.run(cmd, check=True, cwd=_REPO)
+        with open(out) as f:
+            results[cpus] = json.load(f)
+    n, n4 = results[n_cores], results[4 * n_cores]
+    summary = {"n_cores": n_cores, "rows": rows, "repeats": repeats, "raw_gb": n["raw_bytes"] / 1e9}
+    for mode in ("files", "salted"):
+        speedup = n4[f"throughput_{mode}_gbps"] / n[f"throughput_{mode}_gbps"]
+        summary[f"{mode}_throughput_N_gbps"] = n[f"throughput_{mode}_gbps"]
+        summary[f"{mode}_throughput_4N_gbps"] = n4[f"throughput_{mode}_gbps"]
+        summary[f"{mode}_wall_N_s"] = n[f"wall_{mode}_s"]
+        summary[f"{mode}_wall_4N_s"] = n4[f"wall_{mode}_s"]
+        summary[f"{mode}_speedup"] = speedup
+        summary[f"{mode}_scaling_efficiency"] = speedup / 4.0
+    return summary
+
+
+def write_scaling_md(s: dict) -> None:
+    os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(_REPO, "BENCH", "BASELINE.md")
+    body = f"""# Scaling evidence (north_rule: >=0.8 efficiency from N to 4N)
+
+No real cluster exists in this sandbox, so the same encode job (identical
+input, identical work units) runs at two parallelism levels in fresh JVMs —
+`local[{s['n_cores']}]` (N) and `local[{4*s['n_cores']}]` (4N) — per the driver instruction.
+Throughput = raw Arrow bytes / encode wall, steady-state (warm-up excluded,
+{s['repeats']} repeat(s) per config). Both pipeline modes are measured:
+
+| Mode | Config | Wall (s) | Encode throughput (GB/s) |
+|---|---|---|---|
+| files (zero-shuffle, direct pyarrow reads) | local[{s['n_cores']}]  (N)  | {s['files_wall_N_s']:.1f} | {s['files_throughput_N_gbps']:.3f} |
+| files (zero-shuffle, direct pyarrow reads) | local[{4*s['n_cores']}] (4N) | {s['files_wall_4N_s']:.1f} | {s['files_throughput_4N_gbps']:.3f} |
+| salted repartition       | local[{s['n_cores']}]  (N)  | {s['salted_wall_N_s']:.1f} | {s['salted_throughput_N_gbps']:.3f} |
+| salted repartition       | local[{4*s['n_cores']}] (4N) | {s['salted_wall_4N_s']:.1f} | {s['salted_throughput_4N_gbps']:.3f} |
+
+- Input: {s['rows']:,} synthetic Common-Crawl-style rows, {s['raw_gb']:.2f} GB raw Arrow
+  bytes (deterministic generator in bench.py, BASELINE.json input_hint shape).
+- Files mode speedup at 4x cores: **{s['files_speedup']:.2f}x** -> scaling efficiency
+  **{s['files_scaling_efficiency']:.2f}** (target >=0.8).
+- Salted mode speedup at 4x cores: **{s['salted_speedup']:.2f}x** -> scaling efficiency
+  **{s['salted_scaling_efficiency']:.2f}**.
+- Why it scales: files mode has no shuffle and no JVM->Python transfer at
+  all (workers read fixed row-group splits directly via pyarrow); salted mode's only shuffle is the single salted
+  groupBy(_pid) with 128 fixed partitions, so both configs run identical
+  work units with full slot occupancy; encode kernels are embarrassingly
+  parallel per partition; python workers are reused.
+
+Generated by `python bench.py --scaling` on {time.strftime('%Y-%m-%d')}.
+"""
+    with open(path, "w") as f:
+        f.write(body)
+    log(f"wrote {path}")
+
+
+# ---------------------------------------------------------------------------
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true", help="N vs 4N scaling evidence")
+    ap.add_argument("--scaling-child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--rows", type=int, default=None)
+    ap.add_argument("--repeats", type=int, default=None)
+    ap.add_argument("--out-json", default=None)
+    args = ap.parse_args()
+
+    if args.scaling_child:
+        run_scaling_child(args.cpus, args.rows, args.repeats, args.out_json)
+        return
+
+    if args.scaling:
+        n_cores = args.cpus or 8
+        rows = args.rows or 1_500_000
+        repeats = args.repeats or 2
+        s = run_scaling(n_cores, rows, repeats)
+        write_scaling_md(s)
+        print(json.dumps(s))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    rows = args.rows or max(int(4_000_000 * sf), 20_000)
+    repeats = args.repeats or 2
+
+    res = run_bench(sf_dir, cpus, rows, repeats)
+    line = {
+        "metric": "webcodec encode+decode wall (webpages+lineitem) vs reference parquet writer",
+        "value": round(sum(res["queries"].values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in res["queries"].items()},
+        "sf": sf,
+        **{k: (round(v, 4) if isinstance(v, float) else v) for k, v in res["extras"].items()},
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,24 @@ def _build_page(
     return _PageOut(header, comp, meta)
 
 
+def _fsst_worth_it(arr: pa.Array, codec: Codec, level: int | None, sample_bytes: int) -> bool:
+    """BtrBlocks-style sample trial: FSST only wins if the FINAL bytes (after
+    the page codec) shrink materially. E.g. natural text: fsst+zstd ~4x
+    smaller than zstd alone; short urls: fsst+zstd is a net LOSS vs zstd."""
+    from webcodec.kernels import fsst as _fsst
+
+    payload = colcodec.sample_payload(arr, 2048, min(sample_bytes, 1 << 16))
+    if len(payload) < 1024:
+        return False
+    table = _fsst.build_table(payload[: 1 << 14])
+    if not table.symbols:
+        return False
+    enc = _fsst.encode(payload, table)
+    base = len(compress(payload, codec, level))
+    cand = len(compress(enc, codec, level)) + len(table.serialize())
+    return cand < 0.9 * base
+
+
 def _page_ranges(n: int, avg_bytes: float, config: EncoderConfig) -> list[tuple[int, int]]:
     """Cut rows into pages by row limit and uncompressed byte target (B4 parity
     — sizes are known up front from Arrow buffers, no adaptive estimate needed)."""
@@ -144,6 +162,12 @@ def _encode_chunk(
     stats = sample_stats(arr, phys, config.selector_sample_values)
     encoding = selector.choose(name, phys, stats, config)
     fb = selector.fallback_encoding(phys)
+    if (
+        encoding == Encoding.FSST
+        and config.encoding_for(name) == "auto"
+        and not _fsst_worth_it(arr.drop_null(), codec, config.compression_level, config.fsst_sample_bytes)
+    ):
+        encoding = fb
     offset = offset0
     chunk: dict = {
         "name": name,

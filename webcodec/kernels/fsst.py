@@ -126,7 +126,22 @@ def encode_regex(data: bytes, table: SymbolTable) -> bytes:
 _CHASE_STRIDE = 32  # anchor spacing for the vectorized greedy chase
 
 
+_SEGMENT = 1 << 20  # encode in ~1MB segments: bounded temporaries, warm allocator
+
+
 def encode(data: bytes, table: SymbolTable) -> bytes:
+    """Segmented vectorized encode. Segment concatenation is exact: codes are
+    position-independent against a static table, so restarting the greedy
+    walk at a boundary yields a valid (at most one-token different) stream."""
+    if len(data) <= _SEGMENT + (_SEGMENT >> 2):
+        return _encode_segment(data, table)
+    parts = []
+    for s in range(0, len(data), _SEGMENT):
+        parts.append(_encode_segment(data[s : s + _SEGMENT], table))
+    return b"".join(parts)
+
+
+def _encode_segment(data: bytes, table: SymbolTable) -> bytes:
     """Vectorized exact-greedy encode against the (prefix-restricted) table.
 
     Because build_table keeps at most one >=3-byte symbol per 2-byte prefix,

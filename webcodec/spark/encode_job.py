@@ -90,6 +90,124 @@ def salted_partition_ids(
     return dfj.withColumn("_pid", pid).drop("_domain", "_k")
 
 
+def _lineage_row(pid: int, fname: str, table: pa.Table, footer: dict, secs: float,
+                 attempt: str) -> pa.Table:
+    from pyspark import TaskContext
+
+    choices = {c["name"]: c["encoding"] for c in footer["chunks"]}
+    col_stats = {c["name"]: c["stats"] for c in footer["chunks"]}
+    ctx = TaskContext.get()
+    inputs = json.dumps(
+        {"stage": ctx.stageId() if ctx else -1, "task": ctx.taskAttemptId() if ctx else -1}
+    )
+    return pa.table(
+        {
+            "partition_id": pa.array([pid], pa.int32()),
+            "file": pa.array([fname]),
+            "rows": pa.array([table.num_rows], pa.int64()),
+            "raw_bytes": pa.array([footer["raw_bytes"]], pa.int64()),
+            "encoded_bytes": pa.array(
+                [int(sum(c["encoded_bytes"] for c in footer["chunks"]))], pa.int64()
+            ),
+            "compressed_bytes": pa.array([footer["compressed_bytes"]], pa.int64()),
+            "encode_secs": pa.array([secs], pa.float64()),
+            "codec_choices": pa.array([json.dumps(choices)]),
+            "column_stats": pa.array([json.dumps(col_stats)]),
+            "input_files": pa.array([inputs]),
+            "attempt": pa.array([attempt]),
+        }
+    )
+
+
+def _write_one(data_dir: str, pid: int, table: pa.Table, config: EncoderConfig,
+               sort_key: str | None) -> pa.Table:
+    from webcodec import filefmt  # executor-side import
+
+    if sort_key and sort_key in table.column_names:
+        import pyarrow.compute as pc
+
+        table = table.take(pc.sort_indices(table, sort_keys=[(sort_key, "ascending")]))
+    attempt = uuid.uuid4().hex[:12]
+    fname = f"part-{pid:05d}-{attempt}.wcd"
+    fpath = os.path.join(data_dir, fname)
+    t0 = time.perf_counter()
+    tmp = fpath + ".tmp"
+    footer = filefmt.write_table(table, tmp, config)
+    os.rename(tmp, fpath)
+    secs = time.perf_counter() - t0
+    return _lineage_row(pid, fname, table, footer, secs, attempt)
+
+
+def _make_scan_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | None,
+                         done: frozenset[int]):
+    """mapInArrow over scan partitions: NO shuffle — each input split becomes
+    one .wcd file. Partition sizing = spark.sql.files.maxPartitionBytes; the
+    partition id is the deterministic scan-split index (resume-safe for the
+    same input listing + split size)."""
+
+    def encode_partition(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        collected = [b for b in batches]
+        if not collected:
+            return
+        if pid in done:
+            return  # committed by a previous run (rows scanned, not re-encoded)
+        table = pa.Table.from_batches(collected)
+        yield from _write_one(data_dir, pid, table, config, sort_key).to_batches()
+
+    return encode_partition
+
+
+def plan_file_splits(paths: list[str], target_bytes: int) -> list[dict]:
+    """Driver-side split planning: group parquet row groups into splits of
+    ~target_bytes UNCOMPRESSED size (explicit target partition sizing,
+    north_rule). Deterministic: sorted paths, in-order row groups -> stable
+    split ids for resume."""
+    import pyarrow.parquet as pq
+
+    splits: list[dict] = []
+    for path in sorted(paths):
+        md = pq.ParquetFile(path).metadata
+        acc: list[int] = []
+        acc_bytes = 0
+        for i in range(md.num_row_groups):
+            acc.append(i)
+            acc_bytes += md.row_group(i).total_byte_size
+            if acc_bytes >= target_bytes:
+                splits.append({"path": path, "row_groups": acc})
+                acc, acc_bytes = [], 0
+        if acc:
+            splits.append({"path": path, "row_groups": acc})
+    for sid, s in enumerate(splits):
+        s["split_id"] = sid
+    return splits
+
+
+def _make_file_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | None,
+                         done: frozenset[int]):
+    """Splits-in, lineage-out: each worker reads its parquet row groups
+    DIRECTLY via pyarrow C++ and encodes — table bytes never cross the JVM.
+    (The JVM->Python Arrow bridge moves ~4 MB/s/core; direct pyarrow reads
+    run at hundreds of MB/s/core, so this is the scale path.)"""
+
+    def encode_split(batches):
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for row in b.to_pylist():
+                sid = row["split_id"]
+                if sid in done:
+                    continue
+                table = pq.ParquetFile(row["path"]).read_row_groups(
+                    json.loads(row["row_groups"])
+                )
+                yield from _write_one(data_dir, sid, table, config, sort_key).to_batches()
+
+    return encode_split
+
+
 def _make_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | None, schema_json: str):
     """Grouped-map Arrow UDF: one group (= one _pid) -> one .wcd file + lineage row."""
 
@@ -98,39 +216,7 @@ def _make_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | None, 
 
         pid = keys[0].as_py()
         table = table.drop_columns(["_pid"])
-        if sort_key and sort_key in table.column_names:
-            import pyarrow.compute as pc
-
-            table = table.take(pc.sort_indices(table, sort_keys=[(sort_key, "ascending")]))
-        attempt = uuid.uuid4().hex[:12]
-        fname = f"part-{pid:05d}-{attempt}.wcd"
-        fpath = os.path.join(data_dir, fname)
-        t0 = time.perf_counter()
-        tmp = fpath + ".tmp"
-        footer = filefmt.write_table(table, tmp, config)
-        os.rename(tmp, fpath)
-        secs = time.perf_counter() - t0
-        choices = {c["name"]: c["encoding"] for c in footer["chunks"]}
-        col_stats = {c["name"]: c["stats"] for c in footer["chunks"]}
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        inputs = json.dumps({"stage": ctx.stageId() if ctx else -1, "task": ctx.taskAttemptId() if ctx else -1})
-        return pa.table(
-            {
-                "partition_id": pa.array([pid], pa.int32()),
-                "file": pa.array([fname]),
-                "rows": pa.array([table.num_rows], pa.int64()),
-                "raw_bytes": pa.array([footer["raw_bytes"]], pa.int64()),
-                "encoded_bytes": pa.array([int(sum(c["encoded_bytes"] for c in footer["chunks"]))], pa.int64()),
-                "compressed_bytes": pa.array([footer["compressed_bytes"]], pa.int64()),
-                "encode_secs": pa.array([secs], pa.float64()),
-                "codec_choices": pa.array([json.dumps(choices)]),
-                "column_stats": pa.array([json.dumps(col_stats)]),
-                "input_files": pa.array([inputs]),
-                "attempt": pa.array([attempt]),
-            }
-        )
+        return _write_one(data_dir, pid, table, config, sort_key)
 
     return encode_group
 
@@ -145,16 +231,51 @@ def encode_table(
     num_partitions: int | None = None,
     resume: bool = True,
     write_metrics: bool = True,
+    mode: str = "salted",
 ) -> dict:
     """Encode ``df`` into a webcodec snapshot table; returns the new snapshot.
 
-    The full pipeline is declarative up to the single groupBy shuffle; all
-    encode kernels run inside one Arrow UDF per partition.
+    ``mode``:
+    - ``"salted"`` (default): one shuffle — salted repartition on hash(url)
+      domain with explicit target sizing (north_rule skew handling), then one
+      Arrow UDF per partition. Maximum compression: same-domain rows cluster,
+      so url prefix/dict pages win. Cost at scale: the whole table crosses one
+      shuffle AND the JVM->Python Arrow bridge.
+    - ``"files"``: ZERO shuffle, ZERO JVM transfer — Spark distributes only
+      (file, row-group) splits sized to target_partition_bytes; each Python
+      worker reads its split directly with pyarrow C++ and encodes. This is
+      the 100 TB fast path (the JVM->Python bridge caps at ~4 MB/s/core;
+      direct reads run at several hundred MB/s/core). Skew is a non-issue:
+      splits are uniform bytes by construction.
+    - ``"scan"``: ZERO shuffle but rows still cross the JVM->Python bridge —
+      mapInArrow straight over the scan partitions (sizing via
+      spark.sql.files.maxPartitionBytes). Use when the input is not parquet
+      (e.g. an upstream transformation feeds the encoder).
     """
     config = config or EncoderConfig()
     spark = df.sparkSession
     tbl = SnapshotTable(table_dir)
     tbl.init()
+
+    if mode == "files":
+        paths = [p.removeprefix("file://") for p in df.inputFiles()]
+        if not paths:
+            raise ValueError("mode='files' requires a parquet-backed DataFrame")
+        splits = plan_file_splits(paths, target_partition_bytes)
+        done = frozenset(tbl.completed_partition_ids()) if resume else frozenset()
+        rows_in = [(s["split_id"], s["path"], json.dumps(s["row_groups"])) for s in splits]
+        sdf = spark.createDataFrame(rows_in, "split_id int, path string, row_groups string")
+        sdf = sdf.repartition(len(rows_in), "split_id")
+        fn = _make_file_encode_fn(tbl.data_dir, config, sort_key or url_col, done)
+        rows = sdf.mapInArrow(fn, LINEAGE_SCHEMA).collect()
+        return _commit(spark, tbl, table_dir, rows, df, sort_key or url_col, write_metrics)
+
+    if mode == "scan":
+        done = frozenset(tbl.completed_partition_ids()) if resume else frozenset()
+        fn = _make_scan_encode_fn(tbl.data_dir, config, sort_key or url_col, done)
+        lineage = df.mapInArrow(fn, LINEAGE_SCHEMA)
+        rows = lineage.collect()
+        return _commit(spark, tbl, table_dir, rows, df, sort_key or url_col, write_metrics)
 
     if num_partitions is None:
         num_partitions, avg_row = estimate_partitions(df, target_partition_bytes)
@@ -179,7 +300,18 @@ def encode_table(
     fn = _make_encode_fn(tbl.data_dir, config, sort_key, schema_json)
     lineage = dfp.groupBy("_pid").applyInArrow(fn, LINEAGE_SCHEMA)
     rows = lineage.collect()
+    return _commit(spark, tbl, table_dir, rows, df, sort_key, write_metrics)
 
+
+def _commit(
+    spark: SparkSession,
+    tbl: SnapshotTable,
+    table_dir: str,
+    rows: list,
+    df: DataFrame,
+    sort_key: str | None,
+    write_metrics: bool,
+) -> dict:
     files = []
     for r in rows:
         files.append(

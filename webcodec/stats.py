@@ -31,6 +31,28 @@ class SampleStats:
     sortedness: float         # fraction of non-decreasing adjacent pairs
 
 
+def _approx_prefix_lengths(offsets: np.ndarray, data: np.ndarray, cap: int = 64) -> np.ndarray:
+    """Adjacent common-prefix lengths considering only the first ``cap`` bytes
+    of each value — O(n*cap) regardless of value width. Selector-only
+    approximation; the DELTA_BYTE_ARRAY kernel computes exact prefixes."""
+    n = len(offsets) - 1
+    if n <= 1:
+        return np.zeros(max(n, 0), dtype=np.int64)
+    lens = np.diff(offsets)
+    w = int(min(max(lens.max(), 1), cap))
+    col = np.arange(w, dtype=np.int64)
+    valid = col[None, :] < lens[:, None]
+    take = np.where(valid, offsets[:-1, None] + col[None, :], 0)
+    mat = data[take]
+    mat[~valid] = 0xFE
+    b = mat.copy()
+    b[~valid] = 0xFD  # distinct fills: padding never matches across rows
+    eq = mat[:-1] == b[1:]
+    p = np.where(eq.all(axis=1), w, eq.argmin(axis=1)).astype(np.int64)
+    p = np.minimum(p, np.minimum(lens[:-1], lens[1:]))
+    return np.concatenate(([0], p))
+
+
 def _entropy_bits(raw: np.ndarray) -> float:
     if len(raw) == 0:
         return 0.0
@@ -58,11 +80,11 @@ def sample_stats(arr: pa.Array, phys: PhysType, sample_n: int = 4096) -> SampleS
         lens = np.diff(offsets)
         avg_len = float(lens.mean()) if n else 0.0
         entropy = _entropy_bits(data[: 1 << 16])
-        # adjacent common prefix via the prefix kernel
-        from webcodec.kernels.prefix import prefix_lengths
-
-        p = prefix_lengths(offsets, data.tobytes())
-        prefix_ratio = float(p[1:].mean() / avg_len) if n > 1 and avg_len > 0 else 0.0
+        p = _approx_prefix_lengths(offsets, data)
+        # prefix win is bounded by avg_len but estimated over <=64B heads;
+        # normalize by the capped width so short keys aren't penalized
+        denom = min(avg_len, 64.0)
+        prefix_ratio = float(p[1:].mean() / denom) if n > 1 and denom > 0 else 0.0
         # runs / sortedness on hashes-of-values is enough for equality runs
         eq = pc.equal(s.slice(0, n - 1), s.slice(1)).to_numpy(zero_copy_only=False) if n > 1 else np.array([])
         runs = 1 + int((~eq.astype(bool)).sum()) if n > 1 else 1
