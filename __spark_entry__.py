@@ -223,6 +223,132 @@ def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + LSH band keys (near-dup candidate generation).
+    Hash = md5 (available identically in Spark and DuckDB); min over word
+    tokens per seeded salt; 4 hashes banded 2x2."""
+    df = _src(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def mh_expr(seed: str):
+        # NB: the transform lambda must be unary — a second parameter would be
+        # interpreted by pyspark as the element INDEX, not a closure value
+        return F.array_min(F.transform(words, lambda w: F.md5(F.concat(w, F.lit(seed)))))
+
+    mh = [mh_expr(seed) for seed in ("#0", "#1", "#2", "#3")]
+    return df.select(
+        "doc_id",
+        mh[0].alias("m0"),
+        mh[1].alias("m1"),
+        F.md5(F.concat(mh[0], mh[1])).alias("band0"),
+        F.md5(F.concat(mh[2], mh[3])).alias("band1"),
+    )
+
+
+def _simsearch_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force nearest neighbors of vec_id=0 by dot product over
+    quantized embeddings (integer-exact -> engine-independent ranking).
+    Scale path: same expression after an LSH/IVF bucket join."""
+    df = _src(spark, sf_dir, "embeddings")
+    q = F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"))
+    qdf = df.filter(F.col("vec_id") == 0).select(q.alias("qvec"))
+    cand = df.filter(F.col("vec_id") != 0).select("vec_id", q.alias("cvec"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    joined = cand.crossJoin(F.broadcast(qdf))
+    return (
+        joined.select("vec_id", dot.alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def _lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit counting (n-gram-style heuristic
+    expressible in both engines)."""
+    df = _src(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def hits(stops: list[str]):
+        arr = F.array(*[F.lit(s) for s in stops])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w))).cast("long")
+
+    en = hits(["the", "and", "of", "to"])
+    de = hits(["der", "und", "die", "das"])
+    return df.select(
+        "doc_id",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        F.when(en > de, F.lit("en")).when(de > en, F.lit("de")).otherwise(F.lit("und")).alias("lang_guess"),
+    )
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: head/tail content hashes + length (cheap
+    near-identity key for incremental crawls)."""
+    df = _src(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n"),
+        F.md5(F.substring(F.col("text"), 1, 64)).alias("head_fp"),
+        F.md5(F.reverse(F.substring(F.reverse(F.col("text")), 1, 64))).alias("tail_fp"),
+    )
+
+
+def _media_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat content as an opaque binary column and
+    extract typed metadata (byte length, content hash, magic prefix) —
+    the decode/feature-extract slot for image/audio payloads."""
+    df = _src(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return df.select(
+        "doc_id",
+        F.length(blob).cast("long").alias("n_bytes"),
+        F.md5(blob).alias("content_md5"),
+        F.upper(F.substring(F.hex(blob), 1, 8)).alias("magic_hex"),
+    )
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash via a vectorized Arrow UDF (numpy bit-vote kernel) —
+    the custom-kernel path; no SQL oracle (driver records rows-only)."""
+    import pyarrow as _pa
+
+    _prep(spark)
+    df = _src(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def simhash_batches(batches):
+        import numpy as np
+
+        for b in batches:
+            doc_ids = b.column("doc_id")
+            texts = b.column("text").to_pylist()
+            out = np.zeros(len(texts), dtype=np.uint64)
+            for i, t in enumerate(texts):
+                words = (t or "").split(" ")
+                if not words:
+                    continue
+                hs = np.array([hash_md5_64(w) for w in words], dtype=np.uint64)
+                bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+                votes = bits.sum(axis=0) * 2 - len(hs)
+                out[i] = np.packbits((votes > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+            yield _pa.RecordBatch.from_pydict(
+                {"doc_id": doc_ids, "simhash": _pa.array(out.view(np.int64))}
+            )
+
+    def hash_md5_64(w: str) -> int:
+        import hashlib
+
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+
+    # executor-side: make helper visible inside the generator
+    simhash_batches.__globals__["hash_md5_64"] = hash_md5_64
+    return df.mapInArrow(simhash_batches, "doc_id long, simhash long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rt_documents": _rt_documents,
@@ -234,6 +360,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_lang_counts": _agg_lang_counts,
         "dedup_exact": _dedup_exact,
         "text_tokens": _text_tokens,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "simsearch_top10": _simsearch_top10,
+        "lang_id_stopwords": _lang_id_stopwords,
+        "text_fingerprint": _text_fingerprint,
+        "media_binary_meta": _media_binary_meta,
     }
 
 
@@ -274,6 +406,47 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha "
             "FROM documents"
         ),
+        "dedup_minhash": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+            "m AS (SELECT doc_id, "
+            "list_aggregate(list_transform(ws, w -> md5(w || '#0')), 'min') AS m0, "
+            "list_aggregate(list_transform(ws, w -> md5(w || '#1')), 'min') AS m1, "
+            "list_aggregate(list_transform(ws, w -> md5(w || '#2')), 'min') AS m2, "
+            "list_aggregate(list_transform(ws, w -> md5(w || '#3')), 'min') AS m3 FROM t) "
+            "SELECT doc_id, m0, m1, md5(m0 || m1) AS band0, md5(m2 || m3) AS band1 FROM m"
+        ),
+        "simsearch_top10": (
+            "WITH q AS (SELECT list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qvec "
+            "FROM embeddings WHERE vec_id = 0), "
+            "c AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS cvec "
+            "FROM embeddings WHERE vec_id != 0) "
+            "SELECT vec_id, CAST(list_sum(list_transform(range(1, len(qvec)+1), "
+            "i -> qvec[i] * cvec[i])) AS BIGINT) AS dot "
+            "FROM c, q ORDER BY dot DESC, vec_id LIMIT 10"
+        ),
+        "lang_id_stopwords": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+            "h AS (SELECT doc_id, "
+            "CAST(len(list_filter(ws, w -> list_contains(['the','and','of','to'], w))) AS BIGINT) AS en_hits, "
+            "CAST(len(list_filter(ws, w -> list_contains(['der','und','die','das'], w))) AS BIGINT) AS de_hits FROM t) "
+            "SELECT doc_id, en_hits, de_hits, "
+            "CASE WHEN en_hits > de_hits THEN 'en' WHEN de_hits > en_hits THEN 'de' "
+            "ELSE 'und' END AS lang_guess FROM h"
+        ),
+        "text_fingerprint": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n, "
+            "md5(substring(text, 1, 64)) AS head_fp, "
+            "md5(reverse(substring(reverse(text), 1, 64))) AS tail_fp FROM documents"
+        ),
+        "media_binary_meta": (
+            # duckdb md5 is VARCHAR-only; text is utf-8 so md5(text) == md5(bytes)
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS content_md5, "
+            "upper(substring(hex(encode(text)), 1, 8)) AS magic_hex FROM documents"
+        ),
+        # dedup_simhash: custom Arrow-UDF kernel — intentionally no SQL oracle
     }
 
 

@@ -1,0 +1,69 @@
+"""spark-submit entry point: encode a parquet table into a webcodec table.
+
+Usage (north_rule deployment shape)::
+
+    scripts/make_zip.sh
+    spark-submit --py-files webcodec.zip jobs/encode_table.py \
+        --input /root/testdata/sf0.001/documents.parquet \
+        --output /tmp/wc_documents --mode files --sort-key doc_id
+
+Resumable: re-running with the same --output skips committed partitions and
+commits a new snapshot (kill it mid-run and start again to test). Lineage
+metrics land in <output>/metrics as a parquet table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet file/dir to encode")
+    ap.add_argument("--output", required=True, help="webcodec table dir")
+    ap.add_argument("--mode", default="files", choices=["files", "scan", "salted"])
+    ap.add_argument("--url-col", default=None, help="salting/sort column (salted mode)")
+    ap.add_argument("--sort-key", default=None)
+    ap.add_argument("--compression", default="zstd")
+    ap.add_argument("--target-partition-mb", type=int, default=128)
+    ap.add_argument("--num-partitions", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from webcodec.config import EncoderConfig
+    from webcodec.spark.encode_job import encode_table
+
+    spark = SparkSession.builder.appName("webcodec-encode").getOrCreate()
+    df = spark.read.parquet(args.input)
+    t0 = time.time()
+    snap = encode_table(
+        df,
+        args.output,
+        EncoderConfig(compression=args.compression),
+        url_col=args.url_col,
+        sort_key=args.sort_key,
+        target_partition_bytes=args.target_partition_mb << 20,
+        num_partitions=args.num_partitions,
+        resume=not args.no_resume,
+        mode=args.mode,
+    )
+    out = {
+        "snapshot_id": snap["snapshot_id"],
+        "files": len(snap["files"]),
+        "rows": snap["total_rows"],
+        "raw_bytes": snap["total_raw_bytes"],
+        "compressed_bytes": snap["total_compressed_bytes"],
+        "ratio": round(snap["total_raw_bytes"] / max(snap["total_compressed_bytes"], 1), 3),
+        "wall_s": round(time.time() - t0, 2),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,187 @@
+"""Python DataSource: ``spark.read.format("webcodec")`` / ``df.write.format("webcodec")``.
+
+Reference parity (SURVEY.md §2.F): the ParquetFileReader/ParquetWriter entry
+points re-expressed as a Spark 4 Python DataSource
+(pyspark/sql/datasource.py:71). The read side implements ``pushFilters``
+against manifest + page min/max statistics (reference RowGroupFilter /
+StatisticsFilter, D2) and column pruning (D6); the write side uses the
+two-phase ``commit``/``abort`` protocol (datasource.py:946) with per-task
+lineage in the WriterCommitMessage — exactly-once snapshot commits.
+
+Register once per session::
+
+    from webcodec.spark.datasource import WebcodecDataSource
+    spark.dataSource.register(WebcodecDataSource)
+
+    df.write.format("webcodec").mode("append").option("path", d).save()
+    spark.read.format("webcodec").option("path", d).load()
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+_OPS = {
+    EqualTo: "==",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def _spark_schema_of(table_dir: str) -> str:
+    from webcodec.spark.decode_job import _schema_ddl
+    from webcodec.spark.table import SnapshotTable
+
+    snap = SnapshotTable(table_dir).read_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no webcodec snapshot at {table_dir}")
+    return _schema_ddl(snap["schema"], None)
+
+
+@dataclass
+class _FileSplit(InputPartition):
+    path: str
+
+
+class WebcodecReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.table_dir = options.get("path")
+        if not self.table_dir:
+            raise ValueError("webcodec reader requires option('path', ...)")
+        self.columns = [f.name for f in schema.fields] if schema.fields else None
+        self.predicate: tuple | None = None
+
+    def pushFilters(self, filters: list[Filter]):  # noqa: N802 (API name)
+        """Accept one simple comparison (applied to manifest file pruning AND
+        page pruning in the decoder); everything else stays in Spark — Spark
+        re-applies pushed filters anyway, so this is purely a scan reduction."""
+        for f in filters:
+            op = _OPS.get(type(f))
+            if op and self.predicate is None and len(f.attribute) == 1:
+                self.predicate = (f.attribute[0], op, f.value)
+                continue
+            yield f
+
+    def partitions(self):
+        from webcodec.spark.table import SnapshotTable
+
+        tbl = SnapshotTable(self.table_dir)
+        files = tbl.data_files(self.predicate)  # manifest min/max pruning (D2)
+        return [_FileSplit(os.path.join(self.table_dir, f["path"])) for f in files]
+
+    def read(self, partition: _FileSplit):
+        from webcodec import filefmt
+
+        t = filefmt.read_table(partition.path, columns=self.columns, predicate=self.predicate)
+        yield from t.to_batches(max_chunksize=8192)
+
+
+@dataclass
+class _CommitMsg(WriterCommitMessage):
+    lineage: str  # json: file name + stats, same fields as the manifest entry
+
+
+class WebcodecWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.table_dir = options.get("path")
+        if not self.table_dir:
+            raise ValueError("webcodec writer requires option('path', ...)")
+        self.overwrite = overwrite
+        self.schema_fields = [
+            {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+            for f in schema.fields
+        ]
+        self.sort_key = options.get("sort_key") or None
+        self.compression = options.get("compression", "zstd")
+
+    def write(self, iterator):
+        import pyarrow as pa
+
+        from pyspark import TaskContext
+        from webcodec import filefmt
+        from webcodec.config import EncoderConfig
+
+        pid = TaskContext.get().partitionId()
+        batches = list(iterator)
+        table = pa.Table.from_batches(batches)
+        if self.sort_key and self.sort_key in table.column_names:
+            import pyarrow.compute as pc
+
+            table = table.take(pc.sort_indices(table, sort_keys=[(self.sort_key, "ascending")]))
+        data_dir = os.path.join(self.table_dir, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.wcd"
+        fpath = os.path.join(data_dir, fname)
+        cfg = EncoderConfig(compression=self.compression)
+        tmp = fpath + ".tmp"
+        footer = filefmt.write_table(table, tmp, cfg)
+        os.rename(tmp, fpath)
+        lineage = {
+            "partition_id": pid,
+            "path": os.path.join("data", fname),
+            "rows": table.num_rows,
+            "raw_bytes": footer["raw_bytes"],
+            "compressed_bytes": footer["compressed_bytes"],
+            "codec_choices": {c["name"]: c["encoding"] for c in footer["chunks"]},
+            "column_stats": {c["name"]: c["stats"] for c in footer["chunks"]},
+        }
+        return _CommitMsg(lineage=json.dumps(lineage))
+
+    def commit(self, messages):
+        """Driver-side snapshot flip — files become visible atomically here
+        (two-phase protocol: uncommitted task output is invisible)."""
+        from webcodec.spark.table import SnapshotTable
+
+        tbl = SnapshotTable(self.table_dir)
+        tbl.init()
+        files = [json.loads(m.lineage) for m in messages if m is not None]
+        tbl.commit(
+            files,
+            self.schema_fields,
+            properties={"sort_key": self.sort_key or ""},
+            replace=self.overwrite,
+        )
+
+    def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.table_dir, json.loads(m.lineage)["path"]))
+            except OSError:
+                pass
+
+
+class WebcodecDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "webcodec"
+
+    def schema(self):
+        return _spark_schema_of(self.options["path"])
+
+    def reader(self, schema: StructType) -> WebcodecReader:
+        return WebcodecReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> WebcodecWriter:
+        return WebcodecWriter(self.options, schema, overwrite)

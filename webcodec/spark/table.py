@@ -50,14 +50,21 @@ class SnapshotTable:
         with open(path) as f:
             return json.load(f)
 
-    def commit(self, files: list[dict], schema: list[dict], properties: dict | None = None) -> dict:
-        """Two-phase commit: merge new files over the parent snapshot, write
-        snapshot-(N+1) via tmp+rename, then flip ``current``."""
+    def commit(
+        self,
+        files: list[dict],
+        schema: list[dict],
+        properties: dict | None = None,
+        replace: bool = False,
+    ) -> dict:
+        """Two-phase commit: merge new files over the parent snapshot (or
+        replace it entirely when ``replace``), write snapshot-(N+1) via
+        tmp+rename, then flip ``current``."""
         self.init()
         parent_id = self.current_snapshot_id()
         parent = self.read_snapshot(parent_id) if parent_id is not None else None
         merged: dict[int, dict] = {}
-        if parent:
+        if parent and not replace:
             for f in parent["files"]:
                 merged[f["partition_id"]] = f
         for f in files:
