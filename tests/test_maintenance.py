@@ -1,0 +1,128 @@
+"""Compaction (C10), rewrite/transcode (C11), and kill/resume tests."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from webcodec import filefmt
+from webcodec.config import EncoderConfig
+from webcodec.fixtures import webpages
+from webcodec.spark.table import SnapshotTable
+
+
+def test_append_files_roundtrip(tmp_path):
+    t = webpages(6_000)
+    parts = [t.slice(0, 2_000), t.slice(2_000, 2_000), t.slice(4_000, 2_000)]
+    srcs = []
+    for i, p in enumerate(parts):
+        path = str(tmp_path / f"s{i}.wcd")
+        filefmt.write_table(p, path, EncoderConfig())
+        srcs.append(path)
+    dst = str(tmp_path / "merged.wcd")
+    footer = filefmt.append_files(dst, srcs)
+    assert footer["num_rows"] == 6_000
+    got = filefmt.read_table(dst)
+    assert got.equals(t.combine_chunks() if isinstance(t, pa.Table) else t) or all(
+        got.column(c).combine_chunks().equals(t.column(c).combine_chunks())
+        for c in t.column_names
+    )
+
+
+def test_append_files_projection_and_predicate(tmp_path):
+    t = webpages(4_000)
+    srcs = []
+    for i in range(2):
+        path = str(tmp_path / f"s{i}.wcd")
+        filefmt.write_table(t.slice(i * 2_000, 2_000), path, EncoderConfig())
+        srcs.append(path)
+    dst = str(tmp_path / "m.wcd")
+    filefmt.append_files(dst, srcs)
+    got = filefmt.read_table(dst, columns=["lang", "url"], predicate=("lang", "==", "de"))
+    import pyarrow.compute as pc
+
+    want = t.filter(pc.equal(t.column("lang"), "de"))
+    assert got.num_rows == want.num_rows
+    assert got.column_names == ["lang", "url"]
+
+
+pytestmark_spark = pytest.mark.spark
+
+
+@pytest.mark.spark
+def test_compact_and_read(spark, tmp_path):
+    from webcodec.spark.decode_job import read_encoded, verify_roundtrip
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import compact
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(webpages(6_000), src, row_group_size=500)
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "t")
+    encode_table(df, out, mode="files", target_partition_bytes=1 << 20, write_metrics=False)
+    n_before = len(SnapshotTable(out).read_snapshot()["files"])
+    assert n_before > 2
+    snap = compact(out, target_bytes=1 << 30)
+    assert len(snap["files"]) < n_before
+    res = verify_roundtrip(spark, df, out, ["url"])
+    assert res["ok"], res
+
+
+@pytest.mark.spark
+def test_rewrite_transcode(spark, tmp_path):
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import rewrite_encoded
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(webpages(3_000), src)
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "t")
+    encode_table(df, out, num_partitions=2, write_metrics=False)
+    out2 = str(tmp_path / "t2")
+    rewrite_encoded(spark, out, out2, EncoderConfig(compression="gzip"), columns=["url", "lang"])
+    back = read_encoded(spark, out2)
+    assert back.columns == ["url", "lang"]
+    assert back.count() == 3_000
+    assert df.select("url", "lang").exceptAll(back).count() == 0
+
+
+@pytest.mark.spark
+def test_kill_resume_no_reencode(spark, tmp_path):
+    """SURVEY.md §5.3 layer 5: simulate a killed job — commit only a prefix of
+    partitions, rerun, assert committed files are untouched and the final
+    state equals a clean run."""
+    from webcodec.spark.decode_job import verify_roundtrip
+    from webcodec.spark.encode_job import encode_table
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(webpages(6_000), src, row_group_size=750)
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "t")
+    encode_table(df, out, mode="files", target_partition_bytes=1 << 20, write_metrics=False)
+    tbl = SnapshotTable(out)
+    full = tbl.read_snapshot()
+    assert len(full["files"]) >= 3
+
+    # simulate the kill: rewind the snapshot to only the first K partitions
+    k = 2
+    partial_files = full["files"][:k]
+    tbl.commit(partial_files, full["schema"], replace=True)
+    # delete the data files that "didn't get written before the kill"
+    for f in full["files"][k:]:
+        os.remove(os.path.join(out, f["path"]))
+    kept_mtimes = {
+        f["path"]: os.path.getmtime(os.path.join(out, f["path"])) for f in partial_files
+    }
+
+    # resume run
+    encode_table(df, out, mode="files", target_partition_bytes=1 << 20, write_metrics=False)
+    snap = tbl.read_snapshot()
+    assert len(snap["files"]) == len(full["files"])
+    for f in partial_files:  # committed partitions were NOT re-encoded
+        assert os.path.getmtime(os.path.join(out, f["path"])) == kept_mtimes[f["path"]]
+    res = verify_roundtrip(spark, df, out, ["url"])
+    assert res["ok"], res

@@ -109,22 +109,31 @@ def _build_page(
     return _PageOut(header, comp, meta)
 
 
-def _fsst_worth_it(arr: pa.Array, codec: Codec, level: int | None, sample_bytes: int) -> bool:
+def _fsst_trial(arr: pa.Array, codec: Codec, level: int | None, sample_bytes: int):
     """BtrBlocks-style sample trial: FSST only wins if the FINAL bytes (after
-    the page codec) shrink materially. E.g. natural text: fsst+zstd ~4x
-    smaller than zstd alone; short urls: fsst+zstd is a net LOSS vs zstd."""
+    the page codec) shrink >=10%. E.g. natural text: fsst+zstd ~4x smaller
+    than zstd alone; short urls: fsst+zstd is a net LOSS vs zstd. Tries
+    symbol-length variants (8 and 6) and returns the winning table — shorter
+    symbols often produce a more codec-friendly code stream — or None when
+    FSST is not worth it for this chunk."""
     from webcodec.kernels import fsst as _fsst
 
-    payload = colcodec.sample_payload(arr, 2048, min(sample_bytes, 1 << 16))
+    # 256KB trial payload: at 64KB the size ranking between symbol-length
+    # variants flips vs full-page scale (table overhead dominates)
+    payload = colcodec.sample_payload(arr, 4096, 1 << 18)
     if len(payload) < 1024:
-        return False
-    table = _fsst.build_table(payload[: 1 << 14])
-    if not table.symbols:
-        return False
-    enc = _fsst.encode(payload, table)
-    base = len(compress(payload, codec, level))
-    cand = len(compress(enc, codec, level)) + len(table.serialize())
-    return cand < 0.9 * base
+        return None
+    base_table = _fsst.build_table(payload[: 1 << 14])
+    if not base_table.symbols:
+        return None
+    best, best_size = None, 0.9 * len(compress(payload, codec, level))
+    for cap in (8, 6):
+        table = base_table if cap == 8 else _fsst.cap_symbols(base_table, cap)
+        enc = _fsst.encode(payload, table)
+        size = len(compress(enc, codec, level)) + len(table.serialize())
+        if size < best_size:
+            best, best_size = table, size
+    return best
 
 
 def _page_ranges(n: int, avg_bytes: float, config: EncoderConfig) -> list[tuple[int, int]]:
@@ -162,12 +171,13 @@ def _encode_chunk(
     stats = sample_stats(arr, phys, config.selector_sample_values)
     encoding = selector.choose(name, phys, stats, config)
     fb = selector.fallback_encoding(phys)
-    if (
-        encoding == Encoding.FSST
-        and config.encoding_for(name) == "auto"
-        and not _fsst_worth_it(arr.drop_null(), codec, config.compression_level, config.fsst_sample_bytes)
-    ):
-        encoding = fb
+    trial_fsst_table = None
+    if encoding == Encoding.FSST and config.encoding_for(name) == "auto":
+        trial_fsst_table = _fsst_trial(
+            arr.drop_null(), codec, config.compression_level, config.fsst_sample_bytes
+        )
+        if trial_fsst_table is None:
+            encoding = fb
     offset = offset0
     chunk: dict = {
         "name": name,
@@ -214,7 +224,7 @@ def _encode_chunk(
 
     encoded_total = 0
     tried_fallback = encoding == fb
-    fsst_table = None  # one symbol table per chunk, shared by all pages
+    fsst_table = trial_fsst_table  # one symbol table per chunk, shared by all pages
     pages_out: list[_PageOut] = []
     i = 0
     while i < len(ranges):
@@ -329,6 +339,60 @@ def write_table(
     finally:
         if own:
             out.close()
+
+
+# --------------------------- append / compaction ------------------------------
+
+
+def append_files(dst: str, sources: list[str]) -> dict:
+    """Byte-level merge WITHOUT decode (reference parity: C10,
+    ParquetFileWriter.appendFile / appendRowGroups): page bytes of each source
+    are copied verbatim; the merged footer carries one group per source with
+    page offsets shifted. Decode concatenates groups per column."""
+    groups = []
+    with open(dst, "wb") as out:
+        out.write(MAGIC)
+        offset = len(MAGIC)
+        for src in sources:
+            with open(src, "rb") as f:
+                data = f.read()
+            footer = read_footer(data)
+            flen = struct.unpack("<I", data[-12:-8])[0]
+            body_start, body_end = len(MAGIC), len(data) - 12 - flen
+            out.write(data[body_start:body_end])
+            delta = offset - body_start
+            for g in footer.get("groups") or [footer]:
+                chunks = json.loads(json.dumps(g["chunks"]))  # deep copy
+                for c in chunks:
+                    if c.get("dict"):
+                        c["dict"]["offset"] += delta
+                    for p in c["pages"]:
+                        p["offset"] += delta
+                groups.append(
+                    {
+                        "num_rows": g["num_rows"],
+                        "chunks": chunks,
+                        "raw_bytes": g["raw_bytes"],
+                        "compressed_bytes": g["compressed_bytes"],
+                    }
+                )
+            offset += body_end - body_start
+        first = read_footer(open(sources[0], "rb").read())
+        footer = {
+            "version": 2,
+            "num_rows": int(sum(g["num_rows"] for g in groups)),
+            "schema": first["schema"],
+            "groups": groups,
+            "raw_bytes": int(sum(g["raw_bytes"] for g in groups)),
+            "compressed_bytes": int(sum(g["compressed_bytes"] for g in groups)),
+            "created_by": "webcodec-0.1",
+            "metadata": {"compacted_from": len(sources)},
+        }
+        fj = json.dumps(footer, separators=(",", ":")).encode()
+        out.write(fj)
+        out.write(struct.pack("<II", len(fj), zlib.crc32(fj)))
+        out.write(MAGIC)
+    return footer
 
 
 # ------------------------------ read path ------------------------------------
@@ -479,28 +543,35 @@ def read_table(
         data = source
     buf = memoryview(data)
     footer = read_footer(buf)
-    by_name = {c["name"]: c for c in footer["chunks"]}
-    names = columns or [c["name"] for c in footer["chunks"]]
+    groups = footer.get("groups") or [footer]
+    names = columns or [c["name"] for c in groups[0]["chunks"]]
 
     keep_rows: np.ndarray | None = None
     if predicate is not None:
         col, op, value = predicate
-        pc_chunk = by_name[col]
         keep_rows = np.zeros(footer["num_rows"], dtype=bool)
         any_skipped = False
-        for pm in pc_chunk["pages"]:
-            if _page_overlaps(pm, op, value):
-                keep_rows[pm["first_row"] : pm["first_row"] + pm["n_values"]] = True
-            else:
-                any_skipped = True
+        row_base = 0
+        for g in groups:
+            pc_chunk = next(c for c in g["chunks"] if c["name"] == col)
+            for pm in pc_chunk["pages"]:
+                if _page_overlaps(pm, op, value):
+                    s = row_base + pm["first_row"]
+                    keep_rows[s : s + pm["n_values"]] = True
+                else:
+                    any_skipped = True
+            row_base += g["num_rows"]
         if not any_skipped:
             keep_rows = None  # nothing prunable; decode everything
 
     arrays = []
     fields = []
     for name in names:
-        chunk = by_name[name]
-        arr = _decode_chunk(buf, chunk, verify_crc)
+        parts = []
+        for g in groups:
+            chunk = next(c for c in g["chunks"] if c["name"] == name)
+            parts.append(_decode_chunk(buf, chunk, verify_crc))
+        arr = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]) if len(parts) > 1 else parts[0]
         # note: page skipping decodes all pages of the predicate column but can
         # skip page ranges per column; for simplicity we decode full chunks and
         # slice — the win at scale comes from file-level pruning in the manifest.

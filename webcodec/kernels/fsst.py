@@ -28,11 +28,12 @@ ESCAPE = 255
 
 
 class SymbolTable:
-    __slots__ = ("symbols", "_pattern", "_sub_map", "_matrix", "_lens")
+    __slots__ = ("symbols", "_pattern", "_sub_map", "_matrix", "_lens", "_enc_luts")
 
     def __init__(self, symbols: list[bytes]):
         assert len(symbols) <= MAX_SYMBOLS
         self.symbols = symbols
+        self._enc_luts = None
         ordered = sorted(range(len(symbols)), key=lambda i: -len(symbols[i]))
         pat = b"|".join(re.escape(symbols[i]) for i in ordered)
         pat = (pat + b"|" if pat else b"") + b"(?s:.)"
@@ -88,6 +89,13 @@ def _dedupe_prefixes(ranked: list[bytes]) -> list[bytes]:
     return out
 
 
+def cap_symbols(table: "SymbolTable", cap: int) -> "SymbolTable":
+    """Variant table with symbols truncated to ``cap`` bytes (deduped, order
+    kept). Shorter symbols can yield a more regular code stream that the page
+    codec compresses better — the chunk trial picks empirically."""
+    return SymbolTable(list(dict.fromkeys(s[:cap] for s in table.symbols))[:MAX_SYMBOLS])
+
+
 def build_table(sample: bytes, iterations: int = 5) -> SymbolTable:
     """Iterative greedy symbol-table construction on a sample."""
     if not sample:
@@ -125,6 +133,49 @@ def encode_regex(data: bytes, table: SymbolTable) -> bytes:
 
 _CHASE_STRIDE = 32  # anchor spacing for the vectorized greedy chase
 
+_POS_CACHE = np.empty(0, dtype=np.int64)
+
+
+def _pos(n: int) -> np.ndarray:
+    """Process-cached arange — avoids refilling an 8n-byte buffer per segment."""
+    global _POS_CACHE
+    if len(_POS_CACHE) < n:
+        _POS_CACHE = np.arange(max(n, _SEGMENT), dtype=np.int64)
+    return _POS_CACHE[:n]
+
+
+def _encode_luts(table: "SymbolTable"):
+    """Per-table encode lookup tables, built once and cached on the table."""
+    if table._enc_luts is not None:
+        return table._enc_luts
+    NOSYM = np.uint8(255)
+    lut1 = np.full(256, NOSYM, dtype=np.uint8)
+    lut2 = np.full(65536, NOSYM, dtype=np.uint8)
+    lut_long = np.full(65536, NOSYM, dtype=np.uint8)
+    key_lo = np.zeros(256, dtype=np.uint32)
+    mask_lo = np.zeros(256, dtype=np.uint32)
+    key_hi = np.zeros(256, dtype=np.uint32)
+    mask_hi = np.zeros(256, dtype=np.uint32)
+    sym_len = np.zeros(256, dtype=np.uint8)
+    for code, s in enumerate(table.symbols):
+        L = len(s)
+        sym_len[code] = L
+        full = int.from_bytes(s, "little")
+        m = (1 << (8 * L)) - 1
+        key_lo[code] = full & 0xFFFFFFFF
+        mask_lo[code] = m & 0xFFFFFFFF
+        key_hi[code] = (full >> 32) & 0xFFFFFFFF
+        mask_hi[code] = (m >> 32) & 0xFFFFFFFF
+        if L == 1:
+            lut1[s[0]] = code
+        elif L == 2:
+            lut2[s[0] | (s[1] << 8)] = code
+        else:
+            lut_long[s[0] | (s[1] << 8)] = code
+    out = (lut1, lut2, lut_long, key_lo, mask_lo, key_hi, mask_hi, sym_len)
+    table._enc_luts = out
+    return out
+
 
 _SEGMENT = 1 << 20  # encode in ~1MB segments: bounded temporaries, warm allocator
 
@@ -159,32 +210,12 @@ def _encode_segment(data: bytes, table: SymbolTable) -> bytes:
     if n < 4096 or not table.symbols:
         return encode_regex(data, table)
     raw = np.frombuffer(data, dtype=np.uint8)
-    padded = np.concatenate((raw, np.zeros(8, dtype=np.uint8)))
+    padded = np.empty(n + 8, dtype=np.uint8)
+    padded[:n] = raw
+    padded[n:] = 0
 
     NOSYM = np.uint8(255)
-    lut1 = np.full(256, NOSYM, dtype=np.uint8)
-    lut2 = np.full(65536, NOSYM, dtype=np.uint8)
-    lut_long = np.full(65536, NOSYM, dtype=np.uint8)
-    key_lo = np.zeros(256, dtype=np.uint32)
-    mask_lo = np.zeros(256, dtype=np.uint32)
-    key_hi = np.zeros(256, dtype=np.uint32)
-    mask_hi = np.zeros(256, dtype=np.uint32)
-    sym_len = np.zeros(256, dtype=np.uint8)
-    for code, s in enumerate(table.symbols):
-        L = len(s)
-        sym_len[code] = L
-        full = int.from_bytes(s, "little")
-        m = (1 << (8 * L)) - 1
-        key_lo[code] = full & 0xFFFFFFFF
-        mask_lo[code] = m & 0xFFFFFFFF
-        key_hi[code] = (full >> 32) & 0xFFFFFFFF
-        mask_hi[code] = (m >> 32) & 0xFFFFFFFF
-        if L == 1:
-            lut1[s[0]] = code
-        elif L == 2:
-            lut2[s[0] | (s[1] << 8)] = code
-        else:
-            lut_long[s[0] | (s[1] << 8)] = code
+    lut1, lut2, lut_long, key_lo, mask_lo, key_hi, mask_hi, sym_len = _encode_luts(table)
 
     # contiguous windows via shift-or of aligned loads (no unaligned views)
     w2 = raw.astype(np.uint16)
@@ -197,7 +228,7 @@ def _encode_segment(data: bytes, table: SymbolTable) -> bytes:
     cand = lut_long[w2i]
     candi = cand.astype(np.intp)
     cl = sym_len[candi]
-    pos = np.arange(n, dtype=np.int64)
+    pos = _pos(n)
     long_hit = (cand != NOSYM) & ((w4 & mask_lo[candi]) == key_lo[candi]) & (pos <= n - cl)
     # high-dword verify only where the low dword already matched a >4-byte symbol
     sub = np.flatnonzero(long_hit & (cl > 4))
@@ -243,17 +274,22 @@ def _encode_segment(data: bytes, table: SymbolTable) -> bytes:
     tok = chains.T.reshape(-1)
     tok = tok[tok < n].astype(np.intp)
 
-    # per-token codes (subset gathers only)
+    # per-token codes (subset gathers only); emit via cumsum scatter
     lh_t = long_hit[tok]
     th_t = two_hit[tok]
     bl_t = best_len[tok]
     code_t = np.where(lh_t, cand[tok], np.where(th_t, two_code[tok], one_code[tok]))
     esc = bl_t == 0
-    mat = np.empty((len(tok), 2), dtype=np.uint8)
-    mat[:, 0] = np.where(esc, ESCAPE, code_t)
-    mat[:, 1] = raw[tok]  # only read where esc
-    sel = np.arange(2)[None, :] < np.where(esc, 2, 1)[:, None]
-    return mat[sel].tobytes()
+    out_off = np.empty(len(tok), dtype=np.int64)
+    out_off[0] = 0
+    np.cumsum(esc[:-1].astype(np.int64) + 1, out=out_off[1:])
+    total = int(out_off[-1]) + (2 if len(tok) and esc[-1] else 1) if len(tok) else 0
+    outb = np.empty(total, dtype=np.uint8)
+    outb[out_off] = np.where(esc, ESCAPE, code_t)
+    esc_idx = np.flatnonzero(esc)
+    if len(esc_idx):
+        outb[out_off[esc_idx] + 1] = raw[tok[esc_idx]]
+    return outb.tobytes()
 
 
 def decode(data: bytes | memoryview, table: SymbolTable) -> bytes:

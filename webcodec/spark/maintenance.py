@@ -1,0 +1,146 @@
+"""Table maintenance: compaction (no re-encode) and rewrite/transcode.
+
+Reference parity (SURVEY.md §2.C10/C11): ``ParquetFileWriter.appendFile`` /
+``appendRowGroups`` (byte-level merge of serialized groups, no decode) and
+``ParquetRewriter`` (decode -> re-encode with different options).
+
+Compaction is driver-side file IO (cheap: byte concat + footer merge) —
+at cluster scale the same per-output-file merge would run as one Spark task
+per output via the identical ``filefmt.append_files`` call. Rewrite IS a
+Spark job: one task per source file, path-list parallelism (no JVM transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+
+from webcodec.config import EncoderConfig
+from webcodec.spark.table import SnapshotTable
+
+
+def _merged_stats(entries: list[dict]) -> dict:
+    """Roll up per-file column_stats across compaction sources."""
+    out: dict = {}
+    for e in entries:
+        for col, st in (e.get("column_stats") or {}).items():
+            cur = out.setdefault(col, {"min": None, "max": None, "null_count": 0})
+            if st.get("min") is not None:
+                cur["min"] = st["min"] if cur["min"] is None else min(cur["min"], st["min"])
+            if st.get("max") is not None:
+                cur["max"] = st["max"] if cur["max"] is None else max(cur["max"], st["max"])
+            cur["null_count"] += st.get("null_count", 0)
+    return out
+
+
+def compact(table_dir: str, target_bytes: int = 128 << 20) -> dict:
+    """Merge small files into ~target_bytes files WITHOUT re-encoding
+    (byte-level page copy + footer merge), then commit a new snapshot."""
+    from webcodec import filefmt
+
+    tbl = SnapshotTable(table_dir)
+    snap = tbl.read_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot in {table_dir}")
+    files = sorted(snap["files"], key=lambda f: f["partition_id"])
+
+    # bin-pack adjacent files up to target_bytes
+    bins: list[list[dict]] = [[]]
+    acc = 0
+    for f in files:
+        if bins[-1] and acc + f["compressed_bytes"] > target_bytes:
+            bins.append([])
+            acc = 0
+        bins[-1].append(f)
+        acc += f["compressed_bytes"]
+    if all(len(b) <= 1 for b in bins):
+        return snap  # nothing to do
+
+    new_files = []
+    for b in bins:
+        if len(b) == 1:
+            new_files.append(b[0])
+            continue
+        pid = b[0]["partition_id"]
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.wcd"
+        srcs = [os.path.join(table_dir, f["path"]) for f in b]
+        footer = filefmt.append_files(os.path.join(tbl.data_dir, fname), srcs)
+        new_files.append(
+            {
+                "partition_id": pid,
+                "path": os.path.join("data", fname),
+                "rows": footer["num_rows"],
+                "raw_bytes": footer["raw_bytes"],
+                "compressed_bytes": footer["compressed_bytes"],
+                "codec_choices": b[0].get("codec_choices", {}),
+                "column_stats": _merged_stats(b),
+            }
+        )
+    props = dict(snap.get("properties", {}))
+    props["compacted"] = "true"
+    return tbl.commit(new_files, snap["schema"], properties=props, replace=True)
+
+
+def rewrite_encoded(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    config: EncoderConfig | None = None,
+    columns: list[str] | None = None,
+) -> dict:
+    """Transcode a webcodec table (decode -> re-encode with new options, e.g.
+    different compression, column subset/masking). One Spark task per source
+    file; bytes never cross the JVM (reference parity: ParquetRewriter)."""
+    import pyarrow as pa
+
+    config = config or EncoderConfig()
+    src = SnapshotTable(src_dir)
+    snap = src.read_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot in {src_dir}")
+    dst = SnapshotTable(dst_dir)
+    dst.init()
+    paths = [
+        (f["partition_id"], os.path.join(src_dir, f["path"])) for f in snap["files"]
+    ]
+    data_dir = dst.data_dir
+    cols = columns
+
+    def rewrite_fn(batches):
+        from webcodec import filefmt
+        from webcodec.spark.encode_job import _write_one
+
+        for b in batches:
+            for row in b.to_pylist():
+                table = filefmt.read_table(row["path"], columns=cols)
+                yield from _write_one(
+                    data_dir, row["pid"], table, config, None
+                ).to_batches()
+
+    from webcodec.spark.encode_job import LINEAGE_SCHEMA, _commit
+
+    pdf = spark.createDataFrame(paths, "pid int, path string").repartition(
+        min(len(paths), 256)
+    )
+    rows = pdf.mapInArrow(rewrite_fn, LINEAGE_SCHEMA).collect()
+
+    schema = snap["schema"]
+    if cols:
+        schema = [f for f in schema if f["name"] in cols]
+    files = []
+    for r in rows:
+        files.append(
+            {
+                "partition_id": r["partition_id"],
+                "path": os.path.join("data", r["file"]),
+                "rows": r["rows"],
+                "raw_bytes": r["raw_bytes"],
+                "compressed_bytes": r["compressed_bytes"],
+                "codec_choices": json.loads(r["codec_choices"]),
+                "column_stats": json.loads(r["column_stats"]),
+            }
+        )
+    return dst.commit(files, schema, properties={"rewritten_from": src_dir}, replace=True)
