@@ -30,6 +30,11 @@ class EncoderConfig:
     # FSST
     use_fsst: bool = True
     fsst_sample_bytes: int = 1 << 14
+    # Bloom filters (reference: BlockSplitBloomFilter, DEFAULT_BLOOM_FILTER_FPP)
+    bloom_filter_enabled: bool = True     # varlen columns with avg_len <= threshold
+    bloom_filter_fpp: float = 0.01
+    bloom_filter_max_bytes: int = 1 << 20
+    bloom_filter_max_avg_len: int = 256   # skip long-text columns (equality never used)
     # Statistics / page index
     statistics_enabled: bool = True
     statistics_truncate_length: int = 64    # reference: DEFAULT_COLUMN_INDEX_TRUNCATE_LENGTH

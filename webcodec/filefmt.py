@@ -38,6 +38,7 @@ from webcodec.kernels import dictionary, rle
 from webcodec.stats import page_stats, raw_byte_size, sample_stats
 from webcodec.types import (
     CODEC_NAMES,
+    IS_VARLEN,
     Codec,
     Encoding,
     PhysType,
@@ -191,6 +192,23 @@ def _encode_chunk(
 
     avg_bytes = raw / max(n, 1)
     ranges = _page_ranges(n, avg_bytes, config)
+
+    # split-block bloom for short varlen columns (C8; bloom-level pruning D2)
+    if (
+        config.bloom_filter_enabled
+        and phys in IS_VARLEN
+        and n > 0
+        and stats.avg_len <= config.bloom_filter_max_avg_len
+    ):
+        import base64
+
+        from webcodec.kernels import bloom
+
+        offs, data_mv = colcodec.varlen_parts(arr.drop_null() if arr.null_count else arr)
+        raw_np = np.frombuffer(data_mv, dtype=np.uint8, count=int(offs[-1])) if len(offs) > 1 else np.zeros(0, np.uint8)
+        hashes = np.unique(bloom.hash_values(offs, raw_np)) if len(offs) > 1 else np.zeros(0, np.uint64)
+        fb_bytes = bloom.build(hashes, config.bloom_filter_fpp, config.bloom_filter_max_bytes)
+        chunk["bloom"] = {"ndv": int(len(hashes)), "b64": base64.b64encode(fb_bytes).decode()}
 
     dict_values = None
     indices = None
@@ -554,6 +572,17 @@ def read_table(
         row_base = 0
         for g in groups:
             pc_chunk = next(c for c in g["chunks"] if c["name"] == col)
+            if op == "==" and pc_chunk.get("bloom") and isinstance(value, (str, bytes)):
+                import base64
+
+                from webcodec.kernels import bloom as _bloom
+
+                vb = value.encode() if isinstance(value, str) else value
+                fb = base64.b64decode(pc_chunk["bloom"]["b64"])
+                if not _bloom.might_contain(fb, _bloom.hash_one(vb)):
+                    any_skipped = True  # whole group provably predicate-free
+                    row_base += g["num_rows"]
+                    continue
             for pm in pc_chunk["pages"]:
                 if _page_overlaps(pm, op, value):
                     s = row_base + pm["first_row"]
@@ -563,6 +592,13 @@ def read_table(
             row_base += g["num_rows"]
         if not any_skipped:
             keep_rows = None  # nothing prunable; decode everything
+        elif not keep_rows.any():
+            # every group provably predicate-free: skip ALL decode work
+            fields = []
+            for name in names:
+                chunk = next(c for c in groups[0]["chunks"] if c["name"] == name)
+                fields.append(pa.field(name, arrow_type_from_json(chunk["type"])))
+            return pa.schema(fields).empty_table()
 
     arrays = []
     fields = []

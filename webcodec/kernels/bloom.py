@@ -1,0 +1,95 @@
+"""Split-block bloom filter (reference parity: SURVEY.md §2.C8,
+parquet-java BlockSplitBloomFilter — 32-byte blocks, 8 salted words).
+
+Same block structure as the reference; the value hash is a vectorized
+FNV-1a-64 over (truncated) value bytes instead of xxHash64 (not available
+in-sandbox) — self-consistent across encode/check, which is all a private
+format needs. Insert/check are fully vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# parquet's split-block salt constants
+_SALT = np.array(
+    [
+        0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+        0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31,
+    ],
+    dtype=np.uint64,
+)
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_HASH_CAP = 32  # hash at most the first 32 bytes of each value
+
+
+def hash_values(offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a-64 of each value's first <=32 bytes (+ length mixed
+    in, so truncated prefixes of different lengths still differ)."""
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    w = int(min(max(lens.max(), 1), _HASH_CAP)) if n else 1
+    col = np.arange(w, dtype=np.int64)
+    valid = col[None, :] < lens[:, None]
+    take = np.where(valid, offsets[:-1, None] + col[None, :], 0)
+    mat = data[take].astype(np.uint64)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    np.multiply(h, _FNV_PRIME, out=h)  # mix a round for the length byte
+    h ^= lens.astype(np.uint64)
+    for k in range(w):
+        live = valid[:, k]
+        hk = (h ^ mat[:, k]) * _FNV_PRIME
+        h = np.where(live, hk, h)
+    return _finalize(h)
+
+
+def _finalize(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — FNV's high bits avalanche poorly on short keys
+    and the block index uses them."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def hash_one(value: bytes) -> np.uint64:
+    b = value[:_HASH_CAP]
+    h = int(_FNV_OFFSET)
+    h = (h * int(_FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF
+    h ^= len(value)
+    for byte in b:
+        h = ((h ^ byte) * int(_FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF
+    return _finalize(np.array([h], dtype=np.uint64))[0]
+
+
+def _block_masks(h: np.ndarray, nblocks: int) -> tuple[np.ndarray, np.ndarray]:
+    block = ((h >> np.uint64(32)) % np.uint64(nblocks)).astype(np.int64)
+    x = (h & np.uint64(0xFFFFFFFF))[:, None] * _SALT[None, :]
+    bit = (x >> np.uint64(27)).astype(np.uint64) & np.uint64(31)
+    masks = (np.uint32(1) << bit.astype(np.uint32)).astype(np.uint32)
+    return block, masks
+
+
+def build(hashes: np.ndarray, fpp: float = 0.01, max_bytes: int = 1 << 20) -> bytes:
+    """Filter bytes sized for len(hashes) distinct values at ~fpp."""
+    n = max(len(hashes), 1)
+    m_bits = int(-n * np.log(max(min(fpp, 0.5), 1e-6)) / (np.log(2) ** 2))
+    nblocks = max((m_bits + 255) // 256, 1)
+    nblocks = min(nblocks, max_bytes // 32)
+    words = np.zeros((nblocks, 8), dtype=np.uint32)
+    if len(hashes):
+        block, masks = _block_masks(hashes.astype(np.uint64), nblocks)
+        for w in range(8):  # 8 scatter-ORs, vectorized over values
+            np.bitwise_or.at(words[:, w], block, masks[:, w])
+    return words.tobytes()
+
+
+def might_contain(filter_bytes: bytes | memoryview, h: np.uint64) -> bool:
+    words = np.frombuffer(filter_bytes, dtype=np.uint32).reshape(-1, 8)
+    block, masks = _block_masks(np.array([h], dtype=np.uint64), len(words))
+    return bool(((words[block[0]] & masks[0]) == masks[0]).all())

@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -172,6 +173,38 @@ class WebcodecWriter(DataSourceArrowWriter):
                 pass
 
 
+class WebcodecStreamWriter(DataSourceStreamArrowWriter):
+    """Structured Streaming sink: each microbatch commits one snapshot.
+
+    Exactly-once at the table level: files written by a failed attempt are
+    never referenced by a manifest (abort removes them; orphans are invisible
+    to readers); partition ids are namespaced by batchId so microbatches
+    never collide in the manifest (SURVEY.md §2.G)."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self._w = WebcodecWriter(options, schema, overwrite=False)
+
+    def write(self, iterator):
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId: int):
+        from webcodec.spark.table import SnapshotTable
+
+        tbl = SnapshotTable(self._w.table_dir)
+        tbl.init()
+        files = [json.loads(m.lineage) for m in messages if m is not None]
+        for f in files:
+            f["partition_id"] = batchId * 1_000_000 + f["partition_id"]
+        tbl.commit(
+            files,
+            self._w.schema_fields,
+            properties={"sort_key": self._w.sort_key or "", "last_batch_id": str(batchId)},
+        )
+
+    def abort(self, messages, batchId: int):
+        self._w.abort(messages)
+
+
 class WebcodecDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -185,3 +218,6 @@ class WebcodecDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> WebcodecWriter:
         return WebcodecWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> WebcodecStreamWriter:
+        return WebcodecStreamWriter(self.options, schema)
