@@ -193,6 +193,37 @@ def _stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_documents_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through byte-level compaction (C10): encode to many small
+    files, merge them WITHOUT re-encoding, decode the multi-group result."""
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import compact
+
+    _prep(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = tempfile.mkdtemp(prefix="wcq_compact_")
+    encode_table(df, os.path.join(out, "t"), num_partitions=6, write_metrics=False)
+    compact(os.path.join(out, "t"), target_bytes=1 << 30)
+    return read_encoded(spark, os.path.join(out, "t")).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def _scan_bloom_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-level pruning (C8/D2): equality on a value absent from the table
+    skips all decode; the residual filter keeps semantics exact."""
+    df = _encode_decode(
+        spark,
+        sf_dir,
+        "documents",
+        sort_key="doc_id",
+        columns=["doc_id", "lang"],
+        predicate=("lang", "==", "zz"),
+    )
+    return df.filter(F.col("lang") == "zz")
+
+
 def _agg_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over decoded output (dict+RLE column feeding a groupBy)."""
     df = _encode_decode(spark, sf_dir, "documents", sort_key="lang", columns=["lang"])
@@ -356,6 +387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_lineitem_q1": _rt_lineitem_q1,
         "rt_embeddings": _rt_embeddings,
         "scan_prune_en": _scan_prune_en,
+        "rt_documents_compacted": _rt_documents_compacted,
+        "scan_bloom_miss": _scan_bloom_miss,
         "stats_minmax": _stats_minmax,
         "agg_lang_counts": _agg_lang_counts,
         "dedup_exact": _dedup_exact,
@@ -390,6 +423,8 @@ def oracle_sql() -> dict[str, str]:
             "label FROM embeddings"
         ),
         "scan_prune_en": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
+        "rt_documents_compacted": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "scan_bloom_miss": "SELECT doc_id, lang FROM documents WHERE lang = 'zz'",
         "stats_minmax": (
             "SELECT CAST(min(n_chars) AS BIGINT) AS min_nchars, "
             "CAST(max(n_chars) AS BIGINT) AS max_nchars, count(*) AS total_rows FROM documents"

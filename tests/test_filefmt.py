@@ -45,7 +45,7 @@ def test_variant_roundtrip(variant):
     assert_tables_equal(t, out)
 
 
-@pytest.mark.parametrize("codec", ["none", "gzip", "zstd", "snappy", "lz4"])
+@pytest.mark.parametrize("codec", ["none", "gzip", "zstd", "snappy", "lz4", "brotli"])
 def test_codecs(codec):
     t = webpages(1_000)
     out, footer = _roundtrip(t, EncoderConfig(compression=codec))

@@ -491,7 +491,13 @@ def _rebuild_with_nulls(values: pa.Array, mask: np.ndarray, arrow_type: pa.DataT
     return out.cast(arrow_type) if base != arrow_type else out
 
 
-def _decode_chunk(buf: memoryview, chunk: dict, verify_crc: bool = True) -> pa.Array:
+def _decode_chunk(
+    buf: memoryview, chunk: dict, verify_crc: bool = True, keep: np.ndarray | None = None
+) -> pa.Array:
+    """Decode a column chunk. With ``keep`` (group-relative boolean row mask),
+    pages with no surviving rows are SKIPPED entirely and surviving pages are
+    row-filtered — D3 row-range synchronization: every column of the group
+    returns exactly the kept rows in order."""
     arrow_type = arrow_type_from_json(chunk["type"])
     phys = PhysType(chunk["phys"])
     dict_values = None
@@ -501,6 +507,11 @@ def _decode_chunk(buf: memoryview, chunk: dict, verify_crc: bool = True) -> pa.A
         dict_values = colcodec.decode_dict_page(dvals, phys, inner, dn, arrow_type)
     parts: list[pa.Array] = []
     for pm in chunk["pages"]:
+        sub = None
+        if keep is not None:
+            sub = keep[pm["first_row"] : pm["first_row"] + pm["n_values"]]
+            if not sub.any():
+                continue  # page-level skip: no IO-decode for this page
         ptype, enc, _, n_values, n_nulls, validity, values, _ = _read_page(buf, pm["offset"], verify_crc)
         n_valid = n_values - n_nulls
         if enc == Encoding.DICT:
@@ -515,16 +526,23 @@ def _decode_chunk(buf: memoryview, chunk: dict, verify_crc: bool = True) -> pa.A
             arr = _rebuild_with_nulls(arr, mask, arrow_type)
         elif arr.type != arrow_type:
             arr = arr.cast(arrow_type)
+        if sub is not None and not sub.all():
+            arr = arr.filter(pa.array(sub))
         parts.append(arr)
     if not parts:
         return pa.array([], type=arrow_type)
     return pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
 
 
-def _page_overlaps(pm: dict, op: str, value) -> bool:
+def _page_overlaps(pm: dict, op: str, value, phys: PhysType | None = None) -> bool:
+    from webcodec.stats import decode_stat, normalize_stat_value
+
     lo, hi = pm.get("min"), pm.get("max")
     if lo is None or hi is None:
         return True
+    if phys is not None:
+        value = normalize_stat_value(value, phys)
+        lo, hi = decode_stat(lo, phys), decode_stat(hi, phys)
     try:
         if op == "==":
             return lo <= value <= hi
@@ -572,6 +590,7 @@ def read_table(
         row_base = 0
         for g in groups:
             pc_chunk = next(c for c in g["chunks"] if c["name"] == col)
+            pred_phys = PhysType(pc_chunk["phys"])
             if op == "==" and pc_chunk.get("bloom") and isinstance(value, (str, bytes)):
                 import base64
 
@@ -584,7 +603,7 @@ def read_table(
                     row_base += g["num_rows"]
                     continue
             for pm in pc_chunk["pages"]:
-                if _page_overlaps(pm, op, value):
+                if _page_overlaps(pm, op, value, pred_phys):
                     s = row_base + pm["first_row"]
                     keep_rows[s : s + pm["n_values"]] = True
                 else:
@@ -604,18 +623,20 @@ def read_table(
     fields = []
     for name in names:
         parts = []
+        row_base = 0
         for g in groups:
             chunk = next(c for c in g["chunks"] if c["name"] == name)
-            parts.append(_decode_chunk(buf, chunk, verify_crc))
+            keep = (
+                keep_rows[row_base : row_base + g["num_rows"]]
+                if keep_rows is not None
+                else None
+            )
+            parts.append(_decode_chunk(buf, chunk, verify_crc, keep=keep))
+            row_base += g["num_rows"]
         arr = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]) if len(parts) > 1 else parts[0]
-        # note: page skipping decodes all pages of the predicate column but can
-        # skip page ranges per column; for simplicity we decode full chunks and
-        # slice — the win at scale comes from file-level pruning in the manifest.
         arrays.append(arr)
         fields.append(pa.field(name, arr.type))
     table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
-    if keep_rows is not None:
-        table = table.filter(pa.array(keep_rows))
     if predicate is not None:
         col, op, value = predicate
         import pyarrow.compute as _pc

@@ -107,18 +107,28 @@ class SnapshotTable:
         if predicate is None:
             return files
         col, op, value = predicate
+        coltype = next((f["type"] for f in snap["schema"] if f["name"] == col), "")
         kept = []
         for f in files:
             st = (f.get("column_stats") or {}).get(col)
-            if st is None or _overlaps(st, op, value):
+            if st is None or _overlaps(st, op, value, coltype):
                 kept.append(f)
         return kept
 
 
-def _overlaps(st: dict, op: str, value) -> bool:
+def _overlaps(st: dict, op: str, value, coltype: str = "") -> bool:
     lo, hi = st.get("min"), st.get("max")
     if lo is None or hi is None:
         return True
+    # normalize to the stats storage domain (micros/days/bytes)
+    from webcodec.stats import decode_stat, normalize_stat_value
+    from webcodec.types import PhysType
+
+    phys = {"timestamp": PhysType.TIMESTAMP_US, "date": PhysType.DATE32,
+            "binary": PhysType.BINARY}.get(coltype)
+    if phys is not None:
+        value = normalize_stat_value(value, phys)
+        lo, hi = decode_stat(lo, phys), decode_stat(hi, phys)
     try:
         if op == "==":
             return lo <= value <= hi

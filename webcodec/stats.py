@@ -166,6 +166,36 @@ def _encode_stat(v, phys: PhysType, truncate: int, is_max: bool = False):
     return int(v) if not isinstance(v, bool) else bool(v)
 
 
+def normalize_stat_value(value, phys: PhysType):
+    """Convert a user predicate value into the domain page/chunk stats are
+    stored in (epoch micros for timestamps, epoch days for dates, raw bytes
+    for binary) so min/max comparisons are type-correct."""
+    if phys == PhysType.TIMESTAMP_US:
+        if hasattr(value, "value"):  # pd.Timestamp (ns)
+            return int(value.value) // 1_000
+        if hasattr(value, "utctimetuple"):  # datetime, naive == UTC
+            import calendar
+
+            return int(calendar.timegm(value.utctimetuple())) * 1_000_000 + value.microsecond
+        return int(value)
+    if phys == PhysType.DATE32:
+        if hasattr(value, "toordinal"):
+            return value.toordinal() - 719_163
+        return int(value)
+    if phys == PhysType.BINARY and isinstance(value, str):
+        return value.encode()
+    return value
+
+
+def decode_stat(v, phys: PhysType):
+    """Inverse of the storage encoding for comparisons (binary is base64)."""
+    if v is None:
+        return None
+    if phys == PhysType.BINARY:
+        return base64.b64decode(v)
+    return v
+
+
 def page_stats(arr: pa.Array, phys: PhysType, truncate: int = 64) -> dict:
     """min/max/null_count for one page (truncated like the reference column index)."""
     null_count = arr.null_count
