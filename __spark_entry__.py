@@ -380,6 +380,73 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.mapInArrow(simhash_batches, "doc_id long, simhash long")
 
 
+def _simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH bucketing (vectorized numpy in a
+    mapInArrow kernel) -> candidates share the query's bucket -> exact
+    integer-quantized dot-product rerank. At 10^12 rows the bucket join
+    replaces the brute-force cross join of simsearch_top10. Rows-only check
+    (LSH recall is probabilistic; no SQL oracle)."""
+    import pyarrow as _pa
+
+    _prep(spark)
+    df = _src(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def bucketize(batches):
+        import numpy as np
+
+        # 6 planes -> 64 buckets (sized for the sf-test corpus; at 10^12 rows
+        # you raise the plane count so buckets stay ~constant-sized)
+        planes = np.random.default_rng(7).standard_normal((64, 6))
+        for b in batches:
+            ids = b.column("vec_id")
+            emb = np.asarray(b.column("embedding").to_pylist(), dtype=np.float64)
+            sig = (emb @ planes) > 0
+            bucket = np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(np.int32)
+            yield _pa.RecordBatch.from_pydict(
+                {"vec_id": ids, "bucket": _pa.array(bucket, _pa.int32())}
+            )
+
+    buckets = df.mapInArrow(bucketize, "vec_id long, bucket int")
+    withb = df.join(buckets, "vec_id")
+    q = withb.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qb"),
+        F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long")).alias("qvec"),
+    )
+    cand = withb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "bucket",
+        F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long")).alias("cvec"),
+    )
+    joined = cand.join(F.broadcast(q), cand.bucket == q.qb)  # bucket join, not cross
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        joined.select("vec_id", dot.alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+def _metrics_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage -> metrics table (north_rule): encode with
+    metrics on, then aggregate the metrics parquet — row totals must match
+    the source exactly."""
+    from webcodec.spark.encode_job import encode_table
+
+    _prep(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = tempfile.mkdtemp(prefix="wcq_metrics_")
+    encode_table(df, os.path.join(out, "t"), num_partitions=4, write_metrics=True)
+    m = spark.read.parquet(os.path.join(out, "t", "metrics"))
+    return m.agg(
+        F.sum("rows").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_partitions_gt0"),
+    ).select("total_rows")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rt_documents": _rt_documents,
@@ -396,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "simsearch_top10": _simsearch_top10,
+        "simsearch_lsh": _simsearch_lsh,
+        "metrics_lineage": _metrics_lineage,
         "lang_id_stopwords": _lang_id_stopwords,
         "text_fingerprint": _text_fingerprint,
         "media_binary_meta": _media_binary_meta,
@@ -481,7 +550,8 @@ def oracle_sql() -> dict[str, str]:
             "md5(text) AS content_md5, "
             "upper(substring(hex(encode(text)), 1, 8)) AS magic_hex FROM documents"
         ),
-        # dedup_simhash: custom Arrow-UDF kernel — intentionally no SQL oracle
+        "metrics_lineage": "SELECT count(*) AS total_rows FROM documents",
+        # dedup_simhash, simsearch_lsh: custom Arrow-UDF kernels — no SQL oracle
     }
 
 

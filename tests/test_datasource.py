@@ -69,6 +69,19 @@ def test_overwrite_replaces_snapshot(registered, src_parquet, tmp_path):
     assert snap["parent_id"] is not None  # history retained (time travel)
 
 
+def test_explain_shows_python_batch_scan(registered, src_parquet, tmp_path):
+    """The read plan must be a DSv2 Python BatchScan (pushdown-capable leaf),
+    not a fallback RDD scan."""
+    spark = registered
+    out = str(tmp_path / "t")
+    spark.read.parquet(src_parquet).write.format("webcodec").option("path", out).mode(
+        "append"
+    ).save()
+    back = spark.read.format("webcodec").option("path", out).load()
+    plan = back.filter(F.col("lang") == "de")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan webcodec" in plan
+
+
 def test_projection_only_decodes_requested(registered, src_parquet, tmp_path):
     spark = registered
     out = str(tmp_path / "t")
