@@ -170,7 +170,17 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
     queries["encode_webpages"] = enc_wall / repeats
     extras["encode_webpages_gbps"] = raw_bytes * repeats / enc_wall / 1e9
 
-    # -- encode webpages, salted-repartition mode (north_rule skew path) --
+    # -- clustered mode (north_rule skew path: salted domain clustering via
+    #    the Arrow-native two-phase shuffle, zero JVM transfer) --
+    t0 = time.perf_counter()
+    encode_table(
+        df, os.path.join(work, "wp_clustered"), url_col="url", mode="clustered",
+        target_partition_bytes=max(raw_bytes // (2 * cpus), 8 << 20), write_metrics=False,
+    )
+    queries["encode_webpages_clustered"] = time.perf_counter() - t0
+    extras["encode_clustered_gbps"] = raw_bytes / queries["encode_webpages_clustered"] / 1e9
+
+    # -- salted-repartition mode (pure Spark-shuffle reference point) --
     n_parts = max(4 * cpus, 16)
     t0 = time.perf_counter()
     encode_table(

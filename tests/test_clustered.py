@@ -1,0 +1,98 @@
+"""Clustered-mode encode: Arrow-native two-phase shuffle (salted domain
+clustering with zero JVM transfer)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from webcodec.fixtures import webpages
+from webcodec.spark.table import SnapshotTable
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def src(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("csrc") / "webpages.parquet")
+    pq.write_table(webpages(8_000), path, row_group_size=1_000)
+    return path
+
+
+def test_clustered_roundtrip(spark, src, tmp_path):
+    from webcodec.spark.decode_job import verify_roundtrip
+    from webcodec.spark.encode_job import encode_table
+
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "t")
+    snap = encode_table(
+        df, out, url_col="url", mode="clustered",
+        target_partition_bytes=1 << 21, write_metrics=False,
+    )
+    assert snap["total_rows"] == 8_000
+    assert len(snap["files"]) > 1
+    assert not os.path.exists(os.path.join(out, "_shuffle"))  # spills cleaned
+    res = verify_roundtrip(spark, df, out, ["url"])
+    assert res["ok"], res
+
+
+def test_clustered_domains_cluster_and_hot_split(spark, src, tmp_path):
+    """Cold domains land in exactly ONE file; the Zipf head domain (site0000,
+    ~25% of rows) is salted across multiple buckets."""
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "t")
+    encode_table(
+        df, out, url_col="url", mode="clustered",
+        target_partition_bytes=1 << 21, write_metrics=False,
+    )
+    from pyspark.sql import functions as F
+
+    dec = read_encoded(spark, out)
+    # file identity via the spark input partition is not exposed; use the
+    # manifest: count per-file url-domain spread by decoding file by file
+    tbl = SnapshotTable(out)
+    files = tbl.data_files()
+    from webcodec import filefmt
+
+    domain_files: dict[str, set[int]] = {}
+    hot_rows = 0
+    for f in files:
+        t = filefmt.read_table(os.path.join(out, f["path"]), columns=["url"])
+        import pyarrow.compute as pc
+
+        doms = set(
+            u.split("://")[1].split("/")[0] for u in t.column("url").to_pylist()
+        )
+        for d in doms:
+            domain_files.setdefault(d, set()).add(f["partition_id"])
+    hot = "site000.com"  # fixtures' Zipf head domain
+    cold_multi = [
+        d for d, s in domain_files.items() if d != hot and len(s) > 1
+    ]
+    # every cold domain is fully clustered in one file
+    assert cold_multi == [], cold_multi[:5]
+    # the Zipf head is split across several buckets (skew handled)
+    assert len(domain_files.get(hot, set())) >= 2
+
+
+def test_clustered_resume(spark, src, tmp_path):
+    from webcodec.spark.encode_job import encode_table
+
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "t")
+    s1 = encode_table(df, out, url_col="url", mode="clustered",
+                      target_partition_bytes=1 << 21, write_metrics=False)
+    mtimes = {
+        f["path"]: os.path.getmtime(os.path.join(out, f["path"])) for f in s1["files"]
+    }
+    s2 = encode_table(df, out, url_col="url", mode="clustered",
+                      target_partition_bytes=1 << 21, write_metrics=False)
+    assert {f["path"] for f in s2["files"]} == set(mtimes)
+    for p, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, p)) == m  # nothing re-encoded

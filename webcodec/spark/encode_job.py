@@ -172,14 +172,16 @@ def plan_file_splits(paths: list[str], target_bytes: int) -> list[dict]:
         md = pq.ParquetFile(path).metadata
         acc: list[int] = []
         acc_bytes = 0
+        acc_rows = 0
         for i in range(md.num_row_groups):
             acc.append(i)
             acc_bytes += md.row_group(i).total_byte_size
+            acc_rows += md.row_group(i).num_rows
             if acc_bytes >= target_bytes:
-                splits.append({"path": path, "row_groups": acc})
-                acc, acc_bytes = [], 0
+                splits.append({"path": path, "row_groups": acc, "num_rows": acc_rows})
+                acc, acc_bytes, acc_rows = [], 0, 0
         if acc:
-            splits.append({"path": path, "row_groups": acc})
+            splits.append({"path": path, "row_groups": acc, "num_rows": acc_rows})
     for sid, s in enumerate(splits):
         s["split_id"] = sid
     return splits
@@ -206,6 +208,114 @@ def _make_file_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | N
                 yield from _write_one(data_dir, sid, table, config, sort_key).to_batches()
 
     return encode_split
+
+
+def sample_hot_domains(
+    df: DataFrame, url_col: str, rows_per_partition: int,
+    sample_fraction: float = 0.01, seed: int = 42,
+) -> dict[str, int]:
+    """Driver-side sampled domain histogram -> salt counts for hot domains.
+    JVM-only job over the url column (no Python bridge)."""
+    domain = F.substring_index(F.substring_index(F.col(url_col), "://", -1), "/", 1)
+    frac = min(1.0, sample_fraction)
+    denom = max(int(rows_per_partition * frac), 1)
+    rows = (
+        df.select(domain.alias("d"))
+        .sample(frac, seed=seed)
+        .groupBy("d")
+        .count()
+        .withColumn("k", F.greatest(F.lit(1), F.ceil(F.col("count") / F.lit(denom))))
+        .filter(F.col("k") > 1)
+        .collect()
+    )
+    return {r["d"]: int(r["k"]) for r in rows}
+
+
+def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str, int],
+                   done: frozenset[int], seed: int = 42):
+    """Phase A of the Arrow-native shuffle: each task reads its parquet split
+    directly and scatters rows into per-bucket Arrow IPC spill files on shared
+    storage. Salted: hot domains spread over k buckets, cold domains map to
+    exactly one bucket (clustering preserved). Zero JVM transfer."""
+
+    def spill_split(batches):
+        import zlib
+
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.ipc as ipc
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        task = TaskContext.get().taskAttemptId()
+        for b in batches:
+            for row in b.to_pylist():
+                table = pq.ParquetFile(row["path"]).read_row_groups(
+                    json.loads(row["row_groups"])
+                )
+                urls = table.column(url_col)
+                # vectorized domain: strip scheme, take netloc
+                no_scheme = pc.replace_substring_regex(urls, pattern=r"^[a-zA-Z][a-zA-Z0-9+.-]*://", replacement="")
+                dom = pc.list_element(pc.split_pattern(no_scheme, "/", max_splits=1), 0)
+                dom_np = np.asarray(dom.to_pandas(), dtype=object)
+                uniq, inv = np.unique(dom_np, return_inverse=True)
+                # crc32: process-stable (python hash() is salted per process)
+                base = np.array(
+                    [zlib.crc32(f"{d}#{seed}".encode()) for d in uniq], dtype=np.int64
+                )
+                k = np.array([hot.get(d, 1) for d in uniq], dtype=np.int64)
+                # salt within [0,k): derived from url hash so rows of a hot
+                # domain spread; k==1 keeps the domain in one bucket
+                salt = np.zeros(len(table), dtype=np.int64)
+                hot_rows = k[inv] > 1
+                if hot_rows.any():
+                    url_np = np.asarray(table.column(url_col).to_pandas(), dtype=object)
+                    salt[hot_rows] = np.array(
+                        [zlib.crc32(str(u).encode()) for u in url_np[hot_rows]],
+                        dtype=np.int64,
+                    ) % k[inv][hot_rows]
+                bucket = ((base[inv] + salt) % n_buckets).astype(np.int64)
+                for bk in np.unique(bucket):
+                    if int(bk) in done:
+                        continue
+                    sub = table.filter(pa.array(bucket == bk))
+                    bdir = os.path.join(shuffle_dir, f"b{int(bk):05d}")
+                    os.makedirs(bdir, exist_ok=True)
+                    path = os.path.join(bdir, f"t{task}-{uuid.uuid4().hex[:8]}.arrow")
+                    with ipc.new_stream(
+                        path, sub.schema,
+                        options=ipc.IpcWriteOptions(compression="lz4"),
+                    ) as w:
+                        w.write_table(sub)
+                    yield pa.RecordBatch.from_pydict(
+                        {
+                            "bucket": pa.array([int(bk)], pa.int32()),
+                            "rows": pa.array([sub.num_rows], pa.int64()),
+                        }
+                    )
+
+    return spill_split
+
+
+def _make_bucket_encode_fn(data_dir: str, shuffle_dir: str, config: EncoderConfig,
+                           sort_key: str | None):
+    """Phase B: one task per bucket — read its spill files, sort, encode."""
+
+    def encode_bucket(batches):
+        import pyarrow.ipc as ipc
+
+        for b in batches:
+            for bk in b.column("bucket").to_pylist():
+                bdir = os.path.join(shuffle_dir, f"b{bk:05d}")
+                parts = []
+                for fn in sorted(os.listdir(bdir)):
+                    with ipc.open_stream(os.path.join(bdir, fn)) as r:
+                        parts.append(r.read_all())
+                table = pa.concat_tables(parts)
+                yield from _write_one(data_dir, bk, table, config, sort_key).to_batches()
+
+    return encode_bucket
 
 
 def _make_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | None, schema_json: str):
@@ -269,6 +379,48 @@ def encode_table(
         fn = _make_file_encode_fn(tbl.data_dir, config, sort_key or url_col, done)
         rows = sdf.mapInArrow(fn, LINEAGE_SCHEMA).collect()
         return _commit(spark, tbl, table_dir, rows, df, sort_key or url_col, write_metrics)
+
+    if mode == "clustered":
+        # Arrow-native two-phase shuffle: salted domain clustering at
+        # files-mode speed — bytes never cross the JVM. Phase A scatters rows
+        # into per-bucket Arrow IPC spills on shared storage; phase B encodes
+        # one bucket per task. At cluster scale the spill dir lives on the DFS
+        # (same durability class as Spark's own shuffle files).
+        import shutil
+
+        if url_col is None:
+            raise ValueError("mode='clustered' requires url_col")
+        paths = [p.removeprefix("file://") for p in df.inputFiles()]
+        if not paths:
+            raise ValueError("mode='clustered' requires a parquet-backed DataFrame")
+        splits = plan_file_splits(paths, target_partition_bytes)
+        if num_partitions is None:
+            num_partitions = max(len(splits), 1)
+        total_rows = sum(s["num_rows"] for s in splits)
+        rpp = max(total_rows // num_partitions, 1)
+        hot = sample_hot_domains(df, url_col, rpp)
+        done = frozenset(tbl.completed_partition_ids()) if resume else frozenset()
+        shuffle_dir = os.path.join(table_dir, "_shuffle")
+        os.makedirs(shuffle_dir, exist_ok=True)
+
+        rows_in = [(s["split_id"], s["path"], json.dumps(s["row_groups"])) for s in splits]
+        sdf = spark.createDataFrame(rows_in, "split_id int, path string, row_groups string")
+        sdf = sdf.repartition(len(rows_in), "split_id")
+        spill = _make_spill_fn(shuffle_dir, url_col, num_partitions, hot, done)
+        bucket_rows = (
+            sdf.mapInArrow(spill, "bucket int, rows long")
+            .groupBy("bucket")
+            .agg(F.sum("rows").alias("rows"))
+            .collect()
+        )
+        buckets = sorted(int(r["bucket"]) for r in bucket_rows)
+        bdf = spark.createDataFrame([(b,) for b in buckets], "bucket int")
+        bdf = bdf.repartition(max(len(buckets), 1), "bucket")
+        enc = _make_bucket_encode_fn(tbl.data_dir, shuffle_dir, config, sort_key or url_col)
+        rows = bdf.mapInArrow(enc, LINEAGE_SCHEMA).collect()
+        snap = _commit(spark, tbl, table_dir, rows, df, sort_key or url_col, write_metrics)
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
+        return snap
 
     if mode == "scan":
         done = frozenset(tbl.completed_partition_ids()) if resume else frozenset()
