@@ -24,7 +24,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="parquet file/dir to encode")
     ap.add_argument("--output", required=True, help="webcodec table dir")
-    ap.add_argument("--mode", default="files", choices=["files", "scan", "salted"])
+    ap.add_argument("--mode", default="files", choices=["files", "clustered", "scan", "salted"])
     ap.add_argument("--url-col", default=None, help="salting/sort column (salted mode)")
     ap.add_argument("--sort-key", default=None)
     ap.add_argument("--compression", default="zstd")

@@ -49,7 +49,7 @@ def test_clustered_domains_cluster_and_hot_split(spark, src, tmp_path):
     out = str(tmp_path / "t")
     encode_table(
         df, out, url_col="url", mode="clustered",
-        target_partition_bytes=1 << 21, write_metrics=False,
+        target_partition_bytes=1 << 21, num_partitions=8, write_metrics=False,
     )
     from pyspark.sql import functions as F
 
@@ -71,14 +71,16 @@ def test_clustered_domains_cluster_and_hot_split(spark, src, tmp_path):
         )
         for d in doms:
             domain_files.setdefault(d, set()).add(f["partition_id"])
-    hot = "site000.com"  # fixtures' Zipf head domain
-    cold_multi = [
-        d for d, s in domain_files.items() if d != hot and len(s) > 1
-    ]
-    # every cold domain is fully clustered in one file
-    assert cold_multi == [], cold_multi[:5]
+    # multi-file domains must be exactly the Zipf head(s) the sampler marked
+    # hot — fixtures name domains site{rank:03d}.*, so rank is parseable
+    def rank(d: str) -> int:
+        return int(d.split(".")[0].removeprefix("site"))
+
+    multi = sorted(d for d, s in domain_files.items() if len(s) > 1)
+    assert multi, "expected at least the Zipf head to be salted"
+    assert all(rank(d) < 8 for d in multi), multi  # only heads split
     # the Zipf head is split across several buckets (skew handled)
-    assert len(domain_files.get(hot, set())) >= 2
+    assert len(domain_files.get("site000.com", set())) >= 2
 
 
 def test_clustered_resume(spark, src, tmp_path):

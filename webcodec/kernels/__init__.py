@@ -6,6 +6,7 @@ returning numpy/Arrow arrays. No per-row Python in any hot path.
 
 from webcodec.kernels import (  # noqa: F401
     bitpack,
+    bloom,
     bss,
     delta,
     deltalength,

@@ -49,6 +49,16 @@ _OPS = {
 }
 
 
+def _json_opt(raw: str | None, default):
+    """Parse a DataSource option that may be JSON (dict/list/bool) or absent."""
+    if raw is None:
+        return default
+    try:
+        return json.loads(raw)
+    except (ValueError, TypeError):
+        return raw
+
+
 def _spark_schema_of(table_dir: str) -> str:
     from webcodec.spark.decode_job import _schema_ddl
     from webcodec.spark.table import SnapshotTable
@@ -114,6 +124,11 @@ class WebcodecWriter(DataSourceArrowWriter):
         ]
         self.sort_key = options.get("sort_key") or None
         self.compression = options.get("compression", "zstd")
+        # per-column overrides, pyarrow-style names (SURVEY.md §2.B6):
+        #   .option("column_encoding", '{"text": "fsst", "html": "plain"}')
+        #   .option("use_dictionary", "false") / '["lang"]'
+        self.column_encoding = _json_opt(options.get("column_encoding"), "auto")
+        self.use_dictionary = _json_opt(options.get("use_dictionary"), True)
 
     def write(self, iterator):
         import pyarrow as pa
@@ -133,7 +148,11 @@ class WebcodecWriter(DataSourceArrowWriter):
         os.makedirs(data_dir, exist_ok=True)
         fname = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.wcd"
         fpath = os.path.join(data_dir, fname)
-        cfg = EncoderConfig(compression=self.compression)
+        cfg = EncoderConfig(
+            compression=self.compression,
+            column_encoding=self.column_encoding,
+            use_dictionary=self.use_dictionary,
+        )
         tmp = fpath + ".tmp"
         footer = filefmt.write_table(table, tmp, cfg)
         os.rename(tmp, fpath)

@@ -1,20 +1,22 @@
 """Distributed encode: DataFrame -> webcodec table (SURVEY.md §3.4 lifecycle).
 
-Spark-first design:
-- Catalyst plans the scan/filter/projection; the encode engine is a leaf.
-- Explicit partition sizing: N = ceil(raw_bytes / target_partition_bytes),
-  estimated from a driver-side sample (north_rule: 'explicit target partition
-  sizing').
-- Skew: heavy-hitter domains are salted — hot domains (from a sampled
-  histogram, broadcast-joined) get k salt buckets so one domain never exceeds
-  a partition, while cold domains stay fully clustered for prefix/dict wins
-  (north_rule: 'salted repartitioning on hash(url)').
-- The shuffle is the single groupBy(_pid); inside each group an Arrow UDF
-  (applyInArrow, zero per-row Python) sorts by the sort key and encodes all
-  columns to ONE file, emitting a lineage row (input files, codec choices,
-  page counts, throughput) -> metrics table (north_rule lineage requirement).
-- Resume: completed partition_ids from the current snapshot are excluded with
-  a filter BEFORE the shuffle, so re-runs do no redundant encode work.
+Spark-first design: Catalyst plans the relational parts; the encode engine is
+a leaf. Four modes, all with explicit target partition sizing, lineage rows
+(input splits, codec choices, sizes, encode secs -> metrics table) and resume
+via committed-partition-id skip (north_rule requirements):
+
+- ``files``  — Spark distributes (file, row-group) splits; workers read
+  parquet directly with pyarrow and encode. Zero shuffle, zero JVM->Python
+  transfer (the bridge moves ~4 MB/s/core; direct reads run 100x that).
+- ``clustered`` — salted domain clustering at ~files-mode speed: phase A
+  scatters rows into per-bucket Arrow IPC spills on shared storage (hot
+  domains from a sampled JVM-only histogram get k salt buckets; cold domains
+  stay whole); phase B encodes one bucket per task, sorted by url.
+- ``salted`` — the same semantics as one Spark shuffle: salted
+  repartition on hash(url)-domain + groupBy(_pid).applyInArrow. Reference
+  implementation; bridge-bound.
+- ``scan``   — mapInArrow over scan partitions (no shuffle, any source,
+  rows cross the bridge once).
 """
 
 from __future__ import annotations
@@ -178,10 +180,12 @@ def plan_file_splits(paths: list[str], target_bytes: int) -> list[dict]:
             acc_bytes += md.row_group(i).total_byte_size
             acc_rows += md.row_group(i).num_rows
             if acc_bytes >= target_bytes:
-                splits.append({"path": path, "row_groups": acc, "num_rows": acc_rows})
+                splits.append({"path": path, "row_groups": acc, "num_rows": acc_rows,
+                               "num_bytes": acc_bytes})
                 acc, acc_bytes, acc_rows = [], 0, 0
         if acc:
-            splits.append({"path": path, "row_groups": acc, "num_rows": acc_rows})
+            splits.append({"path": path, "row_groups": acc, "num_rows": acc_rows,
+                           "num_bytes": acc_bytes})
     for sid, s in enumerate(splits):
         s["split_id"] = sid
     return splits
@@ -318,7 +322,7 @@ def _make_bucket_encode_fn(data_dir: str, shuffle_dir: str, config: EncoderConfi
     return encode_bucket
 
 
-def _make_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | None, schema_json: str):
+def _make_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | None):
     """Grouped-map Arrow UDF: one group (= one _pid) -> one .wcd file + lineage row."""
 
     def encode_group(keys: tuple, table: pa.Table) -> pa.Table:
@@ -395,7 +399,10 @@ def encode_table(
             raise ValueError("mode='clustered' requires a parquet-backed DataFrame")
         splits = plan_file_splits(paths, target_partition_bytes)
         if num_partitions is None:
-            num_partitions = max(len(splits), 1)
+            # bucket count targets ~128MB OUTPUT files (C4 parity) regardless
+            # of scan-split granularity: fewer, larger spills and buckets
+            total_bytes = sum(s["num_bytes"] for s in splits)
+            num_partitions = max(total_bytes // (128 << 20) + 1, 2)
         total_rows = sum(s["num_rows"] for s in splits)
         rpp = max(total_rows // num_partitions, 1)
         hot = sample_hot_domains(df, url_col, rpp)
@@ -407,13 +414,10 @@ def encode_table(
         sdf = spark.createDataFrame(rows_in, "split_id int, path string, row_groups string")
         sdf = sdf.repartition(len(rows_in), "split_id")
         spill = _make_spill_fn(shuffle_dir, url_col, num_partitions, hot, done)
-        bucket_rows = (
-            sdf.mapInArrow(spill, "bucket int, rows long")
-            .groupBy("bucket")
-            .agg(F.sum("rows").alias("rows"))
-            .collect()
-        )
-        buckets = sorted(int(r["bucket"]) for r in bucket_rows)
+        # driver-side aggregation: cheaper than an extra shuffle stage for a
+        # <=(tasks x buckets)-row side channel
+        spill_rows = sdf.mapInArrow(spill, "bucket int, rows long").collect()
+        buckets = sorted({int(r["bucket"]) for r in spill_rows})
         bdf = spark.createDataFrame([(b,) for b in buckets], "bucket int")
         bdf = bdf.repartition(max(len(buckets), 1), "bucket")
         enc = _make_bucket_encode_fn(tbl.data_dir, shuffle_dir, config, sort_key or url_col)
@@ -448,8 +452,7 @@ def encode_table(
     if done:
         dfp = dfp.filter(~F.col("_pid").isin(list(done)))
 
-    schema_json = df.schema.json()
-    fn = _make_encode_fn(tbl.data_dir, config, sort_key, schema_json)
+    fn = _make_encode_fn(tbl.data_dir, config, sort_key)
     lineage = dfp.groupBy("_pid").applyInArrow(fn, LINEAGE_SCHEMA)
     rows = lineage.collect()
     return _commit(spark, tbl, table_dir, rows, df, sort_key, write_metrics)
