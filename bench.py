@@ -170,6 +170,22 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
     queries["encode_webpages"] = enc_wall / repeats
     extras["encode_webpages_gbps"] = raw_bytes * repeats / enc_wall / 1e9
 
+    # -- speed profile: no FSST (apples-to-apples vs the reference writer,
+    #    which has no string-table codec) --
+    from webcodec.config import EncoderConfig
+    from webcodec.spark.table import SnapshotTable
+
+    t0 = time.perf_counter()
+    encode_table(
+        df, os.path.join(work, "wp_speed"), url_col="url", mode="files",
+        config=EncoderConfig(use_fsst=False),
+        target_partition_bytes=max(raw_bytes // (2 * cpus), 8 << 20), write_metrics=False,
+    )
+    queries["encode_webpages_speed"] = time.perf_counter() - t0
+    extras["encode_speed_gbps"] = raw_bytes / queries["encode_webpages_speed"] / 1e9
+    snap_speed = SnapshotTable(os.path.join(work, "wp_speed")).read_snapshot()
+    extras["speed_compressed_bytes"] = snap_speed["total_compressed_bytes"]
+
     # -- clustered mode (north_rule skew path: salted domain clustering via
     #    the Arrow-native two-phase shuffle, zero JVM transfer) --
     t0 = time.perf_counter()
