@@ -139,6 +139,21 @@ def _rt_lineitem_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two independently round-tripped tables (lineitem x orders) —
+    Catalyst plans the join over our decoded leaves (SURVEY.md §2.H)."""
+    li = _encode_decode(spark, sf_dir, "lineitem", sort_key="l_orderkey", num_partitions=8)
+    orders = _encode_decode(spark, sf_dir, "orders", sort_key="o_orderkey", num_partitions=4)
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
 def _rt_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip of `embeddings` (list<float> via delta lengths + BSS child,
     A8+A11); checksum folds every element exactly (float->double widening)."""
@@ -452,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_documents": _rt_documents,
         "rt_events": _rt_events,
         "rt_lineitem_q1": _rt_lineitem_q1,
+        "rt_join_orders": _rt_join_orders,
         "rt_embeddings": _rt_embeddings,
         "scan_prune_en": _scan_prune_en,
         "rt_documents_compacted": _rt_documents_compacted,
@@ -484,6 +500,12 @@ def oracle_sql() -> dict[str, str]:
             "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_c, "
             "sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS sum_disc_c "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "rt_join_orders": (
+            "SELECT o_orderpriority, count(*) AS cnt, "
+            "sum(CAST(l_quantity AS BIGINT)) AS sum_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
         ),
         "rt_embeddings": (
             "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, "

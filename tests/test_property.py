@@ -60,3 +60,34 @@ def test_prefix_property(values):
 def test_fsst_property(data):
     table = fsst.build_table(data[:1024])
     assert fsst.decode(fsst.encode(data, table), table) == data
+
+
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=1500),
+    st.integers(min_value=-1000, max_value=1000),
+    st.sampled_from(["==", "<", "<=", ">", ">="]),
+)
+@settings(max_examples=60, deadline=None)
+def test_predicate_pruning_equals_brute_filter(values, pivot, op):
+    """Page/bloom pruning + residual filter == plain filter, for any data."""
+    import io
+    import operator
+
+    import pyarrow as pa
+
+    from webcodec import filefmt
+    from webcodec.config import EncoderConfig
+
+    t = pa.table({"v": pa.array(values, pa.int64()),
+                  "s": pa.array([f"k{v}" for v in values])})
+    buf = io.BytesIO()
+    filefmt.write_table(t, buf, EncoderConfig(page_row_count_limit=32))
+    got = filefmt.read_table(buf.getvalue(), predicate=("v", op, pivot))
+    ops = {"==": operator.eq, "<": operator.lt, "<=": operator.le,
+           ">": operator.gt, ">=": operator.ge}
+    import pyarrow.compute as pc
+
+    want = t.filter(ops[op](pc.field("v"), pivot))
+    assert got.num_rows == want.num_rows
+    assert got.column("v").combine_chunks().equals(want.column("v").combine_chunks())
+    assert got.column("s").combine_chunks().equals(want.column("s").combine_chunks())
