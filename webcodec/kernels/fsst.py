@@ -327,15 +327,23 @@ def decode(data: bytes | memoryview, table: SymbolTable) -> bytes:
         is_marker = np.zeros(n, dtype=bool)
         is_literal = is_marker
     token_pos = np.flatnonzero(~is_literal)
-    tok_codes = codes[token_pos]
-    tok_marker = is_marker[token_pos]
-    out_lens = np.where(tok_marker, 1, table._lens[tok_codes])
-    mat = table._matrix[tok_codes].copy()
-    if tok_marker.any():
-        lit_pos = token_pos[tok_marker] + 1
-        mat[tok_marker, 0] = codes[lit_pos]
-    mask = np.arange(MAX_SYMBOL_LEN)[None, :] < out_lens[:, None]
-    return mat[mask].tobytes()
+    # chunked expansion: bounds the (tokens x 8) gather matrix to ~2MB so the
+    # allocator stays warm (same trick as the encode segmenting)
+    STEP = 1 << 18
+    col8 = np.arange(MAX_SYMBOL_LEN)
+    parts: list[bytes] = []
+    for s0 in range(0, len(token_pos), STEP):
+        tp = token_pos[s0 : s0 + STEP]
+        tc = codes[tp]
+        tm = is_marker[tp]
+        out_lens = np.where(tm, 1, table._lens[tc])
+        mat = table._matrix[tc]
+        if tm.any():
+            mat = mat.copy()
+            mat[tm, 0] = codes[tp[tm] + 1]
+        mask = col8[None, :] < out_lens[:, None]
+        parts.append(mat[mask].tobytes())
+    return b"".join(parts)
 
 
 # -- page-level helpers --------------------------------------------------------
