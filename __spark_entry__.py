@@ -462,6 +462,18 @@ def _metrics_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("total_rows")
 
 
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract plumbing (stubbed decoder — no image
+    libs in this container; schema/batch shape/partitioning are real).
+    Rows-only check: features are content-hash-derived."""
+    from webcodec.spark.media import extract_media_features
+
+    _prep(spark)
+    df = _src(spark, sf_dir, "documents")
+    media = df.select(F.col("doc_id"), F.encode(F.col("text"), "utf-8").alias("blob"))
+    return extract_media_features(media, "doc_id", "blob")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rt_documents": _rt_documents,
@@ -484,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_stopwords": _lang_id_stopwords,
         "text_fingerprint": _text_fingerprint,
         "media_binary_meta": _media_binary_meta,
+        "media_features": _media_features,
     }
 
 

@@ -1,0 +1,55 @@
+"""Multimodal plumbing tests: dict-level pruning + media feature extraction."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from webcodec import filefmt
+from webcodec.config import EncoderConfig
+from webcodec.fixtures import webpages
+
+
+def test_dictionary_level_pruning(tmp_path):
+    """D2 DictionaryFilter parity: == on a value absent from a DICT chunk's
+    dictionary skips the chunk exactly (blooms disabled to isolate)."""
+    t = webpages(2_000)
+    path = str(tmp_path / "t.wcd")
+    footer = filefmt.write_table(t, path, EncoderConfig(bloom_filter_enabled=False))
+    from webcodec.types import Encoding
+
+    lang_chunk = next(c for c in footer["chunks"] if c["name"] == "lang")
+    assert Encoding(lang_chunk["encoding"]) == Encoding.DICT
+    got = filefmt.read_table(path, columns=["lang"], predicate=("lang", "==", "xx"))
+    assert got.num_rows == 0
+    import pyarrow.compute as pc
+
+    got = filefmt.read_table(path, columns=["lang"], predicate=("lang", "==", "fr"))
+    assert got.num_rows == t.filter(pc.equal(t.column("lang"), "fr")).num_rows
+
+
+@pytest.mark.spark
+def test_media_feature_extraction(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from webcodec.spark.media import extract_media_features
+
+    t = webpages(1_000)
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(t, src)
+    df = spark.read.parquet(src).withColumnRenamed("warc_ts", "ts")
+    from pyspark.sql import functions as F
+
+    media = df.select(F.monotonically_increasing_id().alias("mid"), F.col("html"))
+    feats = extract_media_features(media, "mid", "html")
+    rows = feats.collect()
+    assert len(rows) == 1_000
+    r0 = rows[0]
+    assert r0["format"] == "html"
+    assert r0["n_bytes"] > 0
+    assert 64 <= r0["width"] < 256 and 64 <= r0["height"] < 256
+    assert r0["decoded"] is False  # stub path (no PIL in this container)
+    assert len(r0["feature"]) == 8
+    # deterministic: second run produces identical features
+    rows2 = extract_media_features(media, "mid", "html").collect()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2))

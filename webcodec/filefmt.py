@@ -491,6 +491,15 @@ def _rebuild_with_nulls(values: pa.Array, mask: np.ndarray, arrow_type: pa.DataT
     return out.cast(arrow_type) if base != arrow_type else out
 
 
+def _decode_dict_page_only(buf: memoryview, chunk: dict, verify_crc: bool = True) -> pa.Array:
+    """Decode just a chunk's dictionary page (for dictionary-level pruning)."""
+    d = chunk["dict"]
+    _, inner, _, dn, _, _, dvals, _ = _read_page(buf, d["offset"], verify_crc)
+    return colcodec.decode_dict_page(
+        dvals, PhysType(chunk["phys"]), inner, dn, arrow_type_from_json(chunk["type"])
+    )
+
+
 def _decode_chunk(
     buf: memoryview, chunk: dict, verify_crc: bool = True, keep: np.ndarray | None = None
 ) -> pa.Array:
@@ -600,6 +609,27 @@ def read_table(
                 fb = base64.b64decode(pc_chunk["bloom"]["b64"])
                 if not _bloom.might_contain(fb, _bloom.hash_one(vb)):
                     any_skipped = True  # whole group provably predicate-free
+                    row_base += g["num_rows"]
+                    continue
+            if (
+                op == "=="
+                and pc_chunk.get("dict")
+                and Encoding(pc_chunk["encoding"]) == Encoding.DICT
+            ):
+                # dictionary-level pruning (D2 DictionaryFilter parity): the
+                # value must appear in the (small) dict page or the whole
+                # chunk is predicate-free — exact, not probabilistic
+                dvals = _decode_dict_page_only(buf, pc_chunk, verify_crc)
+                import pyarrow.compute as _pc
+
+                scalar = pa.scalar(value)
+                if not scalar.type.equals(dvals.type):
+                    try:
+                        scalar = scalar.cast(dvals.type)
+                    except pa.ArrowInvalid:
+                        scalar = None
+                if scalar is None or not _pc.any(_pc.equal(dvals, scalar)).as_py():
+                    any_skipped = True
                     row_base += g["num_rows"]
                     continue
             for pm in pc_chunk["pages"]:
