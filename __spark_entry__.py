@@ -462,6 +462,43 @@ def _metrics_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("total_rows")
 
 
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard similarity between doc_id pairs (i, i+1) —
+    integer-quantized so both engines agree exactly."""
+    df = _src(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = F.array_distinct(
+        F.expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
+    )
+    g = df.select("doc_id", grams.alias("g"))
+    a = g.alias("a")
+    b = g.alias("b")
+    j = a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g"))).cast("long")
+    uni = F.size(F.array_union(F.col("a.g"), F.col("b.g"))).cast("long")
+    return j.select(
+        F.col("a.doc_id").alias("doc_id"),
+        inter.alias("n_inter"),
+        uni.alias("n_union"),
+        F.floor(inter * F.lit(1000) / uni).cast("long").alias("jac_1000"),
+    )
+
+
+def _events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions over the round-tripped events table: per-user event
+    rank and gap to the previous event in micros (H category: windows)."""
+    from pyspark.sql import Window
+
+    df = _encode_decode(spark, sf_dir, "events", sort_key="event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    return df.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        (ts_us - F.lag(ts_us, 1).over(w)).alias("gap_us"),
+    )
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract plumbing (stubbed decoder — no image
     libs in this container; schema/batch shape/partitioning are real).
@@ -497,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "media_binary_meta": _media_binary_meta,
         "media_features": _media_features,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "events_window": _events_window,
     }
 
 
@@ -586,6 +625,24 @@ def oracle_sql() -> dict[str, str]:
             "upper(substring(hex(encode(text)), 1, 8)) AS magic_hex FROM documents"
         ),
         "metrics_lineage": "SELECT count(*) AS total_rows FROM documents",
+        "dedup_ngram_jaccard": (
+            "WITH g AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, greatest(length(text) - 2, 1) + 1), i -> substring(text, i, 3))) AS g "
+            "FROM documents) "
+            "SELECT a.doc_id AS doc_id, "
+            "CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_inter, "
+            "CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS BIGINT) AS n_union, "
+            "CAST(floor(CAST(len(list_intersect(a.g, b.g)) AS BIGINT) * 1000 / "
+            "(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))) AS BIGINT) AS jac_1000 "
+            "FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id"
+        ),
+        "events_window": (
+            "SELECT event_id, user_id, "
+            "CAST(row_number() OVER w AS INT) AS rn, "
+            "epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"
+        ),
         # dedup_simhash, simsearch_lsh: custom Arrow-UDF kernels — no SQL oracle
     }
 
