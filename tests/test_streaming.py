@@ -14,6 +14,66 @@ from webcodec.spark.table import SnapshotTable
 pytestmark = pytest.mark.spark
 
 
+def test_append_twice_keeps_both_batches(spark, tmp_path):
+    """Regression: repeated mode('append') writes must not collide on
+    partition ids (found live: second append replaced the first's files)."""
+    import pyarrow.parquet as pq2
+
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.decode_job import read_encoded
+
+    spark.dataSource.register(WebcodecDataSource)
+    t = webpages(1_000)
+    src = str(tmp_path / "s.parquet")
+    pq2.write_table(t, src)
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "t")
+    df.limit(400).write.format("webcodec").option("path", out).mode("append").save()
+    df.exceptAll(df.limit(400)).write.format("webcodec").option("path", out).mode(
+        "append"
+    ).save()
+    assert spark.read.format("webcodec").option("path", out).load().count() == 1_000
+
+
+def test_stream_read_snapshot_tail(spark, tmp_path):
+    """Streaming SOURCE: readStream over the snapshot log — catch-up batch
+    then incremental batches from the same checkpoint."""
+    import pyarrow.parquet as pq2
+
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    spark.dataSource.register(WebcodecDataSource)
+    t = webpages(900)
+    src = str(tmp_path / "s.parquet")
+    pq2.write_table(t, src)
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "t")
+    df.limit(600).write.format("webcodec").option("path", out).mode("append").save()
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            spark.readStream.format("webcodec").option("path", out).load()
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    assert spark.read.parquet(sink).count() == 600
+    # new snapshot -> only the delta flows on resume
+    df.exceptAll(df.limit(600)).write.format("webcodec").option("path", out).mode(
+        "append"
+    ).save()
+    run_stream()
+    got = spark.read.parquet(sink)
+    assert got.count() == 900
+    assert df.exceptAll(got).count() == 0 and got.exceptAll(df).count() == 0
+
+
 def test_stream_write_microbatches(spark, tmp_path):
     from webcodec.spark.datasource import WebcodecDataSource
     from webcodec.spark.decode_job import read_encoded

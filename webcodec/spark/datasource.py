@@ -175,6 +175,12 @@ class WebcodecWriter(DataSourceArrowWriter):
         tbl = SnapshotTable(self.table_dir)
         tbl.init()
         files = [json.loads(m.lineage) for m in messages if m is not None]
+        # namespace partition ids by the new snapshot so repeated appends
+        # never collide in the manifest (append means APPEND, not upsert —
+        # the job API's stable ids are a resume feature; this writer has none)
+        base = ((tbl.current_snapshot_id() or 0) + 1) * 1_000_000
+        for f in files:
+            f["partition_id"] += base
         tbl.commit(
             files,
             self.schema_fields,
@@ -190,6 +196,71 @@ class WebcodecWriter(DataSourceArrowWriter):
                 os.remove(os.path.join(self.table_dir, json.loads(m.lineage)["path"]))
             except OSError:
                 pass
+
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class WebcodecStreamReader(SimpleDataSourceStreamReader):
+    """Streaming SOURCE: tail a webcodec table's snapshot log.
+
+    ``spark.readStream.format("webcodec").option("path", d).load()`` — each
+    microbatch delivers the rows of files added between two snapshot ids
+    (offset = {"snapshot_id": N}). Exactly-once by construction: snapshots
+    are immutable and append files atomically (SURVEY.md §2.G incremental
+    behavior — the reference's 'append new files + summary metadata')."""
+
+    def __init__(self, options: dict):
+        self.table_dir = options.get("path")
+        if not self.table_dir:
+            raise ValueError("webcodec stream reader requires option('path', ...)")
+        self.start_snapshot = int(options.get("start_snapshot_id", 0))
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"snapshot_id": self.start_snapshot}
+
+    def _files_between(self, a: int, b: int) -> list[str]:
+        from webcodec.spark.table import SnapshotTable
+
+        tbl = SnapshotTable(self.table_dir)
+        older = tbl.read_snapshot(a) if a > 0 else None
+        newer = tbl.read_snapshot(b)
+        if newer is None:
+            return []
+        seen = {f["path"] for f in older["files"]} if older else set()
+        return [f["path"] for f in newer["files"] if f["path"] not in seen]
+
+    def _rows_for(self, paths: list[str]) -> list[tuple]:
+        # materialized (picklable) — SimpleDataSourceStreamReader reads run
+        # driver-side and the rows are shipped to executors by the engine
+        import os as _os
+
+        from webcodec import filefmt
+
+        rows: list[tuple] = []
+        for rel in paths:
+            t = filefmt.read_table(_os.path.join(self.table_dir, rel))
+            for batch in t.to_batches(max_chunksize=8192):
+                rows.extend(
+                    zip(*(batch.column(i).to_pylist() for i in range(batch.num_columns)))
+                )
+        return rows
+
+    def read(self, start: dict):
+        from webcodec.spark.table import SnapshotTable
+
+        cur = SnapshotTable(self.table_dir).current_snapshot_id() or 0
+        a = int(start["snapshot_id"])
+        b = max(cur, a)
+        return self._rows_for(self._files_between(a, b)), {"snapshot_id": b}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        return self._rows_for(
+            self._files_between(int(start["snapshot_id"]), int(end["snapshot_id"]))
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # snapshots are immutable; nothing to clean up
 
 
 class WebcodecStreamWriter(DataSourceStreamArrowWriter):
@@ -240,3 +311,6 @@ class WebcodecDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> WebcodecStreamWriter:
         return WebcodecStreamWriter(self.options, schema)
+
+    def simpleStreamReader(self, schema: StructType) -> WebcodecStreamReader:
+        return WebcodecStreamReader(self.options)
