@@ -502,13 +502,25 @@ def _events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract plumbing (stubbed decoder — no image
     libs in this container; schema/batch shape/partitioning are real).
-    Rows-only check: features are content-hash-derived."""
+    The feature vector is folded to a scalar checksum so the output is fully
+    oracle-checkable (the stub dims/features are md5-derived, and md5 exists
+    in DuckDB too — the testdata text is pure ASCII so char/byte prefixes
+    coincide)."""
     from webcodec.spark.media import extract_media_features
 
     _prep(spark)
     df = _src(spark, sf_dir, "documents")
     media = df.select(F.col("doc_id"), F.encode(F.col("text"), "utf-8").alias("blob"))
-    return extract_media_features(media, "doc_id", "blob")
+    feats = extract_media_features(media, "doc_id", "blob")
+    feat_chk = F.aggregate(
+        F.transform(F.col("feature"), lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return feats.select(
+        "media_id", "n_bytes", "format", "width", "height", "decoded",
+        feat_chk.alias("feat_chk"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -539,6 +551,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _hexbyte(h: str, i: int) -> str:
+    """DuckDB expr: byte ``i`` (0-based) of the md5 hex string ``h`` as an int.
+    (DuckDB md5 returns VARCHAR hex and blob slicing is unavailable, so the
+    digest bytes are re-derived from hex-char pairs.)"""
+    hexd = "'0123456789abcdef'"
+    return (
+        f"((strpos({hexd}, substring({h}, {2 * i + 1}, 1)) - 1) * 16 + "
+        f"(strpos({hexd}, substring({h}, {2 * i + 2}, 1)) - 1))"
+    )
+
+
+def _media_features_oracle() -> str:
+    """Mirror of webcodec.spark.media._decode_stub + feature seed in SQL.
+    Stub: h = md5(blob[:256]); width = 64 + h[0] % 192; height = 64 + h[1] % 192;
+    feature[i] = (h[i] - 128) / 128.0 (float32-exact: /128 keeps <=7 fraction
+    bits, so double and float32 agree bit-for-bit)."""
+    feat_terms = " + ".join(
+        f"floor((({_hexbyte('h', i)}) - 128) / 128.0 * 1000.0)" for i in range(8)
+    )
+    return (
+        "WITH m AS (SELECT doc_id AS media_id, text, "
+        "md5(substring(text, 1, 256)) AS h FROM documents) "
+        "SELECT media_id, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "CASE WHEN substring(text, 1, 4) = 'GIF8' THEN 'gif' "
+        "WHEN substring(text, 1, 4) = 'RIFF' THEN 'riff' "
+        "WHEN substring(text, 1, 4) IN ('<htm', '<!DO') THEN 'html' "
+        "ELSE 'unknown' END AS format, "
+        f"CAST(64 + ({_hexbyte('h', 0)}) % 192 AS INT) AS width, "
+        f"CAST(64 + ({_hexbyte('h', 1)}) % 192 AS INT) AS height, "
+        "FALSE AS decoded, "
+        f"CAST({feat_terms} AS BIGINT) AS feat_chk "
+        "FROM m"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "rt_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
@@ -546,23 +594,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, "
             "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_c, props FROM events"
         ),
+        # NB: DuckDB sum(BIGINT)/list_sum return HUGEINT, which pandas
+        # materializes as float64 — every integer aggregate must be wrapped in
+        # CAST(... AS BIGINT) or the driver's value hash can't match Spark.
         "rt_lineitem_q1": (
             "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
-            "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
-            "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_c, "
-            "sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS sum_disc_c "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c, "
+            "CAST(sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "rt_join_orders": (
             "SELECT o_orderpriority, count(*) AS cnt, "
-            "sum(CAST(l_quantity AS BIGINT)) AS sum_qty "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
         ),
         "rt_embeddings": (
             "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, "
-            "list_sum(list_transform(embedding, "
-            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))) AS emb_chk, "
+            "CAST(list_sum(list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))) AS BIGINT) AS emb_chk, "
             "label FROM embeddings"
         ),
         "scan_prune_en": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
@@ -625,6 +676,7 @@ def oracle_sql() -> dict[str, str]:
             "upper(substring(hex(encode(text)), 1, 8)) AS magic_hex FROM documents"
         ),
         "metrics_lineage": "SELECT count(*) AS total_rows FROM documents",
+        "media_features": _media_features_oracle(),
         "dedup_ngram_jaccard": (
             "WITH g AS (SELECT doc_id, list_distinct(list_transform("
             "range(1, greatest(length(text) - 2, 1) + 1), i -> substring(text, i, 3))) AS g "
