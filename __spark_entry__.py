@@ -218,7 +218,10 @@ def _rt_documents_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     out = tempfile.mkdtemp(prefix="wcq_compact_")
-    encode_table(df, os.path.join(out, "t"), num_partitions=6, write_metrics=False)
+    # salted mode explicitly: guarantees multiple small files so the merge
+    # actually exercises the multi-group byte-append path
+    encode_table(df, os.path.join(out, "t"), num_partitions=6, write_metrics=False,
+                 mode="salted")
     compact(os.path.join(out, "t"), target_bytes=1 << 30)
     return read_encoded(spark, os.path.join(out, "t")).select(
         "doc_id", "text", "lang", "source", "n_chars"

@@ -157,60 +157,60 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
     # warm up the JVM + python workers once (excluded from timings)
     spark.read.parquet(wp_path).limit(1000).count()
 
-    # -- encode webpages, files mode (headline: zero shuffle, zero JVM transfer) --
+    from webcodec.config import EncoderConfig
+    from webcodec.spark.table import SnapshotTable
+
+    # -- HEADLINE: encode webpages, files mode, speed profile (zero shuffle,
+    #    zero JVM transfer, no FSST — apples-to-apples vs the reference
+    #    writer, which has no string-table codec) --
     df = spark.read.parquet(wp_path)
+    split_kw = {"target_partition_bytes": max(raw_bytes // (2 * cpus), 8 << 20)}
     t0 = time.perf_counter()
     for r in range(repeats):
         out = os.path.join(work, f"wp_{r}")
         encode_table(
             df, out, url_col="url", write_metrics=False, mode="files",
-            target_partition_bytes=max(raw_bytes // (2 * cpus), 8 << 20),
+            config=EncoderConfig.speed(), **split_kw,
         )
     enc_wall = time.perf_counter() - t0
     queries["encode_webpages"] = enc_wall / repeats
     extras["encode_webpages_gbps"] = raw_bytes * repeats / enc_wall / 1e9
+    snap = SnapshotTable(os.path.join(work, "wp_0")).read_snapshot()
+    extras["webpages_raw_bytes"] = snap["total_raw_bytes"]
+    extras["webpages_compressed_bytes"] = snap["total_compressed_bytes"]
 
-    # -- speed profile: no FSST (apples-to-apples vs the reference writer,
-    #    which has no string-table codec) --
-    from webcodec.config import EncoderConfig
-    from webcodec.spark.table import SnapshotTable
-
+    # -- archive profile: FSST where the sampled trial wins — the size play
+    #    (~0.48x the reference writer's bytes at ~5x its wall) --
     t0 = time.perf_counter()
     encode_table(
-        df, os.path.join(work, "wp_speed"), url_col="url", mode="files",
-        config=EncoderConfig(use_fsst=False),
-        target_partition_bytes=max(raw_bytes // (2 * cpus), 8 << 20), write_metrics=False,
+        df, os.path.join(work, "wp_archive"), url_col="url", mode="files",
+        config=EncoderConfig.archive(), write_metrics=False, **split_kw,
     )
-    queries["encode_webpages_speed"] = time.perf_counter() - t0
-    extras["encode_speed_gbps"] = raw_bytes / queries["encode_webpages_speed"] / 1e9
-    snap_speed = SnapshotTable(os.path.join(work, "wp_speed")).read_snapshot()
-    extras["speed_compressed_bytes"] = snap_speed["total_compressed_bytes"]
+    queries["encode_webpages_archive"] = time.perf_counter() - t0
+    extras["encode_archive_gbps"] = raw_bytes / queries["encode_webpages_archive"] / 1e9
+    snap_arch = SnapshotTable(os.path.join(work, "wp_archive")).read_snapshot()
+    extras["archive_compressed_bytes"] = snap_arch["total_compressed_bytes"]
 
     # -- clustered mode (north_rule skew path: salted domain clustering via
     #    the Arrow-native two-phase shuffle, zero JVM transfer) --
     t0 = time.perf_counter()
     encode_table(
         df, os.path.join(work, "wp_clustered"), url_col="url", mode="clustered",
-        target_partition_bytes=max(raw_bytes // (2 * cpus), 8 << 20), write_metrics=False,
+        config=EncoderConfig.speed(), write_metrics=False, **split_kw,
     )
     queries["encode_webpages_clustered"] = time.perf_counter() - t0
     extras["encode_clustered_gbps"] = raw_bytes / queries["encode_webpages_clustered"] / 1e9
 
-    # -- salted-repartition mode (pure Spark-shuffle reference point) --
+    # -- salted-repartition mode (pure Spark-shuffle reference point;
+    #    explicit opt-in — bridge-bound, kept for comparison) --
     n_parts = max(4 * cpus, 16)
     t0 = time.perf_counter()
     encode_table(
-        df, os.path.join(work, "wp_salted"), url_col="url",
-        num_partitions=n_parts, write_metrics=False,
+        df, os.path.join(work, "wp_salted"), url_col="url", mode="salted",
+        config=EncoderConfig.speed(), num_partitions=n_parts, write_metrics=False,
     )
     queries["encode_webpages_salted"] = time.perf_counter() - t0
     extras["encode_salted_gbps"] = raw_bytes / queries["encode_webpages_salted"] / 1e9
-
-    from webcodec.spark.table import SnapshotTable
-
-    snap = SnapshotTable(os.path.join(work, "wp_0")).read_snapshot()
-    extras["webpages_raw_bytes"] = snap["total_raw_bytes"]
-    extras["webpages_compressed_bytes"] = snap["total_compressed_bytes"]
 
     # -- decode webpages (full-materialization agg) --
     t0 = time.perf_counter()
@@ -234,16 +234,26 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
     queries["ref_read_webpages"] = time.perf_counter() - t0
     extras["ref_compressed_bytes"] = os.path.getsize(ref_path)
     extras["size_ratio_vs_ref"] = extras["webpages_compressed_bytes"] / extras["ref_compressed_bytes"]
+    extras["archive_size_ratio_vs_ref"] = extras["archive_compressed_bytes"] / extras["ref_compressed_bytes"]
     extras["ref_write_gbps"] = raw_bytes / queries["ref_write_webpages"] / 1e9
 
     # -- lineitem roundtrip from the sf dir (TPC-H-ish mixed types) --
+    # The sf parquet ships as ONE row group, which caps files-mode splits at 1;
+    # re-chunk once (outside timing) so splits parallelize — at real scale
+    # writers emit ~128MB row groups and this step does not exist.
     li = os.path.join(sf_dir, "lineitem.parquet")
     if os.path.exists(li):
-        li_raw = table_raw_bytes(li)
-        dfl = spark.read.parquet(li)
+        li_t = pq.read_table(li)
+        li_raw = li_t.nbytes
+        li_path = os.path.join(work, "lineitem_rg.parquet")
+        pq.write_table(li_t, li_path, compression="zstd",
+                       row_group_size=max(li_t.num_rows // (2 * cpus), 4096))
+        dfl = spark.read.parquet(li_path)
         t0 = time.perf_counter()
         out = os.path.join(work, "li")
-        encode_table(dfl, out, sort_key="l_orderkey", num_partitions=2 * cpus, write_metrics=False)
+        encode_table(dfl, out, sort_key="l_orderkey", mode="files",
+                     target_partition_bytes=max(li_raw // (2 * cpus), 1 << 20),
+                     write_metrics=False)
         queries["encode_lineitem"] = time.perf_counter() - t0
         extras["encode_lineitem_gbps"] = li_raw / queries["encode_lineitem"] / 1e9
         t0 = time.perf_counter()

@@ -86,11 +86,15 @@ def test_resume_skips_committed_partitions(spark, webpages_parquet, tmp_path):
 
     dfp = salted_partition_ids(df, "url", 4, 2_000)
     part = dfp.filter(F.col("_pid") < 2).drop("_pid")
-    snap1 = encode_table(part, out, url_col="url", num_partitions=4, resume=True)
+    # salted mode explicitly: its partition ids are content-derived (url-hash),
+    # so a resumed run over a DIFFERENT DataFrame maps rows to the same pids
+    snap1 = encode_table(part, out, url_col="url", num_partitions=4, resume=True,
+                         mode="salted")
     done1 = {f["partition_id"] for f in snap1["files"]}
     files1 = {f["partition_id"]: f["path"] for f in snap1["files"]}
     # resumed full run
-    snap2 = encode_table(df, out, url_col="url", num_partitions=4, resume=True)
+    snap2 = encode_table(df, out, url_col="url", num_partitions=4, resume=True,
+                         mode="salted")
     assert snap2["total_rows"] == 8_000
     # committed partitions were NOT re-encoded (same file paths survive)
     for pid in done1:

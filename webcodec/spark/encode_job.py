@@ -43,7 +43,11 @@ LINEAGE_SCHEMA = (
 def estimate_partitions(
     df: DataFrame, target_partition_bytes: int, sample_rows: int = 2_000
 ) -> tuple[int, float]:
-    """(num_partitions, avg_row_bytes) from a driver-side head sample."""
+    """(num_partitions, avg_row_bytes) from a driver-side head sample.
+
+    Row count comes from parquet footer metadata when the source is a file
+    scan (no extra job); only non-file sources pay a count() — a full second
+    scan at 100 TB just to size partitions would be unacceptable."""
     sample = df.limit(sample_rows).toPandas()
     if len(sample) == 0:
         return 1, 0.0
@@ -54,7 +58,13 @@ def estimate_partitions(
         )
         / len(sample)
     )
-    total = df.count()
+    paths = [p.removeprefix("file://") for p in df.inputFiles()]
+    if paths and all(p.endswith(".parquet") for p in paths) and _is_pure_scan(df):
+        import pyarrow.parquet as pq
+
+        total = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    else:
+        total = df.count()
     n = max(1, int(total * avg / target_partition_bytes + 0.5))
     return n, avg
 
@@ -335,6 +345,19 @@ def _make_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | None):
     return encode_group
 
 
+def _is_pure_scan(df: DataFrame) -> bool:
+    """True when ``df`` is a bare file-source relation (safe for files mode:
+    no Spark-side transformation would be silently dropped by reading the
+    source files directly)."""
+    try:
+        if not df.inputFiles():
+            return False
+        cls = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        return "Relation" in cls
+    except Exception:  # noqa: BLE001 — connect mode / API drift: be conservative
+        return False
+
+
 def encode_table(
     df: DataFrame,
     table_dir: str,
@@ -345,16 +368,18 @@ def encode_table(
     num_partitions: int | None = None,
     resume: bool = True,
     write_metrics: bool = True,
-    mode: str = "salted",
+    mode: str | None = None,
 ) -> dict:
     """Encode ``df`` into a webcodec snapshot table; returns the new snapshot.
 
-    ``mode``:
-    - ``"salted"`` (default): one shuffle — salted repartition on hash(url)
-      domain with explicit target sizing (north_rule skew handling), then one
-      Arrow UDF per partition. Maximum compression: same-domain rows cluster,
-      so url prefix/dict pages win. Cost at scale: the whole table crosses one
-      shuffle AND the JVM->Python Arrow bridge.
+    ``mode`` (default ``None`` = auto: ``"files"`` when ``df`` is a pure
+    parquet scan, else ``"scan"`` — the zero-JVM-transfer path is the default
+    because the JVM->Python bridge is the scale bottleneck):
+    - ``"salted"`` (explicit opt-in): one shuffle — salted repartition on
+      hash(url) domain with explicit target sizing (north_rule skew handling),
+      then one Arrow UDF per partition. Maximum compression: same-domain rows
+      cluster, so url prefix/dict pages win. Cost at scale: the whole table
+      crosses one shuffle AND the JVM->Python Arrow bridge.
     - ``"files"``: ZERO shuffle, ZERO JVM transfer — Spark distributes only
       (file, row-group) splits sized to target_partition_bytes; each Python
       worker reads its split directly with pyarrow C++ and encodes. This is
@@ -370,6 +395,11 @@ def encode_table(
     spark = df.sparkSession
     tbl = SnapshotTable(table_dir)
     tbl.init()
+
+    if mode is None:
+        # files mode reads the source parquet directly, so it is only valid
+        # when df is the bare scan (no Project/Filter/... on top)
+        mode = "files" if _is_pure_scan(df) else "scan"
 
     if mode == "files":
         paths = [p.removeprefix("file://") for p in df.inputFiles()]
