@@ -91,3 +91,53 @@ def test_predicate_pruning_equals_brute_filter(values, pivot, op):
     assert got.num_rows == want.num_rows
     assert got.column("v").combine_chunks().equals(want.column("v").combine_chunks())
     assert got.column("s").combine_chunks().equals(want.column("s").combine_chunks())
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.floats(allow_nan=False, allow_infinity=False, width=32),
+                     max_size=8),
+        ),
+        max_size=200,
+    ),
+    st.integers(min_value=16, max_value=64),
+)
+@settings(max_examples=50, deadline=None)
+def test_nullable_list_roundtrip(values, page_rows):
+    """Null list entries must decode as NULLS, not empty lists (a null and []
+    are different values — VERDICT r01 wrong-answer bug)."""
+    import io
+
+    from webcodec import filefmt
+    from webcodec.config import EncoderConfig
+
+    t = pa.table({"emb": pa.array(values, pa.list_(pa.float32()))})
+    buf = io.BytesIO()
+    filefmt.write_table(t, buf, EncoderConfig(page_row_count_limit=page_rows))
+    got = filefmt.read_table(buf.getvalue())
+    assert got.column("emb").combine_chunks().equals(t.column("emb").combine_chunks())
+
+
+@given(
+    st.lists(st.one_of(st.none(), st.integers(min_value=-(2**62), max_value=2**62)),
+             max_size=150),
+    st.lists(st.one_of(st.none(), st.text(max_size=20)), max_size=150),
+)
+@settings(max_examples=40, deadline=None)
+def test_nullable_scalar_roundtrip(ints, texts):
+    import io
+
+    from webcodec import filefmt
+    from webcodec.config import EncoderConfig
+
+    n = max(len(ints), len(texts))
+    ints = (ints + [None] * n)[:n]
+    texts = (texts + [None] * n)[:n]
+    t = pa.table({"i": pa.array(ints, pa.int64()), "s": pa.array(texts, pa.string())})
+    buf = io.BytesIO()
+    filefmt.write_table(t, buf, EncoderConfig(page_row_count_limit=32))
+    got = filefmt.read_table(buf.getvalue())
+    assert got.column("i").combine_chunks().equals(t.column("i").combine_chunks())
+    assert got.column("s").combine_chunks().equals(t.column("s").combine_chunks())

@@ -465,7 +465,8 @@ def _rebuild_with_nulls(values: pa.Array, mask: np.ndarray, arrow_type: pa.DataT
             null_count=int((~mask).sum()),
         )
     if pa.types.is_list(arrow_type):
-        # outer validity over list offsets
+        # outer validity over list offsets: null slots get zero-length ranges
+        # and are masked out (NOT silently decoded as empty lists)
         inner = values
         offs = np.frombuffer(inner.buffers()[1], dtype=np.int32, count=len(inner) + 1)
         lens = np.diff(offs)
@@ -473,9 +474,11 @@ def _rebuild_with_nulls(values: pa.Array, mask: np.ndarray, arrow_type: pa.DataT
         full_lens[mask] = lens
         full_off = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(full_lens, out=full_off[1:])
-        return pa.ListArray.from_arrays(
+        out = pa.ListArray.from_arrays(
             pa.array(full_off, type=pa.int32()), inner.flatten(),
-        )  # note: nulls become empty lists; acceptable only if outer non-null
+            mask=pa.array(~mask),
+        )
+        return out.cast(arrow_type) if out.type != arrow_type else out
     # fixed width
     base = arrow_type
     if pa.types.is_timestamp(arrow_type):

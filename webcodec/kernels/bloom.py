@@ -30,6 +30,8 @@ def hash_values(offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
     in, so truncated prefixes of different lengths still differ)."""
     n = len(offsets) - 1
     lens = np.diff(offsets)
+    if data.size == 0:  # all-empty values: keep the gather index 0 in bounds
+        data = np.zeros(1, dtype=np.uint8)
     w = int(min(max(lens.max(), 1), _HASH_CAP)) if n else 1
     col = np.arange(w, dtype=np.int64)
     valid = col[None, :] < lens[:, None]

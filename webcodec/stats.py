@@ -39,6 +39,8 @@ def _approx_prefix_lengths(offsets: np.ndarray, data: np.ndarray, cap: int = 64)
     if n <= 1:
         return np.zeros(max(n, 0), dtype=np.int64)
     lens = np.diff(offsets)
+    if data.size == 0:  # all-empty values: keep the gather index 0 in bounds
+        data = np.zeros(1, dtype=np.uint8)
     w = int(min(max(lens.max(), 1), cap))
     col = np.arange(w, dtype=np.int64)
     valid = col[None, :] < lens[:, None]
