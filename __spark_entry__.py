@@ -242,6 +242,33 @@ def _scan_bloom_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("lang") == "zz")
 
 
+def _scan_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided timestamp range (the canonical time-partitioned-crawl scan
+    predicate, ts >= a AND ts < b) through the DataSource pushFilters path:
+    both conjuncts are pushed down to manifest/bloom/page pruning (D4), then
+    re-applied by Catalyst — exact regardless of stats precision."""
+    import datetime as _dt
+
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.encode_job import encode_table
+
+    _prep(spark)
+    spark.dataSource.register(WebcodecDataSource)
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = tempfile.mkdtemp(prefix="wcq_tsrange_")
+    encode_table(df, os.path.join(out, "t"), sort_key="ts", write_metrics=False)
+    back = spark.read.format("webcodec").option("path", os.path.join(out, "t")).load()
+    lo = _dt.datetime(2024, 1, 10)
+    hi = _dt.datetime(2024, 1, 13)
+    sel = back.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+    return sel.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+    )
+
+
 def _agg_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over decoded output (dict+RLE column feeding a groupBy)."""
     df = _encode_decode(spark, sf_dir, "documents", sort_key="lang", columns=["lang"])
@@ -536,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_prune_en": _scan_prune_en,
         "rt_documents_compacted": _rt_documents_compacted,
         "scan_bloom_miss": _scan_bloom_miss,
+        "scan_ts_range": _scan_ts_range,
         "stats_minmax": _stats_minmax,
         "agg_lang_counts": _agg_lang_counts,
         "dedup_exact": _dedup_exact,
@@ -622,6 +650,10 @@ def oracle_sql() -> dict[str, str]:
         "scan_prune_en": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
         "rt_documents_compacted": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "scan_bloom_miss": "SELECT doc_id, lang FROM documents WHERE lang = 'zz'",
+        "scan_ts_range": (
+            "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type "
+            "FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'"
+        ),
         "stats_minmax": (
             "SELECT CAST(min(n_chars) AS BIGINT) AS min_nchars, "
             "CAST(max(n_chars) AS BIGINT) AS max_nchars, count(*) AS total_rows FROM documents"

@@ -91,3 +91,65 @@ def test_projection_only_decodes_requested(registered, src_parquet, tmp_path):
     counts = {r["lang"]: r["cnt"] for r in back.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     want = {r["lang"]: r["cnt"] for r in df.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert counts == want
+
+
+def test_conjunct_pushdown_matrix(registered, src_parquet, tmp_path):
+    """D4 widened pushdown: two-sided timestamp range, In, StartsWith,
+    IsNull/IsNotNull — each must match the un-encoded source exactly."""
+    spark = registered
+    out = str(tmp_path / "t")
+    df = spark.read.parquet(src_parquet)
+    df.write.format("webcodec").option("path", out).option("sort_key", "warc_ts").mode(
+        "append"
+    ).save()
+    back = spark.read.format("webcodec").option("path", out).load()
+
+    lo, hi = [r[0] for r in df.selectExpr(
+        "percentile_approx(warc_ts, 0.25)").collect()][0], [r[0] for r in df.selectExpr(
+        "percentile_approx(warc_ts, 0.5)").collect()][0]
+    cases = [
+        (F.col("warc_ts") >= F.lit(lo)) & (F.col("warc_ts") < F.lit(hi)),
+        F.col("lang").isin("de", "fr"),
+        F.col("url").startswith("https://site00"),
+        F.col("lang").isNotNull(),
+        (F.col("lang") == "en") & F.col("url").startswith("https://site01"),
+    ]
+    for cond in cases:
+        got = back.filter(cond)
+        want = df.filter(cond)
+        assert got.count() == want.count(), str(cond)
+        assert want.exceptAll(got).count() == 0, str(cond)
+
+
+def test_pushfilters_accepts_conjuncts_unit():
+    """Reader-level contract: supported filters are consumed, others yielded."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThanOrEqual, In, IsNull, LessThan, StringContains,
+        StringStartsWith,
+    )
+    from pyspark.sql.types import StructType
+
+    from webcodec.spark.datasource import WebcodecReader
+
+    r = WebcodecReader({"path": "/nonexistent"}, StructType([]))
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("ts",), 5),
+                LessThan(("ts",), 9),
+                In(("lang",), ("en", "de")),
+                IsNull(("html",)),
+                StringStartsWith(("url",), "https://a"),
+                StringContains(("url",), "x"),  # unsupported -> yielded back
+                EqualTo(("a", "b"), 1),  # nested attribute -> yielded back
+            ]
+        )
+    )
+    assert len(leftover) == 2
+    assert r.predicate == [
+        ("ts", ">=", 5),
+        ("ts", "<", 9),
+        ("lang", "in", ["en", "de"]),
+        ("html", "isnull", None),
+        ("url", "startswith", "https://a"),
+    ]

@@ -546,44 +546,58 @@ def _decode_chunk(
     return pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
 
 
-def _page_overlaps(pm: dict, op: str, value, phys: PhysType | None = None) -> bool:
-    from webcodec.stats import decode_stat, normalize_stat_value
+def _values_in_dict(buf: memoryview, pc_chunk: dict, values, verify_crc: bool) -> bool:
+    """Dictionary-level pruning test (D2 DictionaryFilter parity): True when
+    ANY of ``values`` appears in the chunk's dict page — exact, not
+    probabilistic."""
+    import pyarrow.compute as _pc
 
-    lo, hi = pm.get("min"), pm.get("max")
-    if lo is None or hi is None:
+    dvals = _decode_dict_page_only(buf, pc_chunk, verify_crc)
+    for v in values:
+        scalar = pa.scalar(v)
+        if not scalar.type.equals(dvals.type):
+            try:
+                scalar = scalar.cast(dvals.type)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                return True  # incomparable: stay conservative
+        if _pc.any(_pc.equal(dvals, scalar)).as_py():
+            return True
+    return False
+
+
+def _bloom_may_contain(pc_chunk: dict, values) -> bool:
+    """Split-block bloom test for ==/in terms: False only when EVERY value
+    provably misses (C8 bloom-level pruning)."""
+    import base64
+
+    from webcodec.kernels import bloom as _bloom
+
+    if not all(isinstance(v, (str, bytes)) for v in values):
         return True
-    if phys is not None:
-        value = normalize_stat_value(value, phys)
-        lo, hi = decode_stat(lo, phys), decode_stat(hi, phys)
-    try:
-        if op == "==":
-            return lo <= value <= hi
-        if op == "<":
-            return lo < value
-        if op == "<=":
-            return lo <= value
-        if op == ">":
-            return hi > value
-        if op == ">=":
-            return hi >= value
-    except TypeError:
-        return True
-    return True
+    fb = base64.b64decode(pc_chunk["bloom"]["b64"])
+    return any(
+        _bloom.might_contain(fb, _bloom.hash_one(v.encode() if isinstance(v, str) else v))
+        for v in values
+    )
 
 
 def read_table(
     source: str | bytes | memoryview,
     columns: list[str] | None = None,
-    predicate: tuple[str, str, object] | None = None,
+    predicate=None,
     verify_crc: bool = True,
 ) -> pa.Table:
     """Decode a webcodec file to an Arrow table.
 
     ``columns``: projection — only those chunks are decoded (D6 parity; free by
-    columnar layout). ``predicate``: ('col', op, value) — pages whose min/max
-    cannot match are skipped across ALL columns via row-range sync (D3 parity),
-    then the residual filter is applied exactly.
+    columnar layout). ``predicate``: a (col, op, value) tuple or a LIST of
+    them, ANDed (webcodec.predicate algebra: ==/</<=/>/>=, in, isnull,
+    notnull, startswith — D4 parity with FilterApi/Operators). Pages that
+    cannot match any conjunct are skipped across ALL columns via row-range
+    sync (D3 parity), then the residual filter is applied exactly.
     """
+    from webcodec import predicate as predmod
+
     if isinstance(source, str):
         with open(source, "rb") as f:
             data = f.read()
@@ -594,54 +608,47 @@ def read_table(
     groups = footer.get("groups") or [footer]
     names = columns or [c["name"] for c in groups[0]["chunks"]]
 
+    conjuncts = predmod.normalize(predicate)
+    # predicate columns are decoded even when not projected (the residual
+    # filter needs them for exactness), then dropped before returning
+    decode_names = list(names)
+    if conjuncts is not None:
+        for c, _, _ in conjuncts:
+            if c not in decode_names:
+                decode_names.append(c)
     keep_rows: np.ndarray | None = None
-    if predicate is not None:
-        col, op, value = predicate
-        keep_rows = np.zeros(footer["num_rows"], dtype=bool)
+    if conjuncts is not None:
+        keep_rows = np.ones(footer["num_rows"], dtype=bool)
         any_skipped = False
-        row_base = 0
-        for g in groups:
-            pc_chunk = next(c for c in g["chunks"] if c["name"] == col)
-            pred_phys = PhysType(pc_chunk["phys"])
-            if op == "==" and pc_chunk.get("bloom") and isinstance(value, (str, bytes)):
-                import base64
-
-                from webcodec.kernels import bloom as _bloom
-
-                vb = value.encode() if isinstance(value, str) else value
-                fb = base64.b64decode(pc_chunk["bloom"]["b64"])
-                if not _bloom.might_contain(fb, _bloom.hash_one(vb)):
-                    any_skipped = True  # whole group provably predicate-free
-                    row_base += g["num_rows"]
-                    continue
-            if (
-                op == "=="
-                and pc_chunk.get("dict")
-                and Encoding(pc_chunk["encoding"]) == Encoding.DICT
-            ):
-                # dictionary-level pruning (D2 DictionaryFilter parity): the
-                # value must appear in the (small) dict page or the whole
-                # chunk is predicate-free — exact, not probabilistic
-                dvals = _decode_dict_page_only(buf, pc_chunk, verify_crc)
-                import pyarrow.compute as _pc
-
-                scalar = pa.scalar(value)
-                if not scalar.type.equals(dvals.type):
-                    try:
-                        scalar = scalar.cast(dvals.type)
-                    except pa.ArrowInvalid:
-                        scalar = None
-                if scalar is None or not _pc.any(_pc.equal(dvals, scalar)).as_py():
-                    any_skipped = True
-                    row_base += g["num_rows"]
-                    continue
-            for pm in pc_chunk["pages"]:
-                if _page_overlaps(pm, op, value, pred_phys):
-                    s = row_base + pm["first_row"]
-                    keep_rows[s : s + pm["n_values"]] = True
-                else:
-                    any_skipped = True
-            row_base += g["num_rows"]
+        for col, op, value in conjuncts:
+            term_keep = np.zeros(footer["num_rows"], dtype=bool)
+            row_base = 0
+            for g in groups:
+                pc_chunk = next(c for c in g["chunks"] if c["name"] == col)
+                pred_phys = PhysType(pc_chunk["phys"])
+                eq_values = [value] if op == "==" else (list(value) if op == "in" else None)
+                if eq_values is not None and pc_chunk.get("bloom"):
+                    if not _bloom_may_contain(pc_chunk, eq_values):
+                        any_skipped = True  # whole group provably term-free
+                        row_base += g["num_rows"]
+                        continue
+                if (
+                    eq_values is not None
+                    and pc_chunk.get("dict")
+                    and Encoding(pc_chunk["encoding"]) == Encoding.DICT
+                ):
+                    if not _values_in_dict(buf, pc_chunk, eq_values, verify_crc):
+                        any_skipped = True
+                        row_base += g["num_rows"]
+                        continue
+                for pm in pc_chunk["pages"]:
+                    if predmod.term_matches(pm, op, value, pred_phys, pm["n_values"]):
+                        s = row_base + pm["first_row"]
+                        term_keep[s : s + pm["n_values"]] = True
+                    else:
+                        any_skipped = True
+                row_base += g["num_rows"]
+            keep_rows &= term_keep
         if not any_skipped:
             keep_rows = None  # nothing prunable; decode everything
         elif not keep_rows.any():
@@ -654,7 +661,7 @@ def read_table(
 
     arrays = []
     fields = []
-    for name in names:
+    for name in decode_names:
         parts = []
         row_base = 0
         for g in groups:
@@ -670,17 +677,8 @@ def read_table(
         arrays.append(arr)
         fields.append(pa.field(name, arr.type))
     table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
-    if predicate is not None:
-        col, op, value = predicate
-        import pyarrow.compute as _pc
-
-        ops = {
-            "==": _pc.equal, "<": _pc.less, "<=": _pc.less_equal,
-            ">": _pc.greater, ">=": _pc.greater_equal,
-        }
-        col_type = table.column(col).type
-        scalar = pa.scalar(value)
-        if not scalar.type.equals(col_type):
-            scalar = scalar.cast(col_type)
-        table = table.filter(ops[op](table.column(col), scalar))
+    if conjuncts is not None:
+        table = predmod.residual_filter(table, conjuncts)
+        if decode_names != names:
+            table = table.select(names)
     return table

@@ -33,9 +33,13 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -80,18 +84,36 @@ class WebcodecReader(DataSourceReader):
         if not self.table_dir:
             raise ValueError("webcodec reader requires option('path', ...)")
         self.columns = [f.name for f in schema.fields] if schema.fields else None
-        self.predicate: tuple | None = None
+        self.predicate: list[tuple] | None = None
 
     def pushFilters(self, filters: list[Filter]):  # noqa: N802 (API name)
-        """Accept one simple comparison (applied to manifest file pruning AND
-        page pruning in the decoder); everything else stays in Spark — Spark
-        re-applies pushed filters anyway, so this is purely a scan reduction."""
+        """Accept the D4 predicate algebra as a conjunct list: the five simple
+        comparisons, In, IsNull/IsNotNull, and StringStartsWith (applied to
+        manifest file pruning AND bloom/dict/page pruning in the decoder).
+        Everything else is yielded back — Spark re-applies pushed filters
+        anyway, so pushdown is purely a scan reduction."""
+        accepted: list[tuple] = []
         for f in filters:
-            op = _OPS.get(type(f))
-            if op and self.predicate is None and len(f.attribute) == 1:
-                self.predicate = (f.attribute[0], op, f.value)
-                continue
-            yield f
+            term = None
+            if len(f.attribute) == 1:
+                col = f.attribute[0]
+                op = _OPS.get(type(f))
+                if op is not None:
+                    term = (col, op, f.value)
+                elif isinstance(f, In):
+                    term = (col, "in", list(f.value))
+                elif isinstance(f, IsNull):
+                    term = (col, "isnull", None)
+                elif isinstance(f, IsNotNull):
+                    term = (col, "notnull", None)
+                elif isinstance(f, StringStartsWith):
+                    term = (col, "startswith", f.value)
+            if term is not None:
+                accepted.append(term)
+            else:
+                yield f
+        if accepted:
+            self.predicate = accepted
 
     def partitions(self):
         from webcodec.spark.table import SnapshotTable

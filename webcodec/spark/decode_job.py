@@ -43,10 +43,15 @@ def read_encoded(
     spark: SparkSession,
     table_dir: str,
     columns: list[str] | None = None,
-    predicate: tuple[str, str, object] | None = None,
+    predicate: tuple[str, str, object] | list[tuple] | None = None,
     batch_rows: int = 8_192,
 ) -> DataFrame:
-    """Scan a webcodec snapshot table as a DataFrame."""
+    """Scan a webcodec snapshot table as a DataFrame.
+
+    ``predicate`` is a (col, op, value) term or a conjunct list of them
+    (webcodec.predicate algebra: comparisons, in, isnull/notnull,
+    startswith) — pruned at file, bloom/dict, and page level, then applied
+    exactly as a residual."""
     tbl = SnapshotTable(table_dir)
     snap = tbl.read_snapshot()
     if snap is None:

@@ -97,49 +97,36 @@ class SnapshotTable:
             return set()
         return {f["partition_id"] for f in snap["files"]}
 
-    def data_files(self, predicate: tuple[str, str, object] | None = None) -> list[dict]:
-        """Files of the current snapshot, pruned by chunk-level min/max stats
-        when a predicate is given (file-level D2 analogue)."""
+    def data_files(self, predicate=None) -> list[dict]:
+        """Files of the current snapshot, pruned by chunk-level min/max +
+        null-count stats when a predicate (single term or conjunct list,
+        webcodec.predicate algebra) is given — file-level D2 analogue."""
+        from webcodec import predicate as predmod
+        from webcodec.types import PhysType
+
         snap = self.read_snapshot()
         if not snap:
             return []
         files = snap["files"]
-        if predicate is None:
+        conjuncts = predmod.normalize(predicate)
+        if conjuncts is None:
             return files
-        col, op, value = predicate
-        coltype = next((f["type"] for f in snap["schema"] if f["name"] == col), "")
+        # normalize to the stats storage domain (micros/days/bytes)
+        phys_of = {"timestamp": PhysType.TIMESTAMP_US, "timestamp_ntz": PhysType.TIMESTAMP_US,
+                   "date": PhysType.DATE32, "binary": PhysType.BINARY}
+        types = {f["name"]: f["type"] for f in snap["schema"]}
         kept = []
         for f in files:
-            st = (f.get("column_stats") or {}).get(col)
-            if st is None or _overlaps(st, op, value, coltype):
+            stats = f.get("column_stats") or {}
+            ok = True
+            for col, op, value in conjuncts:
+                st = stats.get(col)
+                if st is None:
+                    continue  # unknown stats: conservative keep
+                if not predmod.term_matches(st, op, value, phys_of.get(types.get(col, "")),
+                                            f.get("rows")):
+                    ok = False
+                    break
+            if ok:
                 kept.append(f)
         return kept
-
-
-def _overlaps(st: dict, op: str, value, coltype: str = "") -> bool:
-    lo, hi = st.get("min"), st.get("max")
-    if lo is None or hi is None:
-        return True
-    # normalize to the stats storage domain (micros/days/bytes)
-    from webcodec.stats import decode_stat, normalize_stat_value
-    from webcodec.types import PhysType
-
-    phys = {"timestamp": PhysType.TIMESTAMP_US, "date": PhysType.DATE32,
-            "binary": PhysType.BINARY}.get(coltype)
-    if phys is not None:
-        value = normalize_stat_value(value, phys)
-        lo, hi = decode_stat(lo, phys), decode_stat(hi, phys)
-    try:
-        if op == "==":
-            return lo <= value <= hi
-        if op == "<":
-            return lo < value
-        if op == "<=":
-            return lo <= value
-        if op == ">":
-            return hi > value
-        if op == ">=":
-            return hi >= value
-    except TypeError:
-        return True
-    return True
