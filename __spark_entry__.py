@@ -389,39 +389,23 @@ def _media_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash via a vectorized Arrow UDF (numpy bit-vote kernel) —
-    the custom-kernel path; no SQL oracle (driver records rows-only)."""
+    """64-bit SimHash via the fully-vectorized kernel (Arrow C++ tokenize ->
+    lane-parallel numpy MD5 -> one reduceat bit vote; zero per-row Python) —
+    values bit-identical to the scalar md5 reference. No SQL oracle (driver
+    records rows-only)."""
     import pyarrow as _pa
 
     _prep(spark)
     df = _src(spark, sf_dir, "documents").select("doc_id", "text")
 
     def simhash_batches(batches):
-        import numpy as np
+        from webcodec.spark.text import simhash64
 
         for b in batches:
-            doc_ids = b.column("doc_id")
-            texts = b.column("text").to_pylist()
-            out = np.zeros(len(texts), dtype=np.uint64)
-            for i, t in enumerate(texts):
-                words = (t or "").split(" ")
-                if not words:
-                    continue
-                hs = np.array([hash_md5_64(w) for w in words], dtype=np.uint64)
-                bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-                votes = bits.sum(axis=0) * 2 - len(hs)
-                out[i] = np.packbits((votes > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
             yield _pa.RecordBatch.from_pydict(
-                {"doc_id": doc_ids, "simhash": _pa.array(out.view(np.int64))}
+                {"doc_id": b.column("doc_id"), "simhash": _pa.array(simhash64(b.column("text")))}
             )
 
-    def hash_md5_64(w: str) -> int:
-        import hashlib
-
-        return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
-
-    # executor-side: make helper visible inside the generator
-    simhash_batches.__globals__["hash_md5_64"] = hash_md5_64
     return df.mapInArrow(simhash_batches, "doc_id long, simhash long")
 
 
@@ -439,12 +423,14 @@ def _simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bucketize(batches):
         import numpy as np
 
+        from webcodec.spark.text import embedding_matrix
+
         # 6 planes -> 64 buckets (sized for the sf-test corpus; at 10^12 rows
         # you raise the plane count so buckets stay ~constant-sized)
         planes = np.random.default_rng(7).standard_normal((64, 6))
         for b in batches:
             ids = b.column("vec_id")
-            emb = np.asarray(b.column("embedding").to_pylist(), dtype=np.float64)
+            emb = embedding_matrix(b.column("embedding"))  # buffer reshape, no per-row
             sig = (emb @ planes) > 0
             bucket = np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(np.int32)
             yield _pa.RecordBatch.from_pydict(

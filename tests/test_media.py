@@ -53,3 +53,25 @@ def test_media_feature_extraction(spark, tmp_path):
     # deterministic: second run produces identical features
     rows2 = extract_media_features(media, "mid", "html").collect()
     assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+
+def test_media_stub_matches_scalar_md5():
+    """The vectorized stub must reproduce the per-row md5 construction
+    exactly: dims from digest bytes 0/1, features from digest[:8]."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from webcodec.kernels.md5v import md5_u64le_arrow
+
+    blobs = [b"", b"<html>x</html>", b"GIF89a trailer", bytes(range(256)) * 3, b"\x89PNGabc"]
+    arr = pa.array(blobs, pa.binary())
+    h64 = md5_u64le_arrow(pc.binary_slice(arr, 0, 256))
+    hb = h64.view(np.uint8).reshape(len(blobs), 8)
+    for i, blob in enumerate(blobs):
+        d = hashlib.md5(blob[:256]).digest()
+        assert hb[i, 0] == d[0] and hb[i, 1] == d[1]
+        assert bytes(hb[i]) == d[:8]
+        w, h = 64 + d[0] % 192, 64 + d[1] % 192
+        assert (64 + hb[i, 0] % 192, 64 + hb[i, 1] % 192) == (w, h)

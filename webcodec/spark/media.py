@@ -62,13 +62,20 @@ def extract_media_features(df: DataFrame, id_col: str, blob_col: str,
 
     Feature vector = stub embedding (content-hash-seeded, deterministic);
     with a real decoder it would be the model/pixel features at the same
-    schema and batch shape.
-    """
+    schema and batch shape. Without PIL the whole batch path is vectorized:
+    format sniff from a gathered 4-byte prefix matrix, dims/features from the
+    lane-parallel MD5 kernel over 256-byte prefixes (the stub's seed bytes
+    are exactly the kernel's 8 little-endian digest bytes)."""
+    if n_features > 8:
+        raise ValueError("stub features derive from 8 digest bytes (n_features <= 8)")
     sel = df.select(df[id_col].alias("media_id"), df[blob_col].alias("blob"))
 
     def feature_batches(batches):
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from webcodec.kernels.md5v import md5_u64le_arrow
 
         try:
             import PIL  # noqa: F401
@@ -79,35 +86,55 @@ def extract_media_features(df: DataFrame, id_col: str, blob_col: str,
 
         for b in batches:
             ids = b.column("media_id")
-            blobs = b.column("blob").to_pylist()
-            n = len(blobs)
-            widths = np.zeros(n, dtype=np.int32)
-            heights = np.zeros(n, dtype=np.int32)
-            fmts = []
-            feats = np.zeros((n, n_features), dtype=np.float32)
-            for i, blob in enumerate(blobs):
-                blob = blob or b""
-                fmts.append(_sniff_format(bytes(blob[:4])))
-                if have_pil:
+            blob = pc.fill_null(b.column("blob"), b"")
+            n = len(blob)
+            n_bytes = pc.binary_length(blob).to_numpy(zero_copy_only=False).astype(np.int64)
+            # vectorized 4-byte magic matrix (zero-padded)
+            head = pc.binary_slice(blob, 0, 4)
+            offs = np.frombuffer(head.buffers()[1], dtype=np.int32, count=n + 1).astype(np.int64)
+            hdata = (
+                np.frombuffer(head.buffers()[2], dtype=np.uint8, count=int(offs[-1]))
+                if head.buffers()[2] is not None else np.zeros(0, dtype=np.uint8)
+            )
+            hl = np.diff(offs)
+            m4 = np.zeros((n, 4), dtype=np.uint8)
+            if hdata.size:
+                within = np.arange(int(hl.sum()), dtype=np.int64) - np.repeat(np.cumsum(hl) - hl, hl)
+                m4.reshape(-1)[np.repeat(np.arange(n, dtype=np.int64) * 4, hl) + within] = hdata
+            fmt_codes = np.zeros(n, dtype=np.int64)  # 0 = unknown
+            names = ["unknown"] + list(_MAGIC.values())
+            for code, magic in enumerate(_MAGIC, start=1):
+                mm = np.frombuffer(magic, dtype=np.uint8)
+                hit = (m4[:, : len(mm)] == mm).all(axis=1) & (n_bytes >= len(mm))
+                fmt_codes = np.where((fmt_codes == 0) & hit, code, fmt_codes)
+            fmts = pa.DictionaryArray.from_arrays(
+                pa.array(fmt_codes, pa.int32()), pa.array(names)
+            ).cast(pa.string())
+
+            # stub dims + features: all derive from the first 8 md5 bytes of
+            # the 256-byte prefix (little-endian uint64 == digest[:8])
+            h64 = md5_u64le_arrow(pc.binary_slice(blob, 0, 256))
+            hb = h64.view(np.uint8).reshape(n, 8)
+            widths = (64 + hb[:, 0] % 192).astype(np.int32)
+            heights = (64 + hb[:, 1] % 192).astype(np.int32)
+            feats = (hb[:, :n_features].astype(np.float32) - 128.0) / 128.0
+
+            if have_pil:  # real decoder path (absent in this container)
+                blobs = blob.to_pylist()
+                for i, raw in enumerate(blobs):
                     try:
-                        widths[i], heights[i] = _decode_real(bytes(blob))
-                        continue
-                    except Exception:  # noqa: BLE001 — fall through to stub
+                        widths[i], heights[i] = _decode_real(bytes(raw))
+                    except Exception:  # noqa: BLE001 — keep the stub dims
                         pass
-                widths[i], heights[i] = _decode_stub(bytes(blob))
-                seed = np.frombuffer(
-                    hashlib.md5(bytes(blob[:256])).digest(), dtype=np.uint8
-                )[:n_features]
-                feats[i] = (seed.astype(np.float32) - 128.0) / 128.0
             yield pa.RecordBatch.from_pydict(
                 {
                     "media_id": ids,
-                    "n_bytes": pa.array([len(x or b"") for x in blobs], pa.int64()),
-                    "format": pa.array(fmts),
+                    "n_bytes": pa.array(n_bytes, pa.int64()),
+                    "format": fmts,
                     "width": pa.array(widths, pa.int32()),
                     "height": pa.array(heights, pa.int32()),
                     "decoded": pa.array([have_pil] * n, pa.bool_()),
-                    "feature": pa.array(feats.tolist(), pa.list_(pa.float32())),
+                    "feature": pa.array(list(feats), pa.list_(pa.float32())),
                 }
             )
 
