@@ -499,6 +499,62 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-shaped near-dup dedup: MinHash-band candidate pairs -> exact
+    Jaccard verify on candidates ONLY (never all-pairs). Banding r=3 hashes
+    x b=4 bands over character-5-gram shingles; the band self-join is a
+    shuffle on the band key, so at 10^12 docs work stays proportional to
+    bucket sizes (r/b are the recall/cost knobs). Confirmed pairs =
+    candidates with shingle-Jaccard >= 0.2 (integer-quantized)."""
+    df = _src(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = F.array_distinct(
+        F.expr("transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))")
+    )
+    base = df.select("doc_id", sh.alias("sh"))
+
+    # NB: the transform lambda must be UNARY — a second (even defaulted)
+    # parameter would receive the element INDEX, not a closure value
+    def mh_expr(k: int):
+        seed = f"#{k}"
+
+        def one(s):
+            return F.md5(F.concat(s, F.lit(seed)))
+
+        return F.array_min(F.transform(F.col("sh"), one))
+
+    bands = [
+        F.md5(F.concat(mh_expr(3 * j), mh_expr(3 * j + 1), mh_expr(3 * j + 2))).alias(f"band{j}")
+        for j in range(4)
+    ]
+    sig = base.select("doc_id", *bands)
+    pair_parts = []
+    for j in range(4):
+        a, b = sig.alias("a"), sig.alias("b")
+        pair_parts.append(
+            a.join(b, (F.col(f"a.band{j}") == F.col(f"b.band{j}")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        )
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.union(p)
+    pairs = pairs.distinct()
+    ga, gb = base.alias("ga"), base.alias("gb")
+    j = pairs.join(ga, F.col("doc_a") == F.col("ga.doc_id")).join(
+        gb, F.col("doc_b") == F.col("gb.doc_id")
+    )
+    inter = F.size(F.array_intersect(F.col("ga.sh"), F.col("gb.sh"))).cast("long")
+    uni = (F.size(F.col("ga.sh")) + F.size(F.col("gb.sh"))).cast("long") - inter
+    return (
+        j.select(
+            "doc_a", "doc_b",
+            inter.alias("n_inter"),
+            uni.alias("n_union"),
+            F.floor(inter * F.lit(1000) / uni).cast("long").alias("jac_1000"),
+        )
+        .filter(F.col("jac_1000") >= 200)
+    )
+
+
 def _events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions over the round-tripped events table: per-user event
     rank and gap to the previous event in micros (H category: windows)."""
@@ -564,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_binary_meta": _media_binary_meta,
         "media_features": _media_features,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_lsh_pairs": _dedup_lsh_pairs,
         "events_window": _events_window,
     }
 
@@ -601,6 +658,35 @@ def _media_features_oracle() -> str:
         "FALSE AS decoded, "
         f"CAST({feat_terms} AS BIGINT) AS feat_chk "
         "FROM m"
+    )
+
+
+def _dedup_lsh_pairs_oracle() -> str:
+    def mh(k: int) -> str:
+        return f"list_aggregate(list_transform(sh, s -> md5(s || '#{k}')), 'min')"
+
+    bands = ", ".join(
+        f"md5({mh(3 * j)} || {mh(3 * j + 1)} || {mh(3 * j + 2)}) AS band{j}" for j in range(4)
+    )
+    joins = " UNION ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM m a JOIN m b "
+        f"ON a.band{j} = b.band{j} AND a.doc_id < b.doc_id"
+        for j in range(4)
+    )
+    return (
+        "WITH t AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, greatest(length(text) - 4, 1) + 1), i -> substring(text, i, 5))) AS sh "
+        "FROM documents), "
+        f"m AS (SELECT doc_id, {bands} FROM t), "
+        f"pairs AS ({joins}) "
+        "SELECT doc_a, doc_b, "
+        "CAST(len(list_intersect(ga.sh, gb.sh)) AS BIGINT) AS n_inter, "
+        "CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS BIGINT) AS n_union, "
+        "CAST(floor(CAST(len(list_intersect(ga.sh, gb.sh)) AS BIGINT) * 1000 / "
+        "(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)))) AS BIGINT) AS jac_1000 "
+        "FROM pairs JOIN t ga ON ga.doc_id = doc_a JOIN t gb ON gb.doc_id = doc_b "
+        "WHERE CAST(floor(CAST(len(list_intersect(ga.sh, gb.sh)) AS BIGINT) * 1000 / "
+        "(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)))) AS BIGINT) >= 200"
     )
 
 
@@ -698,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "metrics_lineage": "SELECT count(*) AS total_rows FROM documents",
         "media_features": _media_features_oracle(),
+        "dedup_lsh_pairs": _dedup_lsh_pairs_oracle(),
         "dedup_ngram_jaccard": (
             "WITH g AS (SELECT doc_id, list_distinct(list_transform("
             "range(1, greatest(length(text) - 2, 1) + 1), i -> substring(text, i, 3))) AS g "

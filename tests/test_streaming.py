@@ -109,3 +109,42 @@ def test_stream_write_microbatches(spark, tmp_path):
     src = spark.read.parquet(src_dir)
     assert back.count() == 3_000
     assert src.exceptAll(back).count() == 0 and back.exceptAll(src).count() == 0
+
+
+def test_stream_reader_plans_file_partitions(tmp_path):
+    """The source must plan one InputPartition per new file (executor-side
+    decode); the driver never materializes rows."""
+    import pyarrow.parquet as pq
+
+    from webcodec import filefmt
+    from webcodec.config import EncoderConfig
+    from webcodec.fixtures import webpages
+    from webcodec.spark.datasource import WebcodecStreamReader, _FileSplit
+    from webcodec.spark.table import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.init()
+    t = webpages(100)
+    import os
+
+    for i in range(3):
+        fname = f"part-{i:05d}-x.wcd"
+        footer = filefmt.write_table(t, os.path.join(tbl.data_dir, fname), EncoderConfig())
+        tbl.commit(
+            [{"partition_id": i, "path": f"data/{fname}", "rows": t.num_rows,
+              "raw_bytes": footer["raw_bytes"],
+              "compressed_bytes": footer["compressed_bytes"],
+              "column_stats": {}}],
+            [{"name": f.name, "type": "string", "nullable": True} for f in t.schema],
+        )
+    r = WebcodecStreamReader({"path": str(tmp_path / "t")})
+    assert r.initialOffset() == {"snapshot_id": 0}
+    assert r.latestOffset() == {"snapshot_id": 3}
+    parts = r.partitions({"snapshot_id": 0}, {"snapshot_id": 3})
+    assert len(parts) == 3 and all(isinstance(p, _FileSplit) for p in parts)
+    parts = r.partitions({"snapshot_id": 1}, {"snapshot_id": 3})
+    assert len(parts) == 2
+    assert r.partitions({"snapshot_id": 2}, {"snapshot_id": 2}) == []
+    # read() decodes a partition to Arrow batches (executor-side path)
+    batches = list(r.read(parts[0]))
+    assert sum(b.num_rows for b in batches) == 100

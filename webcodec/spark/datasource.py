@@ -220,17 +220,21 @@ class WebcodecWriter(DataSourceArrowWriter):
                 pass
 
 
-from pyspark.sql.datasource import SimpleDataSourceStreamReader
+from pyspark.sql.datasource import DataSourceStreamReader
 
 
-class WebcodecStreamReader(SimpleDataSourceStreamReader):
+class WebcodecStreamReader(DataSourceStreamReader):
     """Streaming SOURCE: tail a webcodec table's snapshot log.
 
     ``spark.readStream.format("webcodec").option("path", d).load()`` — each
     microbatch delivers the rows of files added between two snapshot ids
-    (offset = {"snapshot_id": N}). Exactly-once by construction: snapshots
-    are immutable and append files atomically (SURVEY.md §2.G incremental
-    behavior — the reference's 'append new files + summary metadata')."""
+    (offset = {"snapshot_id": N}). Partition-based: the driver plans only a
+    FILE LIST per microbatch; each file is decoded executor-side (one task
+    per file), so driver memory stays O(file names), never O(rows) — the
+    scale requirement a SimpleDataSourceStreamReader cannot meet. Exactly-
+    once by construction: snapshots are immutable and append files atomically
+    (SURVEY.md §2.G incremental behavior — the reference's 'append new files
+    + summary metadata')."""
 
     def __init__(self, options: dict):
         self.table_dir = options.get("path")
@@ -240,6 +244,12 @@ class WebcodecStreamReader(SimpleDataSourceStreamReader):
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
         return {"snapshot_id": self.start_snapshot}
+
+    def latestOffset(self) -> dict:  # noqa: N802 (API name)
+        from webcodec.spark.table import SnapshotTable
+
+        cur = SnapshotTable(self.table_dir).current_snapshot_id() or 0
+        return {"snapshot_id": max(cur, self.start_snapshot)}
 
     def _files_between(self, a: int, b: int) -> list[str]:
         from webcodec.spark.table import SnapshotTable
@@ -252,34 +262,16 @@ class WebcodecStreamReader(SimpleDataSourceStreamReader):
         seen = {f["path"] for f in older["files"]} if older else set()
         return [f["path"] for f in newer["files"] if f["path"] not in seen]
 
-    def _rows_for(self, paths: list[str]) -> list[tuple]:
-        # materialized (picklable) — SimpleDataSourceStreamReader reads run
-        # driver-side and the rows are shipped to executors by the engine
-        import os as _os
+    def partitions(self, start: dict, end: dict):
+        files = self._files_between(int(start["snapshot_id"]), int(end["snapshot_id"]))
+        return [_FileSplit(os.path.join(self.table_dir, p)) for p in files]
 
+    def read(self, partition: _FileSplit):
+        # executor-side decode: Arrow batches straight from the page files
         from webcodec import filefmt
 
-        rows: list[tuple] = []
-        for rel in paths:
-            t = filefmt.read_table(_os.path.join(self.table_dir, rel))
-            for batch in t.to_batches(max_chunksize=8192):
-                rows.extend(
-                    zip(*(batch.column(i).to_pylist() for i in range(batch.num_columns)))
-                )
-        return rows
-
-    def read(self, start: dict):
-        from webcodec.spark.table import SnapshotTable
-
-        cur = SnapshotTable(self.table_dir).current_snapshot_id() or 0
-        a = int(start["snapshot_id"])
-        b = max(cur, a)
-        return self._rows_for(self._files_between(a, b)), {"snapshot_id": b}
-
-    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
-        return self._rows_for(
-            self._files_between(int(start["snapshot_id"]), int(end["snapshot_id"]))
-        )
+        t = filefmt.read_table(partition.path)
+        yield from t.to_batches(max_chunksize=8192)
 
     def commit(self, end: dict) -> None:
         pass  # snapshots are immutable; nothing to clean up
@@ -334,5 +326,5 @@ class WebcodecDataSource(DataSource):
     def streamWriter(self, schema: StructType, overwrite: bool) -> WebcodecStreamWriter:
         return WebcodecStreamWriter(self.options, schema)
 
-    def simpleStreamReader(self, schema: StructType) -> WebcodecStreamReader:
+    def streamReader(self, schema: StructType) -> WebcodecStreamReader:
         return WebcodecStreamReader(self.options)

@@ -253,14 +253,13 @@ def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str
     exactly one bucket (clustering preserved). Zero JVM transfer."""
 
     def spill_split(batches):
-        import zlib
-
         import numpy as np
         import pyarrow.compute as pc
         import pyarrow.ipc as ipc
         import pyarrow.parquet as pq
 
         from pyspark import TaskContext
+        from webcodec.kernels.md5v import md5_u64le_arrow
 
         task = TaskContext.get().taskAttemptId()
         for b in batches:
@@ -268,28 +267,30 @@ def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str
                 table = pq.ParquetFile(row["path"]).read_row_groups(
                     json.loads(row["row_groups"])
                 )
-                urls = table.column(url_col)
+                urls = table.column(url_col).combine_chunks()
                 # vectorized domain: strip scheme, take netloc
                 no_scheme = pc.replace_substring_regex(urls, pattern=r"^[a-zA-Z][a-zA-Z0-9+.-]*://", replacement="")
                 dom = pc.list_element(pc.split_pattern(no_scheme, "/", max_splits=1), 0)
-                dom_np = np.asarray(dom.to_pandas(), dtype=object)
-                uniq, inv = np.unique(dom_np, return_inverse=True)
-                # crc32: process-stable (python hash() is salted per process)
-                base = np.array(
-                    [zlib.crc32(f"{d}#{seed}".encode()) for d in uniq], dtype=np.int64
+                # Arrow C++ dictionary encode: per-UNIQUE-domain work only
+                if isinstance(dom, pa.ChunkedArray):
+                    dom = dom.combine_chunks()
+                de = dom.dictionary_encode()
+                uniq = de.dictionary
+                inv = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                # md5 kernel: process-stable (python hash() is salted per
+                # process), vectorized over the (small) domain dictionary
+                base = md5_u64le_arrow(
+                    pc.binary_join_element_wise(uniq, pa.scalar(f"#{seed}"), "")
                 )
-                k = np.array([hot.get(d, 1) for d in uniq], dtype=np.int64)
+                k = np.array([hot.get(d, 1) for d in uniq.to_pylist()], dtype=np.uint64)
                 # salt within [0,k): derived from url hash so rows of a hot
                 # domain spread; k==1 keeps the domain in one bucket
-                salt = np.zeros(len(table), dtype=np.int64)
+                salt = np.zeros(len(table), dtype=np.uint64)
                 hot_rows = k[inv] > 1
                 if hot_rows.any():
-                    url_np = np.asarray(table.column(url_col).to_pandas(), dtype=object)
-                    salt[hot_rows] = np.array(
-                        [zlib.crc32(str(u).encode()) for u in url_np[hot_rows]],
-                        dtype=np.int64,
-                    ) % k[inv][hot_rows]
-                bucket = ((base[inv] + salt) % n_buckets).astype(np.int64)
+                    hot_urls = urls.filter(pa.array(hot_rows))
+                    salt[hot_rows] = md5_u64le_arrow(hot_urls) % k[inv][hot_rows]
+                bucket = ((base[inv] + salt) % np.uint64(n_buckets)).astype(np.int64)
                 for bk in np.unique(bucket):
                     if int(bk) in done:
                         continue
