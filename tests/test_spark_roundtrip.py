@@ -130,3 +130,24 @@ def test_snapshot_layer(tmp_path):
     assert tbl.completed_partition_ids() == {0, 1}
     pruned = tbl.data_files(predicate=("x", ">", 7))
     assert [f["path"] for f in pruned] == ["data/b"]
+
+
+def test_time_travel_read(spark, webpages_parquet, tmp_path):
+    """Snapshots are immutable: reading with snapshot_id returns the table
+    exactly as of that commit (Iceberg-style time travel)."""
+    df = spark.read.parquet(webpages_parquet)
+    out = str(tmp_path / "wc_table")
+    first = df.limit(3_000)
+    encode_table(first, out, url_col="url", num_partitions=2, mode="salted",
+                 resume=False, write_metrics=False)
+    tbl = SnapshotTable(out)
+    s1 = tbl.current_snapshot_id()
+    encode_table(df, out, url_col="url", num_partitions=4, mode="salted",
+                 resume=False, write_metrics=False)
+    s2 = tbl.current_snapshot_id()
+    assert s2 > s1
+    old = read_encoded(spark, out, snapshot_id=s1)
+    new = read_encoded(spark, out)
+    assert old.count() < new.count() == 8_000
+    # the old snapshot is byte-stable: same rows as the first commit
+    assert old.count() == sum(f["rows"] for f in tbl.read_snapshot(s1)["files"])

@@ -104,6 +104,43 @@ def decode(data: bytes | memoryview, width: int, n: int) -> np.ndarray:
     return out
 
 
+def decode_spec(data: bytes | memoryview, width: int, n: int) -> np.ndarray:
+    """Decode a SPEC-CONFORMANT parquet RLE/bit-packed hybrid stream (the
+    byte format parquet-java/arrow-cpp write): bit-packed headers carry the
+    count of 8-VALUE GROUPS (``groups << 1 | 1``), so a span always encodes
+    groups*8 values and the final span may overrun ``n`` (trimmed here).
+    Used by the parquet interop reader to prove kernel-level format parity
+    against reference-written files (SURVEY.md §7.2 differential test)."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    buf = memoryview(data)
+    parts: list[np.ndarray] = []
+    pos = 0
+    remaining = n
+    vbytes = (width + 7) // 8
+    while remaining > 0:
+        header, pos = read_uvarint(buf, pos)
+        if header & 1:  # bit-packed span of (header>>1) groups of 8
+            count = (header >> 1) * 8
+            nb = bitpack.packed_size(count, width)
+            vals = bitpack.unpack(buf[pos : pos + nb], width, count)
+            pos += nb
+            if count > remaining:
+                vals = vals[:remaining]
+                count = remaining
+            parts.append(vals)
+        else:  # RLE run
+            count = header >> 1
+            value = int.from_bytes(buf[pos : pos + vbytes], "little") if vbytes else 0
+            pos += vbytes
+            parts.append(np.full(count, value, dtype=np.uint64))
+        remaining -= count
+    out = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    if len(out) != n:
+        raise ValueError(f"spec RLE stream decoded {len(out)} values, expected {n}")
+    return out
+
+
 # -- validity bitmap (definition-level analogue for flat schemas) -------------
 
 

@@ -45,18 +45,20 @@ def read_encoded(
     columns: list[str] | None = None,
     predicate: tuple[str, str, object] | list[tuple] | None = None,
     batch_rows: int = 8_192,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
     """Scan a webcodec snapshot table as a DataFrame.
 
     ``predicate`` is a (col, op, value) term or a conjunct list of them
     (webcodec.predicate algebra: comparisons, in, isnull/notnull,
     startswith) — pruned at file, bloom/dict, and page level, then applied
-    exactly as a residual."""
+    exactly as a residual. ``snapshot_id`` time-travels to an older
+    (immutable) snapshot of the table."""
     tbl = SnapshotTable(table_dir)
-    snap = tbl.read_snapshot()
+    snap = tbl.read_snapshot(snapshot_id)
     if snap is None:
         raise FileNotFoundError(f"no snapshot in {table_dir}")
-    files = tbl.data_files(predicate)
+    files = tbl.data_files(predicate, snapshot_id=snapshot_id)
     ddl = _schema_ddl(snap["schema"], columns)
     paths = [(os.path.join(table_dir, f["path"]),) for f in files]
 

@@ -97,14 +97,15 @@ class SnapshotTable:
             return set()
         return {f["partition_id"] for f in snap["files"]}
 
-    def data_files(self, predicate=None) -> list[dict]:
-        """Files of the current snapshot, pruned by chunk-level min/max +
-        null-count stats when a predicate (single term or conjunct list,
-        webcodec.predicate algebra) is given — file-level D2 analogue."""
+    def data_files(self, predicate=None, snapshot_id: int | None = None) -> list[dict]:
+        """Files of a snapshot (current by default; pass ``snapshot_id`` for
+        time travel — snapshots are immutable), pruned by chunk-level
+        min/max + null-count stats when a predicate (single term or conjunct
+        list, webcodec.predicate algebra) is given — file-level D2 analogue."""
         from webcodec import predicate as predmod
         from webcodec.types import PhysType
 
-        snap = self.read_snapshot()
+        snap = self.read_snapshot(snapshot_id)
         if not snap:
             return []
         files = snap["files"]
