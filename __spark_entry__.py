@@ -527,17 +527,24 @@ def _dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(4)
     ]
     sig = base.select("doc_id", *bands)
-    pair_parts = []
-    for j in range(4):
-        a, b = sig.alias("a"), sig.alias("b")
-        pair_parts.append(
-            a.join(b, (F.col(f"a.band{j}") == F.col(f"b.band{j}")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # single-shuffle candidate generation: explode to (band_idx, band_value)
+    # rows and self-join ONCE on that pair — at 10^12 docs this is one
+    # shuffle of 4n rows, not four shuffles of the full signature table
+    sigl = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{j}") for j in range(4)])).alias("bi", "band"),
+    )
+    a, b = sigl.alias("a"), sigl.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-    pairs = pair_parts[0]
-    for p in pair_parts[1:]:
-        pairs = pairs.union(p)
-    pairs = pairs.distinct()
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     ga, gb = base.alias("ga"), base.alias("gb")
     j = pairs.join(ga, F.col("doc_a") == F.col("ga.doc_id")).join(
         gb, F.col("doc_b") == F.col("gb.doc_id")
@@ -552,6 +559,55 @@ def _dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(inter * F.lit(1000) / uni).cast("long").alias("jac_1000"),
         )
         .filter(F.col("jac_1000") >= 200)
+    )
+
+
+def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-bit bucket candidates (first 8 dims
+    -> 256 buckets; the SQL-expressible cousin of random-hyperplane LSH) ->
+    exact integer-quantized dot product on candidates only -> top-20 most
+    similar pairs. Embeddings are unit-norm, so the quantized dot IS the
+    cosine surrogate (no float division to disagree across engines). At
+    10^12 rows the bucket join bounds work by bucket sizes; bit count is the
+    recall/cost knob."""
+    df = _src(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucket = F.expr(
+        "aggregate(transform(slice(embedding, 1, 8), "
+        "(x, i) -> CASE WHEN x > 0 THEN shiftleft(1, i) ELSE 0 END), 0, (a, b) -> a + b)"
+    )
+    q = F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"))
+    sig = df.select("vec_id", bucket.alias("bucket"), q.alias("qvec"))
+    a, b = sig.alias("a"), sig.alias("b")
+    j = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qvec"), F.col("b.qvec"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        j.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            dot.alias("dot_q"),
+        )
+        .orderBy(F.col("dot_q").desc(), "vec_a", "vec_b")
+        .limit(20)
+    )
+
+
+def _text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization via regex (runs-of-letters | runs-of-digits |
+    single other-glyph — the GPT-2 pre-tokenizer shape, RE2-safe so both
+    engines agree) + chars-per-token quality signal."""
+    df = _src(spark, sf_dir, "documents")
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    toks = F.expr(f"regexp_extract_all(text, '{pat}', 0)")
+    n_bpe = F.size(toks).cast("long")
+    return df.select(
+        "doc_id",
+        n_bpe.alias("n_bpe"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws"),
+        F.floor(F.length("text") * F.lit(1000) / F.greatest(n_bpe, F.lit(1))).cast("long").alias("chars_per_tok_1000"),
     )
 
 
@@ -621,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_lsh_pairs": _dedup_lsh_pairs,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "text_tokens_bpe": _text_tokens_bpe,
         "events_window": _events_window,
     }
 
@@ -785,6 +843,26 @@ def oracle_sql() -> dict[str, str]:
         "metrics_lineage": "SELECT count(*) AS total_rows FROM documents",
         "media_features": _media_features_oracle(),
         "dedup_lsh_pairs": _dedup_lsh_pairs_oracle(),
+        "dedup_embedding_cosine": (
+            "WITH q AS (SELECT vec_id, "
+            "CAST(list_sum(list_transform(range(1, 9), "
+            "i -> CASE WHEN embedding[i] > 0 THEN (1 << (i - 1)) ELSE 0 END)) AS INT) AS bucket, "
+            "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qvec "
+            "FROM embeddings) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "CAST(list_sum(list_transform(range(1, len(a.qvec) + 1), "
+            "i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot_q "
+            "FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+            "ORDER BY dot_q DESC, vec_a, vec_b LIMIT 20"
+        ),
+        "text_tokens_bpe": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, "
+            "CAST(floor(length(text) * 1000 / greatest("
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')), 1)) AS BIGINT) AS chars_per_tok_1000 "
+            "FROM documents"
+        ),
         "dedup_ngram_jaccard": (
             "WITH g AS (SELECT doc_id, list_distinct(list_transform("
             "range(1, greatest(length(text) - 2, 1) + 1), i -> substring(text, i, 3))) AS g "

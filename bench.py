@@ -210,6 +210,8 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
     )
     queries["encode_webpages_clustered"] = time.perf_counter() - t0
     extras["encode_clustered_gbps"] = raw_bytes / queries["encode_webpages_clustered"] / 1e9
+    snap_cl = SnapshotTable(os.path.join(work, "wp_clustered")).read_snapshot()
+    extras["clustered_compressed_bytes"] = snap_cl["total_compressed_bytes"]
 
     # -- salted-repartition mode (pure Spark-shuffle reference point;
     #    explicit opt-in — bridge-bound, kept for comparison) --

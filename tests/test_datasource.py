@@ -153,3 +153,29 @@ def test_pushfilters_accepts_conjuncts_unit():
         ("html", "isnull", None),
         ("url", "startswith", "https://a"),
     ]
+
+
+def test_datasource_read_after_schema_evolution(registered, tmp_path):
+    """format('webcodec') read over a table whose schema gained a column:
+    old files null-fill it, and predicates on it stay exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqm
+
+    spark = registered
+    out = str(tmp_path / "t")
+    t1 = pa.table({"url": [f"u{i}" for i in range(80)],
+                   "n": pa.array(list(range(80)), pa.int64())})
+    p1 = str(tmp_path / "v1.parquet")
+    pqm.write_table(t1, p1)
+    spark.read.parquet(p1).write.format("webcodec").mode("append").option("path", out).save()
+    t2 = pa.table({"url": [f"v{i}" for i in range(20)],
+                   "n": pa.array(list(range(80, 100)), pa.int64()),
+                   "lang": ["en"] * 20})
+    p2 = str(tmp_path / "v2.parquet")
+    pqm.write_table(t2, p2)
+    spark.read.parquet(p2).write.format("webcodec").mode("append").option("path", out).save()
+
+    back = spark.read.format("webcodec").option("path", out).load()
+    assert back.count() == 100
+    assert back.filter(F.col("lang").isNull()).count() == 80
+    assert back.filter(F.col("lang") == "en").count() == 20

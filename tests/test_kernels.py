@@ -253,3 +253,28 @@ def test_fsst_random_bytes_roundtrip():
     data = RNG.bytes(5000)
     table = fsst.build_table(data[:4096])
     assert fsst.decode(fsst.encode(data, table), table) == data
+
+
+def test_legacy_bitpacked_spec_vector():
+    """A4: the parquet-format Encodings.md worked example — values 0..7 at
+    width 3 pack (MSB-first) to 00000101 00111001 01110111."""
+    import numpy as np
+
+    from webcodec.kernels import bitpack
+
+    v = np.arange(8, dtype=np.uint64)
+    packed = bitpack.pack_legacy(v, 3)
+    assert packed == bytes([0b00000101, 0b00111001, 0b01110111])
+    assert (bitpack.unpack_legacy(packed, 3, 8) == v).all()
+
+
+def test_legacy_bitpacked_roundtrip_widths():
+    import numpy as np
+
+    from webcodec.kernels import bitpack
+
+    rng = np.random.default_rng(11)
+    for w in (1, 2, 3, 5, 7, 8, 12, 16, 24, 33, 64):
+        hi = (1 << w) - 1
+        v = rng.integers(0, hi, size=257, dtype=np.uint64) if w < 64 else rng.integers(0, 2**63, size=257, dtype=np.uint64)
+        assert (bitpack.unpack_legacy(bitpack.pack_legacy(v, w), w, len(v)) == v).all()

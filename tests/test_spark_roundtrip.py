@@ -151,3 +151,41 @@ def test_time_travel_read(spark, webpages_parquet, tmp_path):
     assert old.count() < new.count() == 8_000
     # the old snapshot is byte-stable: same rows as the first commit
     assert old.count() == sum(f["rows"] for f in tbl.read_snapshot(s1)["files"])
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg add-column semantics: files written before a column existed
+    decode it as NULL; predicates on the new column treat old files as
+    all-null (prune everything except isnull)."""
+    import pyarrow as pa
+
+    out = str(tmp_path / "t")
+    t1 = pa.table({"url": [f"u{i}" for i in range(100)],
+                   "n": pa.array(list(range(100)), pa.int64())})
+    src1 = str(tmp_path / "v1.parquet")
+    pq.write_table(t1, src1)
+    encode_table(spark.read.parquet(src1), out, num_partitions=1, mode="salted",
+                 resume=False, write_metrics=False)
+    t2 = pa.table({"url": [f"v{i}" for i in range(50)],
+                   "n": pa.array(list(range(100, 150)), pa.int64()),
+                   "lang": ["en"] * 50})
+    src2 = str(tmp_path / "v2.parquet")
+    pq.write_table(t2, src2)
+    # append via the DataSource writer (namespaced partition ids -> true
+    # append; the job API's stable pids are a resume feature, not append)
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    spark.dataSource.register(WebcodecDataSource)
+    spark.read.parquet(src2).write.format("webcodec").mode("append").option(
+        "path", out
+    ).save()
+
+    full = read_encoded(spark, out)
+    assert full.count() == 150
+    assert set(full.columns) == {"url", "n", "lang"}
+    assert full.filter(F.col("lang").isNull()).count() == 100
+    # predicate on the evolved column: old files prune to nothing
+    en = read_encoded(spark, out, predicate=("lang", "==", "en"))
+    assert en.filter(F.col("lang") == "en").count() == 50
+    nulls = read_encoded(spark, out, predicate=("lang", "isnull", None))
+    assert nulls.filter(F.col("lang").isNull()).count() == 100

@@ -609,6 +609,20 @@ def read_table(
     names = columns or [c["name"] for c in groups[0]["chunks"]]
 
     conjuncts = predmod.normalize(predicate)
+    if conjuncts is not None:
+        # schema evolution: a column absent from this (older) file is all-null
+        # here — isnull terms are vacuously true, every other term matches no
+        # row, so the whole file is predicate-free
+        present = {c["name"] for c in groups[0]["chunks"]}
+        missing_terms = [t for t in conjuncts if t[0] not in present]
+        if missing_terms:
+            if any(op != "isnull" for _, op, _ in missing_terms):
+                fields = []
+                for name in names:
+                    chunk = next(c for c in groups[0]["chunks"] if c["name"] == name)
+                    fields.append(pa.field(name, arrow_type_from_json(chunk["type"])))
+                return pa.schema(fields).empty_table()
+            conjuncts = [t for t in conjuncts if t[0] in present] or None
     # predicate columns are decoded even when not projected (the residual
     # filter needs them for exactness), then dropped before returning
     decode_names = list(names)

@@ -66,6 +66,34 @@ def packed_size(n: int, width: int) -> int:
     return (n * width + 7) // 8
 
 
+def pack_legacy(values: np.ndarray, width: int) -> bytes:
+    """Deprecated parquet BIT_PACKED encoding (SURVEY.md §2.A4): values at
+    ``width`` bits each, MSB-FIRST within each value, bits filled from the
+    most significant bit of each byte (the opposite bit order of the modern
+    RLE-hybrid spans). Spec example (Encodings.md): values 0..7 at width 3
+    pack to 00000101 00111001 01110111."""
+    n = len(values)
+    if width == 0 or n == 0:
+        return b""
+    v = values.astype(_U64, copy=False)
+    shifts = np.arange(width - 1, -1, -1, dtype=_U64)  # MSB first
+    bits = ((v[:, None] >> shifts) & _U64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="big").tobytes()
+
+
+def unpack_legacy(data: bytes | memoryview, width: int, n: int) -> np.ndarray:
+    """Inverse of :func:`pack_legacy` (decode-side parity for legacy files)."""
+    if width == 0:
+        return np.zeros(n, dtype=_U64)
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    need = (n * width + 7) // 8
+    raw = np.frombuffer(data, dtype=np.uint8, count=need)
+    bits = np.unpackbits(raw, bitorder="big")[: n * width].reshape(n, width)
+    shifts = np.arange(width - 1, -1, -1, dtype=_U64)
+    return (bits.astype(_U64) << shifts).sum(axis=1, dtype=_U64)
+
+
 def pack_bools(mask: np.ndarray) -> bytes:
     """Booleans at 1 bit/value LSB-first (reference: BooleanPlainValuesWriter, A2)."""
     if len(mask) == 0:

@@ -183,12 +183,22 @@ def read_column_chunk(path: str, row_group: int, column: int) -> list:
         dph = header[5]
         n_values = dph[1]
         enc = dph[2]
+        lvl_enc = dph.get(3, _ENC_RLE)  # definition_level_encoding
         mask = None
         if max_def:
-            (lvl_len,) = struct.unpack_from("<I", body, 0)
-            levels = rle.decode_spec(body[4 : 4 + lvl_len], 1, n_values)
+            if lvl_enc == _ENC_RLE:  # u32 length + hybrid stream
+                (lvl_len,) = struct.unpack_from("<I", body, 0)
+                levels = rle.decode_spec(body[4 : 4 + lvl_len], 1, n_values)
+                body = body[4 + lvl_len :]
+            elif lvl_enc == 4:  # deprecated BIT_PACKED: MSB-first, no prefix
+                from webcodec.kernels import bitpack
+
+                nb = (n_values + 7) // 8
+                levels = bitpack.unpack_legacy(body[:nb], 1, n_values)
+                body = body[nb:]
+            else:
+                raise NotImplementedError(f"level encoding {lvl_enc}")
             mask = levels.astype(bool)
-            body = body[4 + lvl_len :]
             n_nonnull = int(mask.sum())
         else:
             n_nonnull = n_values

@@ -84,6 +84,7 @@ class WebcodecReader(DataSourceReader):
         if not self.table_dir:
             raise ValueError("webcodec reader requires option('path', ...)")
         self.columns = [f.name for f in schema.fields] if schema.fields else None
+        self.types = {f.name: f.dataType.simpleString() for f in schema.fields}
         self.predicate: list[tuple] | None = None
 
     def pushFilters(self, filters: list[Filter]):  # noqa: N802 (API name)
@@ -123,10 +124,12 @@ class WebcodecReader(DataSourceReader):
         return [_FileSplit(os.path.join(self.table_dir, f["path"])) for f in files]
 
     def read(self, partition: _FileSplit):
-        from webcodec import filefmt
+        # evolved-schema-aware decode: files older than an added column
+        # return it as nulls
+        from webcodec.spark.decode_job import decode_file_evolved
 
-        t = filefmt.read_table(partition.path, columns=self.columns, predicate=self.predicate)
-        yield from t.to_batches(max_chunksize=8192)
+        want = self.columns or list(self.types)
+        yield from decode_file_evolved(partition.path, want, self.types, self.predicate)
 
 
 @dataclass
@@ -236,11 +239,14 @@ class WebcodecStreamReader(DataSourceStreamReader):
     (SURVEY.md §2.G incremental behavior — the reference's 'append new files
     + summary metadata')."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: StructType | None = None):
         self.table_dir = options.get("path")
         if not self.table_dir:
             raise ValueError("webcodec stream reader requires option('path', ...)")
         self.start_snapshot = int(options.get("start_snapshot_id", 0))
+        self.types = (
+            {f.name: f.dataType.simpleString() for f in schema.fields} if schema else {}
+        )
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
         return {"snapshot_id": self.start_snapshot}
@@ -268,10 +274,16 @@ class WebcodecStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _FileSplit):
         # executor-side decode: Arrow batches straight from the page files
-        from webcodec import filefmt
+        # (evolved-schema-aware: pre-evolution files null-fill added columns)
+        if self.types:
+            from webcodec.spark.decode_job import decode_file_evolved
 
-        t = filefmt.read_table(partition.path)
-        yield from t.to_batches(max_chunksize=8192)
+            yield from decode_file_evolved(partition.path, list(self.types), self.types, None)
+        else:
+            from webcodec import filefmt
+
+            t = filefmt.read_table(partition.path)
+            yield from t.to_batches(max_chunksize=8192)
 
     def commit(self, end: dict) -> None:
         pass  # snapshots are immutable; nothing to clean up
@@ -327,4 +339,4 @@ class WebcodecDataSource(DataSource):
         return WebcodecStreamWriter(self.options, schema)
 
     def streamReader(self, schema: StructType) -> WebcodecStreamReader:
-        return WebcodecStreamReader(self.options)
+        return WebcodecStreamReader(self.options, schema)

@@ -39,6 +39,44 @@ def _schema_ddl(schema: list[dict], columns: list[str] | None) -> str:
     return ", ".join(f"`{f['name']}` {_SPARK_TYPE.get(f['type'], f['type'])}" for f in cols)
 
 
+_ARROW_OF_SPARK = {
+    "string": "string", "bigint": "int64", "int": "int32",
+    "double": "double", "float": "float", "boolean": "bool",
+    "binary": "binary", "date": "date32[day]",
+    "timestamp": "timestamp[us]", "timestamp_ntz": "timestamp[us]",
+    "array<float>": "list<item: float>",
+}
+
+
+def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
+                        predicate, batch_rows: int = 8_192):
+    """Decode one .wcd file to Arrow batches with Iceberg add-column
+    semantics: columns added to the table AFTER this file was written decode
+    as nulls (``types`` maps column name -> Spark type string). Shared by the
+    job reader and the DataSource reader (executor-side)."""
+    from webcodec import filefmt
+    from webcodec.types import arrow_type_from_json
+
+    with open(path, "rb") as f:
+        data = f.read()
+    footer = filefmt.read_footer(memoryview(data))
+    present = {c["name"] for c in (footer.get("groups") or [footer])[0]["chunks"]}
+    cols_here = [c for c in want if c in present]
+    t = filefmt.read_table(data, columns=cols_here, predicate=predicate)
+    if cols_here != want:
+        arrays = []
+        for name in want:
+            if name in present:
+                arrays.append(t.column(name))
+            else:
+                at = arrow_type_from_json(
+                    _ARROW_OF_SPARK.get(types.get(name, "string"), "string")
+                )
+                arrays.append(pa.nulls(t.num_rows, type=at))
+        t = pa.Table.from_arrays(arrays, names=want)
+    yield from t.to_batches(max_chunksize=batch_rows)
+
+
 def read_encoded(
     spark: SparkSession,
     table_dir: str,
@@ -60,15 +98,16 @@ def read_encoded(
         raise FileNotFoundError(f"no snapshot in {table_dir}")
     files = tbl.data_files(predicate, snapshot_id=snapshot_id)
     ddl = _schema_ddl(snap["schema"], columns)
+    want = [f["name"] for f in snap["schema"] if columns is None or f["name"] in columns]
+    if columns is not None:
+        want.sort(key=lambda n: columns.index(n))
+    types = {f["name"]: f["type"] for f in snap["schema"]}
     paths = [(os.path.join(table_dir, f["path"]),) for f in files]
 
     def decode_fn(batches):
-        from webcodec import filefmt  # executor-side import
-
         for b in batches:
             for path in b.column("path").to_pylist():
-                t = filefmt.read_table(path, columns=columns, predicate=predicate)
-                for rb in t.to_batches(max_chunksize=batch_rows):
+                for rb in decode_file_evolved(path, want, types, predicate, batch_rows):
                     yield rb
 
     if not paths:
