@@ -224,12 +224,61 @@ def _make_file_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | N
     return encode_split
 
 
+def _domains_of(urls) -> "pa.Array":
+    import pyarrow.compute as pc
+
+    no_scheme = pc.replace_substring_regex(
+        urls, pattern=r"^[a-zA-Z][a-zA-Z0-9+.-]*://", replacement=""
+    )
+    return pc.list_element(pc.split_pattern(no_scheme, "/", max_splits=1), 0)
+
+
+def sample_hot_domains_from_files(
+    paths: list[str], url_col: str, rows_per_partition: int, max_row_groups: int = 8
+) -> dict[str, int]:
+    """Hot-domain salt counts from a BOUNDED driver-side sample: read the url
+    column of up to ``max_row_groups`` evenly-spaced row groups directly via
+    pyarrow C++ (threaded) and scale the histogram by the sampled fraction.
+    Replaces a whole Spark sampling job (fixed ~1.7s) with a sub-second read
+    that stays O(max_row_groups x url-chunk) regardless of table size."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    rgs: list[tuple[str, int, int]] = []  # (path, rg index, rows)
+    total_rows = 0
+    for path in sorted(paths):
+        md = pq.ParquetFile(path).metadata
+        for i in range(md.num_row_groups):
+            rgs.append((path, i, md.row_group(i).num_rows))
+            total_rows += md.row_group(i).num_rows
+    if not rgs or total_rows == 0:
+        return {}
+    step = max(len(rgs) // max_row_groups, 1)
+    chosen = rgs[:: step][:max_row_groups]
+    sampled_rows = sum(r for _, _, r in chosen)
+    parts = []
+    for path, i, _ in chosen:
+        parts.append(pq.ParquetFile(path).read_row_group(i, columns=[url_col]).column(url_col))
+    dom = _domains_of(pa.concat_arrays([c.combine_chunks() for c in parts]))
+    vc = pc.value_counts(dom)
+    frac = sampled_rows / total_rows
+    denom = max(rows_per_partition * frac, 1.0)
+    out: dict[str, int] = {}
+    for row in vc.to_pylist():
+        k = -(-row["counts"] // denom)  # ceil
+        if k > 1:
+            out[row["values"]] = int(k)
+    return out
+
+
 def sample_hot_domains(
     df: DataFrame, url_col: str, rows_per_partition: int,
     sample_fraction: float = 0.01, seed: int = 42,
 ) -> dict[str, int]:
     """Driver-side sampled domain histogram -> salt counts for hot domains.
-    JVM-only job over the url column (no Python bridge)."""
+    JVM-only job over the url column (no Python bridge). Fallback for
+    non-parquet sources; parquet scans use the cheaper
+    :func:`sample_hot_domains_from_files`."""
     domain = F.substring_index(F.substring_index(F.col(url_col), "://", -1), "/", 1)
     frac = min(1.0, sample_fraction)
     denom = max(int(rows_per_partition * frac), 1)
@@ -268,9 +317,7 @@ def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str
                     json.loads(row["row_groups"])
                 )
                 urls = table.column(url_col).combine_chunks()
-                # vectorized domain: strip scheme, take netloc
-                no_scheme = pc.replace_substring_regex(urls, pattern=r"^[a-zA-Z][a-zA-Z0-9+.-]*://", replacement="")
-                dom = pc.list_element(pc.split_pattern(no_scheme, "/", max_splits=1), 0)
+                dom = _domains_of(urls)  # vectorized: strip scheme, take netloc
                 # Arrow C++ dictionary encode: per-UNIQUE-domain work only
                 if isinstance(dom, pa.ChunkedArray):
                     dom = dom.combine_chunks()
@@ -436,7 +483,7 @@ def encode_table(
             num_partitions = max(total_bytes // (128 << 20) + 1, 2)
         total_rows = sum(s["num_rows"] for s in splits)
         rpp = max(total_rows // num_partitions, 1)
-        hot = sample_hot_domains(df, url_col, rpp)
+        hot = sample_hot_domains_from_files(paths, url_col, rpp)
         done = frozenset(tbl.completed_partition_ids()) if resume else frozenset()
         shuffle_dir = os.path.join(table_dir, "_shuffle")
         os.makedirs(shuffle_dir, exist_ok=True)
