@@ -126,3 +126,60 @@ def test_kill_resume_no_reencode(spark, tmp_path):
         assert os.path.getmtime(os.path.join(out, f["path"])) == kept_mtimes[f["path"]]
     res = verify_roundtrip(spark, df, out, ["url"])
     assert res["ok"], res
+
+
+@pytest.mark.spark
+def test_filtered_rewrite_deletes_rows(spark, tmp_path):
+    """Filtered rewrite = targeted deletion: rows matching the KEEP predicate
+    survive, everything else is gone, values stay byte-identical."""
+    from pyspark.sql import functions as F
+
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import rewrite_encoded
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(webpages(2_000), src)
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "t")
+    encode_table(df, out, write_metrics=False)
+    out2 = str(tmp_path / "t2")
+    rewrite_encoded(spark, out, out2, predicate=[("lang", "in", ["en", "de"])])
+    back = read_encoded(spark, out2)
+    want = df.filter(F.col("lang").isin("en", "de"))
+    assert back.count() == want.count() > 0
+    assert want.exceptAll(back).count() == 0
+    assert back.exceptAll(want).count() == 0
+
+
+def test_expire_snapshots(tmp_path):
+    from webcodec.spark.maintenance import expire_snapshots
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.init()
+    schema = [{"name": "x", "type": "bigint", "nullable": True}]
+    for i in range(4):
+        fn = f"f{i}.bin"
+        with open(os.path.join(tbl.data_dir, fn), "wb") as f:
+            f.write(b"x")
+        tbl.commit(
+            [{"partition_id": i, "path": f"data/{fn}", "rows": 1, "raw_bytes": 1,
+              "compressed_bytes": 1, "column_stats": {}}],
+            schema,
+        )
+    # snapshot 4 references f0..f3; snapshot 2 references f0,f1
+    res = expire_snapshots(str(tmp_path / "t"), keep_last=2)
+    assert res["removed_snapshots"] == 2
+    assert res["removed_files"] == 0  # all files still referenced by snap 3/4
+    # replace-commit drops all old files from the manifest, then expire all
+    tbl.commit(
+        [{"partition_id": 9, "path": "data/f9.bin", "rows": 1, "raw_bytes": 1,
+          "compressed_bytes": 1, "column_stats": {}}],
+        schema, replace=True,
+    )
+    with open(os.path.join(tbl.data_dir, "f9.bin"), "wb") as f:
+        f.write(b"x")
+    res = expire_snapshots(str(tmp_path / "t"), keep_last=1)
+    assert res["removed_files"] == 4  # f0..f3 unreferenced by snapshot 5
+    assert sorted(os.listdir(tbl.data_dir)) == ["f9.bin"]
+    assert tbl.read_snapshot()["files"][0]["path"] == "data/f9.bin"

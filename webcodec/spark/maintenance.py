@@ -90,10 +90,17 @@ def rewrite_encoded(
     dst_dir: str,
     config: EncoderConfig | None = None,
     columns: list[str] | None = None,
+    predicate=None,
 ) -> dict:
     """Transcode a webcodec table (decode -> re-encode with new options, e.g.
     different compression, column subset/masking). One Spark task per source
-    file; bytes never cross the JVM (reference parity: ParquetRewriter)."""
+    file; bytes never cross the JVM (reference parity: ParquetRewriter).
+
+    ``predicate`` (webcodec.predicate algebra) keeps only matching rows —
+    the filtered-rewrite path a training-data pipeline uses for targeted
+    deletion (e.g. takedowns): files whose stats prove no match are copied
+    logically untouched via pruning, everything else re-encodes minus the
+    dropped rows."""
     import pyarrow as pa
 
     config = config or EncoderConfig()
@@ -115,7 +122,9 @@ def rewrite_encoded(
 
         for b in batches:
             for row in b.to_pylist():
-                table = filefmt.read_table(row["path"], columns=cols)
+                table = filefmt.read_table(row["path"], columns=cols, predicate=predicate)
+                if table.num_rows == 0:
+                    continue
                 yield from _write_one(
                     data_dir, row["pid"], table, config, None
                 ).to_batches()
@@ -144,3 +153,41 @@ def rewrite_encoded(
             }
         )
     return dst.commit(files, schema, properties={"rewritten_from": src_dir}, replace=True)
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Iceberg-style maintenance: delete snapshot manifests older than the
+    newest ``keep_last`` and remove data files no kept snapshot references.
+    Time travel remains valid for every kept snapshot; commits stay atomic
+    (only already-unreferenced files are unlinked)."""
+    tbl = SnapshotTable(table_dir)
+    cur = tbl.current_snapshot_id()
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot in {table_dir}")
+    ids = sorted(
+        int(fn[len("snapshot-"):-len(".json")])
+        for fn in os.listdir(tbl.meta_dir)
+        if fn.startswith("snapshot-") and fn.endswith(".json")
+    )
+    keep = set(ids[-max(keep_last, 1):])
+    keep.add(cur)  # never expire the current snapshot
+    referenced: set[str] = set()
+    for sid in keep:
+        snap = tbl.read_snapshot(sid)
+        referenced.update(f["path"] for f in snap["files"])
+    removed_files = 0
+    for fn in os.listdir(tbl.data_dir):
+        rel = os.path.join("data", fn)
+        if rel not in referenced:
+            os.remove(os.path.join(tbl.data_dir, fn))
+            removed_files += 1
+    removed_snaps = 0
+    for sid in ids:
+        if sid not in keep:
+            os.remove(os.path.join(tbl.meta_dir, f"snapshot-{sid}.json"))
+            removed_snaps += 1
+    return {
+        "kept_snapshots": sorted(keep),
+        "removed_snapshots": removed_snaps,
+        "removed_files": removed_files,
+    }
