@@ -1,0 +1,91 @@
+"""Forced-encoding x type x null-pattern round-trip matrix.
+
+The auto-selector normally picks per-column encodings from stats, which
+means rare (encoding, type) pairs may never be exercised by the e2e suite.
+This matrix FORCES each legal pair via the per-column override (B6 surface)
+and round-trips three null patterns — none, sparse, dense — plus an
+all-null page. Any combination that encodes must decode bit-identically.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webcodec import filefmt
+from webcodec.config import EncoderConfig
+
+_RNG = np.random.default_rng(17)
+N = 3_000
+
+
+def _nullify(arr: pa.Array, pattern: str) -> pa.Array:
+    if pattern == "none":
+        return arr
+    if pattern == "sparse":
+        mask = _RNG.random(len(arr)) < 0.05
+    elif pattern == "dense":
+        mask = _RNG.random(len(arr)) < 0.6
+    else:  # leading all-null page
+        mask = np.zeros(len(arr), dtype=bool)
+        mask[:600] = True
+    vals = arr.to_pylist()
+    return pa.array(
+        [None if m else v for v, m in zip(vals, mask)], type=arr.type
+    )
+
+
+def _columns() -> dict[str, pa.Array]:
+    ts = pa.array(
+        (1_700_000_000_000_000 + np.sort(_RNG.integers(0, 10**12, N))).tolist(),
+        pa.timestamp("us"),
+    )
+    return {
+        "i32": pa.array(_RNG.integers(-(2**28), 2**28, N), pa.int32()),
+        "i64": pa.array(_RNG.integers(-(2**60), 2**60, N), pa.int64()),
+        "f32": pa.array(_RNG.standard_normal(N).astype(np.float32), pa.float32()),
+        "f64": pa.array(_RNG.standard_normal(N), pa.float64()),
+        "ts": ts,
+        "date": pa.array(_RNG.integers(10_000, 20_000, N).tolist(), pa.date32()),
+        "b": pa.array((_RNG.random(N) < 0.5).tolist(), pa.bool_()),
+        "s_lowcard": pa.array([f"v{i % 7}" for i in range(N)]),
+        "s_sorted": pa.array(sorted(f"https://site{i % 40:03d}.com/p{i}" for i in range(N))),
+        "s_text": pa.array(
+            [" ".join(_RNG.choice(["the", "fox", "jumps", "web", "data"], 12)) for _ in range(N)]
+        ),
+        "bin": pa.array([bytes(_RNG.integers(0, 256, i % 40, dtype=np.uint8)) for i in range(N)], pa.binary()),
+    }
+
+
+_LEGAL = {
+    "plain": ["i32", "i64", "f32", "f64", "ts", "date", "b", "s_lowcard", "s_text", "bin"],
+    "rle": ["i32", "i64", "b", "date"],
+    "dict": ["i32", "i64", "f64", "s_lowcard", "s_sorted", "bin", "date"],
+    "delta_binary_packed": ["i32", "i64", "ts", "date"],
+    "delta_length": ["s_lowcard", "s_sorted", "s_text", "bin"],
+    "delta_byte_array": ["s_lowcard", "s_sorted", "s_text", "bin"],
+    "byte_stream_split": ["f32", "f64", "i32", "i64", "ts"],
+    "fsst": ["s_text", "s_sorted", "bin"],
+}
+
+
+@pytest.mark.parametrize("encoding", sorted(_LEGAL))
+@pytest.mark.parametrize("pattern", ["none", "sparse", "dense", "leading_page"])
+def test_forced_encoding_roundtrip(encoding, pattern):
+    cols = _columns()
+    names = _LEGAL[encoding]
+    t = pa.table({n: _nullify(cols[n], pattern) for n in names})
+    cfg = EncoderConfig(
+        column_encoding={n: encoding for n in names},
+        page_row_count_limit=512,
+    )
+    buf = io.BytesIO()
+    filefmt.write_table(t, buf, cfg)
+    got = filefmt.read_table(buf.getvalue())
+    for n in names:
+        assert got.column(n).combine_chunks().equals(
+            t.column(n).combine_chunks()
+        ), f"{encoding}/{n}/{pattern}"
