@@ -185,6 +185,15 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
         )
     )
     extras["encode_webpages_gbps"] = raw_bytes / queries["encode_webpages"] / 1e9
+    # kernel-only per-core throughput from lineage (untimed metrics run):
+    # contextualizes wall numbers vs the reference's single-node figure
+    encode_table(df, os.path.join(work, "wp_m"), url_col="url", write_metrics=True,
+                 mode="files", config=EncoderConfig.speed(), **split_kw)
+    msecs = (
+        spark.read.parquet(os.path.join(work, "wp_m", "metrics"))
+        .agg(F.sum("encode_secs")).collect()[0][0]
+    )
+    extras["encode_kernel_mbps_per_core"] = raw_bytes / msecs / 1e6
     snap = SnapshotTable(os.path.join(work, "wp_0")).read_snapshot()
     extras["webpages_raw_bytes"] = snap["total_raw_bytes"]
     extras["webpages_compressed_bytes"] = snap["total_compressed_bytes"]
@@ -269,6 +278,14 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
             )
         )
         extras["encode_lineitem_gbps"] = li_raw / queries["encode_lineitem"] / 1e9
+        encode_table(dfl, os.path.join(work, "li_m"), sort_key="l_orderkey",
+                     mode="files", target_partition_bytes=max(li_raw // (2 * cpus), 8 << 20),
+                     write_metrics=True)
+        li_secs = (
+            spark.read.parquet(os.path.join(work, "li_m", "metrics"))
+            .agg(F.sum("encode_secs")).collect()[0][0]
+        )
+        extras["lineitem_kernel_mbps_per_core"] = li_raw / li_secs / 1e6
         queries["decode_lineitem"] = best_of(
             lambda _r: read_encoded(spark, os.path.join(work, "li_0"))
             .agg(F.sum("l_orderkey"), F.sum("l_quantity")).collect()

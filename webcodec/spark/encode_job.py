@@ -35,7 +35,7 @@ from webcodec.spark.table import SnapshotTable
 
 LINEAGE_SCHEMA = (
     "partition_id int, file string, rows long, raw_bytes long, encoded_bytes long, "
-    "compressed_bytes long, encode_secs double, codec_choices string, "
+    "compressed_bytes long, n_pages long, encode_secs double, codec_choices string, "
     "column_stats string, input_files string, attempt string"
 )
 
@@ -103,14 +103,21 @@ def salted_partition_ids(
 
 
 def _lineage_row(pid: int, fname: str, table: pa.Table, footer: dict, secs: float,
-                 attempt: str) -> pa.Table:
+                 attempt: str, input_desc: str | None = None) -> pa.Table:
     from pyspark import TaskContext
 
     choices = {c["name"]: c["encoding"] for c in footer["chunks"]}
     col_stats = {c["name"]: c["stats"] for c in footer["chunks"]}
+    n_pages = int(
+        sum(len(c["pages"]) + (1 if c.get("dict") else 0) for c in footer["chunks"])
+    )
     ctx = TaskContext.get()
     inputs = json.dumps(
-        {"stage": ctx.stageId() if ctx else -1, "task": ctx.taskAttemptId() if ctx else -1}
+        {
+            "stage": ctx.stageId() if ctx else -1,
+            "task": ctx.taskAttemptId() if ctx else -1,
+            "input": input_desc or "",
+        }
     )
     return pa.table(
         {
@@ -122,6 +129,7 @@ def _lineage_row(pid: int, fname: str, table: pa.Table, footer: dict, secs: floa
                 [int(sum(c["encoded_bytes"] for c in footer["chunks"]))], pa.int64()
             ),
             "compressed_bytes": pa.array([footer["compressed_bytes"]], pa.int64()),
+            "n_pages": pa.array([n_pages], pa.int64()),
             "encode_secs": pa.array([secs], pa.float64()),
             "codec_choices": pa.array([json.dumps(choices)]),
             "column_stats": pa.array([json.dumps(col_stats)]),
@@ -132,7 +140,7 @@ def _lineage_row(pid: int, fname: str, table: pa.Table, footer: dict, secs: floa
 
 
 def _write_one(data_dir: str, pid: int, table: pa.Table, config: EncoderConfig,
-               sort_key: str | None) -> pa.Table:
+               sort_key: str | None, input_desc: str | None = None) -> pa.Table:
     from webcodec import filefmt  # executor-side import
 
     if sort_key and sort_key in table.column_names:
@@ -147,7 +155,7 @@ def _write_one(data_dir: str, pid: int, table: pa.Table, config: EncoderConfig,
     footer = filefmt.write_table(table, tmp, config)
     os.rename(tmp, fpath)
     secs = time.perf_counter() - t0
-    return _lineage_row(pid, fname, table, footer, secs, attempt)
+    return _lineage_row(pid, fname, table, footer, secs, attempt, input_desc)
 
 
 def _make_scan_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | None,
@@ -216,10 +224,10 @@ def _make_file_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | N
                 sid = row["split_id"]
                 if sid in done:
                     continue
-                table = pq.ParquetFile(row["path"]).read_row_groups(
-                    json.loads(row["row_groups"])
-                )
-                yield from _write_one(data_dir, sid, table, config, sort_key).to_batches()
+                rgs = json.loads(row["row_groups"])
+                table = pq.ParquetFile(row["path"]).read_row_groups(rgs)
+                desc = f"{row['path']}#rg{rgs}"
+                yield from _write_one(data_dir, sid, table, config, sort_key, desc).to_batches()
 
     return encode_split
 
@@ -375,7 +383,8 @@ def _make_bucket_encode_fn(data_dir: str, shuffle_dir: str, config: EncoderConfi
                     with ipc.open_stream(os.path.join(bdir, fn)) as r:
                         parts.append(r.read_all())
                 table = pa.concat_tables(parts)
-                yield from _write_one(data_dir, bk, table, config, sort_key).to_batches()
+                desc = f"spill:b{bk:05d}({len(parts)} spills)"
+                yield from _write_one(data_dir, bk, table, config, sort_key, desc).to_batches()
 
     return encode_bucket
 
