@@ -243,6 +243,17 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
     queries["decode_webpages"] = best_of(dec_run)
     extras["decode_webpages_gbps"] = raw_bytes / queries["decode_webpages"] / 1e9
 
+    # -- selective scan: two-sided url range over the url-sorted table —
+    #    file+page pruning should make this a small fraction of full decode --
+    def dec_sel(_r):
+        sel = read_encoded(
+            spark, os.path.join(work, "wp_0"),
+            predicate=[("url", ">=", "https://site0100"), ("url", "<", "https://site0120")],
+        )
+        sel.agg(F.count(F.lit(1)), F.sum(F.length("text"))).collect()
+
+    queries["decode_webpages_selective"] = best_of(dec_sel)
+
     # -- reference Parquet writer/reader (pyarrow, same zstd codec; same
     #    best-of-N discipline as our own numbers) --
     wp_table = pq.read_table(wp_path)

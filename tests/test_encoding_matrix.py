@@ -89,3 +89,36 @@ def test_forced_encoding_roundtrip(encoding, pattern):
         assert got.column(n).combine_chunks().equals(
             t.column(n).combine_chunks()
         ), f"{encoding}/{n}/{pattern}"
+
+
+@pytest.mark.parametrize(
+    "child_type,gen",
+    [
+        (pa.int64(), lambda rng, k: rng.integers(-(2**50), 2**50, k).tolist()),
+        (pa.int32(), lambda rng, k: rng.integers(-(2**28), 2**28, k).tolist()),
+        (pa.float64(), lambda rng, k: rng.standard_normal(k).tolist()),
+        (pa.string(), lambda rng, k: [f"s{int(x)}" for x in rng.integers(0, 50, k)]),
+        (pa.binary(), lambda rng, k: [bytes([int(x)] * (int(x) % 9)) for x in rng.integers(0, 200, k)]),
+        (pa.bool_(), lambda rng, k: (rng.random(k) < 0.5).tolist()),
+    ],
+    ids=["i64", "i32", "f64", "str", "bin", "bool"],
+)
+@pytest.mark.parametrize("nulls", ["none", "outer", "inner", "both"])
+def test_generic_list_roundtrip(child_type, gen, nulls):
+    """Generic one-level list<primitive>: lengths FOR+delta + child validity
+    + child values in the child's fallback encoding; outer/inner nulls."""
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(800):
+        if nulls in ("outer", "both") and i % 11 == 0:
+            rows.append(None)
+            continue
+        vals = gen(rng, int(rng.integers(0, 6)))
+        if nulls in ("inner", "both"):
+            vals = [None if rng.random() < 0.2 else v for v in vals]
+        rows.append(vals)
+    t = pa.table({"L": pa.array(rows, pa.list_(child_type))})
+    buf = io.BytesIO()
+    filefmt.write_table(t, buf, EncoderConfig(page_row_count_limit=256))
+    got = filefmt.read_table(buf.getvalue())
+    assert got.column("L").combine_chunks().equals(t.column("L").combine_chunks())

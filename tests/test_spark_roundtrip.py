@@ -189,3 +189,29 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert en.filter(F.col("lang") == "en").count() == 50
     nulls = read_encoded(spark, out, predicate=("lang", "isnull", None))
     assert nulls.filter(F.col("lang").isNull()).count() == 100
+
+
+def test_generic_list_columns_e2e(spark, tmp_path):
+    """Generic list<primitive> columns survive the full Spark encode->decode
+    path (lengths FOR+delta + child validity + child fallback encoding)."""
+    import pyarrow as pa
+
+    t = pa.table({
+        "k": pa.array(list(range(500)), pa.int64()),
+        "tags": pa.array(
+            [None if i % 13 == 0 else [f"t{j}" for j in range(i % 4)] for i in range(500)],
+            pa.list_(pa.string()),
+        ),
+        "nums": pa.array(
+            [[i, None, i * 2][: i % 4] for i in range(500)], pa.list_(pa.int64())
+        ),
+    })
+    src = str(tmp_path / "lists.parquet")
+    pq.write_table(t, src)
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "t")
+    encode_table(df, out, sort_key="k", write_metrics=False)
+    back = read_encoded(spark, out)
+    assert back.count() == 500
+    assert df.exceptAll(back).count() == 0
+    assert back.exceptAll(df).count() == 0

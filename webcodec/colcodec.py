@@ -44,6 +44,80 @@ def fixed_values(arr: pa.Array, phys: PhysType) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False).view(NUMPY_OF[phys])
 
 
+def child_fallback(child_phys: PhysType) -> Encoding:
+    """Fixed child encoding per primitive type inside a generic LIST."""
+    if child_phys in IS_VARLEN:
+        return Encoding.DELTA_LENGTH
+    if child_phys in (PhysType.FLOAT32, PhysType.FLOAT64):
+        return Encoding.BYTE_STREAM_SPLIT
+    if child_phys == PhysType.BOOL:
+        return Encoding.PLAIN
+    return Encoding.DELTA_BINARY_PACKED
+
+
+def rebuild_with_nulls(values: pa.Array, mask: np.ndarray, arrow_type: pa.DataType) -> pa.Array:
+    """Expand a null-free decoded array to full length with a validity bitmap
+    (mask True = valid). Shared by page-level null rebuild (filefmt) and the
+    generic-list child path."""
+    n = len(mask)
+    bitmap = pa.py_buffer(bitpack.pack_bools(mask))
+    if pa.types.is_boolean(arrow_type):
+        full = np.zeros(n, dtype=bool)
+        full[mask] = values.to_numpy(zero_copy_only=False).astype(bool)
+        return pa.Array.from_buffers(
+            arrow_type, n, [bitmap, pa.py_buffer(bitpack.pack_bools(full))],
+            null_count=int((~mask).sum()),
+        )
+    if (
+        pa.types.is_string(arrow_type) or pa.types.is_binary(arrow_type)
+        or pa.types.is_large_string(arrow_type) or pa.types.is_large_binary(arrow_type)
+    ):
+        offsets, data = varlen_parts(values)
+        lens = np.diff(offsets)
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[mask] = lens
+        big = pa.types.is_large_string(arrow_type) or pa.types.is_large_binary(arrow_type)
+        odt = np.int64 if big else np.int32
+        full_off = np.zeros(n + 1, dtype=odt)
+        np.cumsum(full_lens, out=full_off[1:])
+        payload = memoryview(data)[int(offsets[0]) : int(offsets[-1])]
+        return pa.Array.from_buffers(
+            arrow_type, n,
+            [bitmap, pa.py_buffer(full_off.tobytes()), pa.py_buffer(bytes(payload))],
+            null_count=int((~mask).sum()),
+        )
+    if pa.types.is_list(arrow_type):
+        # outer validity over list offsets: null slots get zero-length ranges
+        # and are masked out (NOT silently decoded as empty lists)
+        inner = values
+        offs = np.frombuffer(inner.buffers()[1], dtype=np.int32, count=len(inner) + 1)
+        lens = np.diff(offs)
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[mask] = lens
+        full_off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(full_lens, out=full_off[1:])
+        out = pa.ListArray.from_arrays(
+            pa.array(full_off, type=pa.int32()), inner.flatten(),
+            mask=pa.array(~mask),
+        )
+        return out.cast(arrow_type) if out.type != arrow_type else out
+    # fixed width
+    base = arrow_type
+    if pa.types.is_timestamp(arrow_type):
+        base = pa.int64()
+        values = values.cast(pa.int64())
+    elif pa.types.is_date32(arrow_type):
+        base = pa.int32()
+        values = values.cast(pa.int32())
+    dt = values.type.to_pandas_dtype()
+    full = np.zeros(n, dtype=dt)
+    full[mask] = values.to_numpy(zero_copy_only=False)
+    out = pa.Array.from_buffers(
+        base, n, [bitmap, pa.py_buffer(full.tobytes())], null_count=int((~mask).sum())
+    )
+    return out.cast(arrow_type) if base != arrow_type else out
+
+
 def encode_values(
     arr: pa.Array,
     phys: PhysType,
@@ -67,6 +141,32 @@ def encode_values(
         child = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
         lens_enc = delta.encode(np.diff(offsets))
         return write_uvarint(len(lens_enc)) + lens_enc + bss.encode(child)
+
+    if phys == PhysType.LIST:
+        # generic one-level list<primitive>: lengths FOR+delta + child
+        # validity (RLE) + child values in the child's fallback encoding
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        from webcodec.types import phys_type_of
+
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=arr.offset + n + 1)
+        offsets = offsets[arr.offset :].astype(np.int64)
+        child = arr.flatten()
+        child_phys = phys_type_of(child.type)
+        lens_enc = delta.encode(np.diff(offsets))
+        if child.null_count:
+            import pyarrow.compute as pc
+
+            mask = pc.is_valid(child).to_numpy(zero_copy_only=False).astype(bool)
+            validity = rle.encode_validity(mask)
+            child = child.drop_null()
+        else:
+            validity = b""
+        child_enc = encode_values(child, child_phys, child_fallback(child_phys), fsst_sample)
+        return (
+            write_uvarint(len(validity)) + validity
+            + write_uvarint(len(lens_enc)) + lens_enc + child_enc
+        )
 
     if phys in IS_VARLEN:
         offsets, data = varlen_parts(arr)
@@ -122,6 +222,34 @@ def decode_values(
             np.cumsum(lens, out=offsets[1:])
         child_arr = pa.array(child, type=pa.float32())
         return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), child_arr)
+
+    if phys == PhysType.LIST:
+        from webcodec.types import phys_type_of
+
+        child_type = arrow_type.value_type
+        child_phys = phys_type_of(child_type)
+        buf = memoryview(data)
+        vlen, pos = read_uvarint(buf, 0)
+        validity = buf[pos : pos + vlen]
+        pos += vlen
+        ll, pos2 = read_uvarint(buf, pos)
+        lens = delta.decode(buf[pos2 : pos2 + ll], n)
+        child_n = int(lens.sum()) if n else 0
+        if vlen:
+            mask = rle.decode_validity(validity, child_n)
+            n_valid = int(mask.sum())
+        else:
+            mask, n_valid = None, child_n
+        child_arr = decode_values(
+            buf[pos2 + ll :], child_phys, child_fallback(child_phys), n_valid, child_type
+        )
+        if mask is not None:
+            child_arr = rebuild_with_nulls(child_arr, mask, child_type)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        if n:
+            np.cumsum(lens, out=offsets[1:])
+        out = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), child_arr)
+        return out.cast(arrow_type) if out.type != arrow_type else out
 
     if phys in IS_VARLEN:
         if encoding == Encoding.DELTA_LENGTH:

@@ -441,57 +441,9 @@ def _read_page(buf: memoryview, offset: int, verify_crc: bool = True):
 
 
 def _rebuild_with_nulls(values: pa.Array, mask: np.ndarray, arrow_type: pa.DataType) -> pa.Array:
-    """Expand a null-free decoded array to full length with a validity bitmap."""
-    n = len(mask)
-    from webcodec.kernels.bitpack import pack_bools
-
-    bitmap = pa.py_buffer(pack_bools(mask))
-    if pa.types.is_boolean(arrow_type):
-        full = np.zeros(n, dtype=bool)
-        full[mask] = values.to_numpy(zero_copy_only=False).astype(bool)
-        return pa.Array.from_buffers(arrow_type, n, [bitmap, pa.py_buffer(pack_bools(full))], null_count=int((~mask).sum()))
-    if pa.types.is_string(arrow_type) or pa.types.is_binary(arrow_type) or pa.types.is_large_string(arrow_type) or pa.types.is_large_binary(arrow_type):
-        offsets, data = colcodec.varlen_parts(values)
-        lens = np.diff(offsets)
-        full_lens = np.zeros(n, dtype=np.int64)
-        full_lens[mask] = lens
-        big = pa.types.is_large_string(arrow_type) or pa.types.is_large_binary(arrow_type)
-        odt = np.int64 if big else np.int32
-        full_off = np.zeros(n + 1, dtype=odt)
-        np.cumsum(full_lens, out=full_off[1:])
-        payload = memoryview(data)[int(offsets[0]) : int(offsets[-1])]
-        return pa.Array.from_buffers(
-            arrow_type, n, [bitmap, pa.py_buffer(full_off.tobytes()), pa.py_buffer(bytes(payload))],
-            null_count=int((~mask).sum()),
-        )
-    if pa.types.is_list(arrow_type):
-        # outer validity over list offsets: null slots get zero-length ranges
-        # and are masked out (NOT silently decoded as empty lists)
-        inner = values
-        offs = np.frombuffer(inner.buffers()[1], dtype=np.int32, count=len(inner) + 1)
-        lens = np.diff(offs)
-        full_lens = np.zeros(n, dtype=np.int64)
-        full_lens[mask] = lens
-        full_off = np.zeros(n + 1, dtype=np.int32)
-        np.cumsum(full_lens, out=full_off[1:])
-        out = pa.ListArray.from_arrays(
-            pa.array(full_off, type=pa.int32()), inner.flatten(),
-            mask=pa.array(~mask),
-        )
-        return out.cast(arrow_type) if out.type != arrow_type else out
-    # fixed width
-    base = arrow_type
-    if pa.types.is_timestamp(arrow_type):
-        base = pa.int64()
-        values = values.cast(pa.int64())
-    elif pa.types.is_date32(arrow_type):
-        base = pa.int32()
-        values = values.cast(pa.int32())
-    dt = values.type.to_pandas_dtype()
-    full = np.zeros(n, dtype=dt)
-    full[mask] = values.to_numpy(zero_copy_only=False)
-    out = pa.Array.from_buffers(base, n, [bitmap, pa.py_buffer(full.tobytes())], null_count=int((~mask).sum()))
-    return out.cast(arrow_type) if base != arrow_type else out
+    """Expand a null-free decoded array to full length with a validity bitmap
+    (implementation shared with the generic-list child path in colcodec)."""
+    return colcodec.rebuild_with_nulls(values, mask, arrow_type)
 
 
 def _decode_dict_page_only(buf: memoryview, chunk: dict, verify_crc: bool = True) -> pa.Array:

@@ -45,6 +45,9 @@ _ARROW_OF_SPARK = {
     "binary": "binary", "date": "date32[day]",
     "timestamp": "timestamp[us]", "timestamp_ntz": "timestamp[us]",
     "array<float>": "list<item: float>",
+    "array<int>": "list<item: int32>", "array<bigint>": "list<item: int64>",
+    "array<double>": "list<item: double>", "array<string>": "list<item: string>",
+    "array<binary>": "list<item: binary>", "array<boolean>": "list<item: bool>",
 }
 
 

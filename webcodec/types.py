@@ -19,6 +19,8 @@ class PhysType(enum.IntEnum):
     TIMESTAMP_US = 7
     LIST_FLOAT32 = 8  # embeddings support: offsets delta + child BSS
     DATE32 = 9
+    LIST = 10  # generic one-level list<primitive>: offsets delta + child
+               # validity + child values in the child's fallback encoding
 
 
 class Encoding(enum.IntEnum):
@@ -69,6 +71,13 @@ def phys_type_of(t: pa.DataType) -> PhysType:
             return pt
     if pa.types.is_timestamp(t):
         return PhysType.TIMESTAMP_US
+    if pa.types.is_list(t):
+        # generic one-level list of a supported primitive (float32 lists take
+        # the specialized LIST_FLOAT32 path above)
+        child = phys_type_of(t.value_type)
+        if child in (PhysType.LIST, PhysType.LIST_FLOAT32):
+            raise TypeError(f"nested lists unsupported: {t}")
+        return PhysType.LIST
     raise TypeError(f"unsupported arrow type: {t}")
 
 
@@ -86,6 +95,7 @@ def arrow_type_of(pt: PhysType, original: pa.DataType | None = None) -> pa.DataT
         PhysType.TIMESTAMP_US: pa.timestamp("us"),
         PhysType.LIST_FLOAT32: pa.list_(pa.float32()),
         PhysType.DATE32: pa.date32(),
+        PhysType.LIST: pa.list_(pa.int64()),  # placeholder; footer type wins
     }[pt]
 
 
@@ -126,6 +136,9 @@ def arrow_type_from_json(s: str) -> pa.DataType:
     if s.startswith("timestamp[us, tz="):
         return pa.timestamp("us", tz=s[len("timestamp[us, tz=") : -1])
     # list child field name varies by producer ("item", "element", ...)
-    if s.startswith("list<") and s.endswith(": float>"):
-        return pa.list_(pa.float32())
+    for prefix in ("list<", "large_list<"):
+        if s.startswith(prefix) and s.endswith(">"):
+            inner = s[len(prefix) : -1]
+            child = inner.split(": ", 1)[1] if ": " in inner else inner
+            return pa.list_(arrow_type_from_json(child))
     raise TypeError(f"cannot parse arrow type {s!r}")
