@@ -148,3 +148,72 @@ def test_stream_reader_plans_file_partitions(tmp_path):
     # read() decodes a partition to Arrow batches (executor-side path)
     batches = list(r.read(parts[0]))
     assert sum(b.num_rows for b in batches) == 100
+
+
+def test_stream_watermark_window_agg_pipeline(spark, tmp_path):
+    """Composition: webcodec streaming SOURCE -> event-time window agg with a
+    watermark (late-data semantics are Spark's; our source supplies
+    event-time rows) -> webcodec streaming SINK. Result must equal the batch
+    window agg over the same data."""
+    import pyarrow.parquet as pq2
+
+    from pyspark.sql import functions as F
+
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.decode_job import read_encoded
+
+    spark.dataSource.register(WebcodecDataSource)
+    t = webpages(1_200)
+    src = str(tmp_path / "s.parquet")
+    pq2.write_table(t, src)
+    df = spark.read.parquet(src)
+    # two source snapshots: batch 2's later timestamps advance the watermark
+    # past batch 1's windows, so append mode finalizes and emits them
+    split = df.orderBy("warc_ts").limit(1_000).agg(F.max("warc_ts")).collect()[0][0]
+    batch1 = df.filter(F.col("warc_ts") <= F.lit(split))
+    batch2 = df.filter(F.col("warc_ts") > F.lit(split))
+    src_tbl = str(tmp_path / "src_tbl")
+    batch1.write.format("webcodec").option("path", src_tbl).mode("append").save()
+
+    out_tbl = str(tmp_path / "agg_tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.format("webcodec").option("path", src_tbl).load()
+        agg = (
+            stream.withColumn("ts", F.col("warc_ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "7 days"), "lang")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum(F.length("text")).alias("chars"))
+            .select(F.col("window.start").alias("w_start"), "lang", "cnt", "chars")
+        )
+        q = (
+            agg.writeStream.format("webcodec")
+            .option("path", out_tbl)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    batch2.write.format("webcodec").option("path", src_tbl).mode("append").save()
+    run_once()
+
+    got = read_encoded(spark, out_tbl)
+    want = (
+        df.withColumn("ts", F.col("warc_ts").cast("timestamp"))
+        .groupBy(F.window("ts", "7 days"), "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(F.length("text")).alias("chars"))
+        .select(F.col("window.start").alias("w_start"), "lang", "cnt", "chars")
+    )
+    # every emitted row must match the batch result, and every window fully
+    # closed below batch 1's watermark must have been emitted
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert len(got_rows) > 0
+    assert got_rows <= want_rows
+    wm = batch1.agg(F.max(F.col("warc_ts").cast("timestamp"))).collect()[0][0]
+    finalized = {r for r in want_rows if (wm - r[0]).total_seconds() > 8 * 86400}
+    assert finalized <= got_rows

@@ -164,6 +164,10 @@ class WebcodecWriter(DataSourceArrowWriter):
 
         pid = TaskContext.get().partitionId()
         batches = list(iterator)
+        if not batches:
+            # empty partition (routine under aggregations with many shuffle
+            # partitions): nothing to write, empty commit message
+            return _CommitMsg(lineage="")
         table = pa.Table.from_batches(batches)
         if self.sort_key and self.sort_key in table.column_names:
             import pyarrow.compute as pc
@@ -199,7 +203,7 @@ class WebcodecWriter(DataSourceArrowWriter):
 
         tbl = SnapshotTable(self.table_dir)
         tbl.init()
-        files = [json.loads(m.lineage) for m in messages if m is not None]
+        files = [json.loads(m.lineage) for m in messages if m is not None and m.lineage]
         # namespace partition ids by the new snapshot so repeated appends
         # never collide in the manifest (append means APPEND, not upsert —
         # the job API's stable ids are a resume feature; this writer has none)
@@ -215,7 +219,7 @@ class WebcodecWriter(DataSourceArrowWriter):
 
     def abort(self, messages):
         for m in messages:
-            if m is None:
+            if m is None or not m.lineage:
                 continue
             try:
                 os.remove(os.path.join(self.table_dir, json.loads(m.lineage)["path"]))
@@ -308,7 +312,7 @@ class WebcodecStreamWriter(DataSourceStreamArrowWriter):
 
         tbl = SnapshotTable(self._w.table_dir)
         tbl.init()
-        files = [json.loads(m.lineage) for m in messages if m is not None]
+        files = [json.loads(m.lineage) for m in messages if m is not None and m.lineage]
         for f in files:
             f["partition_id"] = batchId * 1_000_000 + f["partition_id"]
         tbl.commit(
