@@ -55,6 +55,9 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
 def _prep(spark: SparkSession) -> None:
     _ensure_pyfiles(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Spark 4 refuses a Python DataSource that defines pushFilters unless
+    # this is on; runtime-settable, required for the format("webcodec") queries
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 def _encode_decode(
