@@ -243,11 +243,12 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
     queries["decode_webpages"] = best_of(dec_run)
     extras["decode_webpages_gbps"] = raw_bytes / queries["decode_webpages"] / 1e9
 
-    # -- selective scan: two-sided url range over the url-sorted table —
-    #    file+page pruning should make this a small fraction of full decode --
+    # -- selective scan: two-sided url range. Runs over the CLUSTERED table:
+    #    domain clustering gives files disjoint url ranges, so manifest-level
+    #    min/max pruning skips whole files before any page work --
     def dec_sel(_r):
         sel = read_encoded(
-            spark, os.path.join(work, "wp_0"),
+            spark, os.path.join(work, "wp_clustered"),
             predicate=[("url", ">=", "https://site0100"), ("url", "<", "https://site0120")],
         )
         sel.agg(F.count(F.lit(1)), F.sum(F.length("text"))).collect()
