@@ -129,8 +129,14 @@ def _rt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rt_lineitem_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregate over the round-tripped `lineitem` — proves
-    numeric columns decode bit-identically under a real aggregation plan."""
-    df = _encode_decode(spark, sf_dir, "lineitem", sort_key="l_orderkey", num_partitions=8)
+    numeric columns decode bit-identically under a real aggregation plan.
+    Projection is pushed into the engine scan (columns=): Catalyst cannot
+    see through mapInArrow, so the decode call itself must prune (plan
+    audit: without this the scan decoded all 11 columns for a 5-column agg)."""
+    df = _encode_decode(
+        spark, sf_dir, "lineitem", sort_key="l_orderkey", num_partitions=8,
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
     return (
         df.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -145,8 +151,10 @@ def _rt_lineitem_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rt_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join two independently round-tripped tables (lineitem x orders) —
     Catalyst plans the join over our decoded leaves (SURVEY.md §2.H)."""
-    li = _encode_decode(spark, sf_dir, "lineitem", sort_key="l_orderkey", num_partitions=8)
-    orders = _encode_decode(spark, sf_dir, "orders", sort_key="o_orderkey", num_partitions=4)
+    li = _encode_decode(spark, sf_dir, "lineitem", sort_key="l_orderkey", num_partitions=8,
+                        columns=["l_orderkey", "l_quantity"])
+    orders = _encode_decode(spark, sf_dir, "orders", sort_key="o_orderkey", num_partitions=4,
+                            columns=["o_orderkey", "o_orderpriority"])
     j = li.join(orders, li.l_orderkey == orders.o_orderkey)
     return (
         j.groupBy("o_orderpriority")
