@@ -182,6 +182,29 @@ def _rt_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_list_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic list<string> column through the ENGINE: documents.text is
+    tokenized to array<string> Spark-side, encoded via scan mode (lengths
+    FOR+delta + child validity + delta-length strings), decoded, and
+    re-joined — md5(rejoined) must equal md5(text), proving the list
+    round-trip bit-exactly."""
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+
+    _prep(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = df.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    out = tempfile.mkdtemp(prefix="wcq_listwords_")
+    encode_table(words, os.path.join(out, "t"), sort_key="doc_id", mode="scan",
+                 write_metrics=False)
+    back = read_encoded(spark, os.path.join(out, "t"))
+    return back.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.md5(F.concat_ws(" ", F.col("words"))).alias("rejoined_md5"),
+    )
+
+
 def _scan_prune_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + predicate pushdown through the engine's read path: only
     (doc_id, lang) pages are decoded, files pruned via manifest min/max (D2/D6)."""
@@ -673,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_documents_compacted": _rt_documents_compacted,
         "scan_bloom_miss": _scan_bloom_miss,
         "scan_ts_range": _scan_ts_range,
+        "rt_list_words": _rt_list_words,
         "stats_minmax": _stats_minmax,
         "agg_lang_counts": _agg_lang_counts,
         "dedup_exact": _dedup_exact,
@@ -794,6 +818,10 @@ def oracle_sql() -> dict[str, str]:
         "scan_ts_range": (
             "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type "
             "FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'"
+        ),
+        "rt_list_words": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+            "md5(text) AS rejoined_md5 FROM documents"
         ),
         "stats_minmax": (
             "SELECT CAST(min(n_chars) AS BIGINT) AS min_nchars, "

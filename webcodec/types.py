@@ -140,5 +140,6 @@ def arrow_type_from_json(s: str) -> pa.DataType:
         if s.startswith(prefix) and s.endswith(">"):
             inner = s[len(prefix) : -1]
             child = inner.split(": ", 1)[1] if ": " in inner else inner
+            child = child.removesuffix(" not null")
             return pa.list_(arrow_type_from_json(child))
     raise TypeError(f"cannot parse arrow type {s!r}")
