@@ -495,6 +495,64 @@ def _simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the coarse-quantizer counterpart to simsearch_lsh): k-means
+    centroids trained DRIVER-SIDE on a bounded sample (numpy, deterministic
+    seed/iterations — the standard IVF design: the quantizer sees a sample,
+    assignment is distributed), then cell assignment via a vectorized Arrow
+    kernel, probe = the query's cell only, exact integer-quantized dot
+    rerank on those candidates. Rows-only check (recall is probabilistic)."""
+    import numpy as np
+    import pyarrow as _pa
+
+    _prep(spark)
+    df = _src(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # bounded driver-side sample -> deterministic k-means (k=16, 8 iters)
+    sample_rows = df.orderBy("vec_id").limit(512).collect()
+    X = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    rng = np.random.default_rng(7)
+    k = 16
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(8):
+        cell = np.argmax(X @ C.T, axis=1)  # unit-norm: max dot == min angle
+        for j in range(len(C)):
+            m = cell == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    C[j] = v / nrm
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        from webcodec.spark.text import embedding_matrix
+
+        for b in batches:
+            emb = embedding_matrix(b.column("embedding"))
+            cells = np.argmax(emb @ bc.value.T, axis=1).astype(np.int32)
+            yield _pa.RecordBatch.from_pydict(
+                {"vec_id": b.column("vec_id"), "cell": _pa.array(cells, _pa.int32())}
+            )
+
+    cells = df.mapInArrow(assign, "vec_id long, cell int")
+    withc = df.join(cells, "vec_id")
+    qv = F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"))
+    q = withc.filter(F.col("vec_id") == 0).select(F.col("cell").alias("qc"), qv.alias("qvec"))
+    cand = withc.filter(F.col("vec_id") != 0).select("vec_id", "cell", qv.alias("cvec"))
+    joined = cand.join(F.broadcast(q), cand.cell == q.qc)  # probe one cell
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        joined.select("vec_id", dot.alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
 def _metrics_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition lineage -> metrics table (north_rule): encode with
     metrics on, then aggregate the metrics parquet — row totals must match
@@ -705,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "simsearch_top10": _simsearch_top10,
         "simsearch_lsh": _simsearch_lsh,
+        "simsearch_ivf": _simsearch_ivf,
         "metrics_lineage": _metrics_lineage,
         "lang_id_stopwords": _lang_id_stopwords,
         "text_fingerprint": _text_fingerprint,
