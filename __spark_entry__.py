@@ -425,8 +425,10 @@ def _media_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash via the fully-vectorized kernel (Arrow C++ tokenize ->
     lane-parallel numpy MD5 -> one reduceat bit vote; zero per-row Python) —
-    values bit-identical to the scalar md5 reference. No SQL oracle (driver
-    records rows-only)."""
+    values bit-identical to the scalar md5 reference. The fingerprint is
+    returned as two unsigned 32-bit halves so the DuckDB oracle (which
+    recomputes every bit vote from md5 hex in pure SQL) can match without
+    64-bit-unsigned overflow."""
     import pyarrow as _pa
 
     _prep(spark)
@@ -440,7 +442,12 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": b.column("doc_id"), "simhash": _pa.array(simhash64(b.column("text")))}
             )
 
-    return df.mapInArrow(simhash_batches, "doc_id long, simhash long")
+    h = df.mapInArrow(simhash_batches, "doc_id long, simhash long")
+    return h.select(
+        "doc_id",
+        F.expr("simhash & 4294967295").alias("sim_lo"),
+        F.expr("shiftrightunsigned(simhash, 32)").alias("sim_hi"),
+    )
 
 
 def _simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,6 +805,33 @@ def _hexbyte(h: str, i: int) -> str:
     )
 
 
+def _dedup_simhash_oracle() -> str:
+    """Pure-SQL SimHash: per token, the first 8 md5 bytes (LE) are parsed
+    from hex pairs into two uint32 halves; per document and bit position the
+    vote is SUM of that bit over tokens, and the bit is set iff strictly
+    more than half the tokens carry it (2*sum > n) — exactly the kernel's
+    signed-vote construction. Split into 32-bit halves to avoid unsigned
+    64-bit overflow in BIGINT."""
+    lo = " + ".join(f"({_hexbyte('md5(w)', i)}) * {1 << (8 * i)}" for i in range(4))
+    hi = " + ".join(f"({_hexbyte('md5(w)', i + 4)}) * {1 << (8 * i)}" for i in range(4))
+    s_cols = ", ".join(
+        f"SUM((lo >> {b}) & 1) AS s{b}" for b in range(32)
+    ) + ", " + ", ".join(f"SUM((hi >> {b}) & 1) AS t{b}" for b in range(32))
+    lo_expr = " + ".join(
+        f"(CASE WHEN 2 * s{b} > n THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)" for b in range(32)
+    )
+    hi_expr = " + ".join(
+        f"(CASE WHEN 2 * t{b} > n THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)" for b in range(32)
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+        f"b AS (SELECT doc_id, {lo} AS lo, {hi} AS hi FROM tok), "
+        f"v AS (SELECT doc_id, count(*) AS n, {s_cols} FROM b GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({lo_expr} AS BIGINT) AS sim_lo, "
+        f"CAST({hi_expr} AS BIGINT) AS sim_hi FROM v"
+    )
+
+
 def _media_features_oracle() -> str:
     """Mirror of webcodec.spark.media._decode_stub + feature seed in SQL.
     Stub: h = md5(blob[:256]); width = 64 + h[0] % 192; height = 64 + h[1] % 192;
@@ -950,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "metrics_lineage": "SELECT count(*) AS total_rows FROM documents",
         "media_features": _media_features_oracle(),
+        "dedup_simhash": _dedup_simhash_oracle(),
         "dedup_lsh_pairs": _dedup_lsh_pairs_oracle(),
         "dedup_embedding_cosine": (
             "WITH q AS (SELECT vec_id, "
@@ -989,7 +1024,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"
         ),
-        # dedup_simhash, simsearch_lsh: custom Arrow-UDF kernels — no SQL oracle
+        # simsearch_lsh / simsearch_ivf: probabilistic-recall ANN probes —
+        # rows-only by design (recall floors are pinned in tests/test_ann.py)
     }
 
 
