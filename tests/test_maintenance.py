@@ -183,3 +183,38 @@ def test_expire_snapshots(tmp_path):
     assert res["removed_files"] == 4  # f0..f3 unreferenced by snapshot 5
     assert sorted(os.listdir(tbl.data_dir)) == ["f9.bin"]
     assert tbl.read_snapshot()["files"][0]["path"] == "data/f9.bin"
+
+
+def test_concurrent_commits_no_lost_update(tmp_path):
+    """Optimistic concurrency: N processes committing simultaneously must all
+    land (distinct snapshot ids, every file referenced in the final
+    manifest) — the naive read-parent/write-child protocol lost updates."""
+    import multiprocessing as mp
+
+    table_dir = str(tmp_path / "t")
+    SnapshotTable(table_dir).init()
+    schema = [{"name": "x", "type": "bigint", "nullable": True}]
+
+    def worker(i: int) -> None:
+        tbl = SnapshotTable(table_dir)
+        tbl.commit(
+            [{"partition_id": i, "path": f"data/f{i}.bin", "rows": 1, "raw_bytes": 1,
+              "compressed_bytes": 1, "column_stats": {}}],
+            schema,
+        )
+
+    ctx = mp.get_context("fork")
+    procs = [ctx.Process(target=worker, args=(i,)) for i in range(8)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+        assert p.exitcode == 0
+    tbl = SnapshotTable(table_dir)
+    assert tbl.current_snapshot_id() == 8
+    snap = tbl.read_snapshot()
+    assert {f["partition_id"] for f in snap["files"]} == set(range(8))
+    # every intermediate snapshot parses and time travel works
+    for sid in range(1, 9):
+        s = tbl.read_snapshot(sid)
+        assert s["snapshot_id"] == sid and len(s["files"]) == sid

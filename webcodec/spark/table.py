@@ -50,6 +50,19 @@ class SnapshotTable:
         with open(path) as f:
             return json.load(f)
 
+    def _max_snapshot_id(self) -> int | None:
+        """Highest snapshot id ON DISK (the concurrency source of truth —
+        the ``current`` pointer may lag a writer that hasn't flipped yet)."""
+        try:
+            ids = [
+                int(fn[len("snapshot-"):-len(".json")])
+                for fn in os.listdir(self.meta_dir)
+                if fn.startswith("snapshot-") and fn.endswith(".json")
+            ]
+        except FileNotFoundError:
+            return None
+        return max(ids) if ids else None
+
     def commit(
         self,
         files: list[dict],
@@ -57,39 +70,64 @@ class SnapshotTable:
         properties: dict | None = None,
         replace: bool = False,
     ) -> dict:
-        """Two-phase commit: merge new files over the parent snapshot (or
-        replace it entirely when ``replace``), write snapshot-(N+1) via
-        tmp+rename, then flip ``current``."""
+        """Two-phase commit with optimistic concurrency: merge new files over
+        the parent snapshot (or replace it entirely when ``replace``), CLAIM
+        snapshot-(N+1) via exclusive create (a concurrent committer that
+        claimed it first forces a re-read of the parent and a retry — no
+        lost updates), then flip ``current`` forward-only."""
         self.init()
-        parent_id = self.current_snapshot_id()
-        parent = self.read_snapshot(parent_id) if parent_id is not None else None
-        merged: dict[int, dict] = {}
-        if parent and not replace:
-            for f in parent["files"]:
+        for _attempt in range(100):
+            parent_id = self._max_snapshot_id()
+            parent = self.read_snapshot(parent_id) if parent_id is not None else None
+            merged: dict[int, dict] = {}
+            if parent and not replace:
+                for f in parent["files"]:
+                    merged[f["partition_id"]] = f
+            for f in files:
                 merged[f["partition_id"]] = f
-        for f in files:
-            merged[f["partition_id"]] = f
-        new_id = (parent_id or 0) + 1
-        snap = {
-            "snapshot_id": new_id,
-            "parent_id": parent_id,
-            "committed_at": time.time(),
-            "schema": schema,
-            "properties": properties or {},
-            "files": sorted(merged.values(), key=lambda f: f["partition_id"]),
-            "total_rows": int(sum(f["rows"] for f in merged.values())),
-            "total_raw_bytes": int(sum(f["raw_bytes"] for f in merged.values())),
-            "total_compressed_bytes": int(sum(f["compressed_bytes"] for f in merged.values())),
-        }
-        tmp = os.path.join(self.meta_dir, f".snapshot-{new_id}-{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-        os.rename(tmp, os.path.join(self.meta_dir, f"snapshot-{new_id}.json"))
-        cur_tmp = os.path.join(self.meta_dir, f".current-{uuid.uuid4().hex}.tmp")
-        with open(cur_tmp, "w") as f:
-            f.write(str(new_id))
-        os.rename(cur_tmp, os.path.join(self.meta_dir, "current"))
-        return snap
+            new_id = (parent_id or 0) + 1
+            snap = {
+                "snapshot_id": new_id,
+                "parent_id": parent_id,
+                "committed_at": time.time(),
+                "schema": schema,
+                "properties": properties or {},
+                "files": sorted(merged.values(), key=lambda f: f["partition_id"]),
+                "total_rows": int(sum(f["rows"] for f in merged.values())),
+                "total_raw_bytes": int(sum(f["raw_bytes"] for f in merged.values())),
+                "total_compressed_bytes": int(sum(f["compressed_bytes"] for f in merged.values())),
+            }
+            # fully write the payload to a private tmp, then CLAIM the final
+            # name with an atomic hard link — losers get FileExistsError and
+            # retry; winners' snapshots appear complete in one step (no
+            # partial-read window for concurrent parent readers)
+            final = os.path.join(self.meta_dir, f"snapshot-{new_id}.json")
+            tmp = os.path.join(self.meta_dir, f".snapshot-{new_id}-{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(snap, f)
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # another committer won this id; retry on its result
+            os.unlink(tmp)
+            self._advance_current(new_id)
+            return snap
+        raise RuntimeError("snapshot commit contention: 100 retries exhausted")
+
+    def _advance_current(self, new_id: int) -> None:
+        """Move the ``current`` pointer forward only (a slower committer of a
+        smaller id must not roll a newer commit back)."""
+        for _ in range(10):
+            cur = self.current_snapshot_id()
+            if cur is not None and cur >= new_id:
+                return
+            cur_tmp = os.path.join(self.meta_dir, f".current-{uuid.uuid4().hex}.tmp")
+            with open(cur_tmp, "w") as f:
+                f.write(str(new_id))
+            os.rename(cur_tmp, os.path.join(self.meta_dir, "current"))
+            if (self.current_snapshot_id() or 0) >= new_id:
+                return
 
     def completed_partition_ids(self) -> set[int]:
         snap = self.read_snapshot()
