@@ -17,6 +17,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--table", required=True, help="webcodec table dir")
     ap.add_argument("--columns", default=None, help="comma-separated projection")
+    ap.add_argument("--predicate", default=None,
+                    help='JSON conjunct list, e.g. \'[["lang","==","en"],["n","<",5]]\'')
+    ap.add_argument("--snapshot-id", type=int, default=None, help="time travel")
     ap.add_argument("--out", default=None, help="write decoded rows as parquet here")
     ap.add_argument("--verify-against", default=None, help="source parquet to compare")
     args = ap.parse_args()
@@ -27,8 +30,12 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("webcodec-decode").getOrCreate()
     cols = args.columns.split(",") if args.columns else None
+    pred = None
+    if args.predicate:
+        pred = [tuple(term) for term in json.loads(args.predicate)]
     t0 = time.time()
-    df = read_encoded(spark, args.table, columns=cols)
+    df = read_encoded(spark, args.table, columns=cols, predicate=pred,
+                      snapshot_id=args.snapshot_id)
     result: dict = {}
     if args.out:
         df.write.mode("overwrite").parquet(args.out)

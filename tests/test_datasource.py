@@ -179,3 +179,15 @@ def test_datasource_read_after_schema_evolution(registered, tmp_path):
     assert back.count() == 100
     assert back.filter(F.col("lang").isNull()).count() == 80
     assert back.filter(F.col("lang") == "en").count() == 20
+
+
+def test_datasource_time_travel(registered, src_parquet, tmp_path):
+    spark = registered
+    out = str(tmp_path / "t")
+    df = spark.read.parquet(src_parquet)
+    df.limit(1_500).write.format("webcodec").option("path", out).mode("append").save()
+    df.write.format("webcodec").option("path", out).mode("append").save()
+    old = spark.read.format("webcodec").option("path", out).option("snapshot_id", "1").load()
+    new = spark.read.format("webcodec").option("path", out).load()
+    assert old.count() == 1_500
+    assert new.count() == 5_500

@@ -63,11 +63,11 @@ def _json_opt(raw: str | None, default):
         return raw
 
 
-def _spark_schema_of(table_dir: str) -> str:
+def _spark_schema_of(table_dir: str, snapshot_id: int | None = None) -> str:
     from webcodec.spark.decode_job import _schema_ddl
     from webcodec.spark.table import SnapshotTable
 
-    snap = SnapshotTable(table_dir).read_snapshot()
+    snap = SnapshotTable(table_dir).read_snapshot(snapshot_id)
     if snap is None:
         raise FileNotFoundError(f"no webcodec snapshot at {table_dir}")
     return _schema_ddl(snap["schema"], None)
@@ -85,6 +85,8 @@ class WebcodecReader(DataSourceReader):
             raise ValueError("webcodec reader requires option('path', ...)")
         self.columns = [f.name for f in schema.fields] if schema.fields else None
         self.types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        sid = options.get("snapshot_id")
+        self.snapshot_id = int(sid) if sid is not None else None  # time travel
         self.predicate: list[tuple] | None = None
 
     def pushFilters(self, filters: list[Filter]):  # noqa: N802 (API name)
@@ -120,7 +122,8 @@ class WebcodecReader(DataSourceReader):
         from webcodec.spark.table import SnapshotTable
 
         tbl = SnapshotTable(self.table_dir)
-        files = tbl.data_files(self.predicate)  # manifest min/max pruning (D2)
+        # manifest min/max pruning (D2); optional time travel
+        files = tbl.data_files(self.predicate, snapshot_id=self.snapshot_id)
         return [_FileSplit(os.path.join(self.table_dir, f["path"])) for f in files]
 
     def read(self, partition: _FileSplit):
@@ -331,7 +334,8 @@ class WebcodecDataSource(DataSource):
         return "webcodec"
 
     def schema(self):
-        return _spark_schema_of(self.options["path"])
+        sid = self.options.get("snapshot_id")
+        return _spark_schema_of(self.options["path"], int(sid) if sid is not None else None)
 
     def reader(self, schema: StructType) -> WebcodecReader:
         return WebcodecReader(self.options, schema)
