@@ -58,6 +58,10 @@ def _prep(spark: SparkSession) -> None:
     # Spark 4 refuses a Python DataSource that defines pushFilters unless
     # this is on; runtime-settable, required for the format("webcodec") queries
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # right-size shuffles for the sf-test harness (the 200 default adds ~10ms
+    # of task overhead per partition to every tiny groupBy/join stage; at
+    # production scale this is a deploy-time knob, not a code constant)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
 def _encode_decode(
