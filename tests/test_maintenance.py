@@ -218,3 +218,58 @@ def test_concurrent_commits_no_lost_update(tmp_path):
     for sid in range(1, 9):
         s = tbl.read_snapshot(sid)
         assert s["snapshot_id"] == sid and len(s["files"]) == sid
+
+
+@pytest.mark.spark
+def test_full_table_lifecycle(spark, tmp_path):
+    """Integration: append x2 -> compact -> schema-evolving append ->
+    time travel to every stage -> expire old snapshots -> final state exact."""
+    import pyarrow as pa2
+
+    from pyspark.sql import functions as F
+
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.maintenance import compact, expire_snapshots
+
+    spark.dataSource.register(WebcodecDataSource)
+    out = str(tmp_path / "t")
+    t1 = webpages(2_000)
+    p1 = str(tmp_path / "p1.parquet")
+    pq.write_table(t1, p1)
+    df1 = spark.read.parquet(p1)
+    df1.limit(1_200).write.format("webcodec").option("path", out).mode("append").save()
+    df1.exceptAll(df1.limit(1_200)).write.format("webcodec").option("path", out).mode("append").save()
+    tbl = SnapshotTable(out)
+    s_appends = tbl.current_snapshot_id()
+    assert read_encoded(spark, out).count() == 2_000
+
+    compact(out, target_bytes=1 << 30)
+    s_compact = tbl.current_snapshot_id()
+    assert s_compact > s_appends
+    assert read_encoded(spark, out).count() == 2_000
+
+    # evolving append: new column 'lang2'
+    t2 = pa2.table({
+        "url": [f"https://new{i}.com/x" for i in range(300)],
+        "warc_ts": pa2.array([1_700_000_000_000_000 + i for i in range(300)], pa2.timestamp("us")),
+        "html": [b"x"] * 300,
+        "text": ["hello new"] * 300,
+        "lang": ["xx"] * 300,
+        "lang2": ["yy"] * 300,
+    })
+    p2 = str(tmp_path / "p2.parquet")
+    pq.write_table(t2, p2)
+    spark.read.parquet(p2).write.format("webcodec").option("path", out).mode("append").save()
+    final = read_encoded(spark, out)
+    assert final.count() == 2_300
+    assert final.filter(F.col("lang2").isNull()).count() == 2_000
+
+    # time travel is intact for all kept snapshots
+    assert read_encoded(spark, out, snapshot_id=s_compact).count() == 2_000
+    # expire everything but the last two snapshots; current state unchanged
+    res = expire_snapshots(out, keep_last=2)
+    assert res["removed_snapshots"] >= 1
+    after = read_encoded(spark, out)
+    assert after.count() == 2_300
+    assert after.filter(F.col("lang2") == "yy").count() == 300
