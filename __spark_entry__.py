@@ -724,6 +724,20 @@ def _text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction over the ROUND-TRIPPED events table: parse
+    the JSON props column decoded from webcodec pages (proving byte-exact
+    string round-trip survives a parser) and aggregate the extracted field
+    per event type — the crawl-metadata-sidecar pattern."""
+    df = _encode_decode(spark, sf_dir, "events", sort_key="event_id",
+                        columns=["event_type", "props"])
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(k).alias("sum_k"))
+    )
+
+
 def _events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions over the round-tripped events table: per-user event
     rank and gap to the previous event in micros (H category: windows)."""
@@ -795,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "text_tokens_bpe": _text_tokens_bpe,
         "events_window": _events_window,
+        "events_json_extract": _events_json_extract,
     }
 
 
@@ -1020,6 +1035,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(CAST(len(list_intersect(a.g, b.g)) AS BIGINT) * 1000 / "
             "(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))) AS BIGINT) AS jac_1000 "
             "FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id"
+        ),
+        "events_json_extract": (
+            "SELECT event_type, count(*) AS cnt, "
+            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k "
+            "FROM events GROUP BY event_type"
         ),
         "events_window": (
             "SELECT event_id, user_id, "
