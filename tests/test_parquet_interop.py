@@ -75,3 +75,27 @@ def test_mostly_null_string(tmp_path):
     got, want = _roundtrip_column(tmp_path, t, 0, compression="zstd")
     got = [v.decode() if isinstance(v, bytes) else v for v in got]
     assert got == want
+
+
+@pytest.mark.parametrize("codec", ["none", "zstd", "snappy"])
+def test_v2_pages_dictionary_and_nulls(tmp_path, codec):
+    """Format v2 data pages: uncompressed level region + header lengths."""
+    vals = [None if i % 9 == 0 else ["a", "bb", "ccc"][i % 3] for i in range(8_000)]
+    t = pa.table({"s": pa.array(vals, pa.string()),
+                  "n": pa.array([None if i % 5 == 0 else i for i in range(8_000)], pa.int64())})
+    path = str(tmp_path / "v2.parquet")
+    pq.write_table(t, path, data_page_version="2.0", compression=codec,
+                   data_page_size=4096)
+    for col in (0, 1):
+        got = read_column_chunk(path, 0, col)
+        want = t.column(col).to_pylist()
+        got = [v.decode() if isinstance(v, bytes) else v for v in got]
+        assert got == want
+
+
+def test_v2_pages_plain(tmp_path):
+    t = pa.table({"d": pa.array(np.random.default_rng(2).standard_normal(3_000))})
+    path = str(tmp_path / "v2p.parquet")
+    pq.write_table(t, path, data_page_version="2.0", use_dictionary=False,
+                   compression="zstd")
+    assert read_column_chunk(path, 0, 0) == t.column(0).to_pylist()

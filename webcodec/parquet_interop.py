@@ -16,9 +16,11 @@ for RLE runs; data page v1 = def levels [u32 length + hybrid] then values)
 and the thrift compact protocol spec (field delta/type nibbles, zigzag
 varints).
 
-Scope: flat schemas, v1 data pages, codecs none/snappy/zstd/gzip/lz4,
-physical types INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY. Enough to
-differential-test every kernel family the engine relies on.
+Scope: flat schemas, v1 AND v2 data pages (v2: levels stored uncompressed
+outside the compressed values region, lengths in the page header), codecs
+none/snappy/zstd/gzip/lz4, physical types INT32/INT64/FLOAT/DOUBLE/
+BYTE_ARRAY. Enough to differential-test every kernel family the engine
+relies on.
 """
 
 from __future__ import annotations
@@ -105,7 +107,7 @@ def _read_struct(buf: memoryview, pos: int) -> tuple[dict, int]:
 
 # ------------------------------- page decode ----------------------------------
 
-_PAGE_DATA, _PAGE_DICT = 0, 2  # PageType enum: DATA_PAGE=0, DICTIONARY_PAGE=2
+_PAGE_DATA, _PAGE_DICT, _PAGE_DATA_V2 = 0, 2, 3  # PageType enum
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE, _ENC_RLE_DICT = 0, 2, 3, 8
 
 
@@ -171,37 +173,62 @@ def read_column_chunk(path: str, row_group: int, column: int) -> list:
         header, pos = _read_struct(buf, pos)
         ptype = header[1]
         usize, csize = header[2], header[3]
-        payload = _decompress(bytes(buf[pos : pos + csize]), codec, usize)
+        raw_page = buf[pos : pos + csize]
         pos += csize
-        body = memoryview(payload)
         if ptype == _PAGE_DICT:
             dph = header[7]
+            body = memoryview(_decompress(bytes(raw_page), codec, usize))
             dict_values = _plain_values(body, dph[1], phys)
             continue
-        if ptype != _PAGE_DATA:
-            raise NotImplementedError(f"page type {ptype} (v2 pages out of scope)")
-        dph = header[5]
-        n_values = dph[1]
-        enc = dph[2]
-        lvl_enc = dph.get(3, _ENC_RLE)  # definition_level_encoding
         mask = None
-        if max_def:
-            if lvl_enc == _ENC_RLE:  # u32 length + hybrid stream
-                (lvl_len,) = struct.unpack_from("<I", body, 0)
-                levels = rle.decode_spec(body[4 : 4 + lvl_len], 1, n_values)
-                body = body[4 + lvl_len :]
-            elif lvl_enc == 4:  # deprecated BIT_PACKED: MSB-first, no prefix
-                from webcodec.kernels import bitpack
+        if ptype == _PAGE_DATA:
+            dph = header[5]
+            n_values = dph[1]
+            enc = dph[2]
+            lvl_enc = dph.get(3, _ENC_RLE)  # definition_level_encoding
+            body = memoryview(_decompress(bytes(raw_page), codec, usize))
+            if max_def:
+                if lvl_enc == _ENC_RLE:  # u32 length + hybrid stream
+                    (lvl_len,) = struct.unpack_from("<I", body, 0)
+                    levels = rle.decode_spec(body[4 : 4 + lvl_len], 1, n_values)
+                    body = body[4 + lvl_len :]
+                elif lvl_enc == 4:  # deprecated BIT_PACKED: MSB-first, no prefix
+                    from webcodec.kernels import bitpack
 
-                nb = (n_values + 7) // 8
-                levels = bitpack.unpack_legacy(body[:nb], 1, n_values)
-                body = body[nb:]
+                    nb = (n_values + 7) // 8
+                    levels = bitpack.unpack_legacy(body[:nb], 1, n_values)
+                    body = body[nb:]
+                else:
+                    raise NotImplementedError(f"level encoding {lvl_enc}")
+                mask = levels.astype(bool)
+                n_nonnull = int(mask.sum())
             else:
-                raise NotImplementedError(f"level encoding {lvl_enc}")
-            mask = levels.astype(bool)
-            n_nonnull = int(mask.sum())
+                n_nonnull = n_values
+        elif ptype == _PAGE_DATA_V2:
+            # v2: levels live UNCOMPRESSED ahead of the (optionally)
+            # compressed values; lengths come from the header, def level
+            # streams carry no u32 prefix
+            dph = header[8]
+            n_values = dph[1]
+            n_nulls = dph.get(2, 0)
+            enc = dph[4]
+            def_len = dph.get(5, 0)
+            rep_len = dph.get(6, 0)
+            compressed = dph.get(7, True)
+            lvl_bytes = raw_page[: rep_len + def_len]
+            vals_bytes = bytes(raw_page[rep_len + def_len :])
+            if compressed:
+                vals_bytes = _decompress(vals_bytes, codec, usize - rep_len - def_len)
+            body = memoryview(vals_bytes)
+            if max_def:
+                levels = rle.decode_spec(lvl_bytes[rep_len:], 1, n_values)
+                mask = levels.astype(bool)
+                n_nonnull = int(mask.sum())
+                assert n_values - n_nonnull == n_nulls
+            else:
+                n_nonnull = n_values
         else:
-            n_nonnull = n_values
+            raise NotImplementedError(f"page type {ptype}")
         if enc in (_ENC_PLAIN_DICT, _ENC_RLE_DICT):
             width = body[0]
             idx = rle.decode_spec(body[1:], width, n_nonnull)
