@@ -155,6 +155,46 @@ def rewrite_encoded(
     return dst.commit(files, schema, properties={"rewritten_from": src_dir}, replace=True)
 
 
+def export_parquet(
+    spark: SparkSession, table_dir: str, out_dir: str, codec: str = "zstd"
+) -> dict:
+    """Transcode a webcodec table into STANDARD parquet files — decoded with
+    webcodec kernels AND re-serialized with webcodec's own parquet writer
+    (thrift headers, v1 pages, spec RLE levels; webcodec.parquet_writer) —
+    so any reference reader can consume the result. One Spark task per
+    source file, bytes never cross the JVM."""
+    src = SnapshotTable(table_dir)
+    snap = src.read_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot in {table_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+    paths = [
+        (f["partition_id"], os.path.join(table_dir, f["path"])) for f in snap["files"]
+    ]
+
+    def export_fn(batches):
+        import pyarrow as pa
+
+        from webcodec import filefmt
+        from webcodec.parquet_writer import write_parquet
+
+        for b in batches:
+            for row in b.to_pylist():
+                t = filefmt.read_table(row["path"])
+                out = os.path.join(out_dir, f"part-{row['pid']:05d}.parquet")
+                write_parquet(t, out, codec=codec)
+                yield pa.RecordBatch.from_pydict(
+                    {"pid": pa.array([row["pid"]], pa.int32()),
+                     "rows": pa.array([t.num_rows], pa.int64())}
+                )
+
+    pdf = spark.createDataFrame(paths, "pid int, path string").repartition(
+        min(len(paths), 256)
+    )
+    rows = pdf.mapInArrow(export_fn, "pid int, rows long").collect()
+    return {"files": len(rows), "rows": int(sum(r["rows"] for r in rows))}
+
+
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     """Iceberg-style maintenance: delete snapshot manifests older than the
     newest ``keep_last`` and remove data files no kept snapshot references.
