@@ -89,3 +89,25 @@ def test_export_parquet_spark_readable(spark, tmp_path):
     b = back.select("url", "text", F.col("warc_ts").cast("timestamp").alias("w"))
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_dictionary_encoded_output(tmp_path):
+    """Low-cardinality columns get PLAIN_DICTIONARY (PLAIN dict page +
+    bit-width-prefixed spec-RLE indices); high-cardinality stay PLAIN."""
+    n = 5_000
+    t = pa.table({
+        "lang": pa.array([None if i % 13 == 0 else ["en", "de", "fr"][i % 3] for i in range(n)]),
+        "k": pa.array([i % 37 for i in range(n)], pa.int64()),
+        "u": pa.array([f"unique-{i}" for i in range(n)]),
+    })
+    path = str(tmp_path / "d.parquet")
+    write_parquet(t, path, codec="zstd")
+    md = pq.ParquetFile(path).metadata
+    assert "PLAIN_DICTIONARY" in md.row_group(0).column(0).encodings
+    assert "PLAIN_DICTIONARY" in md.row_group(0).column(1).encodings
+    assert "PLAIN_DICTIONARY" not in md.row_group(0).column(2).encodings
+    back = pq.read_table(path)
+    for c in t.column_names:
+        assert back.column(c).combine_chunks().cast(t.column(c).type).equals(
+            t.column(c).combine_chunks()
+        ), c

@@ -34,7 +34,7 @@ MAGIC = b"PAR1"
 
 # parquet.thrift enums
 _T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY = 0, 1, 2, 4, 5, 6
-_ENC_PLAIN, _ENC_RLE = 0, 3
+_ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
 _REP_OPTIONAL = 1
 _CT_UTF8, _CT_DATE, _CT_TS_MICROS = 0, 6, 10
 _CODEC = {"none": 0, "uncompressed": 0, "snappy": 1, "gzip": 2, "zstd": 6, "lz4": 7}
@@ -164,14 +164,20 @@ def _plain_bytes(valid: pa.Array) -> bytes:
     return valid.to_numpy(zero_copy_only=False).tobytes()
 
 
-def _rle_def_levels(mask: np.ndarray) -> bytes:
-    """Spec-conformant width-1 hybrid stream: one bit-packed run of
-    ceil(n/8) groups (LSB-first, zero-padded) — always legal."""
-    n = len(mask)
+def _rle_spec_encode(values: np.ndarray, width: int) -> bytes:
+    """Spec-conformant hybrid stream: one bit-packed run of ceil(n/8)
+    groups (LSB-first, zero-padded) — always legal for any width."""
+    n = len(values)
+    if width == 0:
+        return write_uvarint(n << 1)  # single RLE run of zeros
     groups = (n + 7) // 8
     padded = np.zeros(groups * 8, dtype=np.uint64)
-    padded[:n] = mask.astype(np.uint64)
-    return write_uvarint((groups << 1) | 1) + bitpack.pack(padded, 1)
+    padded[:n] = values.astype(np.uint64)
+    return write_uvarint((groups << 1) | 1) + bitpack.pack(padded, width)
+
+
+def _rle_def_levels(mask: np.ndarray) -> bytes:
+    return _rle_spec_encode(mask.astype(np.uint64), 1)
 
 
 def _compress(data: bytes, codec: str) -> bytes:
@@ -187,11 +193,11 @@ def _compress(data: bytes, codec: str) -> bytes:
     return pa.compress(data, codec="lz4_raw" if c == "lz4" else c, asbytes=True)
 
 
-def _page_header(n_values: int, usize: int, csize: int) -> bytes:
+def _page_header(n_values: int, usize: int, csize: int, enc: int = _ENC_PLAIN) -> bytes:
     dph = _TOut()
     last = 0
     last = _f_i32(dph, last, 1, n_values)
-    last = _f_i32(dph, last, 2, _ENC_PLAIN)
+    last = _f_i32(dph, last, 2, enc)
     last = _f_i32(dph, last, 3, _ENC_RLE)  # def levels
     last = _f_i32(dph, last, 4, _ENC_RLE)  # rep levels (absent for flat)
     _stop(dph)
@@ -205,13 +211,30 @@ def _page_header(n_values: int, usize: int, csize: int) -> bytes:
     return bytes(ph.buf)
 
 
+def _dict_page_header(n_values: int, usize: int, csize: int) -> bytes:
+    dph = _TOut()
+    last = 0
+    last = _f_i32(dph, last, 1, n_values)
+    last = _f_i32(dph, last, 2, _ENC_PLAIN_DICT)
+    _stop(dph)
+    ph = _TOut()
+    last = 0
+    last = _f_i32(ph, last, 1, 2)  # DICTIONARY_PAGE
+    last = _f_i32(ph, last, 2, usize)
+    last = _f_i32(ph, last, 3, csize)
+    last = _f_struct(ph, last, 7, bytes(dph.buf))
+    _stop(ph)
+    return bytes(ph.buf)
+
+
 # --------------------------------- writer -------------------------------------
 
 
-def write_parquet(table: pa.Table, path: str, codec: str = "zstd") -> None:
-    """Write ``table`` as a standard parquet file (one row group, PLAIN,
-    optional columns with RLE def levels) using only webcodec kernels +
-    thrift serialization written here."""
+def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
+                  use_dictionary: bool = True) -> None:
+    """Write ``table`` as a standard parquet file (one row group, PLAIN or
+    PLAIN_DICTIONARY per column, optional columns with RLE def levels) using
+    only webcodec kernels + thrift serialization written here."""
     n_rows = table.num_rows
     col_meta = []
     with open(path, "wb") as out:
@@ -225,9 +248,39 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd") -> None:
             mask = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
             valid = arr.drop_null()
             levels = _rle_def_levels(mask)
-            body = struct.pack("<I", len(levels)) + levels + _plain_bytes(valid)
+
+            # dictionary-encode low-cardinality non-bool columns
+            # (PLAIN_DICTIONARY: PLAIN dict page + bit-width-prefixed RLE
+            # indices — the reference v1 writer's default)
+            dict_bytes = None
+            if use_dictionary and not pa.types.is_boolean(arr.type) and len(valid):
+                de = valid.dictionary_encode()
+                ndv = len(de.dictionary)
+                if ndv <= 65536 and ndv <= max(len(valid) // 2, 1):
+                    dict_bytes = _plain_bytes(de.dictionary.cast(arr.type))
+                    width = max((ndv - 1).bit_length(), 1)
+                    idx = de.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+                    values_bytes = bytes([width]) + _rle_spec_encode(idx, width)
+                    n_dict = ndv
+
+            dict_page_offset = None
+            if dict_bytes is not None:
+                dcomp = _compress(dict_bytes, codec)
+                dheader = _dict_page_header(n_dict, len(dict_bytes), len(dcomp))
+                dict_page_offset = offset
+                out.write(dheader)
+                out.write(dcomp)
+                offset += len(dheader) + len(dcomp)
+                body = struct.pack("<I", len(levels)) + levels + values_bytes
+                enc = _ENC_PLAIN_DICT
+                extra_u = len(dheader) + len(dict_bytes)
+                extra_c = len(dheader) + len(dcomp)
+            else:
+                body = struct.pack("<I", len(levels)) + levels + _plain_bytes(valid)
+                enc = _ENC_PLAIN
+                extra_u = extra_c = 0
             comp = _compress(body, codec)
-            header = _page_header(n_rows, len(body), len(comp))
+            header = _page_header(n_rows, len(body), len(comp), enc)
             data_page_offset = offset
             out.write(header)
             out.write(comp)
@@ -236,9 +289,11 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd") -> None:
                 {
                     "name": name, "type": ptype, "conv": conv,
                     "num_values": n_rows,
-                    "usize": len(header) + len(body),
-                    "csize": len(header) + len(comp),
+                    "usize": len(header) + len(body) + extra_u,
+                    "csize": len(header) + len(comp) + extra_c,
                     "offset": data_page_offset,
+                    "dict_offset": dict_page_offset,
+                    "enc": enc,
                 }
             )
         footer = _file_metadata(table, col_meta, codec, n_rows)
@@ -272,9 +327,10 @@ def _file_metadata(table: pa.Table, col_meta: list[dict], codec: str, n_rows: in
         md = _TOut()
         last = 0
         last = _f_i32(md, last, 1, c["type"])
-        last = _f_list_header(md, last, 2, 2, 5)  # encodings: [PLAIN, RLE]
-        md.zigzag(_ENC_PLAIN)
-        md.zigzag(_ENC_RLE)
+        encs = [_ENC_PLAIN, _ENC_RLE] + ([_ENC_PLAIN_DICT] if c.get("dict_offset") is not None else [])
+        last = _f_list_header(md, last, 2, len(encs), 5)
+        for e in encs:
+            md.zigzag(e)
         last = _f_list_header(md, last, 3, 1, 8)  # path_in_schema
         md.uvarint(len(c["name"].encode()))
         md.buf += c["name"].encode()
@@ -283,10 +339,13 @@ def _file_metadata(table: pa.Table, col_meta: list[dict], codec: str, n_rows: in
         last = _f_i64(md, last, 6, c["usize"])
         last = _f_i64(md, last, 7, c["csize"])
         last = _f_i64(md, last, 9, c["offset"])
+        if c.get("dict_offset") is not None:
+            last = _f_i64(md, last, 11, c["dict_offset"])
         _stop(md)
+        first_off = c["dict_offset"] if c.get("dict_offset") is not None else c["offset"]
         cc = _TOut()
         last = 0
-        last = _f_i64(cc, last, 2, c["offset"])  # file_offset
+        last = _f_i64(cc, last, 2, first_off)  # file_offset
         last = _f_struct(cc, last, 3, bytes(md.buf))
         _stop(cc)
         chunks.append(bytes(cc.buf))
