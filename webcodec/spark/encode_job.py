@@ -355,7 +355,7 @@ def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str
                     path = os.path.join(bdir, f"t{task}-{uuid.uuid4().hex[:8]}.arrow")
                     with ipc.new_stream(
                         path, sub.schema,
-                        options=ipc.IpcWriteOptions(compression="lz4"),
+                        options=ipc.IpcWriteOptions(compression="zstd"),
                     ) as w:
                         w.write_table(sub)
                     yield pa.RecordBatch.from_pydict(
