@@ -209,6 +209,24 @@ def _rt_list_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_export_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full interop loop: documents -> webcodec pages -> decoded with our
+    kernels -> re-serialized as STANDARD parquet by our own parquet writer
+    (webcodec/parquet_writer.py: thrift + v1 pages + spec RLE levels) ->
+    read back by Spark's reference parquet reader. A hash match proves
+    byte-format parity in both directions inside the driver contract."""
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import export_parquet
+
+    _prep(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = tempfile.mkdtemp(prefix="wcq_export_")
+    encode_table(df, os.path.join(out, "t"), sort_key="doc_id", write_metrics=False)
+    export_parquet(spark, os.path.join(out, "t"), os.path.join(out, "pq"))
+    back = spark.read.parquet(os.path.join(out, "pq"))
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def _scan_prune_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + predicate pushdown through the engine's read path: only
     (doc_id, lang) pages are decoded, files pruned via manifest min/max (D2/D6)."""
@@ -790,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_bloom_miss": _scan_bloom_miss,
         "scan_ts_range": _scan_ts_range,
         "rt_list_words": _rt_list_words,
+        "rt_export_parquet": _rt_export_parquet,
         "stats_minmax": _stats_minmax,
         "agg_lang_counts": _agg_lang_counts,
         "dedup_exact": _dedup_exact,
@@ -945,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
             "md5(text) AS rejoined_md5 FROM documents"
         ),
+        "rt_export_parquet": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "stats_minmax": (
             "SELECT CAST(min(n_chars) AS BIGINT) AS min_nchars, "
             "CAST(max(n_chars) AS BIGINT) AS max_nchars, count(*) AS total_rows FROM documents"

@@ -162,7 +162,9 @@ def export_parquet(
     webcodec kernels AND re-serialized with webcodec's own parquet writer
     (thrift headers, v1 pages, spec RLE levels; webcodec.parquet_writer) —
     so any reference reader can consume the result. One Spark task per
-    source file, bytes never cross the JVM."""
+    source file, bytes never cross the JVM. Scope: flat primitive columns
+    (list columns would need Dremel rep levels — out of scope per SURVEY
+    §2.E)."""
     src = SnapshotTable(table_dir)
     snap = src.read_snapshot()
     if snap is None:
