@@ -111,3 +111,38 @@ def test_dictionary_encoded_output(tmp_path):
         assert back.column(c).combine_chunks().cast(t.column(c).type).equals(
             t.column(c).combine_chunks()
         ), c
+
+
+def test_randomized_fuzz_vs_reference_reader(tmp_path):
+    """60 random tables (types x null densities x sizes x codecs) written by
+    our parquet writer must read back exactly through pyarrow."""
+    import random
+
+    pyrng = random.Random(77)
+    rng = np.random.default_rng(77)
+    gens = {
+        pa.int64(): lambda n: rng.integers(-(2**60), 2**60, n).tolist(),
+        pa.int32(): lambda n: rng.integers(-(2**30), 2**30, n).tolist(),
+        pa.float64(): lambda n: rng.standard_normal(n).tolist(),
+        pa.string(): lambda n: [pyrng.choice(["", "a", "longer-value", "x" * 40]) for _ in range(n)],
+        pa.binary(): lambda n: [bytes(rng.integers(0, 256, i % 17, dtype=np.uint8)) for i in range(n)],
+        pa.bool_(): lambda n: (rng.random(n) < 0.5).tolist(),
+        pa.timestamp("us"): lambda n: (1_700_000_000_000_000 + rng.integers(0, 10**10, n)).tolist(),
+        pa.date32(): lambda n: rng.integers(0, 30000, n).tolist(),
+    }
+    for trial in range(60):
+        n = pyrng.choice([0, 1, 9, 500, 3001])
+        cols = {}
+        for j in range(pyrng.randint(1, 4)):
+            t_ = pyrng.choice(list(gens))
+            null_p = pyrng.choice([0.0, 0.1, 0.95])
+            vals = [None if pyrng.random() < null_p else v for v in gens[t_](n)]
+            cols[f"c{j}"] = pa.array(vals, t_)
+        t = pa.table(cols)
+        path = str(tmp_path / f"f{trial}.parquet")
+        write_parquet(t, path, codec=pyrng.choice(["none", "zstd", "snappy", "gzip", "lz4"]),
+                      use_dictionary=pyrng.choice([True, False]))
+        back = pq.read_table(path)
+        for c in t.column_names:
+            got = back.column(c).combine_chunks().cast(t.column(c).type)
+            assert got.equals(t.column(c).combine_chunks()), (trial, c)
