@@ -9,7 +9,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# allow plain `python jobs/<job>.py` too (spark-submit ships the zip)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 import time
 
 
