@@ -217,3 +217,75 @@ def test_stream_watermark_window_agg_pipeline(spark, tmp_path):
     wm = batch1.agg(F.max(F.col("warc_ts").cast("timestamp"))).collect()[0][0]
     finalized = {r for r in want_rows if (wm - r[0]).total_seconds() > 8 * 86400}
     assert finalized <= got_rows
+
+
+def test_stateful_operator_over_webcodec_source(spark, tmp_path):
+    """Custom stateful streaming operator (applyInPandasWithState) over the
+    webcodec source: per-user event counts accumulate in GroupState ACROSS
+    microbatches/restarts (state restored from the checkpoint), and the final
+    totals equal the batch ground truth."""
+    import pandas as pd
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    spark.dataSource.register(WebcodecDataSource)
+    n = 4_000
+    t = pa2.table({
+        "user_id": pa2.array([i % 23 for i in range(n)], pa2.int64()),
+        "event_id": pa2.array(list(range(n)), pa2.int64()),
+    })
+    src = str(tmp_path / "ev.parquet")
+    pq2.write_table(t, src)
+    df = spark.read.parquet(src)
+    src_tbl = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.format("webcodec").option("path", src_tbl).load()
+
+        def count_state(key, pdf_iter, state):
+            total = state.get[0] if state.exists else 0
+            for pdf in pdf_iter:
+                total += len(pdf)
+            state.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+        out = (
+            stream.groupBy("user_id")
+            .applyInPandasWithState(
+                count_state,
+                outputStructType="user_id long, n long",
+                stateStructType="n long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(tmp_path / "updates"))
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    df.filter(F.col("event_id") < 2_500).write.format("webcodec").option(
+        "path", src_tbl).mode("append").save()
+    run_once()
+    df.filter(F.col("event_id") >= 2_500).write.format("webcodec").option(
+        "path", src_tbl).mode("append").save()
+    run_once()
+
+    latest = (
+        spark.read.parquet(str(tmp_path / "updates"))
+        .groupBy("user_id").agg(F.max("n").alias("n"))
+    )
+    want = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert want.exceptAll(latest).count() == 0
+    assert latest.exceptAll(want).count() == 0
