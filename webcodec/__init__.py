@@ -16,6 +16,7 @@ Reference parity map: SURVEY.md §2 tables A–G (citations to
 parquet-java 1.16 classes appear in each kernel's docstring).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from webcodec.config import EncoderConfig  # noqa: F401
+from webcodec.filefmt import read_table, write_table  # noqa: F401
