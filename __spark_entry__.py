@@ -772,6 +772,67 @@ def _events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (training-data pipeline op): punctuation
+    ratio, stopword ratio, and mean word length — the classic crawl-quality
+    signals (C4/Gopher-style rules), all integer-quantized per-mille so both
+    engines agree bit-exactly. Built-ins only; one narrow scan, no shuffle."""
+    df = _src(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chars = F.greatest(F.length("text").cast("long"), F.lit(1).cast("long"))
+    n_tokens = F.greatest(F.size(words).cast("long"), F.lit(1).cast("long"))
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+    ).cast("long")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).cast("long")
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
+    return df.select(
+        "doc_id",
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+        F.floor(n_punct * F.lit(1000) / n_chars).cast("long").alias("punct_1000"),
+        F.floor(n_stop * F.lit(1000) / n_tokens).cast("long").alias("stop_1000"),
+        F.floor(n_nonspace * F.lit(1000) / n_tokens).cast("long").alias("wordlen_1000"),
+    )
+
+
+def _events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator Spark lacks natively): for every click
+    event, the timestamp of the latest strictly-earlier view event by the
+    same user. Implemented as ONE sort-shuffle — union-tag + running
+    last(ignorenulls) window over (user_id, ts) — instead of a range join,
+    so at 10^12 rows it costs a single partitioned sort, not an exploding
+    inequality join. Ties (view.ts == click.ts) are excluded by ordering
+    clicks before views at equal ts (strict <, matching the oracle)."""
+    from pyspark.sql import Window
+
+    df = _encode_decode(spark, sf_dir, "events", sort_key="event_id",
+                        columns=["event_id", "ts", "user_id", "event_type"])
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = df.select(
+        "event_id", "user_id", "event_type", ts_us.alias("ts_us"),
+        # clicks sort before views on equal ts so an equal-ts view is invisible
+        F.when(F.col("event_type") == "view", F.lit(1)).otherwise(F.lit(0)).alias("tiebreak"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "tiebreak", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    asof = ev.withColumn("view_ts", F.last(view_ts, ignorenulls=True).over(w))
+    return asof.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("click_ts"),
+        F.col("view_ts").alias("asof_view_ts"),
+        (F.col("ts_us") - F.col("view_ts")).alias("since_view_us"),
+    )
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract plumbing (stubbed decoder — no image
     libs in this container; schema/batch shape/partitioning are real).
@@ -829,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": _text_tokens_bpe,
         "events_window": _events_window,
         "events_json_extract": _events_json_extract,
+        "text_quality": _text_quality,
+        "events_asof_view": _events_asof_view,
     }
 
 
@@ -1067,6 +1130,31 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us "
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"
+        ),
+        "text_quality": (
+            "SELECT doc_id, "
+            "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct, "
+            "CAST(len(list_filter(string_split(text, ' '), t -> t IN "
+            "('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stop, "
+            "CAST(floor((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1000 "
+            "/ greatest(length(text), 1)) AS BIGINT) AS punct_1000, "
+            "CAST(floor(len(list_filter(string_split(text, ' '), t -> t IN "
+            "('the','a','an','and','or','of','to','in','is','it'))) * 1000 "
+            "/ greatest(len(string_split(text, ' ')), 1)) AS BIGINT) AS stop_1000, "
+            "CAST(floor(length(replace(text, ' ', '')) * 1000 "
+            "/ greatest(len(string_split(text, ' ')), 1)) AS BIGINT) AS wordlen_1000 "
+            "FROM documents"
+        ),
+        "events_asof_view": (
+            "SELECT c.event_id, c.user_id, c.ts_us AS click_ts, "
+            "MAX(v.ts_us) AS asof_view_ts, "
+            "c.ts_us - MAX(v.ts_us) AS since_view_us "
+            "FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events "
+            "      WHERE event_type = 'click') c "
+            "LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts_us FROM events "
+            "      WHERE event_type = 'view') v "
+            "ON v.user_id = c.user_id AND v.ts_us < c.ts_us "
+            "GROUP BY c.event_id, c.user_id, c.ts_us"
         ),
         # simsearch_lsh / simsearch_ivf: probabilistic-recall ANN probes —
         # rows-only by design (recall floors are pinned in tests/test_ann.py)

@@ -145,3 +145,29 @@ def test_embeddings_list_float32():
     t = pa.table({"vec_id": pa.array(range(200), pa.int64()), "embedding": pa.array(vecs, pa.list_(pa.float32()))})
     out, _ = _roundtrip(t)
     assert_tables_equal(t, out)
+
+
+def test_timestamp_ns_roundtrip_and_pruning(tmp_path):
+    """timestamp[ns] columns (e.g. pyarrow reading Spark's INT96 output)
+    round-trip bit-identical and prune correctly against datetime
+    predicates; only the Spark boundary truncates to micros."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+
+    from webcodec.filefmt import read_table, write_table
+
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    us = np.arange(100, dtype=np.int64) * 1_000_000 + base
+    t = pa.table({
+        "id": pa.array(np.arange(100, dtype=np.int64)),
+        "ts": pa.array(us * 1000 + 7, pa.timestamp("ns")),  # sub-us payload
+    })
+    p = str(tmp_path / "ns.wcd")
+    write_table(t, p)
+    back = read_table(p)
+    assert back.equals(t)  # bit-identical, sub-us nanos preserved
+    cut = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=50)
+    got = read_table(p, predicate=[("ts", ">=", cut)])
+    assert got.num_rows == 50

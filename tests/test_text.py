@@ -99,3 +99,37 @@ def test_simhash_golden_sf0001():
     by_id = dict(zip(ids.tolist(), h.tolist()))
     for k, v in g["first20"].items():
         assert by_id[int(k)] == v
+
+
+def test_asof_join_strict_tie_semantics(spark):
+    """events_asof_view: a view at EXACTLY the click's timestamp must not
+    count (strict <); the latest earlier view wins; no view -> null."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from __spark_entry__ import _events_asof_view  # noqa: PLC2701
+
+    base = dt.datetime(2024, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: view@10, view@20, click@20 (tie -> must pick 10), click@30 -> 20
+        (1, base + 10 * us, 1, "view"),
+        (2, base + 20 * us, 1, "view"),
+        (3, base + 20 * us, 1, "click"),
+        (4, base + 30 * us, 1, "click"),
+        # user 2: click with no view at all -> nulls
+        (5, base + 5 * us, 2, "click"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        src = f"{td}/events.parquet"
+        df.write.mode("overwrite").parquet(src)
+        out = {r["event_id"]: r for r in _events_asof_view(spark, td).collect()}
+    epoch = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert out[3]["asof_view_ts"] == epoch + 10  # tie excluded
+    assert out[4]["asof_view_ts"] == epoch + 20
+    assert out[5]["asof_view_ts"] is None
+    assert out[4]["since_view_us"] == 10

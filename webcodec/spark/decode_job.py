@@ -77,7 +77,26 @@ def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
                 )
                 arrays.append(pa.nulls(t.num_rows, type=at))
         t = pa.Table.from_arrays(arrays, names=want)
+    t = _normalize_ts_for_spark(t)
     yield from t.to_batches(max_chunksize=batch_rows)
+
+
+def _normalize_ts_for_spark(t: pa.Table) -> pa.Table:
+    """Spark's Arrow ingest only accepts MICROSECOND timestamps; files
+    encoded from ns sources (e.g. pyarrow reading Spark's own INT96 output)
+    round-trip bit-identical as ns and get truncated to us only at this
+    Spark boundary — exactly what Spark's native parquet reader does."""
+    casts = {
+        i: pa.timestamp("us", tz=f.type.tz)
+        for i, f in enumerate(t.schema)
+        if pa.types.is_timestamp(f.type) and f.type.unit != "us"
+    }
+    for i, typ in casts.items():
+        t = t.set_column(
+            i, t.schema.field(i).with_type(typ),
+            t.column(i).cast(typ, safe=False),
+        )
+    return t
 
 
 def read_encoded(

@@ -133,8 +133,15 @@ def arrow_type_from_json(s: str) -> pa.DataType:
     }
     if s in mapping:
         return mapping[s]
-    if s.startswith("timestamp[us, tz="):
-        return pa.timestamp("us", tz=s[len("timestamp[us, tz=") : -1])
+    # any timestamp unit, with or without tz: values travel as int64 and the
+    # footer-preserved original type restores the unit on decode
+    if s.startswith("timestamp[") and s.endswith("]"):
+        inner = s[len("timestamp[") : -1]
+        if ", tz=" in inner:
+            unit, tz = inner.split(", tz=", 1)
+            return pa.timestamp(unit, tz=tz)
+        if inner in ("s", "ms", "us", "ns"):
+            return pa.timestamp(inner)
     # list child field name varies by producer ("item", "element", ...)
     for prefix in ("list<", "large_list<"):
         if s.startswith(prefix) and s.endswith(">"):
