@@ -171,3 +171,83 @@ def test_timestamp_ns_roundtrip_and_pruning(tmp_path):
     cut = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=50)
     got = read_table(p, predicate=[("ts", ">=", cut)])
     assert got.num_rows == 50
+
+
+def _struct_table(n=5000, with_nulls=True):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    mask = pa.array((np.arange(n) % 11) == 3) if with_nulls else None
+    inner = pa.StructArray.from_arrays(
+        [
+            pa.array(rng.integers(0, 5, n)),
+            pa.array([f"u{i % 7}" if i % 9 else None for i in range(n)]),
+            pa.array(rng.random(n), pa.float64()),
+        ],
+        fields=[
+            pa.field("a", pa.int64(), nullable=False),
+            pa.field("b", pa.string()),
+            pa.field("c", pa.float64()),
+        ],
+        mask=mask,
+    )
+    return pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "s": inner,
+        "txt": pa.array(["x" * int(i % 13) for i in range(n)]),
+    })
+
+
+def test_struct_roundtrip_bit_identical(tmp_path):
+    """One-level struct shredding (E1 subset): parent validity + per-child
+    chunks with independent codec selection; round-trip is bit-identical
+    including struct nulls and nullable/non-nullable children."""
+    from webcodec.filefmt import read_table, write_table
+
+    t = _struct_table()
+    p = str(tmp_path / "s.wcd")
+    write_table(t, p)
+    back = read_table(p)
+    assert back.equals(t)
+    assert back.schema.equals(t.schema)  # exact field nullability preserved
+
+
+def test_struct_projection_pruning_and_predicate_guard(tmp_path):
+    from webcodec.filefmt import read_table, write_table
+
+    t = _struct_table()
+    p = str(tmp_path / "s.wcd")
+    write_table(t, p)
+    proj = read_table(p, columns=["s"])
+    assert proj.column_names == ["s"]
+    assert proj.column("s").combine_chunks().equals(t.column("s").combine_chunks())
+    # row-range sync: struct children filter under the same keep mask
+    got = read_table(p, predicate=[("id", ">=", 4000)])
+    assert got.num_rows == 1000
+    assert got.column("s").combine_chunks().equals(t.column("s").slice(4000).combine_chunks())
+    with pytest.raises(ValueError, match="struct columns unsupported"):
+        read_table(p, predicate=[("s", "==", 1)])
+
+
+def test_struct_append_merge(tmp_path):
+    """Byte-level append (C10) copies struct parent+child chunks verbatim."""
+    from webcodec.filefmt import append_files, read_table, write_table
+
+    t = _struct_table(n=2000, with_nulls=False)
+    p1, p2, dst = (str(tmp_path / f) for f in ("a.wcd", "b.wcd", "m.wcd"))
+    write_table(t.slice(0, 1200), p1)
+    write_table(t.slice(1200), p2)
+    append_files(dst, [p1, p2])
+    back = read_table(dst)
+    assert back.num_rows == 2000
+    assert back.column("s").combine_chunks().equals(t.column("s").combine_chunks())
+
+
+def test_struct_nested_rejected(tmp_path):
+    from webcodec.filefmt import write_table
+
+    inner = pa.StructArray.from_arrays([pa.array([1, 2])], names=["x"])
+    outer = pa.StructArray.from_arrays([inner], names=["in"])
+    t = pa.table({"s": outer})
+    with pytest.raises(TypeError, match="nested structs"):
+        write_table(t, str(tmp_path / "n.wcd"))

@@ -316,6 +316,83 @@ def _encode_chunk(
     return chunk, offset
 
 
+_STRUCT_SEP = "\x1f"  # footer-internal child-chunk name separator
+
+
+def _encode_struct_chunks(
+    name: str, arr: pa.Array, config: EncoderConfig, out: io.BufferedIOBase, offset0: int
+) -> tuple[list[dict], int]:
+    """One-level Dremel-style struct shredding (SURVEY §2 E1 subset): the
+    parent chunk stores the struct's own validity as BOOL pages plus child
+    field metadata; every child field becomes an ordinary column chunk
+    (name-spaced) with its OWN codec selection — a dict-coded child next to
+    a delta-coded one, exactly like top-level columns. Children are encoded
+    raw (values under null parents included), so round-trip is bit-identical."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type.num_fields == 0:
+        raise TypeError(f"empty struct column unsupported: {name}")
+    validity = arr.is_valid()
+    parent, offset = _encode_chunk(name, validity, config, out, offset0)
+    parent["struct"] = {
+        "fields": [
+            {"name": f.name, "nullable": f.nullable} for f in arr.type
+        ],
+        "null_count": int(arr.null_count),
+    }
+    parent["raw_bytes"] = 0  # raw accounting lives on the children
+    chunks = [parent]
+    for i, f in enumerate(arr.type):
+        child = arr.field(i)
+        if pa.types.is_struct(child.type):
+            raise TypeError(f"nested structs unsupported: {name}.{f.name}")
+        c, offset = _encode_chunk(
+            f"{name}{_STRUCT_SEP}{f.name}", child, config, out, offset
+        )
+        chunks.append(c)
+    return chunks, offset
+
+
+def _decode_struct_chunks(
+    buf: memoryview, group: dict, parent: dict, verify_crc: bool, keep: np.ndarray | None
+) -> pa.Array:
+    """Reassemble a shredded struct column: decode the parent validity (BOOL)
+    and every child chunk under the same keep-mask (row-range sync holds —
+    all chunks of a group share page row numbering), then rebuild the exact
+    original type via StructArray.from_arrays(fields=...)."""
+    meta = parent["struct"]
+    name = parent["name"]
+    children, fields = [], []
+    for fm in meta["fields"]:
+        cname = f"{name}{_STRUCT_SEP}{fm['name']}"
+        cchunk = next(c for c in group["chunks"] if c["name"] == cname)
+        child = _decode_chunk(buf, cchunk, verify_crc, keep=keep)
+        children.append(child)
+        fields.append(pa.field(fm["name"], child.type, nullable=fm["nullable"]))
+    mask = None
+    if meta["null_count"]:
+        import pyarrow.compute as _pc
+
+        valid = _decode_chunk(buf, parent, verify_crc, keep=keep)
+        mask = _pc.invert(valid)
+    return pa.StructArray.from_arrays(children, fields=fields, mask=mask)
+
+
+def _chunk_arrow_type(group: dict, chunk: dict) -> pa.DataType:
+    """Arrow type of a chunk as projected to the user — struct parents
+    rebuild their type from the child chunks."""
+    if chunk.get("struct"):
+        fields = []
+        for fm in chunk["struct"]["fields"]:
+            cname = f"{chunk['name']}{_STRUCT_SEP}{fm['name']}"
+            cc = next(c for c in group["chunks"] if c["name"] == cname)
+            fields.append(
+                pa.field(fm["name"], arrow_type_from_json(cc["type"]), nullable=fm["nullable"])
+            )
+        return pa.struct(fields)
+    return arrow_type_from_json(chunk["type"])
+
+
 def write_table(
     table: pa.Table,
     where: str | io.BufferedIOBase,
@@ -332,7 +409,12 @@ def write_table(
         t0 = time.perf_counter()
         chunks = []
         for name in table.column_names:
-            chunk, offset = _encode_chunk(name, table.column(name), config, out, offset)
+            col = table.column(name)
+            if pa.types.is_struct(col.type):
+                scs, offset = _encode_struct_chunks(name, col, config, out, offset)
+                chunks.extend(scs)
+                continue
+            chunk, offset = _encode_chunk(name, col, config, out, offset)
             chunks.append(chunk)
         encode_secs = time.perf_counter() - t0
         footer = {
@@ -558,7 +640,10 @@ def read_table(
     buf = memoryview(data)
     footer = read_footer(buf)
     groups = footer.get("groups") or [footer]
-    names = columns or [c["name"] for c in groups[0]["chunks"]]
+    # child chunks of shredded structs are footer-internal, not columns
+    names = columns or [
+        c["name"] for c in groups[0]["chunks"] if _STRUCT_SEP not in c["name"]
+    ]
 
     conjuncts = predmod.normalize(predicate)
     if conjuncts is not None:
@@ -572,7 +657,7 @@ def read_table(
                 fields = []
                 for name in names:
                     chunk = next(c for c in groups[0]["chunks"] if c["name"] == name)
-                    fields.append(pa.field(name, arrow_type_from_json(chunk["type"])))
+                    fields.append(pa.field(name, _chunk_arrow_type(groups[0], chunk)))
                 return pa.schema(fields).empty_table()
             conjuncts = [t for t in conjuncts if t[0] in present] or None
     # predicate columns are decoded even when not projected (the residual
@@ -591,6 +676,10 @@ def read_table(
             row_base = 0
             for g in groups:
                 pc_chunk = next(c for c in g["chunks"] if c["name"] == col)
+                if pc_chunk.get("struct"):
+                    raise ValueError(
+                        f"predicates on struct columns unsupported: {col!r}"
+                    )
                 pred_phys = PhysType(pc_chunk["phys"])
                 eq_values = [value] if op == "==" else (list(value) if op == "in" else None)
                 if eq_values is not None and pc_chunk.get("bloom"):
@@ -622,7 +711,7 @@ def read_table(
             fields = []
             for name in names:
                 chunk = next(c for c in groups[0]["chunks"] if c["name"] == name)
-                fields.append(pa.field(name, arrow_type_from_json(chunk["type"])))
+                fields.append(pa.field(name, _chunk_arrow_type(groups[0], chunk)))
             return pa.schema(fields).empty_table()
 
     arrays = []
@@ -637,7 +726,10 @@ def read_table(
                 if keep_rows is not None
                 else None
             )
-            parts.append(_decode_chunk(buf, chunk, verify_crc, keep=keep))
+            if chunk.get("struct"):
+                parts.append(_decode_struct_chunks(buf, g, chunk, verify_crc, keep))
+            else:
+                parts.append(_decode_chunk(buf, chunk, verify_crc, keep=keep))
             row_base += g["num_rows"]
         arr = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]) if len(parts) > 1 else parts[0]
         arrays.append(arr)

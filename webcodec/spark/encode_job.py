@@ -504,9 +504,20 @@ def encode_table(
         # driver-side aggregation: cheaper than an extra shuffle stage for a
         # <=(tasks x buckets)-row side channel
         spill_rows = sdf.mapInArrow(spill, "bucket int, rows long").collect()
-        buckets = sorted({int(r["bucket"]) for r in spill_rows})
-        bdf = spark.createDataFrame([(b,) for b in buckets], "bucket int")
-        bdf = bdf.repartition(max(len(buckets), 1), "bucket")
+        sizes: dict[int, int] = {}
+        for r in spill_rows:
+            sizes[int(r["bucket"])] = sizes.get(int(r["bucket"]), 0) + int(r["rows"])
+        # exactly ONE bucket per task (hash-repartition of n ids into n
+        # partitions leaves ~1/e of slots empty and stacks 2-3 buckets on
+        # others), largest bucket first: Spark launches partitions in index
+        # order, so descending size = LPT scheduling — the phase-B tail is
+        # one small bucket instead of a stack of large ones. Matters most at
+        # high parallelism, where phase B runs few waves.
+        order = sorted(sizes, key=lambda b: (-sizes[b], b))
+        rdd = spark.sparkContext.parallelize(
+            [(int(b),) for b in order], max(len(order), 1)
+        )
+        bdf = spark.createDataFrame(rdd, "bucket int")
         enc = _make_bucket_encode_fn(tbl.data_dir, shuffle_dir, config, sort_key or url_col)
         rows = bdf.mapInArrow(enc, LINEAGE_SCHEMA).collect()
         snap = _commit(spark, tbl, table_dir, rows, df, sort_key or url_col, write_metrics)
