@@ -325,6 +325,34 @@ def _scan_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-level struct shredding round-trip through the Spark DataSource
+    (SURVEY.md §2 E1 subset): the struct's own validity is a BOOL chunk,
+    each child field an ordinary column chunk with independent codec
+    selection (dict for `l`, FOR+delta for `n`). Output projects the fields
+    back to scalars — the driver canonicalizer can't hash struct cells."""
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    _prep(spark)
+    spark.dataSource.register(WebcodecDataSource)
+    df = _src(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 != 3,
+            F.struct(F.col("lang").alias("l"), F.col("n_chars").alias("n")),
+        ).alias("meta"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="wcq_struct_"), "t")
+    df.write.format("webcodec").mode("append").option("path", out).save()
+    back = spark.read.format("webcodec").option("path", out).load()
+    return back.select(
+        "doc_id",
+        F.col("meta.l").alias("lang"),
+        F.col("meta.n").alias("n"),
+        F.col("meta").isNull().cast("int").alias("meta_null"),
+    )
+
+
 def _agg_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over decoded output (dict+RLE column feeding a groupBy)."""
     df = _encode_decode(spark, sf_dir, "documents", sort_key="lang", columns=["lang"])
@@ -868,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_documents_compacted": _rt_documents_compacted,
         "scan_bloom_miss": _scan_bloom_miss,
         "scan_ts_range": _scan_ts_range,
+        "rt_struct": _rt_struct,
         "rt_list_words": _rt_list_words,
         "rt_export_parquet": _rt_export_parquet,
         "stats_minmax": _stats_minmax,
@@ -1022,6 +1051,12 @@ def oracle_sql() -> dict[str, str]:
         "scan_ts_range": (
             "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type "
             "FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'"
+        ),
+        "rt_struct": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 7 != 3 THEN lang END AS lang, "
+            "CASE WHEN doc_id % 7 != 3 THEN n_chars END AS n, "
+            "CAST(doc_id % 7 = 3 AS INT) AS meta_null FROM documents"
         ),
         "rt_list_words": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "

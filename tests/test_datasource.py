@@ -191,3 +191,54 @@ def test_datasource_time_travel(registered, src_parquet, tmp_path):
     new = spark.read.format("webcodec").option("path", out).load()
     assert old.count() == 1_500
     assert new.count() == 5_500
+
+
+def test_struct_column_through_datasource(registered, src_parquet, tmp_path):
+    """One-level struct (E1 subset) survives the full Spark path: Arrow
+    write -> shredded chunks -> decode -> struct field projection."""
+    spark = registered
+    out = str(tmp_path / "t")
+    df = (
+        spark.read.parquet(src_parquet)
+        .select(
+            "url",
+            F.when(
+                F.length("url") % 5 != 2,
+                F.struct(
+                    F.col("lang").alias("l"),
+                    F.length("text").alias("n"),
+                    (F.length("text") * 0.5).alias("x"),
+                ),
+            ).alias("meta"),
+        )
+    )
+    df.write.format("webcodec").mode("append").option("path", out).save()
+    back = spark.read.format("webcodec").option("path", out).load()
+    assert back.schema["meta"].dataType.simpleString() == "struct<l:string,n:int,x:double>"
+    assert df.exceptAll(back).count() == 0
+    assert back.exceptAll(df).count() == 0
+    # struct-field projection decodes (pruning of untouched siblings happens
+    # at chunk level inside the file reader)
+    got = back.select(F.col("meta.l").alias("l")).groupBy("l").count().collect()
+    want = df.select(F.col("meta.l").alias("l")).groupBy("l").count().collect()
+    key = lambda r: (r[0] is None, r)  # noqa: E731
+    assert sorted(map(tuple, got), key=key) == sorted(map(tuple, want), key=key)
+
+
+def test_struct_added_column_null_fill(registered, src_parquet, tmp_path):
+    """Iceberg add-column semantics for a STRUCT column: files written
+    before the evolution decode it as typed nulls."""
+    spark = registered
+    out = str(tmp_path / "t")
+    df = spark.read.parquet(src_parquet)
+    df.select("url", "lang").write.format("webcodec").mode("append").option(
+        "path", out
+    ).save()
+    evolved = df.select(
+        "url", "lang", F.struct(F.length("text").alias("n")).alias("extra")
+    ).limit(0)
+    evolved.write.format("webcodec").mode("append").option("path", out).save()
+    back = spark.read.format("webcodec").option("path", out).load()
+    assert back.schema["extra"].dataType.simpleString() == "struct<n:int>"
+    assert back.count() == 4_000
+    assert back.filter(F.col("extra").isNull()).count() == 4_000

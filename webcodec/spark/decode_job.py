@@ -39,16 +39,52 @@ def _schema_ddl(schema: list[dict], columns: list[str] | None) -> str:
     return ", ".join(f"`{f['name']}` {_SPARK_TYPE.get(f['type'], f['type'])}" for f in cols)
 
 
-_ARROW_OF_SPARK = {
-    "string": "string", "bigint": "int64", "int": "int32",
-    "double": "double", "float": "float", "boolean": "bool",
-    "binary": "binary", "date": "date32[day]",
-    "timestamp": "timestamp[us]", "timestamp_ntz": "timestamp[us]",
-    "array<float>": "list<item: float>",
-    "array<int>": "list<item: int32>", "array<bigint>": "list<item: int64>",
-    "array<double>": "list<item: double>", "array<string>": "list<item: string>",
-    "array<binary>": "list<item: binary>", "array<boolean>": "list<item: bool>",
+_ARROW_SCALAR = {
+    "string": pa.string(), "bigint": pa.int64(), "int": pa.int32(),
+    "smallint": pa.int16(), "tinyint": pa.int8(), "double": pa.float64(),
+    "float": pa.float32(), "boolean": pa.bool_(), "binary": pa.binary(),
+    "date": pa.date32(), "timestamp": pa.timestamp("us", tz="UTC"),
+    "timestamp_ntz": pa.timestamp("us"),
 }
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at angle-bracket depth 0 (struct field lists)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+def _arrow_type_of_spark(spark_type: str) -> pa.DataType:
+    """Arrow type for a Spark simpleString — self-contained recursive parse
+    (struct/array/map over the scalar table) so it runs executor-side, where
+    pyspark's own DDL parser is unavailable (it needs a live SparkContext)."""
+    s = spark_type.strip()
+    if s in _ARROW_SCALAR:
+        return _ARROW_SCALAR[s]
+    if s.startswith("array<") and s.endswith(">"):
+        return pa.list_(_arrow_type_of_spark(s[6:-1]))
+    if s.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for item in _split_top(s[7:-1]):
+            name, typ = item.split(":", 1)
+            fields.append(pa.field(name.strip(), _arrow_type_of_spark(typ)))
+        return pa.struct(fields)
+    if s.startswith("map<") and s.endswith(">"):
+        k, v = _split_top(s[4:-1])
+        return pa.map_(_arrow_type_of_spark(k), _arrow_type_of_spark(v))
+    if s.startswith("decimal(") and s.endswith(")"):
+        p, sc = s[8:-1].split(",")
+        return pa.decimal128(int(p), int(sc))
+    raise ValueError(f"unsupported Spark type string: {spark_type!r}")
 
 
 def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
@@ -58,7 +94,6 @@ def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
     as nulls (``types`` maps column name -> Spark type string). Shared by the
     job reader and the DataSource reader (executor-side)."""
     from webcodec import filefmt
-    from webcodec.types import arrow_type_from_json
 
     with open(path, "rb") as f:
         data = f.read()
@@ -72,9 +107,7 @@ def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
             if name in present:
                 arrays.append(t.column(name))
             else:
-                at = arrow_type_from_json(
-                    _ARROW_OF_SPARK.get(types.get(name, "string"), "string")
-                )
+                at = _arrow_type_of_spark(types.get(name, "string"))
                 arrays.append(pa.nulls(t.num_rows, type=at))
         t = pa.Table.from_arrays(arrays, names=want)
     t = _normalize_ts_for_spark(t)
