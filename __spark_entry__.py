@@ -353,6 +353,33 @@ def _rt_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map column shredding round-trip through the Spark DataSource: parent
+    validity BOOL chunk + keys/items as two generic-LIST chunks sharing
+    offsets (lengths FOR+delta, independent codec per side). Output folds the
+    map to scalars — Spark forbids set ops and the driver canonicalizer
+    forbids unhashable cells on map columns."""
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    _prep(spark)
+    spark.dataSource.register(WebcodecDataSource)
+    df = _src(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 13 != 7, F.from_json("props", "map<string,bigint>")
+        ).alias("props_map"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="wcq_map_"), "t")
+    df.write.format("webcodec").mode("append").option("path", out).save()
+    back = spark.read.format("webcodec").option("path", out).load()
+    return back.select(
+        "event_id",
+        F.array_join(F.map_keys("props_map"), ",").alias("keys"),
+        F.col("props_map")["k"].alias("k_val"),
+        F.col("props_map").isNull().cast("int").alias("map_null"),
+    )
+
+
 def _agg_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over decoded output (dict+RLE column feeding a groupBy)."""
     df = _encode_decode(spark, sf_dir, "documents", sort_key="lang", columns=["lang"])
@@ -897,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_bloom_miss": _scan_bloom_miss,
         "scan_ts_range": _scan_ts_range,
         "rt_struct": _rt_struct,
+        "rt_map": _rt_map,
         "rt_list_words": _rt_list_words,
         "rt_export_parquet": _rt_export_parquet,
         "stats_minmax": _stats_minmax,
@@ -1057,6 +1085,12 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 7 != 3 THEN lang END AS lang, "
             "CASE WHEN doc_id % 7 != 3 THEN n_chars END AS n, "
             "CAST(doc_id % 7 = 3 AS INT) AS meta_null FROM documents"
+        ),
+        "rt_map": (
+            "SELECT event_id, "
+            "CASE WHEN event_id % 13 != 7 THEN 'k' END AS keys, "
+            "CASE WHEN event_id % 13 != 7 THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k_val, "
+            "CAST(event_id % 13 = 7 AS INT) AS map_null FROM events"
         ),
         "rt_list_words": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "

@@ -242,3 +242,25 @@ def test_struct_added_column_null_fill(registered, src_parquet, tmp_path):
     assert back.schema["extra"].dataType.simpleString() == "struct<n:int>"
     assert back.count() == 4_000
     assert back.filter(F.col("extra").isNull()).count() == 4_000
+
+
+def test_map_column_through_datasource(registered, src_parquet, tmp_path):
+    """Map columns survive the full Spark path (compared via to_json —
+    Spark forbids set operations on map types)."""
+    spark = registered
+    out = str(tmp_path / "t")
+    df = spark.read.parquet(src_parquet).select(
+        "url",
+        F.when(
+            F.length("url") % 5 != 2,
+            F.create_map(F.lit("lang"), F.col("lang"), F.lit("l"),
+                         F.length("text").cast("string")),
+        ).alias("m"),
+    )
+    df.write.format("webcodec").mode("append").option("path", out).save()
+    back = spark.read.format("webcodec").option("path", out).load()
+    assert back.schema["m"].dataType.simpleString() == "map<string,string>"
+    a = df.select("url", F.to_json("m").alias("j"))
+    b = back.select("url", F.to_json("m").alias("j"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

@@ -225,7 +225,7 @@ def test_struct_projection_pruning_and_predicate_guard(tmp_path):
     got = read_table(p, predicate=[("id", ">=", 4000)])
     assert got.num_rows == 1000
     assert got.column("s").combine_chunks().equals(t.column("s").slice(4000).combine_chunks())
-    with pytest.raises(ValueError, match="struct columns unsupported"):
+    with pytest.raises(ValueError, match="struct/map columns unsupported"):
         read_table(p, predicate=[("s", "==", 1)])
 
 
@@ -251,3 +251,67 @@ def test_struct_nested_rejected(tmp_path):
     t = pa.table({"s": outer})
     with pytest.raises(TypeError, match="nested structs"):
         write_table(t, str(tmp_path / "n.wcd"))
+
+
+def _map_table(n=5000, with_nulls=True):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    maps = []
+    for i in range(n):
+        if with_nulls and i % 11 == 3:
+            maps.append(None)
+        else:
+            k = int(rng.integers(0, 5))
+            maps.append(
+                {f"k{j}": (None if (i + j) % 17 == 5 else int(rng.integers(0, 100)))
+                 for j in range(k)}
+            )
+    return pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "m": pa.array(maps, pa.map_(pa.string(), pa.int64())),
+    })
+
+
+def test_map_roundtrip_bit_identical(tmp_path):
+    """Map shredding: parent validity + keys/items generic-LIST chunks;
+    round-trip preserves map nulls, null values, empty maps, entry order."""
+    from webcodec.filefmt import read_table, write_table
+
+    t = _map_table()
+    p = str(tmp_path / "m.wcd")
+    write_table(t, p)
+    back = read_table(p)
+    assert back.equals(t)
+    assert back.schema.equals(t.schema)
+
+
+def test_map_projection_predicate_append(tmp_path):
+    from webcodec.filefmt import append_files, read_table, write_table
+
+    t = _map_table()
+    p = str(tmp_path / "m.wcd")
+    write_table(t, p)
+    proj = read_table(p, columns=["m"])
+    assert proj.column("m").combine_chunks().equals(t.column("m").combine_chunks())
+    got = read_table(p, predicate=[("id", ">=", 4000)])
+    assert got.num_rows == 1000
+    assert got.column("m").combine_chunks().equals(t.column("m").slice(4000).combine_chunks())
+    with pytest.raises(ValueError, match="struct/map columns unsupported"):
+        read_table(p, predicate=[("m", "==", 1)])
+    p2, dst = str(tmp_path / "b.wcd"), str(tmp_path / "c.wcd")
+    write_table(t.slice(3000), p2)
+    append_files(dst, [p, p2])
+    assert read_table(dst).num_rows == 5000 + 2000
+
+
+def test_map_string_values(tmp_path):
+    from webcodec.filefmt import read_table, write_table
+
+    t = pa.table({
+        "m": pa.array([{"a": "x", "b": None}, {}, None, {"c": "y"}],
+                      pa.map_(pa.string(), pa.string()))
+    })
+    p = str(tmp_path / "m.wcd")
+    write_table(t, p)
+    assert read_table(p).equals(t)

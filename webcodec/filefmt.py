@@ -378,8 +378,71 @@ def _decode_struct_chunks(
     return pa.StructArray.from_arrays(children, fields=fields, mask=mask)
 
 
+def _encode_map_chunks(
+    name: str, arr: pa.Array, config: EncoderConfig, out: io.BufferedIOBase, offset0: int
+) -> tuple[list[dict], int]:
+    """Map shredding (map = list<struct<key,value>> in Arrow): the parent
+    chunk stores the map's own validity as BOOL pages; keys and values
+    become two generic-LIST chunks SHARING the parent's offsets (lengths
+    FOR+delta + child payload, independent codec selection per side — a
+    dict-coded key column next to delta-coded values). Null maps are stored
+    as empty entry lists; the parent validity restores them on decode."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    validity = arr.is_valid()
+    parent, offset = _encode_chunk(name, validity, config, out, offset0)
+    parent["map"] = {
+        "null_count": int(arr.null_count),
+        "item_nullable": arr.type.item_field.nullable,
+    }
+    parent["raw_bytes"] = 0  # raw accounting lives on the key/item chunks
+    # MapArray subclasses ListArray: .offsets honors slicing, .values is the
+    # entries struct (absolute — consistent with the offsets)
+    entries = arr.values
+    kl = pa.ListArray.from_arrays(arr.offsets, entries.field(0))
+    il = pa.ListArray.from_arrays(arr.offsets, entries.field(1))
+    chunks = [parent]
+    for suffix, child in (("keys", kl), ("items", il)):
+        c, offset = _encode_chunk(f"{name}{_STRUCT_SEP}{suffix}", child, config, out, offset)
+        chunks.append(c)
+    return chunks, offset
+
+
+def _decode_map_chunks(
+    buf: memoryview, group: dict, parent: dict, verify_crc: bool, keep: np.ndarray | None
+) -> pa.Array:
+    """Reassemble a shredded map column: decode the keys/items lists under
+    the same keep-mask, zip them back into the entries struct, and rebuild
+    the MapArray from buffers (validity bitmap + the keys list's offsets)."""
+    name = parent["name"]
+    kl = _decode_chunk(
+        buf, next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}keys"),
+        verify_crc, keep=keep,
+    )
+    il = _decode_chunk(
+        buf, next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}items"),
+        verify_crc, keep=keep,
+    )
+    entries = pa.StructArray.from_arrays(
+        [kl.flatten(), il.flatten()],
+        fields=[
+            pa.field("key", kl.type.value_type, nullable=False),
+            pa.field("value", il.type.value_type, nullable=parent["map"]["item_nullable"]),
+        ],
+    )
+    validity_buf = None
+    if parent["map"]["null_count"]:
+        valid = _decode_chunk(buf, parent, verify_crc, keep=keep)
+        mask = np.asarray(valid, dtype=bool)
+        validity_buf = pa.py_buffer(np.packbits(mask, bitorder="little").tobytes())
+    mtype = pa.map_(entries.type.field(0), entries.type.field(1))
+    return pa.Array.from_buffers(
+        mtype, len(kl), [validity_buf, kl.buffers()[1]], children=[entries]
+    )
+
+
 def _chunk_arrow_type(group: dict, chunk: dict) -> pa.DataType:
-    """Arrow type of a chunk as projected to the user — struct parents
+    """Arrow type of a chunk as projected to the user — struct/map parents
     rebuild their type from the child chunks."""
     if chunk.get("struct"):
         fields = []
@@ -390,6 +453,19 @@ def _chunk_arrow_type(group: dict, chunk: dict) -> pa.DataType:
                 pa.field(fm["name"], arrow_type_from_json(cc["type"]), nullable=fm["nullable"])
             )
         return pa.struct(fields)
+    if chunk.get("map"):
+        kt = arrow_type_from_json(
+            next(c for c in group["chunks"]
+                 if c["name"] == f"{chunk['name']}{_STRUCT_SEP}keys")["type"]
+        ).value_type
+        vt = arrow_type_from_json(
+            next(c for c in group["chunks"]
+                 if c["name"] == f"{chunk['name']}{_STRUCT_SEP}items")["type"]
+        ).value_type
+        return pa.map_(
+            pa.field("key", kt, nullable=False),
+            pa.field("value", vt, nullable=chunk["map"]["item_nullable"]),
+        )
     return arrow_type_from_json(chunk["type"])
 
 
@@ -413,6 +489,10 @@ def write_table(
             if pa.types.is_struct(col.type):
                 scs, offset = _encode_struct_chunks(name, col, config, out, offset)
                 chunks.extend(scs)
+                continue
+            if pa.types.is_map(col.type):
+                mcs, offset = _encode_map_chunks(name, col, config, out, offset)
+                chunks.extend(mcs)
                 continue
             chunk, offset = _encode_chunk(name, col, config, out, offset)
             chunks.append(chunk)
@@ -676,9 +756,9 @@ def read_table(
             row_base = 0
             for g in groups:
                 pc_chunk = next(c for c in g["chunks"] if c["name"] == col)
-                if pc_chunk.get("struct"):
+                if pc_chunk.get("struct") or pc_chunk.get("map"):
                     raise ValueError(
-                        f"predicates on struct columns unsupported: {col!r}"
+                        f"predicates on struct/map columns unsupported: {col!r}"
                     )
                 pred_phys = PhysType(pc_chunk["phys"])
                 eq_values = [value] if op == "==" else (list(value) if op == "in" else None)
@@ -728,6 +808,8 @@ def read_table(
             )
             if chunk.get("struct"):
                 parts.append(_decode_struct_chunks(buf, g, chunk, verify_crc, keep))
+            elif chunk.get("map"):
+                parts.append(_decode_map_chunks(buf, g, chunk, verify_crc, keep))
             else:
                 parts.append(_decode_chunk(buf, chunk, verify_crc, keep=keep))
             row_base += g["num_rows"]
