@@ -380,6 +380,36 @@ def _rt_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-repetition-level nesting (E2/E3): array<struct<w,n>> shredded as
+    per-field generic-LIST chunks sharing outer offsets. Round-trips through
+    the DataSource, then folds to scalars for the driver compare."""
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    _prep(spark)
+    spark.dataSource.register(WebcodecDataSource)
+    words = F.slice(F.split("text", " "), 1, 3)
+    df = _src(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(
+            words, lambda w: F.struct(w.alias("w"), F.length(w).alias("n"))
+        ).alias("ws"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="wcq_nested_"), "t")
+    df.write.format("webcodec").mode("append").option("path", out).save()
+    back = spark.read.format("webcodec").option("path", out).load()
+    return back.select(
+        "doc_id",
+        F.size("ws").alias("n_entries"),
+        F.array_join(F.transform("ws", lambda s: s["w"]), "|").alias("joined"),
+        F.aggregate(
+            F.transform("ws", lambda s: s["n"].cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_sum"),
+    )
+
+
 def _agg_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over decoded output (dict+RLE column feeding a groupBy)."""
     df = _encode_decode(spark, sf_dir, "documents", sort_key="lang", columns=["lang"])
@@ -925,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_ts_range": _scan_ts_range,
         "rt_struct": _rt_struct,
         "rt_map": _rt_map,
+        "rt_nested": _rt_nested,
         "rt_list_words": _rt_list_words,
         "rt_export_parquet": _rt_export_parquet,
         "stats_minmax": _stats_minmax,
@@ -1091,6 +1122,13 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN event_id % 13 != 7 THEN 'k' END AS keys, "
             "CASE WHEN event_id % 13 != 7 THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k_val, "
             "CAST(event_id % 13 = 7 AS INT) AS map_null FROM events"
+        ),
+        "rt_nested": (
+            "WITH w AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, 3) AS ws "
+            "FROM documents) "
+            "SELECT doc_id, CAST(len(ws) AS INT) AS n_entries, "
+            "array_to_string(ws, '|') AS joined, "
+            "CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS n_sum FROM w"
         ),
         "rt_list_words": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "

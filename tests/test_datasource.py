@@ -264,3 +264,23 @@ def test_map_column_through_datasource(registered, src_parquet, tmp_path):
     b = back.select("url", F.to_json("m").alias("j"))
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_nested_types_through_datasource(registered, src_parquet, tmp_path):
+    """array<struct> and array<array> survive the full Spark path exactly."""
+    spark = registered
+    out = str(tmp_path / "t")
+    df = spark.read.parquet(src_parquet)
+    words = F.slice(F.split("text", " "), 1, 3)
+    sdf = df.select(
+        "url",
+        F.transform(words, lambda w: F.struct(w.alias("w"), F.length(w).alias("n"))).alias("ws"),
+        F.array(F.array(F.length("text").cast("long")),
+                F.array(F.lit(1).cast("long"))).alias("nn"),
+    )
+    sdf.write.format("webcodec").mode("append").option("path", out).save()
+    back = spark.read.format("webcodec").option("path", out).load()
+    assert back.schema["ws"].dataType.simpleString() == "array<struct<w:string,n:int>>"
+    assert back.schema["nn"].dataType.simpleString() == "array<array<bigint>>"
+    assert sdf.exceptAll(back).count() == 0
+    assert back.exceptAll(sdf).count() == 0

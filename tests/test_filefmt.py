@@ -315,3 +315,77 @@ def test_map_string_values(tmp_path):
     p = str(tmp_path / "m.wcd")
     write_table(t, p)
     assert read_table(p).equals(t)
+
+
+def _nested_table(n=4000):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    ls = []
+    for i in range(n):
+        if i % 11 == 3:
+            ls.append(None)
+        else:
+            k = int(rng.integers(0, 4))
+            ls.append([
+                None if (i + j) % 13 == 6 else
+                {"a": int(rng.integers(0, 100)), "b": (None if (i + j) % 7 == 2 else f"s{j}")}
+                for j in range(k)
+            ])
+    lst = pa.array(ls, pa.list_(pa.struct([
+        pa.field("a", pa.int64()), pa.field("b", pa.string())])))
+    ll = []
+    for i in range(n):
+        if i % 17 == 5:
+            ll.append(None)
+        else:
+            k = int(rng.integers(0, 3))
+            ll.append([
+                None if (i + j) % 19 == 7 else
+                [int(x) for x in rng.integers(0, 50, int(rng.integers(0, 4)))]
+                for j in range(k)
+            ])
+    llt = pa.array(ll, pa.list_(pa.list_(pa.int64())))
+    return pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)), "ls": lst, "ll": llt})
+
+
+def test_list_struct_and_list_list_roundtrip(tmp_path):
+    """E2/E3: list<struct> and list<list> shredding round-trips bit-identical
+    including nulls at every level and empty lists."""
+    from webcodec.filefmt import read_table, write_table
+
+    t = _nested_table()
+    p = str(tmp_path / "n.wcd")
+    write_table(t, p)
+    back = read_table(p)
+    assert back.equals(t)
+    assert back.schema.equals(t.schema)
+
+
+def test_nested_predicate_projection_append(tmp_path):
+    from webcodec.filefmt import append_files, read_table, write_table
+
+    t = _nested_table()
+    p = str(tmp_path / "n.wcd")
+    write_table(t, p)
+    got = read_table(p, predicate=[("id", ">=", 3000)])
+    assert got.num_rows == 1000
+    for c in ("ls", "ll"):
+        assert got.column(c).combine_chunks().equals(t.column(c).slice(3000).combine_chunks())
+    proj = read_table(p, columns=["ll"])
+    assert proj.column_names == ["ll"]
+    p2, dst = str(tmp_path / "b.wcd"), str(tmp_path / "c.wcd")
+    write_table(t.slice(2000), p2)
+    append_files(dst, [p, p2])
+    assert read_table(dst).num_rows == 6000
+
+
+def test_list_list_float32(tmp_path):
+    from webcodec.filefmt import read_table, write_table
+
+    t = pa.table({"v": pa.array([[[1.0, 2.0], [3.0]], None, [], [[]], [None]],
+                                pa.list_(pa.list_(pa.float32())))})
+    p = str(tmp_path / "f.wcd")
+    write_table(t, p)
+    assert read_table(p).equals(t)

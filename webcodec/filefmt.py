@@ -441,6 +441,168 @@ def _decode_map_chunks(
     )
 
 
+def _encode_list_struct_chunks(
+    name: str, arr: pa.Array, config: EncoderConfig, out: io.BufferedIOBase, offset0: int
+) -> tuple[list[dict], int]:
+    """list<struct<primitives>> shredding (E2/E3 analogue of Dremel repeated
+    groups): the parent chunk stores the outer validity as BOOL pages; each
+    struct field becomes a generic-LIST chunk SHARING the outer offsets, so
+    per-field codec selection still applies. Entry (inner struct) validity,
+    when present, travels as an aligned list<bool> chunk."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    validity = arr.is_valid()
+    parent, offset = _encode_chunk(name, validity, config, out, offset0)
+    entries = arr.values  # StructArray, absolute w.r.t. arr.offsets
+    off = arr.offsets
+    parent["liststruct"] = {
+        "elem_name": arr.type.value_field.name,
+        "elem_nullable": arr.type.value_field.nullable,
+        "entry_null_count": int(entries.null_count),
+        "null_count": int(arr.null_count),
+        "fields": [{"name": f.name, "nullable": f.nullable} for f in entries.type],
+    }
+    parent["raw_bytes"] = 0
+    chunks = [parent]
+    if entries.null_count:
+        ev = pa.ListArray.from_arrays(off, entries.is_valid())
+        c, offset = _encode_chunk(f"{name}{_STRUCT_SEP}#valid", ev, config, out, offset)
+        chunks.append(c)
+    for i, f in enumerate(entries.type):
+        if not pa.types.is_struct(f.type) and not pa.types.is_list(f.type) \
+                and not pa.types.is_map(f.type):
+            fl = pa.ListArray.from_arrays(off, entries.field(i))
+            c, offset = _encode_chunk(f"{name}{_STRUCT_SEP}{f.name}", fl, config, out, offset)
+            chunks.append(c)
+        else:
+            raise TypeError(f"nested non-primitive inside list<struct>: {name}.{f.name}")
+    return chunks, offset
+
+
+def _decode_list_struct_chunks(
+    buf: memoryview, group: dict, parent: dict, verify_crc: bool, keep: np.ndarray | None
+) -> pa.Array:
+    meta = parent["liststruct"]
+    name = parent["name"]
+    flats, fields = [], []
+    first_list = None
+    for fm in meta["fields"]:
+        fl = _decode_chunk(
+            buf,
+            next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}{fm['name']}"),
+            verify_crc, keep=keep,
+        )
+        if first_list is None:
+            first_list = fl
+        flat = fl.flatten()
+        flats.append(flat)
+        fields.append(pa.field(fm["name"], flat.type, nullable=fm["nullable"]))
+    mask = None
+    if meta["entry_null_count"]:
+        ev = _decode_chunk(
+            buf,
+            next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}#valid"),
+            verify_crc, keep=keep,
+        )
+        mask = pa.array(~np.asarray(ev.flatten(), dtype=bool))
+    entries = pa.StructArray.from_arrays(flats, fields=fields, mask=mask)
+    validity_buf = None
+    if meta["null_count"]:
+        valid = _decode_chunk(buf, parent, verify_crc, keep=keep)
+        m = np.asarray(valid, dtype=bool)
+        validity_buf = pa.py_buffer(np.packbits(m, bitorder="little").tobytes())
+    ltype = pa.list_(pa.field(meta["elem_name"], entries.type, nullable=meta["elem_nullable"]))
+    return pa.Array.from_buffers(
+        ltype, len(first_list), [validity_buf, first_list.buffers()[1]], children=[entries]
+    )
+
+
+def _encode_list_list_chunks(
+    name: str, arr: pa.Array, config: EncoderConfig, out: io.BufferedIOBase, offset0: int
+) -> tuple[list[dict], int]:
+    """list<list<primitive>> shredding (E3, two repetition levels): outer
+    validity as BOOL parent; inner lengths as an aligned list<int32> chunk
+    (FOR+delta eats the small ints); inner validity as an aligned list<bool>
+    when present; values two-level-flattened into an aligned list<primitive>
+    chunk. All four chunks share outer row numbering, so page pruning and
+    keep-masks compose for free."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    validity = arr.is_valid()
+    parent, offset = _encode_chunk(name, validity, config, out, offset0)
+    inner = arr.values  # inner ListArray, absolute w.r.t. arr.offsets
+    off_np = np.asarray(arr.offsets, dtype=np.int64)
+    inner_off_np = np.frombuffer(
+        inner.buffers()[1], dtype=np.int32, count=inner.offset + len(inner) + 1
+    )[inner.offset :].astype(np.int64)
+    parent["listlist"] = {
+        "elem_name": arr.type.value_field.name,
+        "elem_nullable": arr.type.value_field.nullable,
+        "inner_elem_name": inner.type.value_field.name,
+        "inner_elem_nullable": inner.type.value_field.nullable,
+        "inner_null_count": int(inner.null_count),
+        "null_count": int(arr.null_count),
+    }
+    parent["raw_bytes"] = 0
+    chunks = [parent]
+    lens_child = pa.array(np.diff(inner_off_np).astype(np.int32), pa.int32())
+    lens_l = pa.ListArray.from_arrays(arr.offsets, lens_child)
+    c, offset = _encode_chunk(f"{name}{_STRUCT_SEP}#lens", lens_l, config, out, offset)
+    chunks.append(c)
+    if inner.null_count:
+        iv = pa.ListArray.from_arrays(arr.offsets, inner.is_valid())
+        c, offset = _encode_chunk(f"{name}{_STRUCT_SEP}#valid", iv, config, out, offset)
+        chunks.append(c)
+    flat_off = inner_off_np[off_np].astype(np.int32)
+    flat_l = pa.ListArray.from_arrays(pa.array(flat_off, pa.int32()), inner.values)
+    c, offset = _encode_chunk(f"{name}{_STRUCT_SEP}#flat", flat_l, config, out, offset)
+    chunks.append(c)
+    return chunks, offset
+
+
+def _decode_list_list_chunks(
+    buf: memoryview, group: dict, parent: dict, verify_crc: bool, keep: np.ndarray | None
+) -> pa.Array:
+    meta = parent["listlist"]
+    name = parent["name"]
+    lens_l = _decode_chunk(
+        buf, next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}#lens"),
+        verify_crc, keep=keep,
+    )
+    flat_l = _decode_chunk(
+        buf, next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}#flat"),
+        verify_crc, keep=keep,
+    )
+    lens_flat = np.asarray(lens_l.flatten(), dtype=np.int64)
+    inner_off = np.zeros(len(lens_flat) + 1, dtype=np.int32)
+    inner_off[1:] = np.cumsum(lens_flat)
+    mask = None
+    if meta["inner_null_count"]:
+        iv = _decode_chunk(
+            buf, next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}#valid"),
+            verify_crc, keep=keep,
+        )
+        mask = pa.array(~np.asarray(iv.flatten(), dtype=bool))
+    inner = pa.ListArray.from_arrays(
+        pa.array(inner_off, pa.int32()), flat_l.flatten(), mask=mask
+    )
+    itype = pa.list_(
+        pa.field(meta["inner_elem_name"], flat_l.type.value_type,
+                 nullable=meta["inner_elem_nullable"])
+    )
+    if inner.type != itype:
+        inner = inner.cast(itype)
+    validity_buf = None
+    if meta["null_count"]:
+        valid = _decode_chunk(buf, parent, verify_crc, keep=keep)
+        m = np.asarray(valid, dtype=bool)
+        validity_buf = pa.py_buffer(np.packbits(m, bitorder="little").tobytes())
+    ltype = pa.list_(pa.field(meta["elem_name"], itype, nullable=meta["elem_nullable"]))
+    return pa.Array.from_buffers(
+        ltype, len(lens_l), [validity_buf, lens_l.buffers()[1]], children=[inner]
+    )
+
+
 def _chunk_arrow_type(group: dict, chunk: dict) -> pa.DataType:
     """Arrow type of a chunk as projected to the user — struct/map parents
     rebuild their type from the child chunks."""
@@ -466,6 +628,28 @@ def _chunk_arrow_type(group: dict, chunk: dict) -> pa.DataType:
             pa.field("key", kt, nullable=False),
             pa.field("value", vt, nullable=chunk["map"]["item_nullable"]),
         )
+    if chunk.get("liststruct"):
+        meta = chunk["liststruct"]
+        fields = []
+        for fm in meta["fields"]:
+            ct = arrow_type_from_json(
+                next(c for c in group["chunks"]
+                     if c["name"] == f"{chunk['name']}{_STRUCT_SEP}{fm['name']}")["type"]
+            ).value_type
+            fields.append(pa.field(fm["name"], ct, nullable=fm["nullable"]))
+        return pa.list_(
+            pa.field(meta["elem_name"], pa.struct(fields), nullable=meta["elem_nullable"])
+        )
+    if chunk.get("listlist"):
+        meta = chunk["listlist"]
+        vt = arrow_type_from_json(
+            next(c for c in group["chunks"]
+                 if c["name"] == f"{chunk['name']}{_STRUCT_SEP}#flat")["type"]
+        ).value_type
+        itype = pa.list_(
+            pa.field(meta["inner_elem_name"], vt, nullable=meta["inner_elem_nullable"])
+        )
+        return pa.list_(pa.field(meta["elem_name"], itype, nullable=meta["elem_nullable"]))
     return arrow_type_from_json(chunk["type"])
 
 
@@ -493,6 +677,14 @@ def write_table(
             if pa.types.is_map(col.type):
                 mcs, offset = _encode_map_chunks(name, col, config, out, offset)
                 chunks.extend(mcs)
+                continue
+            if pa.types.is_list(col.type) and pa.types.is_struct(col.type.value_type):
+                lcs, offset = _encode_list_struct_chunks(name, col, config, out, offset)
+                chunks.extend(lcs)
+                continue
+            if pa.types.is_list(col.type) and pa.types.is_list(col.type.value_type):
+                lcs, offset = _encode_list_list_chunks(name, col, config, out, offset)
+                chunks.extend(lcs)
                 continue
             chunk, offset = _encode_chunk(name, col, config, out, offset)
             chunks.append(chunk)
@@ -756,7 +948,7 @@ def read_table(
             row_base = 0
             for g in groups:
                 pc_chunk = next(c for c in g["chunks"] if c["name"] == col)
-                if pc_chunk.get("struct") or pc_chunk.get("map"):
+                if any(pc_chunk.get(k) for k in ("struct", "map", "liststruct", "listlist")):
                     raise ValueError(
                         f"predicates on struct/map columns unsupported: {col!r}"
                     )
@@ -810,6 +1002,10 @@ def read_table(
                 parts.append(_decode_struct_chunks(buf, g, chunk, verify_crc, keep))
             elif chunk.get("map"):
                 parts.append(_decode_map_chunks(buf, g, chunk, verify_crc, keep))
+            elif chunk.get("liststruct"):
+                parts.append(_decode_list_struct_chunks(buf, g, chunk, verify_crc, keep))
+            elif chunk.get("listlist"):
+                parts.append(_decode_list_list_chunks(buf, g, chunk, verify_crc, keep))
             else:
                 parts.append(_decode_chunk(buf, chunk, verify_crc, keep=keep))
             row_base += g["num_rows"]
