@@ -131,6 +131,8 @@ def test_pushfilters_accepts_conjuncts_unit():
 
     from webcodec.spark.datasource import WebcodecReader
 
+    from pyspark.sql.datasource import StringEndsWith
+
     r = WebcodecReader({"path": "/nonexistent"}, StructType([]))
     leftover = list(
         r.pushFilters(
@@ -140,18 +142,21 @@ def test_pushfilters_accepts_conjuncts_unit():
                 In(("lang",), ("en", "de")),
                 IsNull(("html",)),
                 StringStartsWith(("url",), "https://a"),
-                StringContains(("url",), "x"),  # unsupported -> yielded back
+                StringContains(("url",), "x"),
+                StringEndsWith(("url",), ".html"),
                 EqualTo(("a", "b"), 1),  # nested attribute -> yielded back
             ]
         )
     )
-    assert len(leftover) == 2
+    assert len(leftover) == 1
     assert r.predicate == [
         ("ts", ">=", 5),
         ("ts", "<", 9),
         ("lang", "in", ["en", "de"]),
         ("html", "isnull", None),
         ("url", "startswith", "https://a"),
+        ("url", "contains", "x"),
+        ("url", "endswith", ".html"),
     ]
 
 

@@ -179,4 +179,44 @@ def test_startswith_pruning_equals_brute_filter(values, prefix):
 
 def test_normalize_rejects_unknown_op():
     with pytest.raises(ValueError):
-        predicate.normalize([("x", "contains", "y")])
+        predicate.normalize([("x", "regex", "y")])
+
+
+def test_contains_endswith_residual_exact(sample):
+    got = filefmt.read_table(sample, predicate=[("url", "contains", "site04")])
+    assert got.num_rows > 0
+    assert all("site04" in u for u in got.column("url").to_pylist())
+
+    got = filefmt.read_table(sample, predicate=[("url", "endswith", "/p7")])
+    assert got.column("url").to_pylist() == ["https://site00.com/p7"]
+
+
+def test_substring_ops_prune_at_dict_level(monkeypatch):
+    """contains/endswith on a DICT-encoded column whose dictionary provably
+    lacks the pattern must skip ALL page decode for that chunk."""
+    n = 2000
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "lang": pa.array([["en", "de", "fr", "es"][i % 4] for i in range(n)]),
+    })
+    data = _write(t, page_row_count_limit=256)
+    calls = {"n": 0}
+    orig = filefmt._read_page
+
+    def counting_read_page(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(filefmt, "_read_page", counting_read_page)
+    got = filefmt.read_table(data, predicate=[("lang", "contains", "zz")])
+    assert got.num_rows == 0
+    dict_only = calls["n"]
+    calls["n"] = 0
+    full = filefmt.read_table(data)
+    assert full.num_rows == n
+    # miss path reads at most the dict page(s), never the data pages
+    assert dict_only < calls["n"] // 2
+    monkeypatch.setattr(filefmt, "_read_page", orig)
+    # hit path stays exact
+    got = filefmt.read_table(data, predicate=[("lang", "endswith", "n")])
+    assert set(got.column("lang").to_pylist()) == {"en"}

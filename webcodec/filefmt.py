@@ -852,6 +852,26 @@ def _decode_chunk(
     return pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
 
 
+def _string_op_hits_dict(
+    buf: memoryview, pc_chunk: dict, op: str, pattern: str, verify_crc: bool
+) -> bool:
+    """Dictionary-level pruning for substring ops (startswith/contains/
+    endswith): exact scan of the dict page values — False means NO value in
+    this chunk can match, so the whole chunk skips decode. This is the only
+    prune tier available to contains/endswith (min/max is uninformative)."""
+    import pyarrow.compute as _pc
+
+    dvals = _decode_dict_page_only(buf, pc_chunk, verify_crc)
+    if not (pa.types.is_string(dvals.type) or pa.types.is_large_string(dvals.type)):
+        return True
+    fn = {
+        "startswith": _pc.starts_with,
+        "contains": _pc.match_substring,
+        "endswith": _pc.ends_with,
+    }[op]
+    return bool(_pc.any(fn(dvals, pattern=pattern)).as_py())
+
+
 def _values_in_dict(buf: memoryview, pc_chunk: dict, values, verify_crc: bool) -> bool:
     """Dictionary-level pruning test (D2 DictionaryFilter parity): True when
     ANY of ``values`` appears in the chunk's dict page — exact, not
@@ -965,6 +985,15 @@ def read_table(
                     and Encoding(pc_chunk["encoding"]) == Encoding.DICT
                 ):
                     if not _values_in_dict(buf, pc_chunk, eq_values, verify_crc):
+                        any_skipped = True
+                        row_base += g["num_rows"]
+                        continue
+                if (
+                    op in predmod.STRING_OPS
+                    and pc_chunk.get("dict")
+                    and Encoding(pc_chunk["encoding"]) == Encoding.DICT
+                ):
+                    if not _string_op_hits_dict(buf, pc_chunk, op, value, verify_crc):
                         any_skipped = True
                         row_base += g["num_rows"]
                         continue

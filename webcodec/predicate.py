@@ -26,7 +26,10 @@ from __future__ import annotations
 from webcodec.types import PhysType
 
 COMPARE_OPS = ("==", "<", "<=", ">", ">=")
-ALL_OPS = COMPARE_OPS + ("in", "isnull", "notnull", "startswith")
+ALL_OPS = COMPARE_OPS + ("in", "isnull", "notnull", "startswith", "contains", "endswith")
+# substring ops can't be decided by min/max stats; they prune only at the
+# dictionary level (exact scan of dict values) and are re-applied exactly
+STRING_OPS = ("startswith", "contains", "endswith")
 
 
 def normalize(predicate) -> list[tuple] | None:
@@ -104,6 +107,7 @@ def term_matches(
             return any(lo <= _norm(v, phys) <= hi for v in value)
         if op == "startswith":
             return _prefix_overlaps(lo, hi, value)
+        # contains/endswith: min/max carries no information — keep
     except TypeError:
         return True
     return True
@@ -135,6 +139,10 @@ def residual_filter(table, conjuncts: list[tuple]):
             mask = pc.is_valid(arr)
         elif op == "startswith":
             mask = pc.starts_with(arr, pattern=value)
+        elif op == "contains":
+            mask = pc.match_substring(arr, pattern=value)
+        elif op == "endswith":
+            mask = pc.ends_with(arr, pattern=value)
         else:  # pragma: no cover — normalize() rejects unknown ops
             raise ValueError(op)
         table = table.filter(mask)

@@ -39,6 +39,8 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -91,8 +93,9 @@ class WebcodecReader(DataSourceReader):
 
     def pushFilters(self, filters: list[Filter]):  # noqa: N802 (API name)
         """Accept the D4 predicate algebra as a conjunct list: the five simple
-        comparisons, In, IsNull/IsNotNull, and StringStartsWith (applied to
-        manifest file pruning AND bloom/dict/page pruning in the decoder).
+        comparisons, In, IsNull/IsNotNull, and StringStartsWith/Contains/
+        EndsWith (applied to manifest file pruning AND bloom/dict/page pruning
+        in the decoder; the substring ops prune at the dictionary tier).
         Everything else is yielded back — Spark re-applies pushed filters
         anyway, so pushdown is purely a scan reduction."""
         accepted: list[tuple] = []
@@ -111,6 +114,10 @@ class WebcodecReader(DataSourceReader):
                     term = (col, "notnull", None)
                 elif isinstance(f, StringStartsWith):
                     term = (col, "startswith", f.value)
+                elif isinstance(f, StringContains):
+                    term = (col, "contains", f.value)
+                elif isinstance(f, StringEndsWith):
+                    term = (col, "endswith", f.value)
             if term is not None:
                 accepted.append(term)
             else:
