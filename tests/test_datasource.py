@@ -289,3 +289,31 @@ def test_nested_types_through_datasource(registered, src_parquet, tmp_path):
     assert back.schema["nn"].dataType.simpleString() == "array<array<bigint>>"
     assert sdf.exceptAll(back).count() == 0
     assert back.exceptAll(sdf).count() == 0
+
+
+def test_intra_file_row_range_splits(registered, src_parquet, tmp_path):
+    """Large files split into row-range tasks (the row-group-split analogue):
+    forcing tiny target_split_bytes must yield >1 partition per file while
+    the scan result stays exact."""
+    spark = registered
+    out = str(tmp_path / "t")
+    df = spark.read.parquet(src_parquet)
+    df.coalesce(1).write.format("webcodec").mode("append").option("path", out).save()
+
+    from webcodec.spark.datasource import WebcodecReader
+    from pyspark.sql.types import StructType
+
+    r = WebcodecReader({"path": out, "target_split_bytes": "4096"}, StructType([]))
+    parts = r.partitions()
+    assert len(parts) > 4  # one physical file, many row-range splits
+    assert parts[0].row_lo == 0 and parts[-1].row_hi == 4_000
+
+    back = (
+        spark.read.format("webcodec")
+        .option("path", out)
+        .option("target_split_bytes", "65536")
+        .load()
+    )
+    assert back.count() == 4_000
+    assert df.exceptAll(back).count() == 0
+    assert back.exceptAll(df).count() == 0

@@ -912,6 +912,7 @@ def read_table(
     columns: list[str] | None = None,
     predicate=None,
     verify_crc: bool = True,
+    row_range: tuple[int, int] | None = None,
 ) -> pa.Table:
     """Decode a webcodec file to an Arrow table.
 
@@ -921,6 +922,10 @@ def read_table(
     notnull, startswith — D4 parity with FilterApi/Operators). Pages that
     cannot match any conjunct are skipped across ALL columns via row-range
     sync (D3 parity), then the residual filter is applied exactly.
+    ``row_range``: half-open [lo, hi) row slice of the file — only pages
+    overlapping the range are decoded (same keep-mask machinery), enabling
+    intra-file parallel reads: N tasks can scan one large file on disjoint
+    ranges, the row-group-split analogue of the reference reader.
     """
     from webcodec import predicate as predmod
 
@@ -1007,13 +1012,21 @@ def read_table(
             keep_rows &= term_keep
         if not any_skipped:
             keep_rows = None  # nothing prunable; decode everything
-        elif not keep_rows.any():
-            # every group provably predicate-free: skip ALL decode work
-            fields = []
-            for name in names:
-                chunk = next(c for c in groups[0]["chunks"] if c["name"] == name)
-                fields.append(pa.field(name, _chunk_arrow_type(groups[0], chunk)))
-            return pa.schema(fields).empty_table()
+
+    if row_range is not None:
+        lo = max(int(row_range[0]), 0)
+        hi = min(int(row_range[1]), footer["num_rows"])
+        rng = np.zeros(footer["num_rows"], dtype=bool)
+        rng[lo:hi] = True
+        keep_rows = rng if keep_rows is None else (keep_rows & rng)
+
+    if keep_rows is not None and not keep_rows.any():
+        # every group provably predicate-free (or empty range): no decode work
+        fields = []
+        for name in names:
+            chunk = next(c for c in groups[0]["chunks"] if c["name"] == name)
+            fields.append(pa.field(name, _chunk_arrow_type(groups[0], chunk)))
+        return pa.schema(fields).empty_table()
 
     arrays = []
     fields = []

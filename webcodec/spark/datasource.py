@@ -78,6 +78,9 @@ def _spark_schema_of(table_dir: str, snapshot_id: int | None = None) -> str:
 @dataclass
 class _FileSplit(InputPartition):
     path: str
+    # half-open row slice for intra-file parallelism; None = whole file
+    row_lo: int | None = None
+    row_hi: int | None = None
 
 
 class WebcodecReader(DataSourceReader):
@@ -89,6 +92,11 @@ class WebcodecReader(DataSourceReader):
         self.types = {f.name: f.dataType.simpleString() for f in schema.fields}
         sid = options.get("snapshot_id")
         self.snapshot_id = int(sid) if sid is not None else None  # time travel
+        # split files larger than this (compressed) into row-range tasks;
+        # mirrors spark.sql.files.maxPartitionBytes (128 MiB default)
+        self.target_split_bytes = int(
+            options.get("target_split_bytes", 128 * 1024 * 1024)
+        )
         self.predicate: list[tuple] | None = None
 
     def pushFilters(self, filters: list[Filter]):  # noqa: N802 (API name)
@@ -131,7 +139,25 @@ class WebcodecReader(DataSourceReader):
         tbl = SnapshotTable(self.table_dir)
         # manifest min/max pruning (D2); optional time travel
         files = tbl.data_files(self.predicate, snapshot_id=self.snapshot_id)
-        return [_FileSplit(os.path.join(self.table_dir, f["path"])) for f in files]
+        splits: list[_FileSplit] = []
+        for f in files:
+            path = os.path.join(self.table_dir, f["path"])
+            rows = int(f.get("rows") or 0)
+            cbytes = int(f.get("compressed_bytes") or 0)
+            # intra-file parallelism (row-group-split analogue): one task per
+            # ~target_split_bytes of compressed data; page-level skip keeps
+            # each task's IO proportional to its row slice. Planned from
+            # manifest stats only — the driver never opens data files.
+            n = max(1, -(-cbytes // self.target_split_bytes)) if rows else 1
+            if n == 1:
+                splits.append(_FileSplit(path))
+            else:
+                per = -(-rows // n)
+                splits.extend(
+                    _FileSplit(path, lo, min(lo + per, rows))
+                    for lo in range(0, rows, per)
+                )
+        return splits
 
     def read(self, partition: _FileSplit):
         # evolved-schema-aware decode: files older than an added column
@@ -139,7 +165,14 @@ class WebcodecReader(DataSourceReader):
         from webcodec.spark.decode_job import decode_file_evolved
 
         want = self.columns or list(self.types)
-        yield from decode_file_evolved(partition.path, want, self.types, self.predicate)
+        rng = (
+            (partition.row_lo, partition.row_hi)
+            if partition.row_lo is not None
+            else None
+        )
+        yield from decode_file_evolved(
+            partition.path, want, self.types, self.predicate, row_range=rng
+        )
 
 
 @dataclass

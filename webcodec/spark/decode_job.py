@@ -88,11 +88,14 @@ def _arrow_type_of_spark(spark_type: str) -> pa.DataType:
 
 
 def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
-                        predicate, batch_rows: int = 8_192):
+                        predicate, batch_rows: int = 8_192,
+                        row_range: tuple[int, int] | None = None):
     """Decode one .wcd file to Arrow batches with Iceberg add-column
     semantics: columns added to the table AFTER this file was written decode
     as nulls (``types`` maps column name -> Spark type string). Shared by the
-    job reader and the DataSource reader (executor-side)."""
+    job reader and the DataSource reader (executor-side). ``row_range``
+    restricts decode to a half-open row slice — intra-file parallelism for
+    large files (page-level skip keeps IO proportional to the slice)."""
     from webcodec import filefmt
 
     with open(path, "rb") as f:
@@ -100,7 +103,8 @@ def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
     footer = filefmt.read_footer(memoryview(data))
     present = {c["name"] for c in (footer.get("groups") or [footer])[0]["chunks"]}
     cols_here = [c for c in want if c in present]
-    t = filefmt.read_table(data, columns=cols_here, predicate=predicate)
+    t = filefmt.read_table(data, columns=cols_here, predicate=predicate,
+                           row_range=row_range)
     if cols_here != want:
         arrays = []
         for name in want:
