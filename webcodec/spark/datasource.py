@@ -304,7 +304,7 @@ class WebcodecStreamReader(DataSourceStreamReader):
         cur = SnapshotTable(self.table_dir).current_snapshot_id() or 0
         return {"snapshot_id": max(cur, self.start_snapshot)}
 
-    def _files_between(self, a: int, b: int) -> list[str]:
+    def _files_between(self, a: int, b: int) -> list[dict]:
         from webcodec.spark.table import SnapshotTable
 
         tbl = SnapshotTable(self.table_dir)
@@ -313,23 +313,45 @@ class WebcodecStreamReader(DataSourceStreamReader):
         if newer is None:
             return []
         seen = {f["path"] for f in older["files"]} if older else set()
-        return [f["path"] for f in newer["files"] if f["path"] not in seen]
+        return [f for f in newer["files"] if f["path"] not in seen]
 
     def partitions(self, start: dict, end: dict):
         files = self._files_between(int(start["snapshot_id"]), int(end["snapshot_id"]))
-        return [_FileSplit(os.path.join(self.table_dir, p)) for p in files]
+        target = 128 * 1024 * 1024
+        splits: list[_FileSplit] = []
+        for f in files:
+            path = os.path.join(self.table_dir, f["path"])
+            rows = int(f.get("rows") or 0)
+            cbytes = int(f.get("compressed_bytes") or 0)
+            n = max(1, -(-cbytes // target)) if rows else 1
+            if n == 1:
+                splits.append(_FileSplit(path))
+            else:  # large microbatch file -> row-range tasks, same as batch
+                per = -(-rows // n)
+                splits.extend(
+                    _FileSplit(path, lo, min(lo + per, rows))
+                    for lo in range(0, rows, per)
+                )
+        return splits
 
     def read(self, partition: _FileSplit):
         # executor-side decode: Arrow batches straight from the page files
         # (evolved-schema-aware: pre-evolution files null-fill added columns)
+        rng = (
+            (partition.row_lo, partition.row_hi)
+            if partition.row_lo is not None
+            else None
+        )
         if self.types:
             from webcodec.spark.decode_job import decode_file_evolved
 
-            yield from decode_file_evolved(partition.path, list(self.types), self.types, None)
+            yield from decode_file_evolved(
+                partition.path, list(self.types), self.types, None, row_range=rng
+            )
         else:
             from webcodec import filefmt
 
-            t = filefmt.read_table(partition.path)
+            t = filefmt.read_table(partition.path, row_range=rng)
             yield from t.to_batches(max_chunksize=8192)
 
     def commit(self, end: dict) -> None:
