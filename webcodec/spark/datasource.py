@@ -55,6 +55,18 @@ _OPS = {
 }
 
 
+def _local_path(raw: str | None) -> str | None:
+    """Normalize a path option: SQL (`CREATE TABLE ... USING webcodec`)
+    hands the table location over as a `file:` URI, the Python API as a
+    bare path."""
+    if raw and raw.startswith("file:"):
+        p = raw[len("file:") :]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    return raw
+
+
 def _json_opt(raw: str | None, default):
     """Parse a DataSource option that may be JSON (dict/list/bool) or absent."""
     if raw is None:
@@ -85,7 +97,7 @@ class _FileSplit(InputPartition):
 
 class WebcodecReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
-        self.table_dir = options.get("path")
+        self.table_dir = _local_path(options.get("path"))
         if not self.table_dir:
             raise ValueError("webcodec reader requires option('path', ...)")
         self.columns = [f.name for f in schema.fields] if schema.fields else None
@@ -182,7 +194,7 @@ class _CommitMsg(WriterCommitMessage):
 
 class WebcodecWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
-        self.table_dir = options.get("path")
+        self.table_dir = _local_path(options.get("path"))
         if not self.table_dir:
             raise ValueError("webcodec writer requires option('path', ...)")
         self.overwrite = overwrite
@@ -287,7 +299,7 @@ class WebcodecStreamReader(DataSourceStreamReader):
     + summary metadata')."""
 
     def __init__(self, options: dict, schema: StructType | None = None):
-        self.table_dir = options.get("path")
+        self.table_dir = _local_path(options.get("path"))
         if not self.table_dir:
             raise ValueError("webcodec stream reader requires option('path', ...)")
         self.start_snapshot = int(options.get("start_snapshot_id", 0))
@@ -397,7 +409,9 @@ class WebcodecDataSource(DataSource):
 
     def schema(self):
         sid = self.options.get("snapshot_id")
-        return _spark_schema_of(self.options["path"], int(sid) if sid is not None else None)
+        return _spark_schema_of(
+            _local_path(self.options["path"]), int(sid) if sid is not None else None
+        )
 
     def reader(self, schema: StructType) -> WebcodecReader:
         return WebcodecReader(self.options, schema)
