@@ -778,6 +778,54 @@ def _dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the confirmed LSH pairs — the final step of
+    a near-dup pipeline (one canonical doc per duplicate cluster). Iterative
+    min-label propagation: each round is ONE join + groupBy (a shuffle keyed
+    on doc_id), converging in O(diameter) <= O(log n) rounds for near-dup
+    graphs; the transitive closure is never materialized. The driver-side
+    loop reads only a scalar per round (convergence count) — no data ever
+    leaves the executors. At 10^12 docs the same loop holds (rounds are
+    data-independent joins); alternating large-star/small-star is the
+    constant-factor upgrade if diameters ever grow."""
+    pairs = _dedup_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _src(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+    edges = edges.persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    for _ in range(25):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlab"))
+        )
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.dst, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlab", F.col("label"))).alias("label"),
+            )
+            .persist()  # cut lineage growth per round
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).cast("int").alias("is_canonical"),
+    )
+
+
 def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: sign-bit bucket candidates (first 8 dims
     -> 256 buckets; the SQL-expressible cousin of random-hyperplane LSH) ->
@@ -974,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_lsh_pairs": _dedup_lsh_pairs,
+        "dedup_clusters": _dedup_clusters,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "text_tokens_bpe": _text_tokens_bpe,
         "events_window": _events_window,
@@ -1072,6 +1121,43 @@ def _dedup_lsh_pairs_oracle() -> str:
         "FROM pairs JOIN t ga ON ga.doc_id = doc_a JOIN t gb ON gb.doc_id = doc_b "
         "WHERE CAST(floor(CAST(len(list_intersect(ga.sh, gb.sh)) AS BIGINT) * 1000 / "
         "(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)))) AS BIGINT) >= 200"
+    )
+
+
+def _dedup_clusters_oracle() -> str:
+    """Connected components in pure SQL: the verified LSH-pairs CTEs feed a
+    recursive reachability closure; cluster id = MIN reachable doc_id (fine
+    at oracle scale — the Spark side never materializes this closure)."""
+    def mh(k: int) -> str:
+        return f"list_aggregate(list_transform(sh, s -> md5(s || '#{k}')), 'min')"
+
+    bands = ", ".join(
+        f"md5({mh(3 * j)} || {mh(3 * j + 1)} || {mh(3 * j + 2)}) AS band{j}" for j in range(4)
+    )
+    joins = " UNION ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM m a JOIN m b "
+        f"ON a.band{j} = b.band{j} AND a.doc_id < b.doc_id"
+        for j in range(4)
+    )
+    jac = (
+        "CAST(floor(CAST(len(list_intersect(ga.sh, gb.sh)) AS BIGINT) * 1000 / "
+        "(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)))) AS BIGINT)"
+    )
+    return (
+        "WITH RECURSIVE t AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, greatest(length(text) - 4, 1) + 1), i -> substring(text, i, 5))) AS sh "
+        "FROM documents), "
+        f"m AS (SELECT doc_id, {bands} FROM t), "
+        f"p0 AS ({joins}), "
+        f"conf AS (SELECT doc_a, doc_b FROM p0 "
+        f"JOIN t ga ON ga.doc_id = doc_a JOIN t gb ON gb.doc_id = doc_b "
+        f"WHERE {jac} >= 200), "
+        "e AS (SELECT doc_a AS s, doc_b AS d FROM conf "
+        "UNION SELECT doc_b, doc_a FROM conf), "
+        "reach(doc, x) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT r.doc, e.d FROM reach r JOIN e ON e.s = r.x) "
+        "SELECT doc AS doc_id, CAST(MIN(x) AS BIGINT) AS cluster_id, "
+        "CAST(doc = MIN(x) AS INT) AS is_canonical FROM reach GROUP BY doc"
     )
 
 
@@ -1195,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_oracle(),
         "dedup_simhash": _dedup_simhash_oracle(),
         "dedup_lsh_pairs": _dedup_lsh_pairs_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_embedding_cosine": (
             "WITH q AS (SELECT vec_id, "
             "CAST(list_sum(list_transform(range(1, 9), "
