@@ -215,3 +215,36 @@ def test_generic_list_columns_e2e(spark, tmp_path):
     assert back.count() == 500
     assert df.exceptAll(back).count() == 0
     assert back.exceptAll(df).count() == 0
+
+
+def test_nested_columns_files_mode_e2e(spark, tmp_path):
+    """The scale-default files mode (direct pyarrow split reads) encodes
+    parquet with struct + array columns and round-trips them exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+
+    n = 600
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "meta": pa.array(
+            [None if i % 9 == 4 else {"l": f"l{i % 5}", "n": i} for i in range(n)],
+            pa.struct([pa.field("l", pa.string()), pa.field("n", pa.int64())]),
+        ),
+        "words": pa.array(
+            [[f"w{j}" for j in range(i % 4)] for i in range(n)],
+            pa.list_(pa.string()),
+        ),
+    })
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "t")
+    encode_table(spark.read.parquet(src), out, sort_key="doc_id",
+                 write_metrics=False, mode="files")
+    back = read_encoded(spark, out)
+    sdf = spark.read.parquet(src)
+    assert back.count() == n
+    assert sdf.exceptAll(back).count() == 0
+    assert back.exceptAll(sdf).count() == 0
