@@ -138,8 +138,8 @@ def test_stream_reader_plans_file_partitions(tmp_path):
             [{"name": f.name, "type": "string", "nullable": True} for f in t.schema],
         )
     r = WebcodecStreamReader({"path": str(tmp_path / "t")})
-    assert r.initialOffset() == {"snapshot_id": 0}
-    assert r.latestOffset() == {"snapshot_id": 3}
+    assert r.initialOffset() == {"snapshot_id": 0, "pos": -1}
+    assert r.latestOffset() == {"snapshot_id": 3, "pos": -1}
     parts = r.partitions({"snapshot_id": 0}, {"snapshot_id": 3})
     assert len(parts) == 3 and all(isinstance(p, _FileSplit) for p in parts)
     parts = r.partitions({"snapshot_id": 1}, {"snapshot_id": 3})
@@ -289,3 +289,43 @@ def test_stateful_operator_over_webcodec_source(spark, tmp_path):
     want = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     assert want.exceptAll(latest).count() == 0
     assert latest.exceptAll(want).count() == 0
+
+
+def test_stream_rate_limit_max_files_per_trigger(spark, tmp_path):
+    """maxFilesPerTrigger analogue: sub-snapshot offsets bound each
+    microbatch to N files; the union of batches covers every file exactly
+    once and in manifest order."""
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    spark.dataSource.register(WebcodecDataSource)
+    out = str(tmp_path / "t")
+    df = spark.range(400).selectExpr("id", "cast(id as string) AS s")
+    # 2 snapshots x 4 files
+    df.repartition(4).write.format("webcodec").mode("append").option("path", out).save()
+    df.repartition(4).write.format("webcodec").mode("append").option("path", out).save()
+
+    from webcodec.spark.datasource import WebcodecStreamReader
+
+    r = WebcodecStreamReader({"path": out, "max_files_per_trigger": "3"})
+    off = r.initialOffset()
+    seen: list[str] = []
+    batches = 0
+    while True:
+        end = r.latestOffset()
+        if end == off:
+            break
+        files = r._files_between(off, end)
+        assert len(files) <= 3
+        seen.extend(f["path"] for f in files)
+        parts = r.partitions(off, end)
+        assert len(parts) == len(files)
+        off = end
+        batches += 1
+        assert batches < 20
+    assert batches == 3  # 8 files / 3 per trigger
+    assert len(seen) == len(set(seen)) == 8
+
+    # unlimited reader sees the same file set in one batch
+    r2 = WebcodecStreamReader({"path": out})
+    all_files = r2._files_between(r2.initialOffset(), r2.latestOffset())
+    assert [f["path"] for f in all_files] == seen

@@ -303,32 +303,85 @@ class WebcodecStreamReader(DataSourceStreamReader):
         if not self.table_dir:
             raise ValueError("webcodec stream reader requires option('path', ...)")
         self.start_snapshot = int(options.get("start_snapshot_id", 0))
+        # rate limiting (maxFilesPerTrigger analogue): bound each microbatch
+        # to N new files via sub-snapshot offsets {"snapshot_id", "pos"}.
+        # pos = consumed files of that snapshot's delta; -1 = fully consumed.
+        mft = options.get("max_files_per_trigger")
+        self.max_files_per_trigger = int(mft) if mft is not None else None
+        self._last: dict | None = None  # last end offset emitted THIS run
+        self._delta_cache: dict[int, list[dict]] = {}  # snapshots are immutable
         self.types = (
             {f.name: f.dataType.simpleString() for f in schema.fields} if schema else {}
         )
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
-        return {"snapshot_id": self.start_snapshot}
+        off = {"snapshot_id": self.start_snapshot, "pos": -1}
+        self._last = off
+        return off
+
+    def _delta_files(self, s: int) -> list[dict]:
+        """Files ADDED by snapshot ``s`` (vs s-1), manifest order (stable:
+        commits append). Memoized — snapshots are immutable."""
+        from webcodec.spark.table import SnapshotTable
+
+        if s <= 0:
+            return []
+        if s in self._delta_cache:
+            return self._delta_cache[s]
+        tbl = SnapshotTable(self.table_dir)
+        older = tbl.read_snapshot(s - 1) if s > 1 else None
+        newer = tbl.read_snapshot(s)
+        if newer is None:
+            return []
+        seen = {f["path"] for f in older["files"]} if older else set()
+        out = [f for f in newer["files"] if f["path"] not in seen]
+        self._delta_cache[s] = out
+        return out
 
     def latestOffset(self) -> dict:  # noqa: N802 (API name)
         from webcodec.spark.table import SnapshotTable
 
-        cur = SnapshotTable(self.table_dir).current_snapshot_id() or 0
-        return {"snapshot_id": max(cur, self.start_snapshot)}
+        cur = max(SnapshotTable(self.table_dir).current_snapshot_id() or 0,
+                  self.start_snapshot)
+        head = {"snapshot_id": cur, "pos": -1}
+        if self.max_files_per_trigger is None or self._last is None:
+            # no limit, or restarted from checkpoint (the engine doesn't hand
+            # the committed offset back to latestOffset): deliver the head —
+            # rate limiting resumes from the second post-restart batch
+            self._last = head
+            return head
+        s, p = int(self._last["snapshot_id"]), int(self._last.get("pos", -1))
+        budget = self.max_files_per_trigger
+        while budget > 0 and (s < cur or (s == cur and p != -1)):
+            if p == -1:
+                s, p = s + 1, 0
+                continue
+            d = self._delta_files(s)
+            take = min(budget, len(d) - p)
+            p += take
+            budget -= take
+            if p >= len(d):
+                p = -1
+        off = {"snapshot_id": s, "pos": p}
+        self._last = off
+        return off
 
-    def _files_between(self, a: int, b: int) -> list[dict]:
-        from webcodec.spark.table import SnapshotTable
-
-        tbl = SnapshotTable(self.table_dir)
-        older = tbl.read_snapshot(a) if a > 0 else None
-        newer = tbl.read_snapshot(b)
-        if newer is None:
-            return []
-        seen = {f["path"] for f in older["files"]} if older else set()
-        return [f for f in newer["files"] if f["path"] not in seen]
+    def _files_between(self, a: dict, b: dict) -> list[dict]:
+        """Files in (offset a, offset b] — offsets are {"snapshot_id", "pos"}
+        (legacy checkpoints without "pos" mean snapshot fully consumed)."""
+        a_sid, a_pos = int(a["snapshot_id"]), int(a.get("pos", -1))
+        b_sid, b_pos = int(b["snapshot_id"]), int(b.get("pos", -1))
+        files: list[dict] = []
+        for s in range(a_sid, b_sid + 1):
+            d = self._delta_files(s)
+            lo = (len(d) if a_pos == -1 else a_pos) if s == a_sid else 0
+            hi = (len(d) if b_pos == -1 else b_pos) if s == b_sid else len(d)
+            files.extend(d[lo:hi])
+        return files
 
     def partitions(self, start: dict, end: dict):
-        files = self._files_between(int(start["snapshot_id"]), int(end["snapshot_id"]))
+        self._last = dict(end)  # ground rate limiting in the engine's cursor
+        files = self._files_between(start, end)
         target = 128 * 1024 * 1024
         splits: list[_FileSplit] = []
         for f in files:
