@@ -181,8 +181,16 @@ def verify_roundtrip(
     """Round-trip oracle (SURVEY.md §5.3 layer 5): decoded table must equal the
     source, order-insensitively, including byte-identity of every column.
 
-    Implemented as an exceptAll in both directions (null-safe, exact)."""
+    Implemented as an exceptAll in both directions (null-safe, exact). Map
+    columns are folded through to_json first — Spark forbids set operations
+    on map types (round-trip preserves entry order, so to_json is exact)."""
     decoded = read_encoded(spark, table_dir, columns=source_df.columns)
+    map_cols = {f.name for f in source_df.schema.fields
+                if f.dataType.typeName() == "map"}
+    if map_cols:
+        sel = [F.to_json(c).alias(c) if c in map_cols else F.col(c)
+               for c in source_df.columns]
+        source_df, decoded = source_df.select(*sel), decoded.select(*sel)
     a_minus_b = source_df.exceptAll(decoded).count()
     b_minus_a = decoded.exceptAll(source_df).count()
     return {
