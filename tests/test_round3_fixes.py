@@ -1,0 +1,296 @@
+"""Round-3 regression tests: the five ADVICE defects plus the streaming
+restart rate-limit bound, stale clustered spills, and job-API intra-file
+splits (VERDICT r2 items 4/5/8)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from webcodec import filefmt
+from webcodec.spark.table import SnapshotTable
+
+pytestmark = pytest.mark.spark
+
+
+def _commit_file(tbl: SnapshotTable, pid: int, table: pa.Table, schema_fields,
+                 **commit_kw) -> dict:
+    tbl.init()
+    fname = f"part-{pid:05d}-x.wcd"
+    footer = filefmt.write_table(table, os.path.join(tbl.data_dir, fname))
+    return tbl.commit(
+        [{
+            "partition_id": pid,
+            "path": os.path.join("data", fname),
+            "rows": table.num_rows,
+            "raw_bytes": footer["raw_bytes"],
+            "compressed_bytes": footer["compressed_bytes"],
+        }],
+        schema_fields,
+        **commit_kw,
+    )
+
+
+# ---------------------------------------------------------------- ADVICE #1
+
+
+def test_append_files_schema_mismatch_raises(tmp_path):
+    """Byte-merging files with different chunk sets (schema evolution) loses
+    the evolved column silently — append_files must refuse."""
+    a = pa.table({"x": pa.array([1, 2], pa.int64())})
+    b = pa.table({"x": pa.array([3, 4], pa.int64()),
+                  "y": pa.array(["p", "q"])})
+    pa_ = str(tmp_path / "a.wcd")
+    pb_ = str(tmp_path / "b.wcd")
+    filefmt.write_table(a, pa_)
+    filefmt.write_table(b, pb_)
+    with pytest.raises(ValueError, match="schema signature mismatch"):
+        filefmt.append_files(str(tmp_path / "m.wcd"), [pa_, pb_])
+    assert not os.path.exists(str(tmp_path / "m.wcd"))
+    # same signature still merges
+    c = pa.table({"x": pa.array([5], pa.int64())})
+    pc_ = str(tmp_path / "c.wcd")
+    filefmt.write_table(c, pc_)
+    filefmt.append_files(str(tmp_path / "m.wcd"), [pa_, pc_])
+    assert filefmt.read_table(str(tmp_path / "m.wcd")).column("x").to_pylist() == [1, 2, 5]
+
+
+def test_compact_respects_schema_evolution(spark, tmp_path):
+    """compact() bin-packs only same-signature files: after adding a column,
+    pre- and post-evolution files stay in separate outputs and every value
+    (incl. null-fill of the added column) survives."""
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.maintenance import compact
+
+    d = str(tmp_path / "t")
+    tbl = SnapshotTable(d)
+    old_schema = [{"name": "x", "type": "bigint", "nullable": True}]
+    new_schema = old_schema + [{"name": "y", "type": "string", "nullable": True}]
+    _commit_file(tbl, 0, pa.table({"x": pa.array([1, 2], pa.int64())}), old_schema)
+    _commit_file(tbl, 1, pa.table({"x": pa.array([3, 4], pa.int64())}), old_schema)
+    _commit_file(tbl, 2, pa.table({"x": pa.array([5], pa.int64()),
+                                   "y": pa.array(["p"])}), new_schema)
+    _commit_file(tbl, 3, pa.table({"x": pa.array([6], pa.int64()),
+                                   "y": pa.array(["q"])}), new_schema)
+    snap = compact(d, target_bytes=1 << 30)
+    assert len(snap["files"]) == 2  # two signatures -> two merged files
+    got = {(r["x"], r["y"]) for r in read_encoded(spark, d).collect()}
+    assert got == {(1, None), (2, None), (3, None), (4, None), (5, "p"), (6, "q")}
+    # projecting the evolved column must not raise
+    ys = {r["y"] for r in read_encoded(spark, d, columns=["y"]).collect()}
+    assert ys == {None, "p", "q"}
+
+
+# ---------------------------------------------------------------- ADVICE #2
+
+
+def test_stream_replace_commit_detected(tmp_path):
+    """A compaction/replace snapshot re-lists existing rows under new paths;
+    the stream must fail loudly (default) or skip it (ignore_changes)."""
+    from webcodec.spark.datasource import WebcodecStreamReader
+    from webcodec.spark.maintenance import compact
+
+    d = str(tmp_path / "t")
+    tbl = SnapshotTable(d)
+    schema = [{"name": "x", "type": "bigint", "nullable": True}]
+    _commit_file(tbl, 0, pa.table({"x": pa.array([1, 2], pa.int64())}), schema)
+    _commit_file(tbl, 1, pa.table({"x": pa.array([3, 4], pa.int64())}), schema)
+
+    r = WebcodecStreamReader({"path": d})
+    off0 = r.initialOffset()
+    end0 = r.latestOffset()
+    assert len(r._files_between(off0, end0)) == 2  # both appends delivered
+
+    compact(d, target_bytes=1 << 30)  # replace commit (snapshot 3)
+    with pytest.raises(RuntimeError, match="replace commit"):
+        r._files_between(end0, r.latestOffset())
+
+    r2 = WebcodecStreamReader({"path": d, "ignore_changes": "true"})
+    files = r2._files_between(end0, r2.latestOffset())
+    assert files == []  # replace commit skipped: no re-delivery
+
+
+# ---------------------------------------------------------------- ADVICE #3
+
+
+def test_read_snapshot_missing_returns_none_and_stream_expiry_error(tmp_path):
+    from webcodec.spark.datasource import WebcodecStreamReader
+    from webcodec.spark.maintenance import expire_snapshots
+
+    d = str(tmp_path / "t")
+    tbl = SnapshotTable(d)
+    schema = [{"name": "x", "type": "bigint", "nullable": True}]
+    for pid in range(3):
+        _commit_file(tbl, pid, pa.table({"x": pa.array([pid], pa.int64())}), schema)
+    assert tbl.read_snapshot(999) is None  # no raw FileNotFoundError
+
+    # backdate data files so the expiry grace window doesn't keep them
+    for fn in os.listdir(tbl.data_dir):
+        old = time.time() - 3600
+        os.utime(os.path.join(tbl.data_dir, fn), (old, old))
+    expire_snapshots(d, keep_last=1)
+    r = WebcodecStreamReader({"path": d})
+    r.initialOffset()
+    with pytest.raises(RuntimeError, match="expired"):
+        r._files_between({"snapshot_id": 0, "pos": -1}, {"snapshot_id": 2, "pos": -1})
+
+
+# ---------------------------------------------------------------- ADVICE #4
+
+
+def test_expire_snapshots_grace_window(tmp_path):
+    """Files younger than the newest kept commit may belong to an in-flight
+    commit (data files land BEFORE the snapshot link) — expire must keep
+    them; provably-old orphans still go."""
+    from webcodec.spark.maintenance import expire_snapshots
+
+    d = str(tmp_path / "t")
+    tbl = SnapshotTable(d)
+    schema = [{"name": "x", "type": "bigint", "nullable": True}]
+    for pid in range(2):
+        _commit_file(tbl, pid, pa.table({"x": pa.array([pid], pa.int64())}), schema)
+
+    old_orphan = os.path.join(tbl.data_dir, "orphan-old.wcd")
+    with open(old_orphan, "wb") as f:
+        f.write(b"junk")
+    backdate = time.time() - 3600
+    os.utime(old_orphan, (backdate, backdate))
+    for fn in os.listdir(tbl.data_dir):  # snapshot-1's file becomes a true orphan
+        p = os.path.join(tbl.data_dir, fn)
+        if fn.startswith("part-00000"):
+            os.utime(p, (backdate, backdate))
+
+    inflight = os.path.join(tbl.data_dir, "part-99999-inflight.wcd")
+    with open(inflight, "wb") as f:  # fresh mtime = possibly in-flight commit
+        f.write(b"pending")
+
+    res = expire_snapshots(d, keep_last=1)
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(inflight), "grace window must keep young files"
+    assert res["removed_files"] >= 1
+
+
+# ---------------------------------------------------------------- ADVICE #5
+
+
+def test_clustered_encode_null_urls(spark, tmp_path):
+    """Null url rows route to the ''-domain bucket instead of crashing the
+    dictionary-index gather with INT64_MIN."""
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+
+    t = pa.table({
+        "url": pa.array(["https://a.com/1", None, "https://b.com/2", None]),
+        "text": pa.array(["w", "x", "y", "z"]),
+    })
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(t, src)
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "t")
+    encode_table(df, out, url_col="url", mode="clustered", write_metrics=False)
+    got = {(r["url"], r["text"]) for r in read_encoded(spark, out).collect()}
+    assert got == {("https://a.com/1", "w"), (None, "x"), ("https://b.com/2", "y"),
+                   (None, "z")}
+
+
+# ---------------------------------------------------------------- VERDICT #8
+
+
+def test_clustered_stale_spills_cleaned(spark, tmp_path):
+    """Spills left by a killed run must not leak NOR double rows on rerun."""
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+
+    from webcodec.fixtures import webpages
+
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(webpages(2_000), src)
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "t")
+    stale = os.path.join(out, "_shuffle", "b00000")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "t1-dead.arrow"), "wb") as f:
+        f.write(b"stale spill from a killed run")
+    encode_table(df, out, url_col="url", mode="clustered", write_metrics=False)
+    assert not os.path.exists(os.path.join(out, "_shuffle"))
+    assert read_encoded(spark, out).count() == 2_000
+
+
+# ---------------------------------------------------------------- VERDICT #4
+
+
+def test_stream_rate_limit_survives_restart(tmp_path):
+    """After a restart, the first batch must honor max_files_per_trigger:
+    commit() persists a cursor; a fresh reader seeds its catch-up from it."""
+    from webcodec.spark.datasource import WebcodecStreamReader
+
+    d = str(tmp_path / "t")
+    tbl = SnapshotTable(d)
+    schema = [{"name": "x", "type": "bigint", "nullable": True}]
+    for pid in range(12):  # 12 snapshots x 1 file backlog
+        _commit_file(tbl, pid, pa.table({"x": pa.array([pid], pa.int64())}), schema)
+
+    opts = {"path": d, "max_files_per_trigger": "3"}
+    r1 = WebcodecStreamReader(opts)
+    start = r1.initialOffset()
+    end1 = r1.latestOffset()
+    assert len(r1._files_between(start, end1)) == 3
+    r1.commit(end1)  # engine checkpoints batch 0
+
+    # restart: new reader process, engine does NOT pass the committed offset
+    r2 = WebcodecStreamReader(opts)
+    end2 = r2.latestOffset()
+    files2 = r2._files_between(end1, end2)
+    assert len(files2) == 3, "first post-restart batch must stay bounded"
+    # drain: union covers the backlog exactly once
+    seen = [f["path"] for f in r1._files_between(start, end1)] + [
+        f["path"] for f in files2
+    ]
+    off = end2
+    r2.commit(end2)
+    for _ in range(10):
+        end = r2.latestOffset()
+        if end == off:
+            break
+        batch = r2._files_between(off, end)
+        assert len(batch) <= 3
+        seen.extend(f["path"] for f in batch)
+        r2.commit(end)
+        off = end
+    assert len(seen) == len(set(seen)) == 12
+
+    # inverted plan (cursor collision between identical queries) fails loudly
+    with pytest.raises(RuntimeError, match="stream_id"):
+        r2.partitions({"snapshot_id": 9, "pos": -1}, {"snapshot_id": 4, "pos": -1})
+
+
+# ---------------------------------------------------------------- VERDICT #5
+
+
+def test_read_encoded_splits_large_file(spark, tmp_path):
+    """The job API plans intra-file row-range tasks from manifest stats —
+    one huge file decodes as many tasks, matching the DataSource path."""
+    from webcodec.spark.decode_job import plan_decode_splits, read_encoded
+    from webcodec.fixtures import webpages
+
+    d = str(tmp_path / "t")
+    tbl = SnapshotTable(d)
+    t = webpages(4_000)
+    schema = [{"name": f.name, "type": "string" if f.type == pa.string() else
+               ("binary" if f.type == pa.binary() else "timestamp"),
+               "nullable": True} for f in t.schema]
+    _commit_file(tbl, 0, t, schema)
+    files = tbl.data_files()
+    splits = plan_decode_splits(files, d, target_split_bytes=64 * 1024)
+    assert len(splits) > 1
+    los = [lo for _, lo, _ in splits]
+    assert los[0] == 0 and all(b > a for a, b in zip(los, los[1:]))
+    df = read_encoded(spark, d, target_split_bytes=64 * 1024)
+    assert df.rdd.getNumPartitions() == len(splits)
+    assert df.count() == 4_000
+    assert df.select("url").distinct().count() == t.column("url").to_pandas().nunique()

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import struct
 import time
 import zlib
@@ -716,11 +717,56 @@ def write_table(
 # --------------------------- append / compaction ------------------------------
 
 
+def read_footer_path(path: str) -> dict:
+    """Footer of a file on disk WITHOUT reading the page bytes: read the
+    12-byte trailer for the footer length, then just the footer slice."""
+    with open(path, "rb") as f:
+        f.seek(0, os.SEEK_END)
+        size = f.tell()
+        f.seek(max(size - 12, 0))
+        tail = f.read(12)
+        if len(tail) != 12 or tail[-4:] != MAGIC:
+            raise ValueError(f"not a webcodec file: {path}")
+        flen, fcrc = struct.unpack("<II", tail[:8])
+        f.seek(size - 12 - flen)
+        fj = f.read(flen)
+    if zlib.crc32(fj) != fcrc:
+        raise ValueError(f"footer crc mismatch: {path}")
+    return json.loads(fj)
+
+
+def schema_signature(footer: dict) -> tuple:
+    """Merge-compatibility key of a file: the sorted (chunk name, encodingless
+    identity) set of its groups plus the logical schema (name, type) pairs.
+    Two files merge byte-level only when these match — after schema evolution
+    an old file LACKS the added column's chunks, and concatenating its groups
+    with evolved groups silently null-fills / breaks projection (read_table
+    takes chunk names from the footer column map, which assumes every group
+    carries every chunk)."""
+    groups = footer.get("groups") or [footer]
+    chunk_names = frozenset(c["name"] for g in groups for c in g["chunks"])
+    schema = tuple(sorted((f["name"], json.dumps(f["type"], sort_keys=True))
+                          for f in footer["schema"]))
+    return (chunk_names, schema)
+
+
 def append_files(dst: str, sources: list[str]) -> dict:
     """Byte-level merge WITHOUT decode (reference parity: C10,
     ParquetFileWriter.appendFile / appendRowGroups): page bytes of each source
     are copied verbatim; the merged footer carries one group per source with
-    page offsets shifted. Decode concatenates groups per column."""
+    page offsets shifted. Decode concatenates groups per column.
+
+    All sources must share one schema signature (chunk-name set + logical
+    schema): merging a pre-evolution file with an evolved one would silently
+    drop/null the added column on read — callers must re-encode instead."""
+    sig0 = schema_signature(read_footer_path(sources[0]))
+    for src in sources[1:]:
+        if schema_signature(read_footer_path(src)) != sig0:
+            raise ValueError(
+                "append_files: schema signature mismatch between "
+                f"{sources[0]} and {src} (schema evolution?) — byte-level "
+                "merge would lose data; rewrite/transcode these files instead"
+            )
     groups = []
     with open(dst, "wb") as out:
         out.write(MAGIC)

@@ -146,30 +146,22 @@ class WebcodecReader(DataSourceReader):
             self.predicate = accepted
 
     def partitions(self):
+        from webcodec.spark.decode_job import plan_decode_splits
         from webcodec.spark.table import SnapshotTable
 
         tbl = SnapshotTable(self.table_dir)
-        # manifest min/max pruning (D2); optional time travel
+        # manifest min/max pruning (D2); optional time travel. Intra-file
+        # parallelism (row-group-split analogue): the shared planner cuts one
+        # task per ~target_split_bytes of compressed data from manifest stats
+        # only — the driver never opens data files; page-level skip keeps each
+        # task's IO proportional to its row slice.
         files = tbl.data_files(self.predicate, snapshot_id=self.snapshot_id)
-        splits: list[_FileSplit] = []
-        for f in files:
-            path = os.path.join(self.table_dir, f["path"])
-            rows = int(f.get("rows") or 0)
-            cbytes = int(f.get("compressed_bytes") or 0)
-            # intra-file parallelism (row-group-split analogue): one task per
-            # ~target_split_bytes of compressed data; page-level skip keeps
-            # each task's IO proportional to its row slice. Planned from
-            # manifest stats only — the driver never opens data files.
-            n = max(1, -(-cbytes // self.target_split_bytes)) if rows else 1
-            if n == 1:
-                splits.append(_FileSplit(path))
-            else:
-                per = -(-rows // n)
-                splits.extend(
-                    _FileSplit(path, lo, min(lo + per, rows))
-                    for lo in range(0, rows, per)
-                )
-        return splits
+        return [
+            _FileSplit(path, None if lo < 0 else lo, None if lo < 0 else hi)
+            for path, lo, hi in plan_decode_splits(
+                files, self.table_dir, self.target_split_bytes
+            )
+        ]
 
     def read(self, partition: _FileSplit):
         # evolved-schema-aware decode: files older than an added column
@@ -299,6 +291,8 @@ class WebcodecStreamReader(DataSourceStreamReader):
     + summary metadata')."""
 
     def __init__(self, options: dict, schema: StructType | None = None):
+        import hashlib
+
         self.table_dir = _local_path(options.get("path"))
         if not self.table_dir:
             raise ValueError("webcodec stream reader requires option('path', ...)")
@@ -308,6 +302,22 @@ class WebcodecStreamReader(DataSourceStreamReader):
         # pos = consumed files of that snapshot's delta; -1 = fully consumed.
         mft = options.get("max_files_per_trigger")
         self.max_files_per_trigger = int(mft) if mft is not None else None
+        # replace commits (compact/rewrite/overwrite) re-list existing rows
+        # under new paths; delivering them as appends breaks exactly-once.
+        # Default: fail loudly. Opt-in ignore_changes=true skips them.
+        self.ignore_changes = str(options.get("ignore_changes", "false")).lower() == "true"
+        # Rate-limit CURSOR: the Python stream API never hands latestOffset
+        # the committed offset, so after a restart max_files_per_trigger had
+        # nothing to bound the catch-up against (one batch swallowed the whole
+        # backlog). commit() persists the committed end offset keyed by
+        # stream_id (default: hash of the reader options — restarts of the
+        # same query definition share it); latestOffset seeds from it.
+        sid_key = options.get("stream_id") or hashlib.sha1(
+            json.dumps(sorted((str(k), str(v)) for k, v in options.items())).encode()
+        ).hexdigest()[:12]
+        self._cursor_path = os.path.join(
+            self.table_dir, "meta", f".stream-cursor-{sid_key}.json"
+        )
         self._last: dict | None = None  # last end offset emitted THIS run
         self._delta_cache: dict[int, list[dict]] = {}  # snapshots are immutable
         self.types = (
@@ -319,9 +329,20 @@ class WebcodecStreamReader(DataSourceStreamReader):
         self._last = off
         return off
 
+    def _load_cursor(self) -> dict | None:
+        try:
+            with open(self._cursor_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
     def _delta_files(self, s: int) -> list[dict]:
         """Files ADDED by snapshot ``s`` (vs s-1), manifest order (stable:
-        commits append). Memoized — snapshots are immutable."""
+        commits append). Memoized — snapshots are immutable. Replace
+        snapshots (compaction/rewrite/overwrite) carry no NEW rows: their
+        files re-encode existing data, so diffing them by path would
+        re-deliver every row — skipped under ignore_changes, error
+        otherwise."""
         from webcodec.spark.table import SnapshotTable
 
         if s <= 0:
@@ -329,10 +350,42 @@ class WebcodecStreamReader(DataSourceStreamReader):
         if s in self._delta_cache:
             return self._delta_cache[s]
         tbl = SnapshotTable(self.table_dir)
-        older = tbl.read_snapshot(s - 1) if s > 1 else None
         newer = tbl.read_snapshot(s)
         if newer is None:
+            raise RuntimeError(
+                f"webcodec stream: snapshot {s} of {self.table_dir} has been "
+                "expired (expire_snapshots ran past this stream's offset); "
+                "restart the stream from a fresh checkpoint or keep more "
+                "snapshot history"
+            )
+        props = newer.get("properties") or {}
+        is_replace = (
+            newer.get("operation") == "replace"
+            # legacy snapshots (pre-'operation' field) mark maintenance via
+            # properties
+            or props.get("compacted") == "true"
+            or "rewritten_from" in props
+        )
+        if is_replace:
+            if not self.ignore_changes:
+                raise RuntimeError(
+                    f"webcodec stream: snapshot {s} of {self.table_dir} is a "
+                    "replace commit (compaction/rewrite/overwrite); its files "
+                    "contain no new rows and re-delivering them would break "
+                    "exactly-once. Set option('ignore_changes', 'true') to "
+                    "skip replace commits, or stream from a table that is not "
+                    "compacted while the stream runs"
+                )
+            self._delta_cache[s] = []
             return []
+        older = tbl.read_snapshot(s - 1) if s > 1 else None
+        if older is None and s > 1:
+            raise RuntimeError(
+                f"webcodec stream: snapshot {s - 1} of {self.table_dir} has "
+                f"been expired, so the files added by snapshot {s} cannot be "
+                "determined; restart from a fresh checkpoint or keep more "
+                "snapshot history"
+            )
         seen = {f["path"] for f in older["files"]} if older else set()
         out = [f for f in newer["files"] if f["path"] not in seen]
         self._delta_cache[s] = out
@@ -344,12 +397,20 @@ class WebcodecStreamReader(DataSourceStreamReader):
         cur = max(SnapshotTable(self.table_dir).current_snapshot_id() or 0,
                   self.start_snapshot)
         head = {"snapshot_id": cur, "pos": -1}
-        if self.max_files_per_trigger is None or self._last is None:
-            # no limit, or restarted from checkpoint (the engine doesn't hand
-            # the committed offset back to latestOffset): deliver the head —
-            # rate limiting resumes from the second post-restart batch
+        if self.max_files_per_trigger is None:
             self._last = head
             return head
+        if self._last is None:
+            # restarted from a checkpoint: the engine does not hand the
+            # committed offset to latestOffset, so seed the catch-up bound
+            # from the cursor commit() persisted; without one (pre-upgrade
+            # checkpoint, cursor deleted) the first batch is unbounded —
+            # disclosed limitation of the Python stream API
+            cursor = self._load_cursor()
+            if cursor is None or int(cursor.get("snapshot_id", -1)) > cur:
+                self._last = head
+                return head
+            self._last = cursor
         s, p = int(self._last["snapshot_id"]), int(self._last.get("pos", -1))
         budget = self.max_files_per_trigger
         while budget > 0 and (s < cur or (s == cur and p != -1)):
@@ -380,24 +441,26 @@ class WebcodecStreamReader(DataSourceStreamReader):
         return files
 
     def partitions(self, start: dict, end: dict):
+        a = (int(start["snapshot_id"]), int(start.get("pos", -1)))
+        b = (int(end["snapshot_id"]), int(end.get("pos", -1)))
+        # normalize pos=-1 (fully consumed) as +inf within its snapshot
+        norm = lambda t: (t[0], float("inf") if t[1] == -1 else t[1])  # noqa: E731
+        if norm(b) < norm(a):
+            raise RuntimeError(
+                f"webcodec stream: planned end offset {end} precedes start "
+                f"{start} — two streaming queries with identical options are "
+                "sharing one rate-limit cursor; give each query a distinct "
+                "option('stream_id', ...)"
+            )
         self._last = dict(end)  # ground rate limiting in the engine's cursor
         files = self._files_between(start, end)
-        target = 128 * 1024 * 1024
-        splits: list[_FileSplit] = []
-        for f in files:
-            path = os.path.join(self.table_dir, f["path"])
-            rows = int(f.get("rows") or 0)
-            cbytes = int(f.get("compressed_bytes") or 0)
-            n = max(1, -(-cbytes // target)) if rows else 1
-            if n == 1:
-                splits.append(_FileSplit(path))
-            else:  # large microbatch file -> row-range tasks, same as batch
-                per = -(-rows // n)
-                splits.extend(
-                    _FileSplit(path, lo, min(lo + per, rows))
-                    for lo in range(0, rows, per)
-                )
-        return splits
+        # large microbatch files -> row-range tasks, same planner as batch
+        from webcodec.spark.decode_job import plan_decode_splits
+
+        return [
+            _FileSplit(path, None if lo < 0 else lo, None if lo < 0 else hi)
+            for path, lo, hi in plan_decode_splits(files, self.table_dir)
+        ]
 
     def read(self, partition: _FileSplit):
         # executor-side decode: Arrow batches straight from the page files
@@ -420,7 +483,17 @@ class WebcodecStreamReader(DataSourceStreamReader):
             yield from t.to_batches(max_chunksize=8192)
 
     def commit(self, end: dict) -> None:
-        pass  # snapshots are immutable; nothing to clean up
+        # snapshots are immutable — nothing to clean up. Persist the committed
+        # offset as the restart rate-limit cursor (see __init__): atomic
+        # tmp+rename so a crash mid-write leaves the previous cursor intact.
+        try:
+            os.makedirs(os.path.dirname(self._cursor_path), exist_ok=True)
+            tmp = f"{self._cursor_path}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(dict(end), f)
+            os.replace(tmp, self._cursor_path)
+        except OSError:
+            pass  # cursor is a bound hint, never a correctness dependency
 
 
 class WebcodecStreamWriter(DataSourceStreamArrowWriter):

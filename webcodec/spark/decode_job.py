@@ -136,6 +136,31 @@ def _normalize_ts_for_spark(t: pa.Table) -> pa.Table:
     return t
 
 
+def plan_decode_splits(
+    files: list[dict], table_dir: str, target_split_bytes: int = 128 << 20
+) -> list[tuple[str, int, int]]:
+    """(path, row_lo, row_hi) decode tasks from MANIFEST stats only (the
+    driver never opens data files): one task per ~target_split_bytes of
+    compressed data, the intra-file row-range analogue of
+    spark.sql.files.maxPartitionBytes. (-1, -1) = whole file. Shared by the
+    job API and the DataSource reader so a table of few huge files
+    parallelizes identically through both."""
+    splits: list[tuple[str, int, int]] = []
+    for f in files:
+        path = os.path.join(table_dir, f["path"])
+        rows = int(f.get("rows") or 0)
+        cbytes = int(f.get("compressed_bytes") or 0)
+        n = max(1, -(-cbytes // target_split_bytes)) if rows else 1
+        if n == 1:
+            splits.append((path, -1, -1))
+        else:
+            per = -(-rows // n)
+            splits.extend(
+                (path, lo, min(lo + per, rows)) for lo in range(0, rows, per)
+            )
+    return splits
+
+
 def read_encoded(
     spark: SparkSession,
     table_dir: str,
@@ -143,6 +168,7 @@ def read_encoded(
     predicate: tuple[str, str, object] | list[tuple] | None = None,
     batch_rows: int = 8_192,
     snapshot_id: int | None = None,
+    target_split_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Scan a webcodec snapshot table as a DataFrame.
 
@@ -150,7 +176,9 @@ def read_encoded(
     (webcodec.predicate algebra: comparisons, in, isnull/notnull,
     startswith) — pruned at file, bloom/dict, and page level, then applied
     exactly as a residual. ``snapshot_id`` time-travels to an older
-    (immutable) snapshot of the table."""
+    (immutable) snapshot of the table. Large files split into row-range
+    tasks of ~target_split_bytes compressed (same planner as the
+    DataSource), so parallelism tracks data size, not file count."""
     tbl = SnapshotTable(table_dir)
     snap = tbl.read_snapshot(snapshot_id)
     if snap is None:
@@ -161,17 +189,21 @@ def read_encoded(
     if columns is not None:
         want.sort(key=lambda n: columns.index(n))
     types = {f["name"]: f["type"] for f in snap["schema"]}
-    paths = [(os.path.join(table_dir, f["path"]),) for f in files]
+    splits = plan_decode_splits(files, table_dir, target_split_bytes)
 
     def decode_fn(batches):
         for b in batches:
-            for path in b.column("path").to_pylist():
-                for rb in decode_file_evolved(path, want, types, predicate, batch_rows):
-                    yield rb
+            for row in b.to_pylist():
+                rng = (row["lo"], row["hi"]) if row["lo"] >= 0 else None
+                yield from decode_file_evolved(
+                    row["path"], want, types, predicate, batch_rows, row_range=rng
+                )
 
-    if not paths:
+    if not splits:
         return spark.createDataFrame([], ddl)
-    pdf = spark.createDataFrame(paths, "path string").repartition(min(len(paths), 256))
+    pdf = spark.createDataFrame(
+        splits, "path string, lo long, hi long"
+    ).repartition(len(splits))
     return pdf.mapInArrow(decode_fn, ddl)
 
 

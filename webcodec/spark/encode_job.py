@@ -324,7 +324,10 @@ def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str
                 table = pq.ParquetFile(row["path"]).read_row_groups(
                     json.loads(row["row_groups"])
                 )
-                urls = table.column(url_col).combine_chunks()
+                # null urls route to the ""-domain cold bucket (a null
+                # dictionary index would otherwise turn into INT64_MIN on
+                # to_numpy and crash the gather below)
+                urls = pc.fill_null(table.column(url_col).combine_chunks(), "")
                 dom = _domains_of(urls)  # vectorized: strip scheme, take netloc
                 # Arrow C++ dictionary encode: per-UNIQUE-domain work only
                 if isinstance(dom, pa.ChunkedArray):
@@ -495,6 +498,12 @@ def encode_table(
         hot = sample_hot_domains_from_files(paths, url_col, rpp)
         done = frozenset(tbl.completed_partition_ids()) if resume else frozenset()
         shuffle_dir = os.path.join(table_dir, "_shuffle")
+        # stale spills from a killed run are BOTH a leak (commit-time cleanup
+        # never ran) and a duplicate-rows hazard (phase B reads every file in
+        # a bucket dir; a rerun re-spills uncommitted buckets). Resume
+        # correctness comes from the committed-bucket skip, never from reusing
+        # spills — so any leftover here belongs to a dead run: remove it.
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
         os.makedirs(shuffle_dir, exist_ok=True)
 
         rows_in = [(s["split_id"], s["path"], json.dumps(s["row_groups"])) for s in splits]

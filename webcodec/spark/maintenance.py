@@ -38,7 +38,12 @@ def _merged_stats(entries: list[dict]) -> dict:
 
 def compact(table_dir: str, target_bytes: int = 128 << 20) -> dict:
     """Merge small files into ~target_bytes files WITHOUT re-encoding
-    (byte-level page copy + footer merge), then commit a new snapshot."""
+    (byte-level page copy + footer merge), then commit a new snapshot.
+
+    Files bin-pack only within one schema signature (chunk-name set +
+    logical schema, ``filefmt.schema_signature``): after schema evolution a
+    pre-evolution file and an evolved file must NOT byte-merge — the merged
+    footer would claim the added column for groups that never wrote it."""
     from webcodec import filefmt
 
     tbl = SnapshotTable(table_dir)
@@ -47,15 +52,20 @@ def compact(table_dir: str, target_bytes: int = 128 << 20) -> dict:
         raise FileNotFoundError(f"no snapshot in {table_dir}")
     files = sorted(snap["files"], key=lambda f: f["partition_id"])
 
-    # bin-pack adjacent files up to target_bytes
+    # bin-pack adjacent same-signature files up to target_bytes
     bins: list[list[dict]] = [[]]
     acc = 0
+    sig = None
     for f in files:
-        if bins[-1] and acc + f["compressed_bytes"] > target_bytes:
+        s = filefmt.schema_signature(
+            filefmt.read_footer_path(os.path.join(table_dir, f["path"]))
+        )
+        if bins[-1] and (acc + f["compressed_bytes"] > target_bytes or s != sig):
             bins.append([])
             acc = 0
         bins[-1].append(f)
         acc += f["compressed_bytes"]
+        sig = s
     if all(len(b) <= 1 for b in bins):
         return snap  # nothing to do
 
@@ -214,15 +224,43 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     keep = set(ids[-max(keep_last, 1):])
     keep.add(cur)  # never expire the current snapshot
     referenced: set[str] = set()
+    cutoff = 0.0
     for sid in keep:
         snap = tbl.read_snapshot(sid)
         referenced.update(f["path"] for f in snap["files"])
-    removed_files = 0
+        cutoff = max(cutoff, float(snap.get("committed_at") or 0.0))
+    # candidate orphans: unreferenced AND older than the newest kept commit —
+    # a concurrent in-flight commit writes its data files BEFORE linking its
+    # snapshot, so files younger than the cutoff may belong to a commit we
+    # cannot see yet (grace window keeps the optimistic-concurrency protocol
+    # honest: only provably-unreferenced files are unlinked)
+    candidates = []
     for fn in os.listdir(tbl.data_dir):
         rel = os.path.join("data", fn)
-        if rel not in referenced:
-            os.remove(os.path.join(tbl.data_dir, fn))
+        fpath = os.path.join(tbl.data_dir, fn)
+        try:
+            mtime = os.path.getmtime(fpath)
+        except OSError:
+            continue
+        if rel not in referenced and mtime < cutoff:
+            candidates.append((rel, fpath))
+    # re-list snapshots: anything committed DURING the scan also pins files
+    for fn in os.listdir(tbl.meta_dir):
+        if fn.startswith("snapshot-") and fn.endswith(".json"):
+            sid = int(fn[len("snapshot-"):-len(".json")])
+            if sid not in keep:
+                late = tbl.read_snapshot(sid)
+                if late is not None and sid > max(keep):
+                    referenced.update(f["path"] for f in late["files"])
+    removed_files = 0
+    for rel, fpath in candidates:
+        if rel in referenced:
+            continue
+        try:
+            os.remove(fpath)
             removed_files += 1
+        except FileNotFoundError:
+            pass
     removed_snaps = 0
     for sid in ids:
         if sid not in keep:

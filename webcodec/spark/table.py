@@ -42,13 +42,19 @@ class SnapshotTable:
         return int(txt) if txt else None
 
     def read_snapshot(self, snapshot_id: int | None = None) -> dict | None:
+        """Snapshot payload, or ``None`` when the id is unknown/expired —
+        callers (time travel, streaming delta computation) must handle the
+        expired case explicitly rather than crash on a raw OSError."""
         if snapshot_id is None:
             snapshot_id = self.current_snapshot_id()
         if snapshot_id is None:
             return None
         path = os.path.join(self.meta_dir, f"snapshot-{snapshot_id}.json")
-        with open(path) as f:
-            return json.load(f)
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
 
     def _max_snapshot_id(self) -> int | None:
         """Highest snapshot id ON DISK (the concurrency source of truth —
@@ -89,6 +95,10 @@ class SnapshotTable:
             snap = {
                 "snapshot_id": new_id,
                 "parent_id": parent_id,
+                # append = files only added; replace = existing data rewritten
+                # (compaction/transcode). Streaming readers must not diff a
+                # replace snapshot as if its files were new rows.
+                "operation": "replace" if replace else "append",
                 "committed_at": time.time(),
                 "schema": schema,
                 "properties": properties or {},
