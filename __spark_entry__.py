@@ -557,16 +557,35 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embeddings_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings + 5 EXACT copies of the probe vector (vec_id 1000001..5).
+
+    Planted-duplicates oracle construction: identical vectors share every
+    LSH bucket and every IVF cell with the probe, so any correct ANN index
+    returns them with recall 1.0 BY CONSTRUCTION (embeddings are unit-norm:
+    cosine of a non-identical vector is < 1 with a wide margin, measured
+    0.37 max at sf0.01). That turns the probabilistic index probes into
+    hash-checkable queries: their top-5 must equal the brute-force top-5
+    the DuckDB oracle computes over the same derived table."""
+    base = _src(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probe = base.filter(F.col("vec_id") == 0).select("embedding")
+    ids = spark.range(1, 6).select((F.col("id") + F.lit(1000000)).alias("vec_id"))
+    planted = ids.crossJoin(F.broadcast(probe)).select("vec_id", "embedding")
+    return base.unionByName(planted)
+
+
 def _simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH bucketing (vectorized numpy in a
     mapInArrow kernel) -> candidates share the query's bucket -> exact
     integer-quantized dot-product rerank. At 10^12 rows the bucket join
-    replaces the brute-force cross join of simsearch_top10. Rows-only check
-    (LSH recall is probabilistic; no SQL oracle)."""
+    replaces the brute-force cross join of simsearch_top10. Runs over the
+    planted-duplicates table (_embeddings_planted), so the result is
+    deterministic and oracle-checked; recall floors on the RAW table are
+    pinned separately in tests/test_ann.py."""
     import pyarrow as _pa
 
     _prep(spark)
-    df = _src(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    df = _embeddings_planted(spark, sf_dir)
 
     def bucketize(batches):
         import numpy as np
@@ -615,12 +634,14 @@ def _simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed/iterations — the standard IVF design: the quantizer sees a sample,
     assignment is distributed), then cell assignment via a vectorized Arrow
     kernel, probe = the query's cell only, exact integer-quantized dot
-    rerank on those candidates. Rows-only check (recall is probabilistic)."""
+    rerank on those candidates. Runs over the planted-duplicates table
+    (_embeddings_planted) so the result is deterministic and oracle-checked;
+    raw-table recall floors live in tests/test_ann.py."""
     import numpy as np
     import pyarrow as _pa
 
     _prep(spark)
-    df = _src(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    df = _embeddings_planted(spark, sf_dir)
 
     # bounded driver-side sample -> deterministic k-means (k=16, 8 iters)
     sample_rows = df.orderBy("vec_id").limit(512).collect()
@@ -1161,6 +1182,25 @@ def _dedup_clusters_oracle() -> str:
     )
 
 
+# Brute-force top-5 over embeddings + 5 planted exact copies of the probe
+# vector (vec_id 1000001..1000005) — the engine-independent answer any
+# correct LSH/IVF index must reproduce (see _embeddings_planted).
+_ANN_PLANTED_ORACLE = (
+    "WITH allv AS (SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL SELECT 1000000 + t.r AS vec_id, e.embedding "
+    "FROM embeddings e CROSS JOIN range(1, 6) t(r) WHERE e.vec_id = 0), "
+    "q AS (SELECT list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qvec "
+    "FROM embeddings WHERE vec_id = 0), "
+    "c AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS cvec "
+    "FROM allv WHERE vec_id != 0) "
+    "SELECT vec_id, CAST(list_sum(list_transform(range(1, len(qvec)+1), "
+    "i -> qvec[i] * cvec[i])) AS BIGINT) AS dot "
+    "FROM c, q ORDER BY dot DESC, vec_id LIMIT 5"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "rt_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
@@ -1350,8 +1390,13 @@ def oracle_sql() -> dict[str, str]:
             "ON v.user_id = c.user_id AND v.ts_us < c.ts_us "
             "GROUP BY c.event_id, c.user_id, c.ts_us"
         ),
-        # simsearch_lsh / simsearch_ivf: probabilistic-recall ANN probes —
-        # rows-only by design (recall floors are pinned in tests/test_ann.py)
+        # simsearch_lsh / simsearch_ivf run over the planted-duplicates table
+        # (5 exact copies of the probe vector), so any correct ANN index must
+        # return the brute-force top-5 — the oracle below IS that brute force
+        # over the identical derived table (recall floors on the raw table
+        # are pinned in tests/test_ann.py).
+        "simsearch_lsh": _ANN_PLANTED_ORACLE,
+        "simsearch_ivf": _ANN_PLANTED_ORACLE,
     }
 
 
