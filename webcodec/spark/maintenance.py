@@ -126,24 +126,26 @@ def rewrite_encoded(
     data_dir = dst.data_dir
     cols = columns
 
+    bc = spark.sparkContext.broadcast(paths)
+
     def rewrite_fn(batches):
         from webcodec import filefmt
         from webcodec.spark.encode_job import _write_one
 
+        items = bc.value
         for b in batches:
-            for row in b.to_pylist():
-                table = filefmt.read_table(row["path"], columns=cols, predicate=predicate)
+            for i in b.column("id").to_pylist():
+                pid, path = items[i]
+                table = filefmt.read_table(path, columns=cols, predicate=predicate)
                 if table.num_rows == 0:
                     continue
                 yield from _write_one(
-                    data_dir, row["pid"], table, config, None
+                    data_dir, pid, table, config, None
                 ).to_batches()
 
     from webcodec.spark.encode_job import LINEAGE_SCHEMA, _commit
 
-    pdf = spark.createDataFrame(paths, "pid int, path string").repartition(
-        min(len(paths), 256)
-    )
+    pdf = spark.range(0, len(paths), 1, len(paths))
     rows = pdf.mapInArrow(rewrite_fn, LINEAGE_SCHEMA).collect()
 
     schema = snap["schema"]
@@ -184,25 +186,27 @@ def export_parquet(
         (f["partition_id"], os.path.join(table_dir, f["path"])) for f in snap["files"]
     ]
 
+    bc = spark.sparkContext.broadcast(paths)
+
     def export_fn(batches):
         import pyarrow as pa
 
         from webcodec import filefmt
         from webcodec.parquet_writer import write_parquet
 
+        items = bc.value
         for b in batches:
-            for row in b.to_pylist():
-                t = filefmt.read_table(row["path"])
-                out = os.path.join(out_dir, f"part-{row['pid']:05d}.parquet")
+            for i in b.column("id").to_pylist():
+                pid, path = items[i]
+                t = filefmt.read_table(path)
+                out = os.path.join(out_dir, f"part-{pid:05d}.parquet")
                 write_parquet(t, out, codec=codec)
                 yield pa.RecordBatch.from_pydict(
-                    {"pid": pa.array([row["pid"]], pa.int32()),
+                    {"pid": pa.array([pid], pa.int32()),
                      "rows": pa.array([t.num_rows], pa.int64())}
                 )
 
-    pdf = spark.createDataFrame(paths, "pid int, path string").repartition(
-        min(len(paths), 256)
-    )
+    pdf = spark.range(0, len(paths), 1, len(paths))
     rows = pdf.mapInArrow(export_fn, "pid int, rows long").collect()
     return {"files": len(rows), "rows": int(sum(r["rows"] for r in rows))}
 
