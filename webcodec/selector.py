@@ -80,11 +80,15 @@ def choose(column: str, phys: PhysType, stats: SampleStats, config: EncoderConfi
         return Encoding.DELTA_BYTE_ARRAY  # sorted urls
     if (
         config.use_fsst
+        and phys == PhysType.STRING
         and stats.byte_entropy < 6.0
         and stats.avg_len >= 8
     ):
-        # strings AND binary blobs (e.g. html) — the chunk-level sample trial
-        # (filefmt._fsst_trial) keeps FSST only when final bytes shrink >=10%
+        # STRING columns only — the chunk-level sample trial
+        # (filefmt._fsst_trial) keeps FSST only when final bytes shrink >=10%.
+        # BINARY blobs take the north_star's raw fallback (DELTA_LENGTH +
+        # page codec; archive raises their zstd level instead) — measured on
+        # web html, FSST there bought ~15% bytes for ~13x the encode cost.
         return Encoding.FSST
     return Encoding.DELTA_LENGTH
 
