@@ -410,6 +410,38 @@ def _rt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_nested_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-depth nesting (E1/E2 full Dremel scope, r3): a
+    struct<inner:struct<lg,ln>, tok:array<array<string>>> column — struct-in-
+    struct AND a two-repetition-level list inside a struct — shredded by the
+    recursive dispatcher (webcodec/filefmt.py _encode_any_chunks), round-
+    tripped through the DataSource, then folded to scalars for the driver
+    compare."""
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    _prep(spark)
+    spark.dataSource.register(WebcodecDataSource)
+    words = F.split("text", " ")
+    df = _src(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            F.struct(
+                F.col("lang").alias("lg"), F.length("text").alias("ln")
+            ).alias("inner"),
+            F.array(F.slice(words, 1, 2), F.slice(words, 3, 2)).alias("tok"),
+        ).alias("meta"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="wcq_ndeep_"), "t")
+    df.write.format("webcodec").mode("append").option("path", out).save()
+    back = spark.read.format("webcodec").option("path", out).load()
+    return back.select(
+        "doc_id",
+        F.col("meta.inner.lg").alias("lg"),
+        F.col("meta.inner.ln").cast("long").alias("ln"),
+        F.array_join(F.flatten("meta.tok"), "|").alias("joined"),
+    )
+
+
 def _agg_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over decoded output (dict+RLE column feeding a groupBy)."""
     df = _encode_decode(spark, sf_dir, "documents", sort_key="lang", columns=["lang"])
@@ -1025,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_struct": _rt_struct,
         "rt_map": _rt_map,
         "rt_nested": _rt_nested,
+        "rt_nested_deep": _rt_nested_deep,
         "rt_list_words": _rt_list_words,
         "rt_export_parquet": _rt_export_parquet,
         "stats_minmax": _stats_minmax,
@@ -1255,6 +1288,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(ws) AS INT) AS n_entries, "
             "array_to_string(ws, '|') AS joined, "
             "CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS n_sum FROM w"
+        ),
+        "rt_nested_deep": (
+            "WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws "
+            "FROM documents) "
+            "SELECT doc_id, lang AS lg, CAST(length(text) AS BIGINT) AS ln, "
+            "array_to_string(flatten([list_slice(ws, 1, 2), list_slice(ws, 3, 4)]), '|') "
+            "AS joined FROM w"
         ),
         "rt_list_words": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "

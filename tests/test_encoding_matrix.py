@@ -122,3 +122,82 @@ def test_generic_list_roundtrip(child_type, gen, nulls):
     filefmt.write_table(t, buf, EncoderConfig(page_row_count_limit=256))
     got = filefmt.read_table(buf.getvalue())
     assert got.column("L").combine_chunks().equals(t.column("L").combine_chunks())
+
+
+# ----------------------------------------------------------- deep nesting (r3)
+
+
+def _deep_cases() -> dict[str, pa.Array]:
+    """Arbitrary-depth shapes the recursive dispatcher must round-trip,
+    with nulls at every level."""
+    return {
+        "struct_struct": pa.array(
+            [{"a": {"x": 1, "y": "p"}, "b": 2}, None, {"a": None, "b": 4},
+             {"a": {"x": None, "y": "q"}, "b": None}],
+            pa.struct([("a", pa.struct([("x", pa.int64()), ("y", pa.string())])),
+                       ("b", pa.int64())]),
+        ),
+        "list3": pa.array(
+            [[[[1, 2], [3]], [[4]]], None, [[[5], None], []], [[]]],
+            pa.list_(pa.list_(pa.list_(pa.int64()))),
+        ),
+        "struct_list_struct": pa.array(
+            [{"l": [{"u": "a", "v": 1}, {"u": "b", "v": None}]}, {"l": None},
+             None, {"l": []}],
+            pa.struct([("l", pa.list_(pa.struct([("u", pa.string()),
+                                                 ("v", pa.int64())])))]),
+        ),
+        "map_struct_val": pa.array(
+            [[("k1", {"z": 1})], None, [("k2", {"z": None}), ("k3", {"z": 3})],
+             []],
+            pa.map_(pa.string(), pa.struct([("z", pa.int64())])),
+        ),
+        "list_map": pa.array(
+            [[[("a", 1)], [("b", 2), ("c", 3)]], None, [[]], [None]],
+            pa.list_(pa.map_(pa.string(), pa.int64())),
+        ),
+        "list_struct_nested": pa.array(
+            [[{"s": {"q": 1}, "w": [1, 2]}], None,
+             [{"s": None, "w": []}, {"s": {"q": 5}, "w": None}]],
+            pa.list_(pa.struct([("s", pa.struct([("q", pa.int64())])),
+                                ("w", pa.list_(pa.int64()))])),
+        ),
+    }
+
+
+@pytest.mark.parametrize("case", sorted(_deep_cases()), ids=sorted(_deep_cases()))
+def test_deep_nested_roundtrip(case):
+    arr = _deep_cases()[case]
+    t = pa.table({"c": arr, "id": pa.array(range(len(arr)), pa.int64())})
+    buf = io.BytesIO()
+    filefmt.write_table(t, buf)
+    got = filefmt.read_table(buf.getvalue())
+    assert got.equals(t)
+    # projection + row-range must compose at any depth (aligned chunks)
+    sub = filefmt.read_table(buf.getvalue(), columns=["c"], row_range=(1, 3))
+    assert sub.column("c").to_pylist() == arr.to_pylist()[1:3]
+
+
+def test_deep_nested_many_rows_pages():
+    """Deep shape across multiple pages (page_row_count_limit forces cuts)."""
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(2_000):
+        if i % 13 == 0:
+            rows.append(None)
+        else:
+            rows.append({
+                "inner": {"lg": f"l{int(rng.integers(0, 5))}",
+                          "ln": int(rng.integers(0, 1000))},
+                "tok": [[f"w{int(x)}" for x in rng.integers(0, 30, int(rng.integers(0, 4)))]
+                        for _ in range(int(rng.integers(0, 3)))],
+            })
+    typ = pa.struct([
+        ("inner", pa.struct([("lg", pa.string()), ("ln", pa.int64())])),
+        ("tok", pa.list_(pa.list_(pa.string()))),
+    ])
+    t = pa.table({"meta": pa.array(rows, typ)})
+    buf = io.BytesIO()
+    filefmt.write_table(t, buf, EncoderConfig(page_row_count_limit=256))
+    got = filefmt.read_table(buf.getvalue())
+    assert got.equals(t)

@@ -243,14 +243,16 @@ def test_struct_append_merge(tmp_path):
     assert back.column("s").combine_chunks().equals(t.column("s").combine_chunks())
 
 
-def test_struct_nested_rejected(tmp_path):
-    from webcodec.filefmt import write_table
+def test_struct_nested_roundtrip(tmp_path):
+    """r2 rejected struct-in-struct; the r3 recursive dispatcher shreds it
+    (deep-shape coverage lives in test_encoding_matrix)."""
+    from webcodec.filefmt import read_table, write_table
 
     inner = pa.StructArray.from_arrays([pa.array([1, 2])], names=["x"])
     outer = pa.StructArray.from_arrays([inner], names=["in"])
     t = pa.table({"s": outer})
-    with pytest.raises(TypeError, match="nested structs"):
-        write_table(t, str(tmp_path / "n.wcd"))
+    write_table(t, str(tmp_path / "n.wcd"))
+    assert read_table(str(tmp_path / "n.wcd")).equals(t)
 
 
 def _map_table(n=5000, with_nulls=True):

@@ -334,6 +334,48 @@ def _encode_chunk(
 _STRUCT_SEP = "\x1f"  # footer-internal child-chunk name separator
 
 
+def _encode_any_chunks(
+    name: str, arr: pa.Array, config: EncoderConfig, out: io.BufferedIOBase, offset0: int
+) -> tuple[list[dict], int]:
+    """Recursive shredding dispatcher (SURVEY §2 E1, full Dremel scope):
+    struct / map / list<struct> / list<list|map> parents shred into aligned
+    child chunks and RECURSE through this dispatcher, so arbitrary nesting
+    (struct<struct<...>>, list<list<list<...>>>, struct<list<struct>>,
+    map<_, struct>, list<map>) composes from the same four constructions.
+    Every emitted chunk keeps the top-level row count, so page pruning,
+    keep-masks and row-range splits apply unchanged at any depth."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_struct(t):
+        return _encode_struct_chunks(name, arr, config, out, offset0)
+    if pa.types.is_map(t):
+        return _encode_map_chunks(name, arr, config, out, offset0)
+    if pa.types.is_list(t) and pa.types.is_struct(t.value_type):
+        return _encode_list_struct_chunks(name, arr, config, out, offset0)
+    if pa.types.is_list(t) and (
+        pa.types.is_list(t.value_type) or pa.types.is_map(t.value_type)
+    ):
+        return _encode_list_list_chunks(name, arr, config, out, offset0)
+    chunk, offset = _encode_chunk(name, arr, config, out, offset0)
+    return [chunk], offset
+
+
+def _decode_any_chunks(
+    buf: memoryview, group: dict, chunk: dict, verify_crc: bool, keep: np.ndarray | None
+) -> pa.Array:
+    """Decode twin of :func:`_encode_any_chunks` — dispatch on parent meta."""
+    if chunk.get("struct"):
+        return _decode_struct_chunks(buf, group, chunk, verify_crc, keep)
+    if chunk.get("map"):
+        return _decode_map_chunks(buf, group, chunk, verify_crc, keep)
+    if chunk.get("liststruct"):
+        return _decode_list_struct_chunks(buf, group, chunk, verify_crc, keep)
+    if chunk.get("listlist"):
+        return _decode_list_list_chunks(buf, group, chunk, verify_crc, keep)
+    return _decode_chunk(buf, chunk, verify_crc, keep=keep)
+
+
 def _encode_struct_chunks(
     name: str, arr: pa.Array, config: EncoderConfig, out: io.BufferedIOBase, offset0: int
 ) -> tuple[list[dict], int]:
@@ -358,13 +400,10 @@ def _encode_struct_chunks(
     parent["raw_bytes"] = 0  # raw accounting lives on the children
     chunks = [parent]
     for i, f in enumerate(arr.type):
-        child = arr.field(i)
-        if pa.types.is_struct(child.type):
-            raise TypeError(f"nested structs unsupported: {name}.{f.name}")
-        c, offset = _encode_chunk(
-            f"{name}{_STRUCT_SEP}{f.name}", child, config, out, offset
+        cs, offset = _encode_any_chunks(
+            f"{name}{_STRUCT_SEP}{f.name}", arr.field(i), config, out, offset
         )
-        chunks.append(c)
+        chunks.extend(cs)
     return chunks, offset
 
 
@@ -381,7 +420,7 @@ def _decode_struct_chunks(
     for fm in meta["fields"]:
         cname = f"{name}{_STRUCT_SEP}{fm['name']}"
         cchunk = next(c for c in group["chunks"] if c["name"] == cname)
-        child = _decode_chunk(buf, cchunk, verify_crc, keep=keep)
+        child = _decode_any_chunks(buf, group, cchunk, verify_crc, keep)
         children.append(child)
         fields.append(pa.field(fm["name"], child.type, nullable=fm["nullable"]))
     mask = None
@@ -418,8 +457,10 @@ def _encode_map_chunks(
     il = pa.ListArray.from_arrays(arr.offsets, entries.field(1))
     chunks = [parent]
     for suffix, child in (("keys", kl), ("items", il)):
-        c, offset = _encode_chunk(f"{name}{_STRUCT_SEP}{suffix}", child, config, out, offset)
-        chunks.append(c)
+        cs, offset = _encode_any_chunks(
+            f"{name}{_STRUCT_SEP}{suffix}", child, config, out, offset
+        )
+        chunks.extend(cs)
     return chunks, offset
 
 
@@ -430,13 +471,15 @@ def _decode_map_chunks(
     the same keep-mask, zip them back into the entries struct, and rebuild
     the MapArray from buffers (validity bitmap + the keys list's offsets)."""
     name = parent["name"]
-    kl = _decode_chunk(
-        buf, next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}keys"),
-        verify_crc, keep=keep,
+    kl = _decode_any_chunks(
+        buf, group,
+        next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}keys"),
+        verify_crc, keep,
     )
-    il = _decode_chunk(
-        buf, next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}items"),
-        verify_crc, keep=keep,
+    il = _decode_any_chunks(
+        buf, group,
+        next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}items"),
+        verify_crc, keep,
     )
     entries = pa.StructArray.from_arrays(
         [kl.flatten(), il.flatten()],
@@ -484,13 +527,14 @@ def _encode_list_struct_chunks(
         c, offset = _encode_chunk(f"{name}{_STRUCT_SEP}#valid", ev, config, out, offset)
         chunks.append(c)
     for i, f in enumerate(entries.type):
-        if not pa.types.is_struct(f.type) and not pa.types.is_list(f.type) \
-                and not pa.types.is_map(f.type):
-            fl = pa.ListArray.from_arrays(off, entries.field(i))
-            c, offset = _encode_chunk(f"{name}{_STRUCT_SEP}{f.name}", fl, config, out, offset)
-            chunks.append(c)
-        else:
-            raise TypeError(f"nested non-primitive inside list<struct>: {name}.{f.name}")
+        # each field wrapped as a list sharing the outer offsets; nested
+        # field types recurse through the dispatcher (list<struct<...>>,
+        # list<list<...>>, list<map<...>>)
+        fl = pa.ListArray.from_arrays(off, entries.field(i))
+        cs, offset = _encode_any_chunks(
+            f"{name}{_STRUCT_SEP}{f.name}", fl, config, out, offset
+        )
+        chunks.extend(cs)
     return chunks, offset
 
 
@@ -502,10 +546,10 @@ def _decode_list_struct_chunks(
     flats, fields = [], []
     first_list = None
     for fm in meta["fields"]:
-        fl = _decode_chunk(
-            buf,
+        fl = _decode_any_chunks(
+            buf, group,
             next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}{fm['name']}"),
-            verify_crc, keep=keep,
+            verify_crc, keep,
         )
         if first_list is None:
             first_list = fl
@@ -545,7 +589,10 @@ def _encode_list_list_chunks(
         arr = arr.combine_chunks()
     validity = arr.is_valid()
     parent, offset = _encode_chunk(name, validity, config, out, offset0)
-    inner = arr.values  # inner ListArray, absolute w.r.t. arr.offsets
+    # inner repeated level: ListArray OR MapArray (same offsets layout),
+    # absolute w.r.t. arr.offsets
+    inner = arr.values
+    inner_is_map = pa.types.is_map(inner.type)
     off_np = np.asarray(arr.offsets, dtype=np.int64)
     inner_off_np = np.frombuffer(
         inner.buffers()[1], dtype=np.int32, count=inner.offset + len(inner) + 1
@@ -553,8 +600,12 @@ def _encode_list_list_chunks(
     parent["listlist"] = {
         "elem_name": arr.type.value_field.name,
         "elem_nullable": arr.type.value_field.nullable,
-        "inner_elem_name": inner.type.value_field.name,
-        "inner_elem_nullable": inner.type.value_field.nullable,
+        "inner_kind": "map" if inner_is_map else "list",
+        "inner_elem_name": "entries" if inner_is_map else inner.type.value_field.name,
+        "inner_elem_nullable": (
+            inner.type.item_field.nullable if inner_is_map
+            else inner.type.value_field.nullable
+        ),
         "inner_null_count": int(inner.null_count),
         "null_count": int(arr.null_count),
     }
@@ -570,8 +621,10 @@ def _encode_list_list_chunks(
         chunks.append(c)
     flat_off = inner_off_np[off_np].astype(np.int32)
     flat_l = pa.ListArray.from_arrays(pa.array(flat_off, pa.int32()), inner.values)
-    c, offset = _encode_chunk(f"{name}{_STRUCT_SEP}#flat", flat_l, config, out, offset)
-    chunks.append(c)
+    # two-level-flattened values: primitives land in one generic-LIST chunk;
+    # deeper nesting (list<list<list>>, list<map>, struct values) recurses
+    cs, offset = _encode_any_chunks(f"{name}{_STRUCT_SEP}#flat", flat_l, config, out, offset)
+    chunks.extend(cs)
     return chunks, offset
 
 
@@ -584,29 +637,47 @@ def _decode_list_list_chunks(
         buf, next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}#lens"),
         verify_crc, keep=keep,
     )
-    flat_l = _decode_chunk(
-        buf, next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}#flat"),
-        verify_crc, keep=keep,
+    flat_l = _decode_any_chunks(
+        buf, group,
+        next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}#flat"),
+        verify_crc, keep,
     )
     lens_flat = np.asarray(lens_l.flatten(), dtype=np.int64)
     inner_off = np.zeros(len(lens_flat) + 1, dtype=np.int32)
     inner_off[1:] = np.cumsum(lens_flat)
-    mask = None
+    inner_validity = None
     if meta["inner_null_count"]:
         iv = _decode_chunk(
             buf, next(c for c in group["chunks"] if c["name"] == f"{name}{_STRUCT_SEP}#valid"),
             verify_crc, keep=keep,
         )
-        mask = pa.array(~np.asarray(iv.flatten(), dtype=bool))
-    inner = pa.ListArray.from_arrays(
-        pa.array(inner_off, pa.int32()), flat_l.flatten(), mask=mask
-    )
-    itype = pa.list_(
-        pa.field(meta["inner_elem_name"], flat_l.type.value_type,
-                 nullable=meta["inner_elem_nullable"])
-    )
-    if inner.type != itype:
-        inner = inner.cast(itype)
+        inner_validity = np.asarray(iv.flatten(), dtype=bool)
+    if meta.get("inner_kind") == "map":
+        entries = flat_l.flatten()  # struct<key,value>
+        itype = pa.map_(
+            entries.type.field(0).with_nullable(False),
+            entries.type.field(1).with_nullable(meta["inner_elem_nullable"]),
+        )
+        vbuf = (
+            pa.py_buffer(np.packbits(inner_validity, bitorder="little").tobytes())
+            if inner_validity is not None
+            else None
+        )
+        inner = pa.Array.from_buffers(
+            itype, len(lens_flat),
+            [vbuf, pa.py_buffer(inner_off.tobytes())], children=[entries],
+        )
+    else:
+        mask = pa.array(~inner_validity) if inner_validity is not None else None
+        inner = pa.ListArray.from_arrays(
+            pa.array(inner_off, pa.int32()), flat_l.flatten(), mask=mask
+        )
+        itype = pa.list_(
+            pa.field(meta["inner_elem_name"], flat_l.type.value_type,
+                     nullable=meta["inner_elem_nullable"])
+        )
+        if inner.type != itype:
+            inner = inner.cast(itype)
     validity_buf = None
     if meta["null_count"]:
         valid = _decode_chunk(buf, parent, verify_crc, keep=keep)
@@ -618,27 +689,27 @@ def _decode_list_list_chunks(
     )
 
 
+def _child_chunk(group: dict, parent_name: str, suffix: str) -> dict:
+    return next(
+        c for c in group["chunks"]
+        if c["name"] == f"{parent_name}{_STRUCT_SEP}{suffix}"
+    )
+
+
 def _chunk_arrow_type(group: dict, chunk: dict) -> pa.DataType:
-    """Arrow type of a chunk as projected to the user — struct/map parents
-    rebuild their type from the child chunks."""
+    """Arrow type of a chunk as projected to the user — nested parents
+    rebuild their type from the child chunks, recursively."""
     if chunk.get("struct"):
         fields = []
         for fm in chunk["struct"]["fields"]:
-            cname = f"{chunk['name']}{_STRUCT_SEP}{fm['name']}"
-            cc = next(c for c in group["chunks"] if c["name"] == cname)
+            cc = _child_chunk(group, chunk["name"], fm["name"])
             fields.append(
-                pa.field(fm["name"], arrow_type_from_json(cc["type"]), nullable=fm["nullable"])
+                pa.field(fm["name"], _chunk_arrow_type(group, cc), nullable=fm["nullable"])
             )
         return pa.struct(fields)
     if chunk.get("map"):
-        kt = arrow_type_from_json(
-            next(c for c in group["chunks"]
-                 if c["name"] == f"{chunk['name']}{_STRUCT_SEP}keys")["type"]
-        ).value_type
-        vt = arrow_type_from_json(
-            next(c for c in group["chunks"]
-                 if c["name"] == f"{chunk['name']}{_STRUCT_SEP}items")["type"]
-        ).value_type
+        kt = _chunk_arrow_type(group, _child_chunk(group, chunk["name"], "keys")).value_type
+        vt = _chunk_arrow_type(group, _child_chunk(group, chunk["name"], "items")).value_type
         return pa.map_(
             pa.field("key", kt, nullable=False),
             pa.field("value", vt, nullable=chunk["map"]["item_nullable"]),
@@ -647,9 +718,8 @@ def _chunk_arrow_type(group: dict, chunk: dict) -> pa.DataType:
         meta = chunk["liststruct"]
         fields = []
         for fm in meta["fields"]:
-            ct = arrow_type_from_json(
-                next(c for c in group["chunks"]
-                     if c["name"] == f"{chunk['name']}{_STRUCT_SEP}{fm['name']}")["type"]
+            ct = _chunk_arrow_type(
+                group, _child_chunk(group, chunk["name"], fm["name"])
             ).value_type
             fields.append(pa.field(fm["name"], ct, nullable=fm["nullable"]))
         return pa.list_(
@@ -657,13 +727,18 @@ def _chunk_arrow_type(group: dict, chunk: dict) -> pa.DataType:
         )
     if chunk.get("listlist"):
         meta = chunk["listlist"]
-        vt = arrow_type_from_json(
-            next(c for c in group["chunks"]
-                 if c["name"] == f"{chunk['name']}{_STRUCT_SEP}#flat")["type"]
+        vt = _chunk_arrow_type(
+            group, _child_chunk(group, chunk["name"], "#flat")
         ).value_type
-        itype = pa.list_(
-            pa.field(meta["inner_elem_name"], vt, nullable=meta["inner_elem_nullable"])
-        )
+        if meta.get("inner_kind") == "map":
+            itype = pa.map_(
+                vt.field(0).with_nullable(False),
+                vt.field(1).with_nullable(meta["inner_elem_nullable"]),
+            )
+        else:
+            itype = pa.list_(
+                pa.field(meta["inner_elem_name"], vt, nullable=meta["inner_elem_nullable"])
+            )
         return pa.list_(pa.field(meta["elem_name"], itype, nullable=meta["elem_nullable"]))
     return arrow_type_from_json(chunk["type"])
 
@@ -684,25 +759,8 @@ def write_table(
         t0 = time.perf_counter()
         chunks = []
         for name in table.column_names:
-            col = table.column(name)
-            if pa.types.is_struct(col.type):
-                scs, offset = _encode_struct_chunks(name, col, config, out, offset)
-                chunks.extend(scs)
-                continue
-            if pa.types.is_map(col.type):
-                mcs, offset = _encode_map_chunks(name, col, config, out, offset)
-                chunks.extend(mcs)
-                continue
-            if pa.types.is_list(col.type) and pa.types.is_struct(col.type.value_type):
-                lcs, offset = _encode_list_struct_chunks(name, col, config, out, offset)
-                chunks.extend(lcs)
-                continue
-            if pa.types.is_list(col.type) and pa.types.is_list(col.type.value_type):
-                lcs, offset = _encode_list_list_chunks(name, col, config, out, offset)
-                chunks.extend(lcs)
-                continue
-            chunk, offset = _encode_chunk(name, col, config, out, offset)
-            chunks.append(chunk)
+            cs, offset = _encode_any_chunks(name, table.column(name), config, out, offset)
+            chunks.extend(cs)
         encode_secs = time.perf_counter() - t0
         footer = {
             "version": 1,
@@ -1100,16 +1158,7 @@ def read_table(
                 if keep_rows is not None
                 else None
             )
-            if chunk.get("struct"):
-                parts.append(_decode_struct_chunks(buf, g, chunk, verify_crc, keep))
-            elif chunk.get("map"):
-                parts.append(_decode_map_chunks(buf, g, chunk, verify_crc, keep))
-            elif chunk.get("liststruct"):
-                parts.append(_decode_list_struct_chunks(buf, g, chunk, verify_crc, keep))
-            elif chunk.get("listlist"):
-                parts.append(_decode_list_list_chunks(buf, g, chunk, verify_crc, keep))
-            else:
-                parts.append(_decode_chunk(buf, chunk, verify_crc, keep=keep))
+            parts.append(_decode_any_chunks(buf, g, chunk, verify_crc, keep))
             row_base += g["num_rows"]
         arr = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]) if len(parts) > 1 else parts[0]
         arrays.append(arr)
