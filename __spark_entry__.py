@@ -442,6 +442,37 @@ def _rt_nested_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_decimal_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decimal128 + date32 end-to-end (r3): a DECIMAL(20,3) column built
+    exactly from integers (negative + 3-digit scale) and a DATE column
+    round-trip through the engine (decimal shreds into two int64 lane
+    chunks, webcodec/filefmt.py _encode_decimal_chunks), then fold to
+    integer scalars both engines agree on."""
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    _prep(spark)
+    spark.dataSource.register(WebcodecDataSource)
+    df = _src(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "cast(cast((l_orderkey - 3000) * 1000 + l_partkey as decimal(20,0)) / 1000 "
+            "as decimal(20,3))"
+        ).alias("amt"),
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="wcq_dec_"), "t")
+    df.write.format("webcodec").mode("append").option("path", out).save()
+    back = spark.read.format("webcodec").option("path", out).load()
+    return back.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("amt") * 1000).cast("long").alias("amt_milli"),
+        (F.year("ship_d") * 10000 + F.month("ship_d") * 100 + F.dayofmonth("ship_d"))
+        .cast("long").alias("ship_ymd"),
+    )
+
+
 def _agg_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over decoded output (dict+RLE column feeding a groupBy)."""
     df = _encode_decode(spark, sf_dir, "documents", sort_key="lang", columns=["lang"])
@@ -1058,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_map": _rt_map,
         "rt_nested": _rt_nested,
         "rt_nested_deep": _rt_nested_deep,
+        "rt_decimal_date": _rt_decimal_date,
         "rt_list_words": _rt_list_words,
         "rt_export_parquet": _rt_export_parquet,
         "stats_minmax": _stats_minmax,
@@ -1288,6 +1320,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(ws) AS INT) AS n_entries, "
             "array_to_string(ws, '|') AS joined, "
             "CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS n_sum FROM w"
+        ),
+        "rt_decimal_date": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST((l_orderkey - 3000) * 1000 + l_partkey AS BIGINT) AS amt_milli, "
+            "CAST(year(CAST(l_shipdate AS DATE)) * 10000 "
+            "+ month(CAST(l_shipdate AS DATE)) * 100 "
+            "+ day(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_ymd "
+            "FROM lineitem"
         ),
         "rt_nested_deep": (
             "WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws "

@@ -201,3 +201,45 @@ def test_deep_nested_many_rows_pages():
     filefmt.write_table(t, buf, EncoderConfig(page_row_count_limit=256))
     got = filefmt.read_table(buf.getvalue())
     assert got.equals(t)
+
+
+# -------------------------------------------------------------- decimal (r3)
+
+
+@pytest.mark.parametrize("pattern", ["none", "sparse", "dense", "page"])
+def test_decimal128_roundtrip(pattern):
+    """decimal128 lanes: small (lo-lane only), full-width 37-digit values
+    (hi lane live), negatives, all null patterns."""
+    import decimal
+
+    D = decimal.Decimal
+    rng = np.random.default_rng(41)
+    big = int("9" * 30)
+    vals = []
+    for i in range(2_000):
+        u = int(rng.integers(-(10**9), 10**9))
+        if i % 7 == 0:
+            u = big + u  # exercise the high lane
+        vals.append(D(u).scaleb(-3))
+    arr = _nullify(pa.array(vals, pa.decimal128(38, 3)), pattern)
+    t = pa.table({"d": arr, "k": pa.array(range(len(arr)), pa.int64())})
+    buf = io.BytesIO()
+    filefmt.write_table(t, buf, EncoderConfig(page_row_count_limit=256))
+    got = filefmt.read_table(buf.getvalue())
+    assert got.equals(t)
+    sub = filefmt.read_table(buf.getvalue(), columns=["d"], row_range=(100, 900))
+    assert sub.column("d").combine_chunks().equals(arr.slice(100, 800))
+
+
+def test_decimal_inside_struct_roundtrip():
+    import decimal
+
+    D = decimal.Decimal
+    arr = pa.array(
+        [{"d": D("7.1"), "n": 1}, None, {"d": None, "n": 3}],
+        pa.struct([("d", pa.decimal128(20, 1)), ("n", pa.int64())]),
+    )
+    t = pa.table({"s": arr})
+    buf = io.BytesIO()
+    filefmt.write_table(t, buf)
+    assert filefmt.read_table(buf.getvalue()).equals(t)

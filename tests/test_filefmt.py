@@ -225,7 +225,7 @@ def test_struct_projection_pruning_and_predicate_guard(tmp_path):
     got = read_table(p, predicate=[("id", ">=", 4000)])
     assert got.num_rows == 1000
     assert got.column("s").combine_chunks().equals(t.column("s").slice(4000).combine_chunks())
-    with pytest.raises(ValueError, match="struct/map columns unsupported"):
+    with pytest.raises(ValueError, match="nested/decimal columns unsupported"):
         read_table(p, predicate=[("s", "==", 1)])
 
 
@@ -299,7 +299,7 @@ def test_map_projection_predicate_append(tmp_path):
     got = read_table(p, predicate=[("id", ">=", 4000)])
     assert got.num_rows == 1000
     assert got.column("m").combine_chunks().equals(t.column("m").slice(4000).combine_chunks())
-    with pytest.raises(ValueError, match="struct/map columns unsupported"):
+    with pytest.raises(ValueError, match="nested/decimal columns unsupported"):
         read_table(p, predicate=[("m", "==", 1)])
     p2, dst = str(tmp_path / "b.wcd"), str(tmp_path / "c.wcd")
     write_table(t.slice(3000), p2)

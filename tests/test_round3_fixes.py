@@ -294,3 +294,68 @@ def test_read_encoded_splits_large_file(spark, tmp_path):
     assert df.rdd.getNumPartitions() == len(splits)
     assert df.count() == 4_000
     assert df.select("url").distinct().count() == t.column("url").to_pandas().nunique()
+
+
+# ---------------------------------------------------------------- VERDICT #7
+
+
+def test_write_batches_multi_group_bounded(tmp_path):
+    """Streamed writer cuts a row group every ~group_target_bytes: a
+    partition larger than the budget lands as a multi-group file that
+    round-trips (groups concatenate per column), never materializing the
+    whole partition."""
+    from webcodec.fixtures import webpages
+
+    t = webpages(3_000)
+    p = str(tmp_path / "m.wcd")
+    footer = filefmt.write_batches(
+        iter(t.to_batches(max_chunksize=250)), p, group_target_bytes=256 * 1024
+    )
+    assert len(footer["groups"]) > 1
+    assert footer["num_rows"] == 3_000
+    got = filefmt.read_table(p)
+    assert got.equals(t)
+    # projection + row range across group boundaries
+    sub = filefmt.read_table(p, columns=["url"], row_range=(500, 2_500))
+    assert sub.column("url").to_pylist() == t.column("url").to_pylist()[500:2_500]
+
+    # single group stays byte-compatible with write_table's footer shape
+    p1 = str(tmp_path / "s.wcd")
+    f1 = filefmt.write_batches(iter(t.to_batches()), p1, group_target_bytes=1 << 40)
+    assert "groups" not in f1 and f1["version"] == 1
+    assert filefmt.read_table(p1).equals(t)
+
+    # empty iterator -> None, no file committed
+    p2 = str(tmp_path / "e.wcd")
+    assert filefmt.write_batches(iter([]), p2) is None
+
+
+def test_write_batches_sorts_within_group(tmp_path):
+    import pyarrow as pa2
+
+    t = pa2.table({"k": pa2.array([3, 1, 2, 9, 7, 8], pa2.int64())})
+    p = str(tmp_path / "s.wcd")
+    filefmt.write_batches(
+        iter(t.to_batches(max_chunksize=3)), p, group_target_bytes=1, sort_key="k"
+    )
+    got = filefmt.read_table(p).column("k").to_pylist()
+    assert got == [1, 2, 3, 7, 8, 9]  # sorted per group
+
+
+def test_scan_mode_streams_groups(spark, tmp_path):
+    """scan-mode encode writes via the streamed path; lineage stats roll up
+    across groups and the table reads back exactly."""
+    from webcodec.fixtures import webpages
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(webpages(2_000), src)
+    df = spark.read.parquet(src).selectExpr("url", "upper(lang) AS lang_u")
+    out = str(tmp_path / "t")
+    snap = encode_table(df, out, mode="scan", write_metrics=False)
+    assert snap["total_rows"] == 2_000
+    back = read_encoded(spark, out)
+    assert back.count() == 2_000
+    assert {r["lang_u"] for r in back.select("lang_u").distinct().collect()} == \
+        {"EN", "DE", "FR", "ES", "ZH", "RU"}

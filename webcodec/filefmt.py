@@ -347,6 +347,8 @@ def _encode_any_chunks(
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
+    if pa.types.is_decimal(t):
+        return _encode_decimal_chunks(name, arr, config, out, offset0)
     if pa.types.is_struct(t):
         return _encode_struct_chunks(name, arr, config, out, offset0)
     if pa.types.is_map(t):
@@ -365,6 +367,8 @@ def _decode_any_chunks(
     buf: memoryview, group: dict, chunk: dict, verify_crc: bool, keep: np.ndarray | None
 ) -> pa.Array:
     """Decode twin of :func:`_encode_any_chunks` — dispatch on parent meta."""
+    if chunk.get("decimal"):
+        return _decode_decimal_chunks(buf, group, chunk, verify_crc, keep)
     if chunk.get("struct"):
         return _decode_struct_chunks(buf, group, chunk, verify_crc, keep)
     if chunk.get("map"):
@@ -374,6 +378,62 @@ def _decode_any_chunks(
     if chunk.get("listlist"):
         return _decode_list_list_chunks(buf, group, chunk, verify_crc, keep)
     return _decode_chunk(buf, chunk, verify_crc, keep=keep)
+
+
+def _encode_decimal_chunks(
+    name: str, arr: pa.Array, config: EncoderConfig, out: io.BufferedIOBase, offset0: int
+) -> tuple[list[dict], int]:
+    """decimal128(p,s) shredding (parquet stores decimals as int32/int64/FLBA
+    by precision; we split the 128-bit little-endian unscaled value into two
+    aligned int64 LANE chunks instead): the low lane IS the value for
+    |v| < 2^63 and FOR+delta eats it; the high lane is pure sign extension
+    there, so RLE collapses it to bytes. Full 38-digit precision round-trips
+    bit-identically. Parent chunk carries validity + (precision, scale)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    validity = arr.is_valid()
+    parent, offset = _encode_chunk(name, validity, config, out, offset0)
+    parent["decimal"] = {
+        "precision": arr.type.precision,
+        "scale": arr.type.scale,
+        "null_count": int(arr.null_count),
+    }
+    parent["raw_bytes"] = 16 * len(arr)
+    lanes = np.frombuffer(
+        arr.buffers()[1], dtype="<i8", count=2 * (arr.offset + len(arr))
+    )[2 * arr.offset :]
+    chunks = [parent]
+    for suffix, lane in (("#lo", lanes[0::2]), ("#hi", lanes[1::2])):
+        c, offset = _encode_chunk(
+            f"{name}{_STRUCT_SEP}{suffix}",
+            pa.array(np.ascontiguousarray(lane), pa.int64()),
+            config, out, offset,
+        )
+        c["raw_bytes"] = 0  # raw accounted on the parent (16B/value)
+        chunks.append(c)
+    return chunks, offset
+
+
+def _decode_decimal_chunks(
+    buf: memoryview, group: dict, parent: dict, verify_crc: bool, keep: np.ndarray | None
+) -> pa.Array:
+    meta = parent["decimal"]
+    name = parent["name"]
+    lo = _decode_chunk(buf, _child_chunk(group, name, "#lo"), verify_crc, keep=keep)
+    hi = _decode_chunk(buf, _child_chunk(group, name, "#hi"), verify_crc, keep=keep)
+    n = len(lo)
+    data = np.empty(2 * n, dtype="<i8")
+    data[0::2] = lo.to_numpy(zero_copy_only=False)
+    data[1::2] = hi.to_numpy(zero_copy_only=False)
+    vbuf = None
+    if meta["null_count"]:
+        valid = _decode_chunk(buf, parent, verify_crc, keep=keep)
+        m = np.asarray(valid, dtype=bool)
+        vbuf = pa.py_buffer(np.packbits(m, bitorder="little").tobytes())
+    return pa.Array.from_buffers(
+        pa.decimal128(meta["precision"], meta["scale"]), n,
+        [vbuf, pa.py_buffer(data.tobytes())],
+    )
 
 
 def _encode_struct_chunks(
@@ -699,6 +759,8 @@ def _child_chunk(group: dict, parent_name: str, suffix: str) -> dict:
 def _chunk_arrow_type(group: dict, chunk: dict) -> pa.DataType:
     """Arrow type of a chunk as projected to the user — nested parents
     rebuild their type from the child chunks, recursively."""
+    if chunk.get("decimal"):
+        return pa.decimal128(chunk["decimal"]["precision"], chunk["decimal"]["scale"])
     if chunk.get("struct"):
         fields = []
         for fm in chunk["struct"]["fields"]:
@@ -743,6 +805,30 @@ def _chunk_arrow_type(group: dict, chunk: dict) -> pa.DataType:
     return arrow_type_from_json(chunk["type"])
 
 
+def _encode_group(
+    table: pa.Table, config: EncoderConfig, out: io.BufferedIOBase, offset: int
+) -> tuple[list[dict], int]:
+    chunks: list[dict] = []
+    for name in table.column_names:
+        cs, offset = _encode_any_chunks(name, table.column(name), config, out, offset)
+        chunks.extend(cs)
+    return chunks, offset
+
+
+def _schema_of(schema: pa.Schema) -> list[dict]:
+    return [
+        {"name": f.name, "type": arrow_type_json(f.type), "nullable": f.nullable}
+        for f in schema
+    ]
+
+
+def _write_footer(out: io.BufferedIOBase, footer: dict) -> None:
+    fj = json.dumps(footer, separators=(",", ":")).encode()
+    out.write(fj)
+    out.write(struct.pack("<II", len(fj), zlib.crc32(fj)))
+    out.write(MAGIC)
+
+
 def write_table(
     table: pa.Table,
     where: str | io.BufferedIOBase,
@@ -755,20 +841,13 @@ def write_table(
     out: io.BufferedIOBase = open(where, "wb") if own else where  # type: ignore[assignment]
     try:
         out.write(MAGIC)
-        offset = len(MAGIC)
         t0 = time.perf_counter()
-        chunks = []
-        for name in table.column_names:
-            cs, offset = _encode_any_chunks(name, table.column(name), config, out, offset)
-            chunks.extend(cs)
+        chunks, _ = _encode_group(table, config, out, len(MAGIC))
         encode_secs = time.perf_counter() - t0
         footer = {
             "version": 1,
             "num_rows": table.num_rows,
-            "schema": [
-                {"name": f.name, "type": arrow_type_json(f.type), "nullable": f.nullable}
-                for f in table.schema
-            ],
+            "schema": _schema_of(table.schema),
             "chunks": chunks,
             "raw_bytes": int(sum(c["raw_bytes"] for c in chunks)),
             "compressed_bytes": int(sum(c["compressed_bytes"] for c in chunks)),
@@ -776,10 +855,90 @@ def write_table(
             "created_by": "webcodec-0.1",
             "metadata": extra_metadata or {},
         }
-        fj = json.dumps(footer, separators=(",", ":")).encode()
-        out.write(fj)
-        out.write(struct.pack("<II", len(fj), zlib.crc32(fj)))
+        _write_footer(out, footer)
+        return footer
+    finally:
+        if own:
+            out.close()
+
+
+def write_batches(
+    batches,
+    where: str | io.BufferedIOBase,
+    config: EncoderConfig | None = None,
+    extra_metadata: dict | None = None,
+    group_target_bytes: int = 128 << 20,
+    sort_key: str | None = None,
+) -> dict | None:
+    """Bounded-memory writer: consume an ITERATOR of RecordBatches and cut a
+    new row GROUP every ~group_target_bytes of raw Arrow bytes (C4 sizing
+    applied inside one output file) — peak memory is one group, never the
+    whole partition, so a skewed 10-GB Spark partition encodes in a 128-MB
+    window. Single-group output is byte-identical to :func:`write_table`;
+    multi-group output uses the same version-2 footer as append_files (the
+    reader concatenates groups per column). ``sort_key`` sorts WITHIN each
+    group (a globally-sorted partition comes from the upstream shuffle).
+    Returns the footer, or None when the iterator yields no rows (the caller
+    decides whether an empty file makes sense)."""
+    config = config or DEFAULT_CONFIG
+    own = isinstance(where, str)
+    out: io.BufferedIOBase = open(where, "wb") if own else where  # type: ignore[assignment]
+    try:
         out.write(MAGIC)
+        offset = len(MAGIC)
+        t0 = time.perf_counter()
+        groups: list[dict] = []
+        schema: pa.Schema | None = None
+        acc: list[pa.RecordBatch] = []
+        acc_bytes = 0
+
+        def flush() -> None:
+            nonlocal offset, acc, acc_bytes
+            if not acc:
+                return
+            table = pa.Table.from_batches(acc)
+            acc, acc_bytes = [], 0
+            if sort_key and sort_key in table.column_names:
+                table = table.take(
+                    pc.sort_indices(table, sort_keys=[(sort_key, "ascending")])
+                )
+            chunks, offset = _encode_group(table, config, out, offset)
+            groups.append(
+                {
+                    "num_rows": table.num_rows,
+                    "chunks": chunks,
+                    "raw_bytes": int(sum(c["raw_bytes"] for c in chunks)),
+                    "compressed_bytes": int(sum(c["compressed_bytes"] for c in chunks)),
+                }
+            )
+
+        for b in batches:
+            if schema is None:
+                schema = b.schema
+            if b.num_rows == 0:
+                continue
+            acc.append(b)
+            acc_bytes += b.nbytes
+            if acc_bytes >= group_target_bytes:
+                flush()
+        flush()
+        if not groups:
+            return None
+        encode_secs = time.perf_counter() - t0
+        common = {
+            "num_rows": int(sum(g["num_rows"] for g in groups)),
+            "schema": _schema_of(schema),
+            "raw_bytes": int(sum(g["raw_bytes"] for g in groups)),
+            "compressed_bytes": int(sum(g["compressed_bytes"] for g in groups)),
+            "encode_secs": encode_secs,
+            "created_by": "webcodec-0.1",
+            "metadata": extra_metadata or {},
+        }
+        if len(groups) == 1:
+            footer = {"version": 1, "chunks": groups[0]["chunks"], **common}
+        else:
+            footer = {"version": 2, "groups": groups, **common}
+        _write_footer(out, footer)
         return footer
     finally:
         if own:
@@ -1091,9 +1250,10 @@ def read_table(
             row_base = 0
             for g in groups:
                 pc_chunk = next(c for c in g["chunks"] if c["name"] == col)
-                if any(pc_chunk.get(k) for k in ("struct", "map", "liststruct", "listlist")):
+                if any(pc_chunk.get(k) for k in
+                       ("struct", "map", "liststruct", "listlist", "decimal")):
                     raise ValueError(
-                        f"predicates on struct/map columns unsupported: {col!r}"
+                        f"predicates on nested/decimal columns unsupported: {col!r}"
                     )
                 pred_phys = PhysType(pc_chunk["phys"])
                 eq_values = [value] if op == "==" else (list(value) if op == "in" else None)

@@ -203,23 +203,11 @@ class WebcodecWriter(DataSourceArrowWriter):
         self.use_dictionary = _json_opt(options.get("use_dictionary"), True)
 
     def write(self, iterator):
-        import pyarrow as pa
-
         from pyspark import TaskContext
         from webcodec import filefmt
         from webcodec.config import EncoderConfig
 
         pid = TaskContext.get().partitionId()
-        batches = list(iterator)
-        if not batches:
-            # empty partition (routine under aggregations with many shuffle
-            # partitions): nothing to write, empty commit message
-            return _CommitMsg(lineage="")
-        table = pa.Table.from_batches(batches)
-        if self.sort_key and self.sort_key in table.column_names:
-            import pyarrow.compute as pc
-
-            table = table.take(pc.sort_indices(table, sort_keys=[(self.sort_key, "ascending")]))
         data_dir = os.path.join(self.table_dir, "data")
         os.makedirs(data_dir, exist_ok=True)
         fname = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.wcd"
@@ -230,16 +218,40 @@ class WebcodecWriter(DataSourceArrowWriter):
             use_dictionary=self.use_dictionary,
         )
         tmp = fpath + ".tmp"
-        footer = filefmt.write_table(table, tmp, cfg)
+        # streamed: a new row GROUP every ~128MB raw, so one skewed Spark
+        # partition never materializes in executor memory (sort_key sorts
+        # within each group — global order comes from the upstream shuffle)
+        footer = filefmt.write_batches(iterator, tmp, cfg, sort_key=self.sort_key)
+        if footer is None:
+            # empty partition (routine under aggregations with many shuffle
+            # partitions): nothing to write, empty commit message
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            return _CommitMsg(lineage="")
         os.rename(tmp, fpath)
+        groups = footer.get("groups") or [footer]
+        col_stats: dict = {}
+        for g in groups:
+            for c in g["chunks"]:
+                st = c.get("stats") or {}
+                cur = col_stats.setdefault(
+                    c["name"], {"min": None, "max": None, "null_count": 0}
+                )
+                if st.get("min") is not None:
+                    cur["min"] = st["min"] if cur["min"] is None else min(cur["min"], st["min"])
+                if st.get("max") is not None:
+                    cur["max"] = st["max"] if cur["max"] is None else max(cur["max"], st["max"])
+                cur["null_count"] += int(st.get("null_count", 0))
         lineage = {
             "partition_id": pid,
             "path": os.path.join("data", fname),
-            "rows": table.num_rows,
+            "rows": footer["num_rows"],
             "raw_bytes": footer["raw_bytes"],
             "compressed_bytes": footer["compressed_bytes"],
-            "codec_choices": {c["name"]: c["encoding"] for c in footer["chunks"]},
-            "column_stats": {c["name"]: c["stats"] for c in footer["chunks"]},
+            "codec_choices": {c["name"]: c["encoding"] for c in groups[0]["chunks"]},
+            "column_stats": col_stats,
         }
         return _CommitMsg(lineage=json.dumps(lineage))
 

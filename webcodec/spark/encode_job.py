@@ -102,15 +102,30 @@ def salted_partition_ids(
     return dfj.withColumn("_pid", pid).drop("_domain", "_k")
 
 
-def _lineage_row(pid: int, fname: str, table: pa.Table, footer: dict, secs: float,
+def _lineage_row(pid: int, fname: str, footer: dict, secs: float,
                  attempt: str, input_desc: str | None = None) -> pa.Table:
     from pyspark import TaskContext
 
-    choices = {c["name"]: c["encoding"] for c in footer["chunks"]}
-    col_stats = {c["name"]: c["stats"] for c in footer["chunks"]}
-    n_pages = int(
-        sum(len(c["pages"]) + (1 if c.get("dict") else 0) for c in footer["chunks"])
-    )
+    # single-group footers carry chunks at the top; multi-group (streamed /
+    # compacted) footers roll stats up across groups
+    groups = footer.get("groups") or [footer]
+    choices = {c["name"]: c["encoding"] for c in groups[0]["chunks"]}
+    col_stats: dict = {}
+    n_pages = 0
+    encoded_bytes = 0
+    for g in groups:
+        for c in g["chunks"]:
+            n_pages += len(c["pages"]) + (1 if c.get("dict") else 0)
+            encoded_bytes += int(c["encoded_bytes"])
+            st = c.get("stats") or {}
+            cur = col_stats.setdefault(
+                c["name"], {"min": None, "max": None, "null_count": 0}
+            )
+            if st.get("min") is not None:
+                cur["min"] = st["min"] if cur["min"] is None else min(cur["min"], st["min"])
+            if st.get("max") is not None:
+                cur["max"] = st["max"] if cur["max"] is None else max(cur["max"], st["max"])
+            cur["null_count"] += int(st.get("null_count", 0))
     ctx = TaskContext.get()
     inputs = json.dumps(
         {
@@ -123,11 +138,9 @@ def _lineage_row(pid: int, fname: str, table: pa.Table, footer: dict, secs: floa
         {
             "partition_id": pa.array([pid], pa.int32()),
             "file": pa.array([fname]),
-            "rows": pa.array([table.num_rows], pa.int64()),
+            "rows": pa.array([footer["num_rows"]], pa.int64()),
             "raw_bytes": pa.array([footer["raw_bytes"]], pa.int64()),
-            "encoded_bytes": pa.array(
-                [int(sum(c["encoded_bytes"] for c in footer["chunks"]))], pa.int64()
-            ),
+            "encoded_bytes": pa.array([encoded_bytes], pa.int64()),
             "compressed_bytes": pa.array([footer["compressed_bytes"]], pa.int64()),
             "n_pages": pa.array([n_pages], pa.int64()),
             "encode_secs": pa.array([secs], pa.float64()),
@@ -155,7 +168,36 @@ def _write_one(data_dir: str, pid: int, table: pa.Table, config: EncoderConfig,
     footer = filefmt.write_table(table, tmp, config)
     os.rename(tmp, fpath)
     secs = time.perf_counter() - t0
-    return _lineage_row(pid, fname, table, footer, secs, attempt, input_desc)
+    return _lineage_row(pid, fname, footer, secs, attempt, input_desc)
+
+
+def _write_one_batches(data_dir: str, pid: int, batches, config: EncoderConfig,
+                       sort_key: str | None, input_desc: str | None = None,
+                       group_target_bytes: int = 128 << 20) -> pa.Table | None:
+    """Streamed counterpart of :func:`_write_one`: never materializes the
+    partition — a new row GROUP is cut every ~group_target_bytes, so a
+    skewed partition encodes in bounded memory (sort_key applies per group).
+    Returns None for an empty partition."""
+    from webcodec import filefmt  # executor-side import
+
+    attempt = uuid.uuid4().hex[:12]
+    fname = f"part-{pid:05d}-{attempt}.wcd"
+    fpath = os.path.join(data_dir, fname)
+    t0 = time.perf_counter()
+    tmp = fpath + ".tmp"
+    footer = filefmt.write_batches(
+        batches, tmp, config, sort_key=sort_key,
+        group_target_bytes=group_target_bytes,
+    )
+    if footer is None:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        return None
+    os.rename(tmp, fpath)
+    secs = time.perf_counter() - t0
+    return _lineage_row(pid, fname, footer, secs, attempt, input_desc)
 
 
 def _make_scan_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | None,
@@ -169,13 +211,13 @@ def _make_scan_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | N
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        collected = [b for b in batches]
-        if not collected:
-            return
         if pid in done:
             return  # committed by a previous run (rows scanned, not re-encoded)
-        table = pa.Table.from_batches(collected)
-        yield from _write_one(data_dir, pid, table, config, sort_key).to_batches()
+        # streamed: bounded memory even on a skewed partition (group cut
+        # every ~128MB raw; sort_key applies per group)
+        row = _write_one_batches(data_dir, pid, batches, config, sort_key)
+        if row is not None:
+            yield from row.to_batches()
 
     return encode_partition
 

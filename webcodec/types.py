@@ -142,6 +142,9 @@ def arrow_type_from_json(s: str) -> pa.DataType:
             return pa.timestamp(unit, tz=tz)
         if inner in ("s", "ms", "us", "ns"):
             return pa.timestamp(inner)
+    if s.startswith("decimal128(") and s.endswith(")"):
+        p, sc = s[len("decimal128(") : -1].split(",")
+        return pa.decimal128(int(p), int(sc))
     # list child field name varies by producer ("item", "element", ...)
     for prefix in ("list<", "large_list<"):
         if s.startswith(prefix) and s.endswith(">"):
