@@ -146,3 +146,28 @@ def test_randomized_fuzz_vs_reference_reader(tmp_path):
         for c in t.column_names:
             got = back.column(c).combine_chunks().cast(t.column(c).type)
             assert got.equals(t.column(c).combine_chunks()), (trial, c)
+
+
+def test_multi_row_group_output(tmp_path):
+    """row_group_rows splits the export into multiple row groups that
+    pyarrow AND DuckDB read back value-for-value; per-group dict pages
+    stay dict-encoded."""
+    import duckdb
+
+    from webcodec.fixtures import webpages
+    from webcodec.parquet_writer import write_parquet
+
+    t = webpages(5_000).select(["url", "lang", "warc_ts"])
+    path = str(tmp_path / "m.parquet")
+    write_parquet(t, path, codec="zstd", row_group_rows=1_000)
+    md = pq.ParquetFile(path).metadata
+    assert md.num_row_groups == 5
+    assert md.num_rows == 5_000
+    for g in range(5):
+        assert md.row_group(g).num_rows == 1_000
+        assert "PLAIN_DICTIONARY" in md.row_group(g).column(1).encodings  # lang
+    back = pq.read_table(path)
+    assert back.column("url").to_pylist() == t.column("url").to_pylist()
+    assert back.column("lang").to_pylist() == t.column("lang").to_pylist()
+    n = duckdb.sql(f"SELECT count(*) AS c, count(DISTINCT lang) AS d FROM read_parquet('{path}')").fetchone()
+    assert n == (5_000, 6)

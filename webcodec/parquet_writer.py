@@ -13,10 +13,11 @@ parquet.thrift: SchemaElement/ColumnMetaData/RowGroup/FileMetaData/
 PageHeader field ids; Encodings.md RLE hybrid; the PAR1 magic + footer-length
 tail layout) and the thrift compact protocol spec.
 
-Scope: flat schemas, one row group, PLAIN encoding, all columns written as
-OPTIONAL with RLE def levels; types bool/int32/int64/float/double/string/
-binary/timestamp[us]/date32; codecs none/snappy/gzip/zstd/lz4 (raw).
-Deliberately small — the point is byte-format parity, not a second engine.
+Scope: flat schemas, one or more row groups (``row_group_rows``), PLAIN or
+PLAIN_DICTIONARY data pages, all columns written as OPTIONAL with RLE def
+levels; types bool/int32/int64/float/double/string/binary/timestamp[us]/
+date32; codecs none/snappy/gzip/zstd/lz4 (raw). Deliberately small — the
+point is byte-format parity, not a second engine.
 """
 
 from __future__ import annotations
@@ -230,88 +231,117 @@ def _dict_page_header(n_values: int, usize: int, csize: int) -> bytes:
 # --------------------------------- writer -------------------------------------
 
 
+def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
+                        use_dictionary: bool) -> tuple[dict, int]:
+    """One column chunk of one row group: optional dict page + one v1 data
+    page; returns (col_meta, new_offset)."""
+    n_rows = len(arr)
+    ptype, conv = _phys_of(arr.type)
+    mask = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
+    valid = arr.drop_null()
+    levels = _rle_def_levels(mask)
+
+    # dictionary-encode low-cardinality non-bool columns
+    # (PLAIN_DICTIONARY: PLAIN dict page + bit-width-prefixed RLE
+    # indices — the reference v1 writer's default)
+    dict_bytes = None
+    if use_dictionary and not pa.types.is_boolean(arr.type) and len(valid):
+        de = valid.dictionary_encode()
+        ndv = len(de.dictionary)
+        if ndv <= 65536 and ndv <= max(len(valid) // 2, 1):
+            dict_bytes = _plain_bytes(de.dictionary.cast(arr.type))
+            width = max((ndv - 1).bit_length(), 1)
+            idx = de.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+            values_bytes = bytes([width]) + _rle_spec_encode(idx, width)
+            n_dict = ndv
+
+    dict_page_offset = None
+    if dict_bytes is not None:
+        dcomp = _compress(dict_bytes, codec)
+        dheader = _dict_page_header(n_dict, len(dict_bytes), len(dcomp))
+        dict_page_offset = offset
+        out.write(dheader)
+        out.write(dcomp)
+        offset += len(dheader) + len(dcomp)
+        body = struct.pack("<I", len(levels)) + levels + values_bytes
+        enc = _ENC_PLAIN_DICT
+        extra_u = len(dheader) + len(dict_bytes)
+        extra_c = len(dheader) + len(dcomp)
+    else:
+        body = struct.pack("<I", len(levels)) + levels + _plain_bytes(valid)
+        enc = _ENC_PLAIN
+        extra_u = extra_c = 0
+    comp = _compress(body, codec)
+    header = _page_header(n_rows, len(body), len(comp), enc)
+    data_page_offset = offset
+    out.write(header)
+    out.write(comp)
+    offset += len(header) + len(comp)
+    return (
+        {
+            "name": name, "type": ptype, "conv": conv,
+            "num_values": n_rows,
+            "usize": len(header) + len(body) + extra_u,
+            "csize": len(header) + len(comp) + extra_c,
+            "offset": data_page_offset,
+            "dict_offset": dict_page_offset,
+            "enc": enc,
+        },
+        offset,
+    )
+
+
 def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
-                  use_dictionary: bool = True) -> None:
-    """Write ``table`` as a standard parquet file (one row group, PLAIN or
-    PLAIN_DICTIONARY per column, optional columns with RLE def levels) using
-    only webcodec kernels + thrift serialization written here."""
+                  use_dictionary: bool = True,
+                  row_group_rows: int | None = None) -> None:
+    """Write ``table`` as a standard parquet file (PLAIN or PLAIN_DICTIONARY
+    per column chunk, optional columns with RLE def levels) using only
+    webcodec kernels + the thrift serialization written here.
+
+    ``row_group_rows`` splits the output into multiple row groups of that
+    many rows (reference C4 sizing: large exports must not balloon into one
+    giant group — readers parallelize and page-skip per group); None keeps
+    one group."""
     n_rows = table.num_rows
-    col_meta = []
+    if row_group_rows is None or row_group_rows <= 0 or row_group_rows >= max(n_rows, 1):
+        slices = [table]
+    else:
+        slices = [
+            table.slice(i, row_group_rows) for i in range(0, n_rows, row_group_rows)
+        ]
+    groups_meta: list[list[dict]] = []
     with open(path, "wb") as out:
         out.write(MAGIC)
         offset = len(MAGIC)
-        for name in table.column_names:
-            arr = table.column(name)
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            ptype, conv = _phys_of(arr.type)
-            mask = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
-            valid = arr.drop_null()
-            levels = _rle_def_levels(mask)
-
-            # dictionary-encode low-cardinality non-bool columns
-            # (PLAIN_DICTIONARY: PLAIN dict page + bit-width-prefixed RLE
-            # indices — the reference v1 writer's default)
-            dict_bytes = None
-            if use_dictionary and not pa.types.is_boolean(arr.type) and len(valid):
-                de = valid.dictionary_encode()
-                ndv = len(de.dictionary)
-                if ndv <= 65536 and ndv <= max(len(valid) // 2, 1):
-                    dict_bytes = _plain_bytes(de.dictionary.cast(arr.type))
-                    width = max((ndv - 1).bit_length(), 1)
-                    idx = de.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
-                    values_bytes = bytes([width]) + _rle_spec_encode(idx, width)
-                    n_dict = ndv
-
-            dict_page_offset = None
-            if dict_bytes is not None:
-                dcomp = _compress(dict_bytes, codec)
-                dheader = _dict_page_header(n_dict, len(dict_bytes), len(dcomp))
-                dict_page_offset = offset
-                out.write(dheader)
-                out.write(dcomp)
-                offset += len(dheader) + len(dcomp)
-                body = struct.pack("<I", len(levels)) + levels + values_bytes
-                enc = _ENC_PLAIN_DICT
-                extra_u = len(dheader) + len(dict_bytes)
-                extra_c = len(dheader) + len(dcomp)
-            else:
-                body = struct.pack("<I", len(levels)) + levels + _plain_bytes(valid)
-                enc = _ENC_PLAIN
-                extra_u = extra_c = 0
-            comp = _compress(body, codec)
-            header = _page_header(n_rows, len(body), len(comp), enc)
-            data_page_offset = offset
-            out.write(header)
-            out.write(comp)
-            offset += len(header) + len(comp)
-            col_meta.append(
-                {
-                    "name": name, "type": ptype, "conv": conv,
-                    "num_values": n_rows,
-                    "usize": len(header) + len(body) + extra_u,
-                    "csize": len(header) + len(comp) + extra_c,
-                    "offset": data_page_offset,
-                    "dict_offset": dict_page_offset,
-                    "enc": enc,
-                }
-            )
-        footer = _file_metadata(table, col_meta, codec, n_rows)
+        for sl in slices:
+            col_meta = []
+            for name in sl.column_names:
+                arr = sl.column(name)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                cm, offset = _write_column_chunk(
+                    out, offset, name, arr, codec, use_dictionary
+                )
+                col_meta.append(cm)
+            groups_meta.append(col_meta)
+        footer = _file_metadata(table, groups_meta, codec, n_rows)
         out.write(footer)
         out.write(struct.pack("<I", len(footer)))
         out.write(MAGIC)
 
 
-def _file_metadata(table: pa.Table, col_meta: list[dict], codec: str, n_rows: int) -> bytes:
-    # schema elements: root + one leaf per column
+def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
+                   n_rows: int) -> bytes:
+    # schema elements: root + one leaf per column (shared by all row groups)
+    first = groups_meta[0]
     elems = []
     root = _TOut()
     last = 0
     last = _f_binary(root, last, 4, b"schema")
-    last = _f_i32(root, last, 5, len(col_meta))
+    last = _f_i32(root, last, 5, len(first))
     _stop(root)
     elems.append(bytes(root.buf))
-    for c in col_meta:
+    for c in first:
         e = _TOut()
         last = 0
         last = _f_i32(e, last, 1, c["type"])
@@ -322,42 +352,45 @@ def _file_metadata(table: pa.Table, col_meta: list[dict], codec: str, n_rows: in
         _stop(e)
         elems.append(bytes(e.buf))
 
-    chunks = []
-    for c in col_meta:
-        md = _TOut()
-        last = 0
-        last = _f_i32(md, last, 1, c["type"])
-        encs = [_ENC_PLAIN, _ENC_RLE] + ([_ENC_PLAIN_DICT] if c.get("dict_offset") is not None else [])
-        last = _f_list_header(md, last, 2, len(encs), 5)
-        for e in encs:
-            md.zigzag(e)
-        last = _f_list_header(md, last, 3, 1, 8)  # path_in_schema
-        md.uvarint(len(c["name"].encode()))
-        md.buf += c["name"].encode()
-        last = _f_i32(md, last, 4, _CODEC[codec.lower()])
-        last = _f_i64(md, last, 5, c["num_values"])
-        last = _f_i64(md, last, 6, c["usize"])
-        last = _f_i64(md, last, 7, c["csize"])
-        last = _f_i64(md, last, 9, c["offset"])
-        if c.get("dict_offset") is not None:
-            last = _f_i64(md, last, 11, c["dict_offset"])
-        _stop(md)
-        first_off = c["dict_offset"] if c.get("dict_offset") is not None else c["offset"]
-        cc = _TOut()
-        last = 0
-        last = _f_i64(cc, last, 2, first_off)  # file_offset
-        last = _f_struct(cc, last, 3, bytes(md.buf))
-        _stop(cc)
-        chunks.append(bytes(cc.buf))
+    rgs = []
+    for col_meta in groups_meta:
+        chunks = []
+        for c in col_meta:
+            md = _TOut()
+            last = 0
+            last = _f_i32(md, last, 1, c["type"])
+            encs = [_ENC_PLAIN, _ENC_RLE] + ([_ENC_PLAIN_DICT] if c.get("dict_offset") is not None else [])
+            last = _f_list_header(md, last, 2, len(encs), 5)
+            for e in encs:
+                md.zigzag(e)
+            last = _f_list_header(md, last, 3, 1, 8)  # path_in_schema
+            md.uvarint(len(c["name"].encode()))
+            md.buf += c["name"].encode()
+            last = _f_i32(md, last, 4, _CODEC[codec.lower()])
+            last = _f_i64(md, last, 5, c["num_values"])
+            last = _f_i64(md, last, 6, c["usize"])
+            last = _f_i64(md, last, 7, c["csize"])
+            last = _f_i64(md, last, 9, c["offset"])
+            if c.get("dict_offset") is not None:
+                last = _f_i64(md, last, 11, c["dict_offset"])
+            _stop(md)
+            first_off = c["dict_offset"] if c.get("dict_offset") is not None else c["offset"]
+            cc = _TOut()
+            last = 0
+            last = _f_i64(cc, last, 2, first_off)  # file_offset
+            last = _f_struct(cc, last, 3, bytes(md.buf))
+            _stop(cc)
+            chunks.append(bytes(cc.buf))
 
-    rg = _TOut()
-    last = 0
-    last = _f_list_header(rg, last, 1, len(chunks), 12)
-    for ch in chunks:
-        rg.buf += ch
-    last = _f_i64(rg, last, 2, sum(c["csize"] for c in col_meta))
-    last = _f_i64(rg, last, 3, n_rows)
-    _stop(rg)
+        rg = _TOut()
+        last = 0
+        last = _f_list_header(rg, last, 1, len(chunks), 12)
+        for ch in chunks:
+            rg.buf += ch
+        last = _f_i64(rg, last, 2, sum(c["csize"] for c in col_meta))
+        last = _f_i64(rg, last, 3, col_meta[0]["num_values"] if col_meta else 0)
+        _stop(rg)
+        rgs.append(bytes(rg.buf))
 
     fm = _TOut()
     last = 0
@@ -366,8 +399,9 @@ def _file_metadata(table: pa.Table, col_meta: list[dict], codec: str, n_rows: in
     for e in elems:
         fm.buf += e
     last = _f_i64(fm, last, 3, n_rows)
-    last = _f_list_header(fm, last, 4, 1, 12)
-    fm.buf += bytes(rg.buf)
+    last = _f_list_header(fm, last, 4, len(rgs), 12)
+    for rg_buf in rgs:
+        fm.buf += rg_buf
     last = _f_binary(fm, last, 6, b"webcodec-interop-0.1")
     _stop(fm)
     return bytes(fm.buf)

@@ -200,7 +200,11 @@ def export_parquet(
                 pid, path = items[i]
                 t = filefmt.read_table(path)
                 out = os.path.join(out_dir, f"part-{pid:05d}.parquet")
-                write_parquet(t, out, codec=codec)
+                # ~64MB row groups so downstream readers parallelize (C4)
+                rg_rows = max(
+                    t.num_rows * (64 << 20) // max(t.nbytes, 1), 4096
+                )
+                write_parquet(t, out, codec=codec, row_group_rows=int(rg_rows))
                 yield pa.RecordBatch.from_pydict(
                     {"pid": pa.array([pid], pa.int32()),
                      "rows": pa.array([t.num_rows], pa.int64())}
