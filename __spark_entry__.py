@@ -1074,6 +1074,133 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling (training-data pipeline op) over the
+    ROUND-TRIPPED documents table: (a) hash-Bernoulli — a stable ~10% sample
+    by md5(doc_id) hex prefix, reproducible across engines/runs/cluster
+    sizes (no RNG, no seed drift between executors); (b) stratified — the
+    hash-ranked top-20 docs per language, the per-stratum quota pattern used
+    to balance corpus mixes. One narrow scan + one window sort-shuffle;
+    at 10^12 rows the hash filter is a pushdown-free map, the stratified
+    rank shuffles only (lang, hash) pairs."""
+    from pyspark.sql import Window
+
+    df = _encode_decode(spark, sf_dir, "documents", sort_key="doc_id",
+                        columns=["doc_id", "lang"])
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        df.select(
+            "doc_id", "lang", h.alias("h"),
+            (F.substring(h, 1, 2) <= F.lit("19")).cast("int").alias("in_10pct"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-data pipeline op): scrub emails and
+    phone-number shapes with typed placeholder tokens and count the hits.
+    Patterns are RE2-safe (no backrefs/lookaround) so Spark's Java regex and
+    DuckDB's RE2 agree byte-for-byte. PII is synthesized deterministically
+    into the text so the operator provably fires on every row (the corpus
+    itself is clean). Pure per-row map — no shuffle at any scale."""
+    df = _src(spark, sf_dir, "documents")
+    email_pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_pat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    txt = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-123-4567 now"),
+    )
+    red = F.regexp_replace(F.regexp_replace(txt, email_pat, "<EMAIL>"),
+                           phone_pat, "<PHONE>")
+    return df.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(email_pat)).cast("long").alias("n_email"),
+        F.regexp_count(txt, F.lit(phone_pat)).cast("long").alias("n_phone"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("n_redacted"),
+    )
+
+
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules over
+    the ROUND-TRIPPED text): duplicate-word and duplicate-bigram fractions,
+    per-mille quantized. Vectorized built-ins only (split / array_distinct /
+    zip_with) — per-row map, no shuffle."""
+    df = _encode_decode(spark, sf_dir, "documents", sort_key="doc_id",
+                        columns=["doc_id", "text"])
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws).cast("long")
+    uniq = F.size(F.array_distinct(ws)).cast("long")
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    nb = F.size(bigrams).cast("long")
+    uniqb = F.size(F.array_distinct(bigrams)).cast("long")
+    return df.select(
+        "doc_id",
+        n.alias("n_words"),
+        uniq.alias("n_uniq_words"),
+        F.floor((n - uniq) * F.lit(1000) / F.greatest(n, F.lit(1))).cast("long").alias("dup_word_1000"),
+        F.floor((nb - uniqb) * F.lit(1000) / F.greatest(nb, F.lit(1))).cast("long").alias("dup_bigram_1000"),
+    )
+
+
+def _url_canonical_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + domain-level filtering (crawl-pipeline op):
+    strip scheme and query string, extract the domain, drop blocklisted
+    domains, and aggregate per-domain doc counts. URLs are synthesized
+    deterministically from doc_id (the documents table carries no url
+    column). One groupBy(domain) shuffle of (domain) pairs — at 10^12 rows
+    the domain cardinality, not the row count, sizes the exchange."""
+    df = _encode_decode(spark, sf_dir, "documents", sort_key="doc_id",
+                        columns=["doc_id"])
+    url = F.concat(
+        F.lit("https://d"), (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        F.lit("?utm=x&sid="), F.col("doc_id").cast("string"),
+    )
+    no_q = F.substring_index(url, "?", 1)
+    no_scheme = F.substring_index(no_q, "://", -1)
+    domain = F.substring_index(no_scheme, "/", 1)
+    canon = df.select(
+        "doc_id", no_scheme.alias("canon_url"), domain.alias("domain"),
+    ).filter(~F.col("domain").isin("d0.example.com", "d5.example.com"))
+    return canon.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("doc_id").alias("first_doc"),
+        F.min("canon_url").alias("first_url"),
+    )
+
+
+def _token_budget_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting (corpus-mix planning op): whitespace-token
+    totals per language with each language's cumulative share of the corpus
+    per-mille, ordered by contribution. Partial aggregation handles the
+    first shuffle; the running total is a window over the (tiny) per-lang
+    aggregate, so the sort-shuffle touches one row per language."""
+    from pyspark.sql import Window
+
+    df = _src(spark, sf_dir, "documents")
+    per = df.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("tokens"),
+        F.count(F.lit(1)).alias("docs"),
+    )
+    w = Window.orderBy(F.col("tokens").desc(), F.col("lang")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = Window.partitionBy()
+    return per.select(
+        "lang", "tokens", "docs",
+        F.floor(F.sum("tokens").over(w) * F.lit(1000) / F.sum("tokens").over(total))
+        .cast("long").alias("cum_share_1000"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rt_documents": _rt_documents,
@@ -1115,6 +1242,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _events_json_extract,
         "text_quality": _text_quality,
         "events_asof_view": _events_asof_view,
+        "sample_stratified": _sample_stratified,
+        "pii_redact": _pii_redact,
+        "text_repetition": _text_repetition,
+        "url_canonical_domains": _url_canonical_domains,
+        "token_budget_per_lang": _token_budget_per_lang,
     }
 
 
@@ -1477,6 +1609,62 @@ def oracle_sql() -> dict[str, str]:
         # are pinned in tests/test_ann.py).
         "simsearch_lsh": _ANN_PLANTED_ORACLE,
         "simsearch_ivf": _ANN_PLANTED_ORACLE,
+        "sample_stratified": (
+            "WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h "
+            "FROM documents), "
+            "r AS (SELECT doc_id, lang, h, "
+            "CAST(substring(h, 1, 2) <= '19' AS INT) AS in_10pct, "
+            "CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rn "
+            "FROM h) "
+            "SELECT doc_id, lang, h, in_10pct, rn FROM r WHERE rn <= 20"
+        ),
+        "pii_redact": (
+            "WITH t AS (SELECT doc_id, text || ' contact user' "
+            "|| CAST(doc_id AS VARCHAR) "
+            "|| '@mail.example.com or call 555-123-4567 now' AS txt FROM documents), "
+            "r AS (SELECT doc_id, txt, regexp_replace(regexp_replace(txt, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red FROM t) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(txt, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+            "CAST(len(regexp_extract_all(txt, "
+            "'[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone, "
+            "md5(red) AS redacted_md5, "
+            "CAST(length(red) AS BIGINT) AS n_redacted FROM r"
+        ),
+        "text_repetition": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+            "b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n, "
+            "CAST(len(list_distinct(ws)) AS BIGINT) AS uniq, "
+            "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg "
+            "FROM t), "
+            "c AS (SELECT doc_id, n, uniq, CAST(len(bg) AS BIGINT) AS nb, "
+            "CAST(len(list_distinct(bg)) AS BIGINT) AS uniqb FROM b) "
+            "SELECT doc_id, n AS n_words, uniq AS n_uniq_words, "
+            "CAST(floor((n - uniq) * 1000 / greatest(n, 1)) AS BIGINT) AS dup_word_1000, "
+            "CAST(floor((nb - uniqb) * 1000 / greatest(nb, 1)) AS BIGINT) AS dup_bigram_1000 "
+            "FROM c"
+        ),
+        "url_canonical_domains": (
+            "WITH u AS (SELECT doc_id, "
+            "'d' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS domain, "
+            "'d' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p/' "
+            "|| CAST(doc_id AS VARCHAR) AS canon_url FROM documents) "
+            "SELECT domain, count(*) AS cnt, CAST(min(doc_id) AS BIGINT) AS first_doc, "
+            "min(canon_url) AS first_url FROM u "
+            "WHERE domain NOT IN ('d0.example.com', 'd5.example.com') GROUP BY domain"
+        ),
+        "token_budget_per_lang": (
+            "WITH per AS (SELECT lang, "
+            "CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens, "
+            "count(*) AS docs FROM documents GROUP BY lang) "
+            "SELECT lang, tokens, docs, "
+            "CAST(floor(CAST(sum(tokens) OVER (ORDER BY tokens DESC, lang "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 1000 "
+            "/ CAST(sum(tokens) OVER () AS BIGINT)) AS BIGINT) AS cum_share_1000 "
+            "FROM per"
+        ),
     }
 
 
