@@ -308,6 +308,31 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
             n=max(repeats, 4),
         )
 
+    # -- metadata scale: append-commit cost on a 100k-file table ------------
+    # Sharded manifests make an append write O(files added), not O(table):
+    # this pins the number so a regression back to monolithic rewrites shows
+    # up as a 1000x jump. 100k files ~ a 10TB table at 128MB files; the same
+    # figure holds at 1M files because parent shards are never rewritten.
+    from webcodec.spark.table import SnapshotTable
+
+    meta_dir = os.path.join(work, "meta_bench")
+    mtbl = SnapshotTable(meta_dir)
+    base = [
+        {"partition_id": i, "path": f"data/part-{i:06d}.wcd", "rows": 1000,
+         "raw_bytes": 1 << 27, "compressed_bytes": 1 << 25}
+        for i in range(100_000)
+    ]
+    mtbl.commit(base, [{"name": "url", "type": "string"}])
+    t0 = time.perf_counter()
+    mtbl.commit(
+        [{"partition_id": 100_000 + i, "path": f"data/part-a{i}.wcd",
+          "rows": 1000, "raw_bytes": 1 << 27, "compressed_bytes": 1 << 25}
+         for i in range(32)],
+        [{"name": "url", "type": "string"}],
+        materialize=False,
+    )
+    extras["commit_append_ms_100k_files"] = (time.perf_counter() - t0) * 1e3
+
     shutil.rmtree(work, ignore_errors=True)
     return {"queries": queries, "extras": extras, "raw_bytes": raw_bytes}
 

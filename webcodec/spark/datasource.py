@@ -81,7 +81,7 @@ def _spark_schema_of(table_dir: str, snapshot_id: int | None = None) -> str:
     from webcodec.spark.decode_job import _schema_ddl
     from webcodec.spark.table import SnapshotTable
 
-    snap = SnapshotTable(table_dir).read_snapshot(snapshot_id)
+    snap = SnapshotTable(table_dir).read_snapshot_meta(snapshot_id)
     if snap is None:
         raise FileNotFoundError(f"no webcodec snapshot at {table_dir}")
     return _schema_ddl(snap["schema"], None)
@@ -274,6 +274,7 @@ class WebcodecWriter(DataSourceArrowWriter):
             self.schema_fields,
             properties={"sort_key": self.sort_key or ""},
             replace=self.overwrite,
+            materialize=False,  # O(delta) commit: don't re-read the table
         )
 
     def abort(self, messages):
@@ -362,7 +363,7 @@ class WebcodecStreamReader(DataSourceStreamReader):
         if s in self._delta_cache:
             return self._delta_cache[s]
         tbl = SnapshotTable(self.table_dir)
-        newer = tbl.read_snapshot(s)
+        newer = tbl.read_snapshot_meta(s)
         if newer is None:
             raise RuntimeError(
                 f"webcodec stream: snapshot {s} of {self.table_dir} has been "
@@ -390,16 +391,17 @@ class WebcodecStreamReader(DataSourceStreamReader):
                 )
             self._delta_cache[s] = []
             return []
-        older = tbl.read_snapshot(s - 1) if s > 1 else None
-        if older is None and s > 1:
+        # shard-aware delta: for shard-format snapshots this reads ONLY the
+        # manifest shards the commit added — O(files added), independent of
+        # table size (SnapshotTable.added_files fast path)
+        out = tbl.added_files(s)
+        if out is None:
             raise RuntimeError(
                 f"webcodec stream: snapshot {s - 1} of {self.table_dir} has "
                 f"been expired, so the files added by snapshot {s} cannot be "
                 "determined; restart from a fresh checkpoint or keep more "
                 "snapshot history"
             )
-        seen = {f["path"] for f in older["files"]} if older else set()
-        out = [f for f in newer["files"] if f["path"] not in seen]
         self._delta_cache[s] = out
         return out
 
@@ -534,6 +536,7 @@ class WebcodecStreamWriter(DataSourceStreamArrowWriter):
             files,
             self._w.schema_fields,
             properties={"sort_key": self._w.sort_key or "", "last_batch_id": str(batchId)},
+            materialize=False,  # per-microbatch commits must stay O(delta)
         )
 
     def abort(self, messages, batchId: int):

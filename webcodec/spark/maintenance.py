@@ -232,10 +232,12 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     keep = set(ids[-max(keep_last, 1):])
     keep.add(cur)  # never expire the current snapshot
     referenced: set[str] = set()
+    referenced_shards: set[str] = set()
     cutoff = 0.0
     for sid in keep:
         snap = tbl.read_snapshot(sid)
         referenced.update(f["path"] for f in snap["files"])
+        referenced_shards.update(m["path"] for m in snap.get("manifests") or [])
         cutoff = max(cutoff, float(snap.get("committed_at") or 0.0))
     # candidate orphans: unreferenced AND older than the newest kept commit —
     # a concurrent in-flight commit writes its data files BEFORE linking its
@@ -260,6 +262,9 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
                 late = tbl.read_snapshot(sid)
                 if late is not None and sid > max(keep):
                     referenced.update(f["path"] for f in late["files"])
+                    referenced_shards.update(
+                        m["path"] for m in late.get("manifests") or []
+                    )
     removed_files = 0
     for rel, fpath in candidates:
         if rel in referenced:
@@ -274,8 +279,25 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
         if sid not in keep:
             os.remove(os.path.join(tbl.meta_dir, f"snapshot-{sid}.json"))
             removed_snaps += 1
+    # vacuum manifest shards no surviving snapshot references; the same
+    # mtime grace window protects an in-flight commit that wrote its shard
+    # but has not linked its snapshot yet
+    removed_shards = 0
+    for fn in os.listdir(tbl.meta_dir):
+        if not (fn.startswith("manifest-") and fn.endswith(".json")):
+            continue
+        if fn in referenced_shards:
+            continue
+        fpath = os.path.join(tbl.meta_dir, fn)
+        try:
+            if os.path.getmtime(fpath) < cutoff:
+                os.remove(fpath)
+                removed_shards += 1
+        except OSError:
+            pass
     return {
         "kept_snapshots": sorted(keep),
         "removed_snapshots": removed_snaps,
         "removed_files": removed_files,
+        "removed_manifests": removed_shards,
     }

@@ -5,12 +5,27 @@ snapshot semantics the north_rule needs: a table directory
 
     table/
       data/part-<pid>-<token>.wcd      encoded partition files
-      meta/snapshot-<N>.json           manifest: files + per-file stats + lineage
+      meta/manifest-<uuid>.json        immutable shard: a list of file entries
+      meta/snapshot-<N>.json           small pointer: manifest list + totals
       meta/current                     text file holding the latest snapshot N
 
-Commits are atomic (write tmp + rename). A restarted job reads the current
-snapshot and skips partitions already committed (resume = anti-join on
-partition_id — SURVEY.md §2.G).
+Metadata scales like Iceberg's manifest lists, not like a monolithic
+manifest: an append commit writes ONE new shard holding only the files it
+adds plus an O(#shards) snapshot pointer that reuses the parent's shards
+unchanged — at 10^12-document scale (~10^6 data files) a commit writes
+kilobytes, not the multi-hundred-MB full file list a monolithic
+snapshot would rewrite every time. Shard merge order is significant:
+a later shard's entry for a partition_id masks earlier ones (same
+overwrite-by-partition_id semantics the monolithic format had), which is
+what makes resume/overwrite commits O(delta) too. Shard count is bounded
+by consolidation (amortized Iceberg-style manifest merge) once it passes
+``MANIFEST_MERGE_THRESHOLD``.
+
+Commits are atomic (write tmp + atomic link claim). A restarted job reads
+the current snapshot and skips partitions already committed (resume =
+anti-join on partition_id — SURVEY.md §2.G). Pre-shard snapshots (inline
+``files``) remain readable; the first commit on top of one migrates the
+parent file list into a consolidated shard.
 """
 
 from __future__ import annotations
@@ -19,6 +34,24 @@ import json
 import os
 import time
 import uuid
+
+# Consolidate the manifest list into one shard when it grows past this many
+# shards. Amortized cost: one O(files) rewrite every ~threshold commits,
+# i.e. O(files/threshold) per commit — the same trade Iceberg's
+# merge-on-commit manifest writer makes.
+MANIFEST_MERGE_THRESHOLD = 32
+
+
+def _entry_rollup(entries: list[dict]) -> dict:
+    pids = [f["partition_id"] for f in entries]
+    return {
+        "count": len(entries),
+        "rows": int(sum(f["rows"] for f in entries)),
+        "raw_bytes": int(sum(f["raw_bytes"] for f in entries)),
+        "compressed_bytes": int(sum(f["compressed_bytes"] for f in entries)),
+        "min_pid": min(pids) if pids else 0,
+        "max_pid": max(pids) if pids else -1,
+    }
 
 
 class SnapshotTable:
@@ -41,20 +74,48 @@ class SnapshotTable:
             txt = f.read().strip()
         return int(txt) if txt else None
 
-    def read_snapshot(self, snapshot_id: int | None = None) -> dict | None:
-        """Snapshot payload, or ``None`` when the id is unknown/expired —
-        callers (time travel, streaming delta computation) must handle the
-        expired case explicitly rather than crash on a raw OSError."""
+    def _read_json(self, name: str) -> dict | None:
+        try:
+            with open(os.path.join(self.meta_dir, name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def read_snapshot_meta(self, snapshot_id: int | None = None) -> dict | None:
+        """The snapshot pointer WITHOUT materializing the file list — O(#shards).
+        Use for operations that only need totals/schema/manifest identity
+        (streaming delta fast path, schema lookup)."""
         if snapshot_id is None:
             snapshot_id = self.current_snapshot_id()
         if snapshot_id is None:
             return None
-        path = os.path.join(self.meta_dir, f"snapshot-{snapshot_id}.json")
-        try:
-            with open(path) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return None
+        return self._read_json(f"snapshot-{snapshot_id}.json")
+
+    def read_manifest(self, path: str) -> list[dict]:
+        """Entries of one immutable manifest shard (``path`` relative to meta/)."""
+        doc = self._read_json(path)
+        if doc is None:
+            raise FileNotFoundError(
+                f"manifest shard {path} of {self.table_dir} is missing "
+                "(expired past a reader, or the table dir was truncated)"
+            )
+        return doc["entries"]
+
+    def read_snapshot(self, snapshot_id: int | None = None) -> dict | None:
+        """Snapshot payload with ``files`` materialized (shards merged in
+        order, later shard wins per partition_id), or ``None`` when the id is
+        unknown/expired — callers (time travel, streaming delta computation)
+        must handle the expired case explicitly rather than crash on a raw
+        OSError."""
+        snap = self.read_snapshot_meta(snapshot_id)
+        if snap is None or "files" in snap:  # legacy inline format
+            return snap
+        merged: dict[int, dict] = {}
+        for m in snap["manifests"]:
+            for f in self.read_manifest(m["path"]):
+                merged[f["partition_id"]] = f
+        snap["files"] = sorted(merged.values(), key=lambda f: f["partition_id"])
+        return snap
 
     def _max_snapshot_id(self) -> int | None:
         """Highest snapshot id ON DISK (the concurrency source of truth —
@@ -69,28 +130,107 @@ class SnapshotTable:
             return None
         return max(ids) if ids else None
 
+    def _write_manifest(self, entries: list[dict]) -> dict:
+        """Write one immutable shard; returns its manifest-list row."""
+        name = f"manifest-{uuid.uuid4().hex}.json"
+        tmp = os.path.join(self.meta_dir, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"entries": entries}, f)
+        os.rename(tmp, os.path.join(self.meta_dir, name))
+        return {"path": name, **_entry_rollup(entries)}
+
+    def _overridden_rollup(
+        self, manifests: list[dict], new_pids: set[int]
+    ) -> tuple[int, int, int]:
+        """(rows, raw, compressed) of the entries currently VISIBLE for
+        ``new_pids`` — the amounts an overwrite commit must subtract from the
+        parent totals. Walks shards newest-first and loads only shards whose
+        [min_pid, max_pid] range can intersect; the common append path
+        (monotonic partition_ids, disjoint from every shard range) loads
+        nothing."""
+        lo, hi = min(new_pids), max(new_pids)
+        need = set(new_pids)
+        rows = raw = comp = 0
+        for m in reversed(manifests):
+            if not need:
+                break
+            if m["max_pid"] < lo or m["min_pid"] > hi:
+                continue
+            for f in self.read_manifest(m["path"]):
+                pid = f["partition_id"]
+                if pid in need:
+                    need.discard(pid)
+                    rows += f["rows"]
+                    raw += f["raw_bytes"]
+                    comp += f["compressed_bytes"]
+        return rows, raw, comp
+
     def commit(
         self,
         files: list[dict],
         schema: list[dict],
         properties: dict | None = None,
         replace: bool = False,
+        materialize: bool = True,
     ) -> dict:
-        """Two-phase commit with optimistic concurrency: merge new files over
-        the parent snapshot (or replace it entirely when ``replace``), CLAIM
-        snapshot-(N+1) via exclusive create (a concurrent committer that
-        claimed it first forces a re-read of the parent and a retry — no
-        lost updates), then flip ``current`` forward-only."""
+        """Two-phase commit with optimistic concurrency: write the new
+        entries as ONE immutable manifest shard, build a snapshot pointer =
+        parent's manifest list + that shard (or just it, when ``replace``),
+        CLAIM snapshot-(N+1) via exclusive create (a concurrent committer
+        that claimed it first forces a re-read of the parent and a retry —
+        no lost updates), then flip ``current`` forward-only. Totals stay
+        exact under overwrites via `_overridden_rollup` (targeted shard
+        reads, none on the pure-append path). With ``materialize=False`` the
+        returned snapshot is just the pointer (no ``files`` key, no O(table)
+        read) — use it on hot commit paths (streaming microbatches) that
+        ignore the return value."""
         self.init()
+        # dedupe within the commit (last wins — matches historic dict merge)
+        dedup = {f["partition_id"]: f for f in files}
+        entries = sorted(dedup.values(), key=lambda f: f["partition_id"])
+        shard = self._write_manifest(entries) if entries else None
+        new_pids = set(dedup)
         for _attempt in range(100):
             parent_id = self._max_snapshot_id()
-            parent = self.read_snapshot(parent_id) if parent_id is not None else None
-            merged: dict[int, dict] = {}
-            if parent and not replace:
-                for f in parent["files"]:
-                    merged[f["partition_id"]] = f
-            for f in files:
-                merged[f["partition_id"]] = f
+            parent = (
+                self.read_snapshot_meta(parent_id) if parent_id is not None else None
+            )
+            if parent is not None and "files" in parent:
+                # legacy monolithic parent: migrate its inline list into a
+                # consolidated shard once, then proceed shard-native
+                parent = dict(parent)
+                parent["manifests"] = [self._write_manifest(parent["files"])]
+            if parent is None or replace:
+                manifests = [shard] if shard else []
+                rows = shard["rows"] if shard else 0
+                raw = shard["raw_bytes"] if shard else 0
+                comp = shard["compressed_bytes"] if shard else 0
+            else:
+                manifests = list(parent["manifests"]) + ([shard] if shard else [])
+                rows = parent["total_rows"] + (shard["rows"] if shard else 0)
+                raw = parent["total_raw_bytes"] + (shard["raw_bytes"] if shard else 0)
+                comp = parent["total_compressed_bytes"] + (
+                    shard["compressed_bytes"] if shard else 0
+                )
+                if new_pids:
+                    o_rows, o_raw, o_comp = self._overridden_rollup(
+                        parent["manifests"], new_pids
+                    )
+                    rows -= o_rows
+                    raw -= o_raw
+                    comp -= o_comp
+            if len(manifests) > MANIFEST_MERGE_THRESHOLD:
+                # amortized Iceberg-style manifest merge: rewrite the merged
+                # view as one shard so the list stays O(1)-ish per snapshot
+                merged: dict[int, dict] = {}
+                for m in manifests:
+                    for f in self.read_manifest(m["path"]):
+                        merged[f["partition_id"]] = f
+                manifests = [
+                    self._write_manifest(
+                        sorted(merged.values(), key=lambda f: f["partition_id"])
+                    )
+                ]
             new_id = (parent_id or 0) + 1
             snap = {
                 "snapshot_id": new_id,
@@ -102,10 +242,10 @@ class SnapshotTable:
                 "committed_at": time.time(),
                 "schema": schema,
                 "properties": properties or {},
-                "files": sorted(merged.values(), key=lambda f: f["partition_id"]),
-                "total_rows": int(sum(f["rows"] for f in merged.values())),
-                "total_raw_bytes": int(sum(f["raw_bytes"] for f in merged.values())),
-                "total_compressed_bytes": int(sum(f["compressed_bytes"] for f in merged.values())),
+                "manifests": manifests,
+                "total_rows": int(rows),
+                "total_raw_bytes": int(raw),
+                "total_compressed_bytes": int(comp),
             }
             # fully write the payload to a private tmp, then CLAIM the final
             # name with an atomic hard link — losers get FileExistsError and
@@ -122,7 +262,7 @@ class SnapshotTable:
                 continue  # another committer won this id; retry on its result
             os.unlink(tmp)
             self._advance_current(new_id)
-            return snap
+            return self.read_snapshot(new_id) if materialize else snap
         raise RuntimeError("snapshot commit contention: 100 retries exhausted")
 
     def _advance_current(self, new_id: int) -> None:
@@ -140,10 +280,55 @@ class SnapshotTable:
                 return
 
     def completed_partition_ids(self) -> set[int]:
-        snap = self.read_snapshot()
+        snap = self.read_snapshot_meta()
         if not snap:
             return set()
-        return {f["partition_id"] for f in snap["files"]}
+        if "files" in snap:  # legacy inline format
+            return {f["partition_id"] for f in snap["files"]}
+        out: set[int] = set()
+        for m in snap["manifests"]:
+            out.update(f["partition_id"] for f in self.read_manifest(m["path"]))
+        return out
+
+    def added_files(self, snapshot_id: int) -> list[dict] | None:
+        """Files ADDED by ``snapshot_id`` vs its predecessor, or ``None`` when
+        either snapshot is expired. Fast path for streaming deltas: when both
+        are shard-format and the older manifest list is a prefix-reuse of the
+        newer one, only the NEW shards are read — O(delta), independent of
+        table size. Falls back to a full path diff after consolidation (the
+        shard lists then differ structurally)."""
+        newer = self.read_snapshot_meta(snapshot_id)
+        if newer is None:
+            return None
+        older = (
+            self.read_snapshot_meta(snapshot_id - 1) if snapshot_id > 1 else None
+        )
+        if snapshot_id > 1 and older is None:
+            return None
+        if (
+            older is not None
+            and "manifests" in newer
+            and "manifests" in older
+        ):
+            old_paths = [m["path"] for m in older["manifests"]]
+            new_paths = [m["path"] for m in newer["manifests"]]
+            if new_paths[: len(old_paths)] == old_paths:
+                out: list[dict] = []
+                for m in newer["manifests"][len(old_paths):]:
+                    out.extend(self.read_manifest(m["path"]))
+                return out
+        elif older is None and "manifests" in newer:
+            out = []
+            for m in newer["manifests"]:
+                out.extend(self.read_manifest(m["path"]))
+            return out
+        # legacy or post-consolidation: full materialized path diff
+        newer_full = self.read_snapshot(snapshot_id)
+        older_full = self.read_snapshot(snapshot_id - 1) if snapshot_id > 1 else None
+        if newer_full is None or (snapshot_id > 1 and older_full is None):
+            return None
+        seen = {f["path"] for f in older_full["files"]} if older_full else set()
+        return [f for f in newer_full["files"] if f["path"] not in seen]
 
     def data_files(self, predicate=None, snapshot_id: int | None = None) -> list[dict]:
         """Files of a snapshot (current by default; pass ``snapshot_id`` for
