@@ -1201,6 +1201,96 @@ def _token_budget_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data pipeline op): flag training
+    documents sharing any 8-word shingle with a held-out evaluation set —
+    the standard n-gram-overlap decontamination step run before pretraining.
+    The eval set is carved deterministically from the corpus (doc_id % 97)
+    and contamination is provably present: a fixed canary sentence is
+    appended to every eval doc and to a known slice of training docs
+    (doc_id % 101), so the operator must fire on those ids (plus any natural
+    8-gram overlap, which the oracle counts identically).
+
+    Scale shape: shingle explode is a per-row map; the eval shingle set is
+    tiny relative to the corpus (eval sets are ~1e5 grams) and BROADCAST, so
+    the join is shuffle-free; the final groupBy(doc_id) shuffles only
+    MATCHED rows — contamination-proportional, not corpus-proportional."""
+    df = _encode_decode(spark, sf_dir, "documents", sort_key="doc_id",
+                        columns=["doc_id", "text"])
+    canary = " canary alpha beta gamma delta epsilon zeta eta theta"
+    is_marked = (F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 101 == 0)
+    t = F.when(is_marked, F.concat(F.col("text"), F.lit(canary))).otherwise(
+        F.col("text")
+    )
+    words = df.select("doc_id", F.split(t, " ").alias("w")).filter(
+        F.size("w") >= 8
+    )
+    # sequence() is ascending only because size(w)-7 >= 1 is guaranteed by
+    # the filter above (Spark's sequence(1, 0) would count DOWN)
+    grams = F.expr(
+        "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))"
+    )
+    ev = (
+        words.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    tr = words.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
+    )
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pretraining prep op): concatenate documents in
+    doc_id order and split the token stream into fixed 2048-token training
+    sequences — each doc reports the sequence it starts in and its offset
+    there, the bookkeeping a packed-dataset loader needs. The global
+    cumulative sum is the classic two-pass prefix scan, NOT a global-order
+    window (which would funnel every row through one partition):
+    range-partition by doc_id, per-partition running sums, then a broadcast
+    join of the tiny per-partition prefix offsets — the only all-to-one
+    window runs over #partitions rows. Partition boundaries never affect
+    the result, so range-sampling nondeterminism is invisible."""
+    from pyspark.sql import Window
+
+    df = _encode_decode(spark, sf_dir, "documents", sort_key="doc_id",
+                        columns=["doc_id", "text"])
+    budget = 2048
+    toks = df.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    t = toks.repartitionByRange(16, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wp = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local_before = F.coalesce(F.sum("n_tokens").over(wp), F.lit(0))
+    totals = t.groupBy("pid").agg(F.sum("n_tokens").alias("ptot"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("ptot").over(wo), F.lit(0)).alias("poff")
+    )
+    cum_before = (local_before + F.col("poff")).cast("long")
+    return t.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(cum_before / budget).cast("long").alias("seq_id"),
+        (cum_before % budget).cast("long").alias("seq_offset"),
+        # docs straddling a boundary get split across sequences: how many
+        # tokens land in the doc's first sequence
+        F.least(
+            F.col("n_tokens"), F.lit(budget) - (cum_before % budget)
+        ).cast("long").alias("tokens_in_first_seq"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rt_documents": _rt_documents,
@@ -1247,6 +1337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _text_repetition,
         "url_canonical_domains": _url_canonical_domains,
         "token_budget_per_lang": _token_budget_per_lang,
+        "decontaminate_ngrams": _decontaminate_ngrams,
+        "pack_sequences": _pack_sequences,
     }
 
 
@@ -1664,6 +1756,35 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 1000 "
             "/ CAST(sum(tokens) OVER () AS BIGINT)) AS BIGINT) AS cum_share_1000 "
             "FROM per"
+        ),
+        "decontaminate_ngrams": (
+            "WITH docs AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 97 = 0 OR doc_id % 101 = 0 "
+            "THEN text || ' canary alpha beta gamma delta epsilon zeta eta theta' "
+            "ELSE text END AS t FROM documents), "
+            "words AS (SELECT doc_id, string_split(t, ' ') AS w FROM docs), "
+            "gl AS (SELECT doc_id, list_transform(range(1, len(w) - 6), "
+            "i -> array_to_string(w[i:i+7], ' ')) AS l "
+            "FROM words WHERE len(w) >= 8), "
+            "grams AS (SELECT doc_id, unnest(l) AS g FROM gl), "
+            "ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0), "
+            "tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0) "
+            "SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_overlap "
+            "FROM tr JOIN ev USING (g) GROUP BY tr.doc_id"
+        ),
+        "pack_sequences": (
+            "WITH toks AS (SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, "
+            "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS cum_before FROM toks) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(floor(cum_before / 2048) AS BIGINT) AS seq_id, "
+            "CAST(cum_before % 2048 AS BIGINT) AS seq_offset, "
+            "CAST(least(n_tokens, 2048 - (cum_before % 2048)) AS BIGINT) "
+            "AS tokens_in_first_seq FROM c"
         ),
     }
 
