@@ -1205,20 +1205,23 @@ def _decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (training-data pipeline op): flag training
     documents sharing any 8-word shingle with a held-out evaluation set —
     the standard n-gram-overlap decontamination step run before pretraining.
-    The eval set is carved deterministically from the corpus (doc_id % 97)
-    and contamination is provably present: a fixed canary sentence is
-    appended to every eval doc and to a known slice of training docs
-    (doc_id % 101), so the operator must fire on those ids (plus any natural
-    8-gram overlap, which the oracle counts identically).
+    The eval set is carved deterministically from the corpus — doc_id % 97
+    capped at doc_id < 19400, i.e. AT MOST 200 docs at ANY corpus size,
+    mirroring a real eval set's fixed size — and contamination is provably
+    present: a fixed canary sentence is appended to every eval doc and to a
+    known slice of training docs (doc_id % 101), so the operator must fire
+    on those ids (plus any natural 8-gram overlap, which the oracle counts
+    identically).
 
     Scale shape: shingle explode is a per-row map; the eval shingle set is
-    tiny relative to the corpus (eval sets are ~1e5 grams) and BROADCAST, so
-    the join is shuffle-free; the final groupBy(doc_id) shuffles only
-    MATCHED rows — contamination-proportional, not corpus-proportional."""
+    BOUNDED (fixed eval set -> fixed gram count) and BROADCAST, so the join
+    is shuffle-free; the final groupBy(doc_id) shuffles only MATCHED rows —
+    contamination-proportional, not corpus-proportional."""
     df = _encode_decode(spark, sf_dir, "documents", sort_key="doc_id",
                         columns=["doc_id", "text"])
     canary = " canary alpha beta gamma delta epsilon zeta eta theta"
-    is_marked = (F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 101 == 0)
+    is_eval = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 19400)
+    is_marked = is_eval | (F.col("doc_id") % 101 == 0)
     t = F.when(is_marked, F.concat(F.col("text"), F.lit(canary))).otherwise(
         F.col("text")
     )
@@ -1231,13 +1234,13 @@ def _decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))"
     )
     ev = (
-        words.filter(F.col("doc_id") % 97 == 0)
+        words.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 19400))
         .select(F.explode(grams).alias("g"))
         .distinct()
     )
-    tr = words.filter(F.col("doc_id") % 97 != 0).select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
-    )
+    tr = words.filter(
+        (F.col("doc_id") % 97 != 0) | (F.col("doc_id") >= 19400)
+    ).select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
     return (
         tr.join(F.broadcast(ev), "g")
         .groupBy("doc_id")
@@ -1265,7 +1268,8 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
-    t = toks.repartitionByRange(16, "doc_id").withColumn(
+    n_parts = max(spark.sparkContext.defaultParallelism, 16)
+    t = toks.repartitionByRange(n_parts, "doc_id").withColumn(
         "pid", F.spark_partition_id()
     )
     wp = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
@@ -1759,7 +1763,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decontaminate_ngrams": (
             "WITH docs AS (SELECT doc_id, "
-            "CASE WHEN doc_id % 97 = 0 OR doc_id % 101 = 0 "
+            "CASE WHEN (doc_id % 97 = 0 AND doc_id < 19400) OR doc_id % 101 = 0 "
             "THEN text || ' canary alpha beta gamma delta epsilon zeta eta theta' "
             "ELSE text END AS t FROM documents), "
             "words AS (SELECT doc_id, string_split(t, ' ') AS w FROM docs), "
@@ -1767,8 +1771,10 @@ def oracle_sql() -> dict[str, str]:
             "i -> array_to_string(w[i:i+7], ' ')) AS l "
             "FROM words WHERE len(w) >= 8), "
             "grams AS (SELECT doc_id, unnest(l) AS g FROM gl), "
-            "ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0), "
-            "tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0) "
+            "ev AS (SELECT DISTINCT g FROM grams "
+            "WHERE doc_id % 97 = 0 AND doc_id < 19400), "
+            "tr AS (SELECT DISTINCT doc_id, g FROM grams "
+            "WHERE doc_id % 97 <> 0 OR doc_id >= 19400) "
             "SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_overlap "
             "FROM tr JOIN ev USING (g) GROUP BY tr.doc_id"
         ),

@@ -313,8 +313,6 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
     # this pins the number so a regression back to monolithic rewrites shows
     # up as a 1000x jump. 100k files ~ a 10TB table at 128MB files; the same
     # figure holds at 1M files because parent shards are never rewritten.
-    from webcodec.spark.table import SnapshotTable
-
     meta_dir = os.path.join(work, "meta_bench")
     mtbl = SnapshotTable(meta_dir)
     base = [

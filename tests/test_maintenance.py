@@ -179,7 +179,11 @@ def test_expire_snapshots(tmp_path):
     )
     with open(os.path.join(tbl.data_dir, "f9.bin"), "wb") as f:
         f.write(b"x")
+    # grace window first: freshly-written unreferenced files survive (an
+    # in-flight committer's artifacts look exactly like this)
     res = expire_snapshots(str(tmp_path / "t"), keep_last=1)
+    assert res["removed_files"] == 0
+    res = expire_snapshots(str(tmp_path / "t"), keep_last=1, grace_seconds=0)
     assert res["removed_files"] == 4  # f0..f3 unreferenced by snapshot 5
     assert sorted(os.listdir(tbl.data_dir)) == ["f9.bin"]
     assert tbl.read_snapshot()["files"][0]["path"] == "data/f9.bin"

@@ -203,6 +203,30 @@ def test_expire_snapshots_vacuums_unreferenced_shards(tmp_path):
     assert [f["path"] for f in snap["files"]] == ["data/compacted.wcd"]
 
 
+def test_expire_grace_protects_in_flight_commit_artifacts(tmp_path):
+    """A claim-race loser has a written-but-unreferenced shard on disk while
+    it retries; expire_snapshots must not vacuum it (nor fresh data files)
+    within the grace window, even when its mtime predates the winning
+    commit's committed_at."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.init()
+    # simulate the loser's artifacts: shard + data file written first
+    orphan_shard = tbl._write_manifest([_entry(99, path="data/inflight.wcd")])
+    with open(os.path.join(tbl.data_dir, "inflight.wcd"), "wb") as f:
+        f.write(b"x")
+    # the winner commits afterwards (committed_at > orphan mtimes)
+    with open(os.path.join(tbl.data_dir, "w.wcd"), "wb") as f:
+        f.write(b"y")
+    tbl.commit([_entry(0, path="data/w.wcd")], SCHEMA)
+    res = expire_snapshots(tbl.table_dir, keep_last=1)
+    assert res["removed_files"] == 0 and res["removed_manifests"] == 0
+    assert os.path.exists(os.path.join(tbl.meta_dir, orphan_shard["path"]))
+    assert os.path.exists(os.path.join(tbl.data_dir, "inflight.wcd"))
+    # past the grace window the same artifacts do get vacuumed
+    res = expire_snapshots(tbl.table_dir, keep_last=1, grace_seconds=0)
+    assert res["removed_files"] == 1 and res["removed_manifests"] == 1
+
+
 def test_concurrent_committers_no_lost_update_with_shards(tmp_path):
     """The r2 optimistic-concurrency guarantee must survive sharding:
     interleave two committers at the claim step via monkeypatching."""

@@ -357,7 +357,8 @@ def sample_hot_domains(
 
 
 def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str, int],
-                   done: frozenset[int], splits_bc, seed: int = 42):
+                   done: frozenset[int], splits_bc, seed: int = 42,
+                   spill_compression: str | None = "lz4"):
     """Phase A of the Arrow-native shuffle: each task reads its parquet split
     directly and scatters rows into per-bucket Arrow IPC spill files on shared
     storage. Salted: hot domains spread over k buckets, cold domains map to
@@ -414,7 +415,10 @@ def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str
                     path = os.path.join(bdir, f"t{task}-{uuid.uuid4().hex[:8]}.arrow")
                     with ipc.new_stream(
                         path, sub.schema,
-                        options=ipc.IpcWriteOptions(compression="zstd"),
+                        # spills are transient: favor compress SPEED over
+                        # ratio (lz4 frame ~5x faster than zstd for ~1.2x
+                        # the bytes; None = raw for RAM-backed spill dirs)
+                        options=ipc.IpcWriteOptions(compression=spill_compression),
                     ) as w:
                         w.write_table(sub)
                     yield pa.RecordBatch.from_pydict(
@@ -486,6 +490,7 @@ def encode_table(
     resume: bool = True,
     write_metrics: bool = True,
     mode: str | None = None,
+    spill_compression: str | None = "lz4",
 ) -> dict:
     """Encode ``df`` into a webcodec snapshot table; returns the new snapshot.
 
@@ -565,7 +570,8 @@ def encode_table(
         os.makedirs(shuffle_dir, exist_ok=True)
 
         sdf, bc = _range_tasks(spark, splits)
-        spill = _make_spill_fn(shuffle_dir, url_col, num_partitions, hot, done, bc)
+        spill = _make_spill_fn(shuffle_dir, url_col, num_partitions, hot, done, bc,
+                               spill_compression=spill_compression)
         # driver-side aggregation: cheaper than an extra shuffle stage for a
         # <=(tasks x buckets)-row side channel
         spill_rows = sdf.mapInArrow(spill, "bucket int, rows long").collect()

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import SparkSession
@@ -215,11 +216,21 @@ def export_parquet(
     return {"files": len(rows), "rows": int(sum(r["rows"] for r in rows))}
 
 
-def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+def expire_snapshots(
+    table_dir: str, keep_last: int = 1, grace_seconds: float = 600.0
+) -> dict:
     """Iceberg-style maintenance: delete snapshot manifests older than the
     newest ``keep_last`` and remove data files no kept snapshot references.
     Time travel remains valid for every kept snapshot; commits stay atomic
-    (only already-unreferenced files are unlinked)."""
+    (only already-unreferenced files are unlinked).
+
+    ``grace_seconds`` is the Iceberg ``older_than`` stance: nothing written
+    within the window is vacuumed, referenced or not. It closes the
+    claim-race hole the commit-cutoff heuristic alone leaves open — a
+    committer writes its data files and manifest shard BEFORE winning the
+    snapshot claim, so a loser mid-retry has on-disk artifacts that are
+    unreferenced AND older than the winner's committed_at; only absolute
+    age proves no in-flight commit can still link them."""
     tbl = SnapshotTable(table_dir)
     cur = tbl.current_snapshot_id()
     if cur is None:
@@ -245,6 +256,8 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     # cannot see yet (grace window keeps the optimistic-concurrency protocol
     # honest: only provably-unreferenced files are unlinked)
     candidates = []
+    now = time.time()
+    age_bar = min(cutoff, now - grace_seconds)
     for fn in os.listdir(tbl.data_dir):
         rel = os.path.join("data", fn)
         fpath = os.path.join(tbl.data_dir, fn)
@@ -252,7 +265,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
             mtime = os.path.getmtime(fpath)
         except OSError:
             continue
-        if rel not in referenced and mtime < cutoff:
+        if rel not in referenced and mtime < age_bar:
             candidates.append((rel, fpath))
     # re-list snapshots: anything committed DURING the scan also pins files
     for fn in os.listdir(tbl.meta_dir):
@@ -290,7 +303,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
             continue
         fpath = os.path.join(tbl.meta_dir, fn)
         try:
-            if os.path.getmtime(fpath) < cutoff:
+            if os.path.getmtime(fpath) < age_bar:
                 os.remove(fpath)
                 removed_shards += 1
         except OSError:

@@ -190,16 +190,22 @@ class SnapshotTable:
         entries = sorted(dedup.values(), key=lambda f: f["partition_id"])
         shard = self._write_manifest(entries) if entries else None
         new_pids = set(dedup)
+        migrated: dict[int, dict] = {}
         for _attempt in range(100):
             parent_id = self._max_snapshot_id()
             parent = (
                 self.read_snapshot_meta(parent_id) if parent_id is not None else None
             )
-            if parent is not None and "files" in parent:
+            if parent is not None and "files" in parent and not replace:
                 # legacy monolithic parent: migrate its inline list into a
-                # consolidated shard once, then proceed shard-native
+                # consolidated shard once, then proceed shard-native (a
+                # replace commit discards the parent list — skip the
+                # migration write there; memoized so claim-race retries
+                # don't orphan one full-table shard per attempt)
                 parent = dict(parent)
-                parent["manifests"] = [self._write_manifest(parent["files"])]
+                if parent_id not in migrated:
+                    migrated[parent_id] = self._write_manifest(parent["files"])
+                parent["manifests"] = [migrated[parent_id]]
             if parent is None or replace:
                 manifests = [shard] if shard else []
                 rows = shard["rows"] if shard else 0
