@@ -329,3 +329,57 @@ def test_stream_rate_limit_max_files_per_trigger(spark, tmp_path):
     r2 = WebcodecStreamReader({"path": out})
     all_files = r2._files_between(r2.initialOffset(), r2.latestOffset())
     assert [f["path"] for f in all_files] == seen
+
+
+def test_stream_across_legacy_to_shard_migration(spark, tmp_path):
+    """A checkpointed stream must survive the monolithic->sharded manifest
+    upgrade: catch up on a legacy (inline ``files``) snapshot, then receive
+    ONLY the delta when the next commit migrates the table to shard format
+    (exercises SnapshotTable.added_files' legacy fallback across the
+    boundary)."""
+    import json
+
+    import pyarrow.parquet as pq2
+
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    spark.dataSource.register(WebcodecDataSource)
+    t = webpages(600)
+    src = str(tmp_path / "s.parquet")
+    pq2.write_table(t, src)
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "t")
+    df.limit(400).write.format("webcodec").option("path", out).mode("append").save()
+
+    # rewrite snapshot-1 to the PRE-SHARD format: inline files, no manifests
+    tbl = SnapshotTable(out)
+    snap = tbl.read_snapshot(1)
+    assert snap is not None and "manifests" in snap
+    for m in snap.pop("manifests"):
+        os.remove(os.path.join(tbl.meta_dir, m["path"]))
+    with open(os.path.join(tbl.meta_dir, "snapshot-1.json"), "w") as f:
+        json.dump(snap, f)  # snap already has "files" materialized
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            spark.readStream.format("webcodec").option("path", out).load()
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    assert spark.read.parquet(sink).count() == 400
+    # this commit migrates the legacy parent into a shard + appends
+    df.exceptAll(df.limit(400)).write.format("webcodec").option("path", out).mode(
+        "append"
+    ).save()
+    assert "manifests" in SnapshotTable(out).read_snapshot_meta(2)
+    run_stream()
+    got = spark.read.parquet(sink)
+    assert got.count() == 600  # delta only — no legacy rows re-delivered
+    assert df.exceptAll(got).count() == 0 and got.exceptAll(df).count() == 0
