@@ -59,27 +59,52 @@ def encode(values: np.ndarray) -> bytes:
     mbs = enc.reshape(nblocks * MINIBLOCKS, MB_VALUES)
     mb_max = mbs.max(axis=1)
     widths = bitpack.bit_length(mb_max)  # uint8, (nblocks*4,)
-    # pack miniblocks grouped by width
-    mb_bytes: list[bytes | None] = [None] * len(mbs)
+
+    # ---- fully vectorized stream assembly (no per-block python loop) ----
+    # zigzag varints for per-block min_delta, emitted as a masked (nblocks,
+    # 10) byte matrix; payload laid out by computed offsets and written with
+    # one fancy-index scatter per distinct width (mirrors decode's gather)
+    zz = ((min_delta.astype(_U64) << _U64(1))
+          ^ (min_delta >> np.int64(63)).astype(_U64))
+    vlen = np.maximum((bitpack.bit_length(zz).astype(np.int64) + 6) // 7, 1)
+    vmax = int(vlen.max())
+    vbytes = np.zeros((nblocks, vmax), dtype=np.uint8)
+    for k in range(vmax):
+        live = vlen > k
+        vbytes[live, k] = ((zz[live] >> _U64(7 * k)) & _U64(0x7F)).astype(np.uint8)
+        cont = vlen > k + 1
+        vbytes[cont, k] |= 0x80
+
+    sizes_mb = widths.astype(np.int64) * (MB_VALUES // 8)  # 32*w bits = 4w bytes
+    block_payload = vlen + MINIBLOCKS + sizes_mb.reshape(nblocks, MINIBLOCKS).sum(axis=1)
+    block_start = len(header) + np.concatenate(
+        ([0], np.cumsum(block_payload[:-1]))
+    )
+    total = len(header) + int(block_payload.sum())
+    out = np.empty(total, dtype=np.uint8)
+    out[: len(header)] = np.frombuffer(header, dtype=np.uint8)
+    # varint scatter (masked)
+    vpos = block_start[:, None] + np.arange(vmax)
+    mask = np.arange(vmax) < vlen[:, None]
+    out[vpos[mask]] = vbytes[mask]
+    # width bytes
+    wpos = (block_start + vlen)[:, None] + np.arange(MINIBLOCKS)
+    out[wpos.reshape(-1)] = widths
+    # per-miniblock payload offsets: block body start + exclusive cumsum
+    within = np.cumsum(sizes_mb.reshape(nblocks, MINIBLOCKS), axis=1)
+    within = np.concatenate(
+        (np.zeros((nblocks, 1), dtype=np.int64), within[:, :-1]), axis=1
+    )
+    mb_dst = ((block_start + vlen + MINIBLOCKS)[:, None] + within).reshape(-1)
     for w in np.unique(widths):
         w = int(w)
-        idx = np.flatnonzero(widths == w)
         if w == 0:
-            for i in idx:
-                mb_bytes[i] = b""
             continue
-        packed = bitpack.pack(mbs[idx].reshape(-1), w)
-        per = MB_VALUES * w // 8  # 32*w bits is a whole number of bytes
-        for j, i in enumerate(idx):
-            mb_bytes[i] = packed[j * per : (j + 1) * per]
-    out = [header]
-    wb = widths.tobytes()
-    for b in range(nblocks):
-        out.append(write_uvarint(zigzag_int(int(min_delta[b]))))
-        out.append(wb[b * MINIBLOCKS : (b + 1) * MINIBLOCKS])
-        for m in range(MINIBLOCKS):
-            out.append(mb_bytes[b * MINIBLOCKS + m])  # type: ignore[arg-type]
-    return b"".join(out)
+        idx = np.flatnonzero(widths == w)
+        packed = np.frombuffer(bitpack.pack(mbs[idx].reshape(-1), w), dtype=np.uint8)
+        per = MB_VALUES * w // 8
+        out[mb_dst[idx, None] + np.arange(per)] = packed.reshape(len(idx), per)
+    return out.tobytes()
 
 
 def decode(data: bytes | memoryview, n_hint: int | None = None) -> np.ndarray:
@@ -100,22 +125,40 @@ def decode(data: bytes | memoryview, n_hint: int | None = None) -> np.ndarray:
     mb_values = block // mbcount
     nd = n - 1
     nblocks = (nd + block - 1) // block
-    enc = np.empty(nblocks * block, dtype=_U64)
+    nmb = nblocks * mbcount
     mins = np.empty(nblocks, dtype=_I64)
+    widths = np.empty(nmb, dtype=np.uint8)
+    mb_off = np.empty(nmb, dtype=np.int64)
+    # pass 1 — walk the stream once recording each miniblock's (width,
+    # payload offset); the varint headers force sequential parsing, but the
+    # body is a handful of int ops per block (the former per-MINIBLOCK
+    # bitpack.unpack calls were ~20 MB/s; see pass 2)
     for b in range(nblocks):
         zz, pos = read_uvarint(buf, pos)
         mins[b] = unzigzag_int(zz)
-        widths = np.frombuffer(buf[pos : pos + mbcount], dtype=np.uint8)
+        wrow = bytes(buf[pos : pos + mbcount])
         pos += mbcount
-        base = b * block
+        base = b * mbcount
+        widths[base : base + mbcount] = np.frombuffer(wrow, dtype=np.uint8)
         for m in range(mbcount):
-            w = int(widths[m])
-            nb = mb_values * w // 8
-            enc[base + m * mb_values : base + (m + 1) * mb_values] = bitpack.unpack(
-                buf[pos : pos + nb], w, mb_values
-            )
-            pos += nb
-    deltas = enc + np.repeat(mins.astype(_U64), block)
+            mb_off[base + m] = pos
+            pos += (mb_values * wrow[m]) >> 3
+    # pass 2 — decode grouped BY WIDTH (mirror of encode): one fancy-index
+    # gather + ONE bulk unpack per distinct width instead of a kernel call
+    # per miniblock — 4700-block chunks drop from ~19k unpack calls to <=65
+    allbytes = np.frombuffer(buf, dtype=np.uint8)
+    enc = np.empty((nmb, mb_values), dtype=_U64)
+    for w in np.unique(widths):
+        w = int(w)
+        idx = np.flatnonzero(widths == w)
+        if w == 0:
+            enc[idx] = 0
+            continue
+        per = mb_values * w // 8
+        gathered = allbytes[mb_off[idx, None] + np.arange(per)]
+        vals = bitpack.unpack(gathered.reshape(-1), w, len(idx) * mb_values)
+        enc[idx] = vals.reshape(len(idx), mb_values)
+    deltas = enc.reshape(-1) + np.repeat(mins.astype(_U64), block)
     out = np.empty(n, dtype=_U64)
     out[0] = np.int64(first).astype(_U64)
     np.cumsum(deltas[:nd], out=out[1:])  # wrapping uint64 cumsum
