@@ -473,6 +473,35 @@ def _rt_decimal_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_narrow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tinyint/smallint/float end-to-end (r3): narrow columns derived from
+    documents round-trip through the engine, which stores them WIDENED
+    (parquet's INT_8-annotation-over-INT32 stance; webcodec/types.py
+    ``widened``) and restores the exact Spark type on decode; folded to
+    BIGINT for the cross-engine hash (float values are integer-exact here,
+    so truncate == round)."""
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    _prep(spark)
+    spark.dataSource.register(WebcodecDataSource)
+    df = _src(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 100 - 50).cast("tinyint").alias("b"),
+        (F.col("n_chars") % 30000 - 15000).cast("smallint").alias("s"),
+        (F.col("n_chars") % 1000).cast("float").alias("f"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="wcq_narrow_"), "t")
+    df.write.format("webcodec").mode("append").option("path", out).save()
+    back = spark.read.format("webcodec").option("path", out).load()
+    assert dict(back.dtypes)["b"] == "tinyint" and dict(back.dtypes)["s"] == "smallint"
+    return back.select(
+        "doc_id",
+        F.col("b").cast("long").alias("b_l"),
+        F.col("s").cast("long").alias("s_l"),
+        (F.col("f") * 4).cast("long").alias("f4_l"),
+    )
+
+
 def _agg_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over decoded output (dict+RLE column feeding a groupBy)."""
     df = _encode_decode(spark, sf_dir, "documents", sort_key="lang", columns=["lang"])
@@ -1343,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_per_lang": _token_budget_per_lang,
         "decontaminate_ngrams": _decontaminate_ngrams,
         "pack_sequences": _pack_sequences,
+        "rt_narrow_types": _rt_narrow_types,
     }
 
 
@@ -1791,6 +1821,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(cum_before % 2048 AS BIGINT) AS seq_offset, "
             "CAST(least(n_tokens, 2048 - (cum_before % 2048)) AS BIGINT) "
             "AS tokens_in_first_seq FROM c"
+        ),
+        "rt_narrow_types": (
+            "SELECT doc_id, "
+            "CAST(CAST(doc_id % 100 - 50 AS TINYINT) AS BIGINT) AS b_l, "
+            "CAST(CAST(n_chars % 30000 - 15000 AS SMALLINT) AS BIGINT) AS s_l, "
+            "CAST(CAST(n_chars % 1000 AS REAL) * 4 AS BIGINT) AS f4_l "
+            "FROM documents"
         ),
     }
 

@@ -243,3 +243,30 @@ def test_decimal_inside_struct_roundtrip():
     buf = io.BytesIO()
     filefmt.write_table(t, buf)
     assert filefmt.read_table(buf.getvalue()).equals(t)
+
+
+def test_narrow_types_roundtrip_widened_storage():
+    """int8/16, uint8/16/32, float16 store WIDENED (parquet's INT_8-over-
+    INT32 stance) and decode back to the exact original type — flat columns,
+    nulls, list children, projection."""
+    import numpy as np
+
+    t = pa.table({
+        "i8": pa.array([1, 2, None, 127, -128] * 200, pa.int8()),
+        "i16": pa.array([1, 300, None, -32768, 32767] * 200, pa.int16()),
+        "u8": pa.array([0, 255, None, 7, 128] * 200, pa.uint8()),
+        "u16": pa.array([0, 65535, None, 7, 9] * 200, pa.uint16()),
+        "u32": pa.array([0, 2**32 - 1, None, 7, 9] * 200, pa.uint32()),
+        "f16": pa.array(
+            np.array([1.5, 0.25, 3.25, -0.0, 100.0] * 200, np.float16),
+            pa.float16(),
+        ),
+        "li8": pa.array([[1, 2], [127], None, [], [-5]] * 200, pa.list_(pa.int8())),
+    })
+    buf = io.BytesIO()
+    filefmt.write_table(t, buf, EncoderConfig(page_row_count_limit=256))
+    got = filefmt.read_table(buf.getvalue())
+    assert got.equals(t)  # bit-identical incl. the original narrow types
+    sub = filefmt.read_table(buf.getvalue(), columns=["f16", "li8"])
+    assert sub.column("f16").equals(t.column("f16"))
+    assert sub.column("li8").equals(t.column("li8"))

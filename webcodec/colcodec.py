@@ -11,7 +11,7 @@ import pyarrow as pa
 
 from webcodec.kernels import bitpack, bss, delta, deltalength, dictionary, fsst, plain, prefix, rle
 from webcodec.kernels.varint import read_uvarint, write_uvarint
-from webcodec.types import IS_VARLEN, NUMPY_OF, Encoding, PhysType
+from webcodec.types import IS_VARLEN, NUMPY_OF, Encoding, PhysType, widened
 
 
 def varlen_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
@@ -153,6 +153,9 @@ def encode_values(
         offsets = offsets[arr.offset :].astype(np.int64)
         child = arr.flatten()
         child_phys = phys_type_of(child.type)
+        cw = widened(child.type)  # narrow child stores widened, like flat cols
+        if cw is not None:
+            child = child.cast(cw)
         lens_enc = delta.encode(np.diff(offsets))
         if child.null_count:
             import pyarrow.compute as pc
@@ -228,6 +231,7 @@ def decode_values(
 
         child_type = arrow_type.value_type
         child_phys = phys_type_of(child_type)
+        child_type = widened(child_type) or child_type  # final list cast narrows
         buf = memoryview(data)
         vlen, pos = read_uvarint(buf, 0)
         validity = buf[pos : pos + vlen]

@@ -46,6 +46,7 @@ from webcodec.types import (
     arrow_type_from_json,
     arrow_type_json,
     phys_type_of,
+    widened,
 )
 
 MAGIC = b"WCD1"
@@ -178,6 +179,13 @@ def _encode_chunk(
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     phys = phys_type_of(arr.type)
+    # narrow types (int8/16, uint8/16/32, float16) store WIDENED — the
+    # parquet INT_8-over-INT32 stance; the footer keeps the original type
+    # and decode casts back (types.widened)
+    orig_json = arrow_type_json(arr.type)
+    _w = widened(arr.type)
+    if _w is not None:
+        arr = arr.cast(_w)
     codec = CODEC_NAMES[config.compression_for(name).lower()]
     level = config.compression_level
     if phys == PhysType.BINARY and config.binary_compression_level is not None:
@@ -197,7 +205,7 @@ def _encode_chunk(
     offset = offset0
     chunk: dict = {
         "name": name,
-        "type": arrow_type_json(arr.type),
+        "type": orig_json,
         "phys": int(phys),
         "codec": int(codec),
         "raw_bytes": int(raw),
@@ -1081,8 +1089,9 @@ def _decode_dict_page_only(buf: memoryview, chunk: dict, verify_crc: bool = True
     """Decode just a chunk's dictionary page (for dictionary-level pruning)."""
     d = chunk["dict"]
     _, inner, _, dn, _, _, dvals, _ = _read_page(buf, d["offset"], verify_crc)
+    t = arrow_type_from_json(chunk["type"])
     return colcodec.decode_dict_page(
-        dvals, PhysType(chunk["phys"]), inner, dn, arrow_type_from_json(chunk["type"])
+        dvals, PhysType(chunk["phys"]), inner, dn, widened(t) or t
     )
 
 
@@ -1094,12 +1103,14 @@ def _decode_chunk(
     row-filtered — D3 row-range synchronization: every column of the group
     returns exactly the kept rows in order."""
     arrow_type = arrow_type_from_json(chunk["type"])
+    # narrow types decode at their widened storage type, cast back at the end
+    work_type = widened(arrow_type) or arrow_type
     phys = PhysType(chunk["phys"])
     dict_values = None
     if chunk.get("dict"):
         d = chunk["dict"]
         _, inner, _, dn, _, _, dvals, _ = _read_page(buf, d["offset"], verify_crc)
-        dict_values = colcodec.decode_dict_page(dvals, phys, inner, dn, arrow_type)
+        dict_values = colcodec.decode_dict_page(dvals, phys, inner, dn, work_type)
     parts: list[pa.Array] = []
     for pm in chunk["pages"]:
         sub = None
@@ -1112,14 +1123,14 @@ def _decode_chunk(
         if enc == Encoding.DICT:
             idx = colcodec.decode_dict_indices(values, n_valid)
             arr = dictionary.take(dict_values, idx)
-            if arr.type != arrow_type:
-                arr = arr.cast(arrow_type)
+            if arr.type != work_type:
+                arr = arr.cast(work_type)
         else:
-            arr = colcodec.decode_values(values, phys, enc, n_valid, arrow_type)
+            arr = colcodec.decode_values(values, phys, enc, n_valid, work_type)
         if n_nulls:
             mask = rle.decode_validity(validity, n_values)
-            arr = _rebuild_with_nulls(arr, mask, arrow_type)
-        elif arr.type != arrow_type:
+            arr = _rebuild_with_nulls(arr, mask, work_type)
+        if arr.type != arrow_type:
             arr = arr.cast(arrow_type)
         if sub is not None and not sub.all():
             arr = arr.filter(pa.array(sub))

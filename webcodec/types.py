@@ -65,7 +65,32 @@ _ARROW_TO_PHYS = [
 ]
 
 
+# Narrow types travel widened — the parquet stance (INT_8/INT_16/UINT_*/
+# FLOAT16 are logical annotations over INT32/INT64/FLOAT physical storage).
+# The original arrow type is preserved in the chunk footer and restored by a
+# cast on decode; uint64 stays unsupported (no lossless signed widening).
+_WIDEN_TO = [
+    (pa.int8(), pa.int32()),
+    (pa.int16(), pa.int32()),
+    (pa.uint8(), pa.int32()),
+    (pa.uint16(), pa.int32()),
+    (pa.uint32(), pa.int64()),
+    (pa.float16(), pa.float32()),
+]
+
+
+def widened(t: pa.DataType) -> pa.DataType | None:
+    """The storage type a narrow type widens to, or None if t is canonical."""
+    for nt, wt in _WIDEN_TO:
+        if t.equals(nt):
+            return wt
+    return None
+
+
 def phys_type_of(t: pa.DataType) -> PhysType:
+    w = widened(t)
+    if w is not None:
+        t = w
     for at, pt in _ARROW_TO_PHYS:
         if t.equals(at):
             return pt
@@ -119,6 +144,12 @@ def arrow_type_json(t: pa.DataType) -> str:
 def arrow_type_from_json(s: str) -> pa.DataType:
     mapping = {
         "bool": pa.bool_(),
+        "int8": pa.int8(),
+        "int16": pa.int16(),
+        "uint8": pa.uint8(),
+        "uint16": pa.uint16(),
+        "uint32": pa.uint32(),
+        "halffloat": pa.float16(),
         "int32": pa.int32(),
         "int64": pa.int64(),
         "float": pa.float32(),
