@@ -502,6 +502,27 @@ def _rt_narrow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_deleted_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read positional deletes (r3, Iceberg v2 delete-file
+    analogue): encode documents, `delete_where(lang == 'de')` writes
+    position sidecars WITHOUT rewriting data files
+    (webcodec/spark/maintenance.py delete_where), and the DataSource read
+    subtracts them in the decoder's keep-mask. At 100 TB this is the
+    takedown path: the delete job scans only stats-pruned candidate files
+    and writes O(deleted rows) bytes."""
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.maintenance import delete_where
+
+    _prep(spark)
+    spark.dataSource.register(WebcodecDataSource)
+    df = _src(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = os.path.join(tempfile.mkdtemp(prefix="wcq_del_"), "t")
+    df.write.format("webcodec").mode("append").option("path", out).save()
+    delete_where(spark, out, ("lang", "==", "de"))
+    back = spark.read.format("webcodec").option("path", out).load()
+    return back.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def _agg_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over decoded output (dict+RLE column feeding a groupBy)."""
     df = _encode_decode(spark, sf_dir, "documents", sort_key="lang", columns=["lang"])
@@ -1373,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngrams": _decontaminate_ngrams,
         "pack_sequences": _pack_sequences,
         "rt_narrow_types": _rt_narrow_types,
+        "rt_deleted_rows": _rt_deleted_rows,
     }
 
 
@@ -1821,6 +1843,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(cum_before % 2048 AS BIGINT) AS seq_offset, "
             "CAST(least(n_tokens, 2048 - (cum_before % 2048)) AS BIGINT) "
             "AS tokens_in_first_seq FROM c"
+        ),
+        "rt_deleted_rows": (
+            "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars "
+            "FROM documents WHERE lang <> 'de'"
         ),
         "rt_narrow_types": (
             "SELECT doc_id, "

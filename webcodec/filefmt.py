@@ -1195,12 +1195,30 @@ def _bloom_may_contain(pc_chunk: dict, values) -> bool:
     )
 
 
+def match_positions(source: str | bytes | memoryview, predicate) -> "np.ndarray":
+    """GLOBAL row positions matching ``predicate`` (webcodec.predicate
+    algebra) — the produce side of merge-on-read deletes: a delete job
+    records these positions in a sidecar instead of rewriting the file.
+    Decodes only the predicate's columns, whole file (positions must index
+    the physical row space, so no pruning shortcuts)."""
+    from webcodec import predicate as predmod
+
+    conjuncts = predmod.normalize(predicate)
+    if conjuncts is None:
+        raise ValueError("match_positions requires a predicate")
+    cols = sorted({c for c, _, _ in conjuncts})
+    t = read_table(source, columns=cols, verify_crc=False)
+    mask = predmod.match_mask(t, conjuncts)
+    return np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+
+
 def read_table(
     source: str | bytes | memoryview,
     columns: list[str] | None = None,
     predicate=None,
     verify_crc: bool = True,
     row_range: tuple[int, int] | None = None,
+    drop_rows: "np.ndarray | None" = None,
 ) -> pa.Table:
     """Decode a webcodec file to an Arrow table.
 
@@ -1214,6 +1232,9 @@ def read_table(
     overlapping the range are decoded (same keep-mask machinery), enabling
     intra-file parallel reads: N tasks can scan one large file on disjoint
     ranges, the row-group-split analogue of the reference reader.
+    ``drop_rows``: global row positions to EXCLUDE — merge-on-read
+    positional deletes (Iceberg v2 delete-file analogue); merged into the
+    same keep-mask machinery, so page skip and row-range sync apply.
     """
     from webcodec import predicate as predmod
 
@@ -1308,6 +1329,11 @@ def read_table(
         rng = np.zeros(footer["num_rows"], dtype=bool)
         rng[lo:hi] = True
         keep_rows = rng if keep_rows is None else (keep_rows & rng)
+
+    if drop_rows is not None and len(drop_rows):
+        live = np.ones(footer["num_rows"], dtype=bool)
+        live[np.asarray(drop_rows, dtype=np.int64)] = False
+        keep_rows = live if keep_rows is None else (keep_rows & live)
 
     if keep_rows is not None and not keep_rows.any():
         # every group provably predicate-free (or empty range): no decode work

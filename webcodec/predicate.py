@@ -113,9 +113,8 @@ def term_matches(
     return True
 
 
-def residual_filter(table, conjuncts: list[tuple]):
-    """Exact post-decode filter — applied after pruning so results never
-    depend on stats/bloom precision. Vectorized Arrow compute throughout."""
+def _term_mask(arr, op: str, value):
+    """Boolean mask of one conjunct over a decoded column (vectorized)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -123,27 +122,48 @@ def residual_filter(table, conjuncts: list[tuple]):
         "==": pc.equal, "<": pc.less, "<=": pc.less_equal,
         ">": pc.greater, ">=": pc.greater_equal,
     }
+    if op in ops:
+        scalar = pa.scalar(value)
+        if not scalar.type.equals(arr.type):
+            scalar = scalar.cast(arr.type)
+        return ops[op](arr, scalar)
+    if op == "in":
+        vals = pa.array(list(value)).cast(arr.type)
+        return pc.is_in(arr, value_set=vals)
+    if op == "isnull":
+        return pc.is_null(arr)
+    if op == "notnull":
+        return pc.is_valid(arr)
+    if op == "startswith":
+        return pc.starts_with(arr, pattern=value)
+    if op == "contains":
+        return pc.match_substring(arr, pattern=value)
+    if op == "endswith":
+        return pc.ends_with(arr, pattern=value)
+    raise ValueError(op)  # pragma: no cover — normalize() rejects unknown ops
+
+
+def residual_filter(table, conjuncts: list[tuple]):
+    """Exact post-decode filter — applied after pruning so results never
+    depend on stats/bloom precision. Vectorized Arrow compute throughout."""
     for col, op, value in conjuncts:
-        arr = table.column(col)
-        if op in ops:
-            scalar = pa.scalar(value)
-            if not scalar.type.equals(arr.type):
-                scalar = scalar.cast(arr.type)
-            mask = ops[op](arr, scalar)
-        elif op == "in":
-            vals = pa.array(list(value)).cast(arr.type)
-            mask = pc.is_in(arr, value_set=vals)
-        elif op == "isnull":
-            mask = pc.is_null(arr)
-        elif op == "notnull":
-            mask = pc.is_valid(arr)
-        elif op == "startswith":
-            mask = pc.starts_with(arr, pattern=value)
-        elif op == "contains":
-            mask = pc.match_substring(arr, pattern=value)
-        elif op == "endswith":
-            mask = pc.ends_with(arr, pattern=value)
-        else:  # pragma: no cover — normalize() rejects unknown ops
-            raise ValueError(op)
-        table = table.filter(mask)
+        table = table.filter(_term_mask(table.column(col), op, value))
     return table
+
+
+def match_mask(table, conjuncts: list[tuple]):
+    """AND of every conjunct's mask over a decoded table, nulls folded to
+    False — the positions-of-matching-rows primitive (merge-on-read deletes
+    need POSITIONS, which a sequential filter() destroys)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = None
+    for col, op, value in conjuncts:
+        m = _term_mask(table.column(col), op, value)
+        out = m if out is None else pc.and_kleene(out, m)
+    if out is None:
+        return None
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return pc.fill_null(out, False)

@@ -93,6 +93,8 @@ class _FileSplit(InputPartition):
     # half-open row slice for intra-file parallelism; None = whole file
     row_lo: int | None = None
     row_hi: int | None = None
+    # merge-on-read positional-delete sidecars (absolute paths)
+    deletes: tuple = ()
 
 
 class WebcodecReader(DataSourceReader):
@@ -157,8 +159,8 @@ class WebcodecReader(DataSourceReader):
         # task's IO proportional to its row slice.
         files = tbl.data_files(self.predicate, snapshot_id=self.snapshot_id)
         return [
-            _FileSplit(path, None if lo < 0 else lo, None if lo < 0 else hi)
-            for path, lo, hi in plan_decode_splits(
+            _FileSplit(path, None if lo < 0 else lo, None if lo < 0 else hi, dels)
+            for path, lo, hi, dels in plan_decode_splits(
                 files, self.table_dir, self.target_split_bytes
             )
         ]
@@ -175,7 +177,8 @@ class WebcodecReader(DataSourceReader):
             else None
         )
         yield from decode_file_evolved(
-            partition.path, want, self.types, self.predicate, row_range=rng
+            partition.path, want, self.types, self.predicate, row_range=rng,
+            delete_paths=partition.deletes,
         )
 
 
@@ -373,7 +376,7 @@ class WebcodecStreamReader(DataSourceStreamReader):
             )
         props = newer.get("properties") or {}
         is_replace = (
-            newer.get("operation") == "replace"
+            newer.get("operation") in ("replace", "delete")
             # legacy snapshots (pre-'operation' field) mark maintenance via
             # properties
             or props.get("compacted") == "true"
@@ -471,9 +474,11 @@ class WebcodecStreamReader(DataSourceStreamReader):
         # large microbatch files -> row-range tasks, same planner as batch
         from webcodec.spark.decode_job import plan_decode_splits
 
+        # newly-added stream files never carry delete sidecars (a delete
+        # commit is replace-like and is rejected/skipped in _delta_files)
         return [
             _FileSplit(path, None if lo < 0 else lo, None if lo < 0 else hi)
-            for path, lo, hi in plan_decode_splits(files, self.table_dir)
+            for path, lo, hi, _dels in plan_decode_splits(files, self.table_dir)
         ]
 
     def read(self, partition: _FileSplit):

@@ -87,15 +87,31 @@ def _arrow_type_of_spark(spark_type: str) -> pa.DataType:
     raise ValueError(f"unsupported Spark type string: {spark_type!r}")
 
 
+def load_delete_positions(delete_paths) -> "np.ndarray | None":
+    """Union of positional-delete sidecars (sorted int64 little-endian raw
+    bytes, one position per 8 bytes) — executor-side, O(deleted rows)."""
+    import numpy as np
+
+    if not delete_paths:
+        return None
+    parts = []
+    for p in delete_paths:
+        with open(p, "rb") as f:
+            parts.append(np.frombuffer(f.read(), dtype="<i8"))
+    return np.unique(np.concatenate(parts)) if parts else None
+
+
 def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
                         predicate, batch_rows: int = 8_192,
-                        row_range: tuple[int, int] | None = None):
+                        row_range: tuple[int, int] | None = None,
+                        delete_paths=()):
     """Decode one .wcd file to Arrow batches with Iceberg add-column
     semantics: columns added to the table AFTER this file was written decode
     as nulls (``types`` maps column name -> Spark type string). Shared by the
     job reader and the DataSource reader (executor-side). ``row_range``
     restricts decode to a half-open row slice — intra-file parallelism for
-    large files (page-level skip keeps IO proportional to the slice)."""
+    large files (page-level skip keeps IO proportional to the slice).
+    ``delete_paths``: merge-on-read positional-delete sidecars to subtract."""
     from webcodec import filefmt
 
     with open(path, "rb") as f:
@@ -104,7 +120,8 @@ def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
     present = {c["name"] for c in (footer.get("groups") or [footer])[0]["chunks"]}
     cols_here = [c for c in want if c in present]
     t = filefmt.read_table(data, columns=cols_here, predicate=predicate,
-                           row_range=row_range)
+                           row_range=row_range,
+                           drop_rows=load_delete_positions(delete_paths))
     if cols_here != want:
         arrays = []
         for name in want:
@@ -138,25 +155,28 @@ def _normalize_ts_for_spark(t: pa.Table) -> pa.Table:
 
 def plan_decode_splits(
     files: list[dict], table_dir: str, target_split_bytes: int = 128 << 20
-) -> list[tuple[str, int, int]]:
-    """(path, row_lo, row_hi) decode tasks from MANIFEST stats only (the
-    driver never opens data files): one task per ~target_split_bytes of
-    compressed data, the intra-file row-range analogue of
-    spark.sql.files.maxPartitionBytes. (-1, -1) = whole file. Shared by the
-    job API and the DataSource reader so a table of few huge files
-    parallelizes identically through both."""
-    splits: list[tuple[str, int, int]] = []
+) -> list[tuple[str, int, int, tuple[str, ...]]]:
+    """(path, row_lo, row_hi, delete_paths) decode tasks from MANIFEST stats
+    only (the driver never opens data files): one task per
+    ~target_split_bytes of compressed data, the intra-file row-range
+    analogue of spark.sql.files.maxPartitionBytes. (-1, -1) = whole file.
+    ``delete_paths`` are the file's merge-on-read positional-delete sidecars
+    (absolute paths; executors load and subtract them). Shared by the job
+    API and the DataSource reader so a table of few huge files parallelizes
+    identically through both."""
+    splits: list[tuple[str, int, int, tuple[str, ...]]] = []
     for f in files:
         path = os.path.join(table_dir, f["path"])
+        dels = tuple(os.path.join(table_dir, d) for d in f.get("delete_files") or ())
         rows = int(f.get("rows") or 0)
         cbytes = int(f.get("compressed_bytes") or 0)
         n = max(1, -(-cbytes // target_split_bytes)) if rows else 1
         if n == 1:
-            splits.append((path, -1, -1))
+            splits.append((path, -1, -1, dels))
         else:
             per = -(-rows // n)
             splits.extend(
-                (path, lo, min(lo + per, rows)) for lo in range(0, rows, per)
+                (path, lo, min(lo + per, rows), dels) for lo in range(0, rows, per)
             )
     return splits
 
@@ -202,10 +222,11 @@ def read_encoded(
         sps = bc.value
         for b in batches:
             for i in b.column("id").to_pylist():
-                path, lo, hi = sps[i]
+                path, lo, hi, dels = sps[i]
                 rng = (lo, hi) if lo >= 0 else None
                 yield from decode_file_evolved(
-                    path, want, types, predicate, batch_rows, row_range=rng
+                    path, want, types, predicate, batch_rows, row_range=rng,
+                    delete_paths=dels,
                 )
 
     pdf = spark.range(0, len(splits), 1, len(splits))

@@ -61,12 +61,23 @@ def compact(table_dir: str, target_bytes: int = 128 << 20) -> dict:
         s = filefmt.schema_signature(
             filefmt.read_footer_path(os.path.join(table_dir, f["path"]))
         )
+        # files with merge-on-read delete sidecars never byte-merge: a byte
+        # copy would resurrect their deleted rows (materialize them via
+        # rewrite_encoded first); keep each in a single-file bin
+        if f.get("delete_files"):
+            if bins[-1]:
+                bins.append([])
+            bins[-1].append(f)
+            bins.append([])
+            acc, sig = 0, None
+            continue
         if bins[-1] and (acc + f["compressed_bytes"] > target_bytes or s != sig):
             bins.append([])
             acc = 0
         bins[-1].append(f)
         acc += f["compressed_bytes"]
         sig = s
+    bins = [b for b in bins if b]
     if all(len(b) <= 1 for b in bins):
         return snap  # nothing to do
 
@@ -93,6 +104,90 @@ def compact(table_dir: str, target_bytes: int = 128 << 20) -> dict:
     props = dict(snap.get("properties", {}))
     props["compacted"] = "true"
     return tbl.commit(new_files, snap["schema"], properties=props, replace=True)
+
+
+def delete_where(spark: SparkSession, table_dir: str, predicate) -> dict:
+    """Merge-on-read row deletion (Iceberg v2 positional-delete analogue —
+    the takedown path a training-data pipeline needs WITHOUT rewriting
+    petabytes): one Spark task per candidate file computes the GLOBAL
+    positions matching ``predicate`` and writes them to a small sidecar
+    (sorted int64 LE) under ``deletes/``; the commit re-points each affected
+    manifest entry at its sidecar list (data files untouched). Readers
+    subtract the positions inside the same keep-mask machinery as predicate
+    pushdown, so page skip and row-range splits keep working. File-level
+    stats pruning bounds the scan to files that MAY match; compaction
+    materializes deletes via ``rewrite_encoded``.
+
+    Positions accumulate across calls (sidecars union at read). Returns
+    ``{"deleted_rows": n, "files_touched": k}`` plus the new snapshot id."""
+    from webcodec import predicate as predmod
+
+    conjuncts = predmod.normalize(predicate)
+    if conjuncts is None:
+        raise ValueError("delete_where requires a predicate")
+    tbl = SnapshotTable(table_dir)
+    snap = tbl.read_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot in {table_dir}")
+    by_pid = {f["partition_id"]: f for f in snap["files"]}
+    candidates = tbl.data_files(conjuncts)  # stats-pruned: only files that MAY match
+    if not candidates:
+        return {"deleted_rows": 0, "files_touched": 0,
+                "snapshot_id": snap["snapshot_id"]}
+    del_dir = os.path.join(table_dir, "deletes")
+    os.makedirs(del_dir, exist_ok=True)
+    items = [
+        (f["partition_id"], os.path.join(table_dir, f["path"]),
+         tuple(os.path.join(table_dir, d) for d in f.get("delete_files") or ()))
+        for f in candidates
+    ]
+    bc = spark.sparkContext.broadcast(items)
+
+    def find_fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from webcodec import filefmt
+        from webcodec.spark.decode_job import load_delete_positions
+
+        for b in batches:
+            for i in b.column("id").to_pylist():
+                pid, path, existing = bc.value[i]
+                pos = filefmt.match_positions(path, conjuncts)
+                prior = load_delete_positions(existing)
+                if prior is not None:
+                    pos = np.setdiff1d(pos, prior)  # already-deleted rows don't recount
+                if not len(pos):
+                    continue
+                name = f"del-{pid:05d}-{uuid.uuid4().hex[:12]}.bin"
+                with open(os.path.join(del_dir, name), "wb") as f:
+                    f.write(pos.astype("<i8").tobytes())
+                yield pa.RecordBatch.from_pydict({
+                    "partition_id": pa.array([pid], pa.int64()),
+                    "delete_file": pa.array([os.path.join("deletes", name)]),
+                    "n_deleted": pa.array([len(pos)], pa.int64()),
+                })
+
+    pdf = spark.range(0, len(items), 1, len(items))
+    rows = pdf.mapInArrow(
+        find_fn, "partition_id long, delete_file string, n_deleted long"
+    ).collect()
+    if not rows:
+        return {"deleted_rows": 0, "files_touched": 0,
+                "snapshot_id": snap["snapshot_id"]}
+    updated = []
+    total = 0
+    for r in rows:
+        e = dict(by_pid[r["partition_id"]])
+        e["delete_files"] = list(e.get("delete_files") or []) + [r["delete_file"]]
+        e["deleted_rows"] = int(e.get("deleted_rows") or 0) + int(r["n_deleted"])
+        total += int(r["n_deleted"])
+        updated.append(e)
+    new = tbl.commit(updated, snap["schema"],
+                     properties=dict(snap.get("properties") or {}),
+                     operation="delete", materialize=False)
+    return {"deleted_rows": total, "files_touched": len(updated),
+            "snapshot_id": new["snapshot_id"]}
 
 
 def rewrite_encoded(
@@ -122,7 +217,9 @@ def rewrite_encoded(
     dst = SnapshotTable(dst_dir)
     dst.init()
     paths = [
-        (f["partition_id"], os.path.join(src_dir, f["path"])) for f in snap["files"]
+        (f["partition_id"], os.path.join(src_dir, f["path"]),
+         tuple(os.path.join(src_dir, d) for d in f.get("delete_files") or ()))
+        for f in snap["files"]
     ]
     data_dir = dst.data_dir
     cols = columns
@@ -131,13 +228,17 @@ def rewrite_encoded(
 
     def rewrite_fn(batches):
         from webcodec import filefmt
+        from webcodec.spark.decode_job import load_delete_positions
         from webcodec.spark.encode_job import _write_one
 
         items = bc.value
         for b in batches:
             for i in b.column("id").to_pylist():
-                pid, path = items[i]
-                table = filefmt.read_table(path, columns=cols, predicate=predicate)
+                pid, path, dels = items[i]
+                # merge-on-read deletes MATERIALIZE here: the rewritten file
+                # contains only live rows and carries no sidecars
+                table = filefmt.read_table(path, columns=cols, predicate=predicate,
+                                           drop_rows=load_delete_positions(dels))
                 if table.num_rows == 0:
                     continue
                 yield from _write_one(
@@ -247,7 +348,9 @@ def expire_snapshots(
     cutoff = 0.0
     for sid in keep:
         snap = tbl.read_snapshot(sid)
-        referenced.update(f["path"] for f in snap["files"])
+        for f in snap["files"]:
+            referenced.add(f["path"])
+            referenced.update(f.get("delete_files") or ())
         referenced_shards.update(m["path"] for m in snap.get("manifests") or [])
         cutoff = max(cutoff, float(snap.get("committed_at") or 0.0))
     # candidate orphans: unreferenced AND older than the newest kept commit —
@@ -274,7 +377,9 @@ def expire_snapshots(
             if sid not in keep:
                 late = tbl.read_snapshot(sid)
                 if late is not None and sid > max(keep):
-                    referenced.update(f["path"] for f in late["files"])
+                    for f in late["files"]:
+                        referenced.add(f["path"])
+                        referenced.update(f.get("delete_files") or ())
                     referenced_shards.update(
                         m["path"] for m in late.get("manifests") or []
                     )
@@ -292,6 +397,20 @@ def expire_snapshots(
         if sid not in keep:
             os.remove(os.path.join(tbl.meta_dir, f"snapshot-{sid}.json"))
             removed_snaps += 1
+    # vacuum delete sidecars no surviving snapshot references (a rewrite/
+    # compact materialized them, or their snapshot expired) — same grace
+    removed_deletes = 0
+    del_dir = os.path.join(table_dir, "deletes")
+    if os.path.isdir(del_dir):
+        for fn in os.listdir(del_dir):
+            rel = os.path.join("deletes", fn)
+            fpath = os.path.join(del_dir, fn)
+            try:
+                if rel not in referenced and os.path.getmtime(fpath) < age_bar:
+                    os.remove(fpath)
+                    removed_deletes += 1
+            except OSError:
+                pass
     # vacuum manifest shards no surviving snapshot references; the same
     # mtime grace window protects an in-flight commit that wrote its shard
     # but has not linked its snapshot yet
@@ -313,4 +432,5 @@ def expire_snapshots(
         "removed_snapshots": removed_snaps,
         "removed_files": removed_files,
         "removed_manifests": removed_shards,
+        "removed_delete_files": removed_deletes,
     }

@@ -172,6 +172,7 @@ class SnapshotTable:
         properties: dict | None = None,
         replace: bool = False,
         materialize: bool = True,
+        operation: str | None = None,
     ) -> dict:
         """Two-phase commit with optimistic concurrency: write the new
         entries as ONE immutable manifest shard, build a snapshot pointer =
@@ -241,10 +242,12 @@ class SnapshotTable:
             snap = {
                 "snapshot_id": new_id,
                 "parent_id": parent_id,
-                # append = files only added; replace = existing data rewritten
-                # (compaction/transcode). Streaming readers must not diff a
-                # replace snapshot as if its files were new rows.
-                "operation": "replace" if replace else "append",
+                # append = files only added; replace = existing data
+                # rewritten (compaction/transcode); delete = merge-on-read
+                # positional deletes attached (paths unchanged, rows
+                # removed). Streaming readers must not diff replace/delete
+                # snapshots as if their files were new rows.
+                "operation": operation or ("replace" if replace else "append"),
                 "committed_at": time.time(),
                 "schema": schema,
                 "properties": properties or {},
