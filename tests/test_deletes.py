@@ -162,3 +162,26 @@ def test_stream_rejects_delete_commit(spark, tmp_path):
         run()
     run(ignore=True)  # opt-in skip: no re-delivery, no crash
     assert spark.read.parquet(sink).count() == t.num_rows
+
+
+def test_type_promotion_on_evolved_read(spark, tmp_path):
+    """Iceberg-safe promotion: a file written as int/float reads back as
+    bigint/double after the table schema widens (old files promote on
+    decode; new files land wide natively)."""
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.decode_job import read_encoded
+
+    spark.dataSource.register(WebcodecDataSource)
+    out = str(tmp_path / "t")
+    d1 = spark.range(100).selectExpr(
+        "cast(id as int) AS x", "cast(id as float) AS y", "cast(id as string) AS s")
+    d1.write.format("webcodec").mode("append").option("path", out).save()
+    d2 = spark.range(100, 200).selectExpr(
+        "cast(id as bigint) AS x", "cast(id as double) AS y", "cast(id as string) AS s")
+    d2.write.format("webcodec").mode("append").option("path", out).save()
+    got = spark.read.format("webcodec").option("path", out).load()
+    assert dict(got.dtypes) == {"x": "bigint", "y": "double", "s": "string"}
+    assert got.count() == 200
+    assert got.agg({"x": "sum"}).collect()[0][0] == sum(range(200))
+    job = read_encoded(spark, out)
+    assert dict(job.dtypes)["x"] == "bigint" and job.count() == 200

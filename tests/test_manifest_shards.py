@@ -252,3 +252,22 @@ def test_concurrent_committers_no_lost_update_with_shards(tmp_path):
     snap = tbl_a.read_snapshot()
     assert {f["partition_id"] for f in snap["files"]} == {0, 1, 2}
     assert snap["total_rows"] == 30
+
+
+def test_concurrent_delete_commits_merge_sidecars(tmp_path):
+    """Two delete jobs that both read parent snapshot N and commit entry
+    updates for the SAME partition must not lose each other's sidecar
+    references — delete commits union delete_files with the parent's
+    visible entry at claim time."""
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    base = _entry(0, rows=100)
+    tbl.commit([base], SCHEMA)
+    # both "jobs" start from snapshot 1
+    e_a = dict(base, delete_files=["deletes/a.bin"], deleted_rows=3)
+    e_b = dict(base, delete_files=["deletes/b.bin"], deleted_rows=5)
+    tbl.commit([e_a], SCHEMA, operation="delete")
+    tbl.commit([e_b], SCHEMA, operation="delete")  # stale: built from snap 1
+    f = tbl.read_snapshot()["files"][0]
+    assert set(f["delete_files"]) == {"deletes/a.bin", "deletes/b.bin"}
+    snap = tbl.read_snapshot()
+    assert snap["total_rows"] == 100  # physical rows unchanged by deletes

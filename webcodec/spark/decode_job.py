@@ -131,8 +131,35 @@ def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
                 at = _arrow_type_of_spark(types.get(name, "string"))
                 arrays.append(pa.nulls(t.num_rows, type=at))
         t = pa.Table.from_arrays(arrays, names=want)
+    t = _promote_for_evolution(t, types)
     t = _normalize_ts_for_spark(t)
     yield from t.to_batches(max_chunksize=batch_rows)
+
+
+def _promote_for_evolution(t: pa.Table, types: dict[str, str]) -> pa.Table:
+    """Iceberg-safe type promotion on read: a file written before the table
+    schema widened a column (int -> bigint, smallint -> int, float ->
+    double) decodes at its written type and is promoted here — lossless by
+    construction (wider signed int, or float32 -> float64)."""
+    for i, f in enumerate(t.schema):
+        spark_t = types.get(f.name)
+        if spark_t is None:
+            continue
+        try:
+            tgt = _arrow_type_of_spark(spark_t)
+        except Exception:
+            continue
+        if tgt is None or f.type.equals(tgt):
+            continue
+        ok = (
+            pa.types.is_integer(f.type)
+            and pa.types.is_signed_integer(tgt)
+            and tgt.bit_width > f.type.bit_width
+        ) or (pa.types.is_float32(f.type) and pa.types.is_float64(tgt))
+        if ok:
+            t = t.set_column(i, t.schema.field(i).with_type(tgt),
+                             t.column(i).cast(tgt))
+    return t
 
 
 def _normalize_ts_for_spark(t: pa.Table) -> pa.Table:

@@ -139,18 +139,17 @@ class SnapshotTable:
         os.rename(tmp, os.path.join(self.meta_dir, name))
         return {"path": name, **_entry_rollup(entries)}
 
-    def _overridden_rollup(
-        self, manifests: list[dict], new_pids: set[int]
-    ) -> tuple[int, int, int]:
-        """(rows, raw, compressed) of the entries currently VISIBLE for
-        ``new_pids`` — the amounts an overwrite commit must subtract from the
-        parent totals. Walks shards newest-first and loads only shards whose
+    def _visible_entries(
+        self, manifests: list[dict], pids: set[int]
+    ) -> dict[int, dict]:
+        """The entries currently VISIBLE for ``pids`` (later shard wins).
+        Walks shards newest-first and loads only shards whose
         [min_pid, max_pid] range can intersect; the common append path
         (monotonic partition_ids, disjoint from every shard range) loads
         nothing."""
-        lo, hi = min(new_pids), max(new_pids)
-        need = set(new_pids)
-        rows = raw = comp = 0
+        lo, hi = min(pids), max(pids)
+        need = set(pids)
+        out: dict[int, dict] = {}
         for m in reversed(manifests):
             if not need:
                 break
@@ -160,10 +159,8 @@ class SnapshotTable:
                 pid = f["partition_id"]
                 if pid in need:
                     need.discard(pid)
-                    rows += f["rows"]
-                    raw += f["raw_bytes"]
-                    comp += f["compressed_bytes"]
-        return rows, raw, comp
+                    out[pid] = f
+        return out
 
     def commit(
         self,
@@ -189,7 +186,12 @@ class SnapshotTable:
         # dedupe within the commit (last wins — matches historic dict merge)
         dedup = {f["partition_id"]: f for f in files}
         entries = sorted(dedup.values(), key=lambda f: f["partition_id"])
-        shard = self._write_manifest(entries) if entries else None
+        is_delete = operation == "delete"
+        # delete commits merge against the parent's VISIBLE entries inside
+        # the retry loop (their shard content depends on the parent), so the
+        # shard is written per attempt there; append/replace shards are
+        # parent-independent and written once
+        shard = self._write_manifest(entries) if entries and not is_delete else None
         new_pids = set(dedup)
         migrated: dict[int, dict] = {}
         for _attempt in range(100):
@@ -208,24 +210,46 @@ class SnapshotTable:
                     migrated[parent_id] = self._write_manifest(parent["files"])
                 parent["manifests"] = [migrated[parent_id]]
             if parent is None or replace:
+                if is_delete and entries and shard is None:
+                    shard = self._write_manifest(entries)
                 manifests = [shard] if shard else []
                 rows = shard["rows"] if shard else 0
                 raw = shard["raw_bytes"] if shard else 0
                 comp = shard["compressed_bytes"] if shard else 0
             else:
+                visible = (
+                    self._visible_entries(parent["manifests"], new_pids)
+                    if new_pids
+                    else {}
+                )
+                attempt_entries = entries
+                if is_delete and entries:
+                    # concurrency-safe sidecar merge: a racing delete/commit
+                    # may have attached sidecars after our job read the
+                    # table — union delete_files with the parent's visible
+                    # entry so no sidecar reference is ever lost (positions
+                    # may overlap across sidecars; readers np.unique them)
+                    attempt_entries = []
+                    for e in entries:
+                        pv = visible.get(e["partition_id"])
+                        if pv is not None and pv.get("delete_files"):
+                            e = dict(e)
+                            mine = list(e.get("delete_files") or [])
+                            e["delete_files"] = list(
+                                dict.fromkeys(list(pv["delete_files"]) + mine)
+                            )
+                        attempt_entries.append(e)
+                    shard = self._write_manifest(attempt_entries)
                 manifests = list(parent["manifests"]) + ([shard] if shard else [])
                 rows = parent["total_rows"] + (shard["rows"] if shard else 0)
                 raw = parent["total_raw_bytes"] + (shard["raw_bytes"] if shard else 0)
                 comp = parent["total_compressed_bytes"] + (
                     shard["compressed_bytes"] if shard else 0
                 )
-                if new_pids:
-                    o_rows, o_raw, o_comp = self._overridden_rollup(
-                        parent["manifests"], new_pids
-                    )
-                    rows -= o_rows
-                    raw -= o_raw
-                    comp -= o_comp
+                for pv in visible.values():
+                    rows -= pv["rows"]
+                    raw -= pv["raw_bytes"]
+                    comp -= pv["compressed_bytes"]
             if len(manifests) > MANIFEST_MERGE_THRESHOLD:
                 # amortized Iceberg-style manifest merge: rewrite the merged
                 # view as one shard so the list stays O(1)-ish per snapshot
