@@ -288,7 +288,7 @@ def test_read_encoded_splits_large_file(spark, tmp_path):
     files = tbl.data_files()
     splits = plan_decode_splits(files, d, target_split_bytes=64 * 1024)
     assert len(splits) > 1
-    los = [lo for _, lo, _ in splits]
+    los = [lo for _, lo, _, _ in splits]
     assert los[0] == 0 and all(b > a for a, b in zip(los, los[1:]))
     df = read_encoded(spark, d, target_split_bytes=64 * 1024)
     assert df.rdd.getNumPartitions() == len(splits)
