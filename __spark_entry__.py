@@ -313,7 +313,10 @@ def _scan_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     out = tempfile.mkdtemp(prefix="wcq_tsrange_")
     encode_table(df, os.path.join(out, "t"), sort_key="ts", write_metrics=False)
-    back = spark.read.format("webcodec").option("path", os.path.join(out, "t")).load()
+    # pushdown is opt-in (Spark 4.1 shared-relation readInfo-poisoning bug,
+    # see WebcodecPushdownReader); safe here: fresh load, one filter shape
+    back = (spark.read.format("webcodec").option("path", os.path.join(out, "t"))
+            .option("pushdown", "true").load())
     lo = _dt.datetime(2024, 1, 10)
     hi = _dt.datetime(2024, 1, 13)
     sel = back.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
@@ -519,6 +522,33 @@ def _rt_deleted_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.mkdtemp(prefix="wcq_del_"), "t")
     df.write.format("webcodec").mode("append").option("path", out).save()
     delete_where(spark, out, ("lang", "==", "de"))
+    back = spark.read.format("webcodec").option("path", out).load()
+    return back.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def _rt_upserted_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic MERGE by key (r3, Iceberg v2 row-level MERGE analogue,
+    merge-on-read): `upsert` supersedes matching keys via positional-delete
+    sidecars AND appends the source as new files in ONE snapshot
+    (webcodec/spark/maintenance.py upsert). Here every doc_id % 7 == 0 row
+    is updated (lang='xx', n_chars+1) and every doc_id % 97 == 0 row is
+    re-inserted under doc_id+1000000 (lang='yy'); the merged read must show
+    exactly base-minus-superseded plus the source."""
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.maintenance import upsert
+
+    _prep(spark)
+    spark.dataSource.register(WebcodecDataSource)
+    df = _src(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = os.path.join(tempfile.mkdtemp(prefix="wcq_ups_"), "t")
+    df.write.format("webcodec").mode("append").option("path", out).save()
+    upd = (df.filter(F.col("doc_id") % 7 == 0)
+           .select("doc_id", F.lit("xx").alias("lang"),
+                   (F.col("n_chars") + 1).alias("n_chars")))
+    ins = (df.filter(F.col("doc_id") % 97 == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   F.lit("yy").alias("lang"), F.col("n_chars")))
+    upsert(spark, out, upd.unionAll(ins), key_cols=["doc_id"])
     back = spark.read.format("webcodec").option("path", out).load()
     return back.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
 
@@ -1395,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "rt_narrow_types": _rt_narrow_types,
         "rt_deleted_rows": _rt_deleted_rows,
+        "rt_upserted_rows": _rt_upserted_rows,
     }
 
 
@@ -1847,6 +1878,15 @@ def oracle_sql() -> dict[str, str]:
         "rt_deleted_rows": (
             "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars "
             "FROM documents WHERE lang <> 'de'"
+        ),
+        "rt_upserted_rows": (
+            "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars "
+            "FROM documents WHERE doc_id % 7 <> 0 "
+            "UNION ALL SELECT doc_id, 'xx' AS lang, "
+            "CAST(n_chars + 1 AS BIGINT) AS n_chars "
+            "FROM documents WHERE doc_id % 7 = 0 "
+            "UNION ALL SELECT doc_id + 1000000, 'yy', CAST(n_chars AS BIGINT) "
+            "FROM documents WHERE doc_id % 97 = 0"
         ),
         "rt_narrow_types": (
             "SELECT doc_id, "

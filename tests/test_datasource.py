@@ -47,10 +47,31 @@ def test_filter_pushdown_prunes(registered, src_parquet, tmp_path):
     out = str(tmp_path / "t")
     df = spark.read.parquet(src_parquet)
     df.write.format("webcodec").option("path", out).mode("append").save()
-    back = spark.read.format("webcodec").option("path", out).load()
+    back = (spark.read.format("webcodec").option("path", out)
+            .option("pushdown", "true").load())
     got = back.filter(F.col("lang") == "de").count()
     want = df.filter(F.col("lang") == "de").count()
     assert got == want > 0
+
+
+def test_no_cross_scan_filter_poisoning(registered, src_parquet, tmp_path):
+    """Spark 4.1's Python DataSource caches the planned read on the shared
+    relation, and PythonScanBuilder.pushFilters OVERWRITES it with
+    filter-pruned partitions (PythonDataSourceV2.setReadInfo) — with
+    pushdown on, a filtered count on a reused DataFrame would poison a later
+    full count (it returns the filtered subset). The DEFAULT reader opts out
+    of pushFilters entirely, so the reuse pattern stays correct."""
+    spark = registered
+    out = str(tmp_path / "t")
+    df = spark.read.parquet(src_parquet)
+    df.write.format("webcodec").option("path", out).mode("append").save()
+    back = spark.read.format("webcodec").option("path", out).load()  # REUSED
+    full1 = back.count()
+    filt = back.filter(F.col("lang") == "de").count()
+    full2 = back.count()  # poisoned to == filt if pushdown were default-on
+    assert full1 == full2 == df.count()
+    assert filt == df.filter(F.col("lang") == "de").count()
+    assert filt < full2
 
 
 def test_overwrite_replaces_snapshot(registered, src_parquet, tmp_path):
@@ -102,7 +123,6 @@ def test_conjunct_pushdown_matrix(registered, src_parquet, tmp_path):
     df.write.format("webcodec").option("path", out).option("sort_key", "warc_ts").mode(
         "append"
     ).save()
-    back = spark.read.format("webcodec").option("path", out).load()
 
     lo, hi = [r[0] for r in df.selectExpr(
         "percentile_approx(warc_ts, 0.25)").collect()][0], [r[0] for r in df.selectExpr(
@@ -115,6 +135,9 @@ def test_conjunct_pushdown_matrix(registered, src_parquet, tmp_path):
         (F.col("lang") == "en") & F.col("url").startswith("https://site01"),
     ]
     for cond in cases:
+        # fresh load per filter shape — the safe-usage contract for pushdown
+        back = (spark.read.format("webcodec").option("path", out)
+                .option("pushdown", "true").load())
         got = back.filter(cond)
         want = df.filter(cond)
         assert got.count() == want.count(), str(cond)
@@ -129,11 +152,11 @@ def test_pushfilters_accepts_conjuncts_unit():
     )
     from pyspark.sql.types import StructType
 
-    from webcodec.spark.datasource import WebcodecReader
+    from webcodec.spark.datasource import WebcodecPushdownReader
 
     from pyspark.sql.datasource import StringEndsWith
 
-    r = WebcodecReader({"path": "/nonexistent"}, StructType([]))
+    r = WebcodecPushdownReader({"path": "/nonexistent"}, StructType([]))
     leftover = list(
         r.pushFilters(
             [

@@ -4,7 +4,9 @@ Reference parity (SURVEY.md §2.F): the ParquetFileReader/ParquetWriter entry
 points re-expressed as a Spark 4 Python DataSource
 (pyspark/sql/datasource.py:71). The read side implements ``pushFilters``
 against manifest + page min/max statistics (reference RowGroupFilter /
-StatisticsFilter, D2) and column pruning (D6); the write side uses the
+StatisticsFilter, D2) and column pruning (D6) — pushdown is OPT-IN via
+``.option("pushdown", "true")`` because of an upstream Spark 4.1 plan-cache
+bug (see WebcodecPushdownReader); the write side uses the
 two-phase ``commit``/``abort`` protocol (datasource.py:946) with per-task
 lineage in the WriterCommitMessage — exactly-once snapshot commits.
 
@@ -113,40 +115,6 @@ class WebcodecReader(DataSourceReader):
         )
         self.predicate: list[tuple] | None = None
 
-    def pushFilters(self, filters: list[Filter]):  # noqa: N802 (API name)
-        """Accept the D4 predicate algebra as a conjunct list: the five simple
-        comparisons, In, IsNull/IsNotNull, and StringStartsWith/Contains/
-        EndsWith (applied to manifest file pruning AND bloom/dict/page pruning
-        in the decoder; the substring ops prune at the dictionary tier).
-        Everything else is yielded back — Spark re-applies pushed filters
-        anyway, so pushdown is purely a scan reduction."""
-        accepted: list[tuple] = []
-        for f in filters:
-            term = None
-            if len(f.attribute) == 1:
-                col = f.attribute[0]
-                op = _OPS.get(type(f))
-                if op is not None:
-                    term = (col, op, f.value)
-                elif isinstance(f, In):
-                    term = (col, "in", list(f.value))
-                elif isinstance(f, IsNull):
-                    term = (col, "isnull", None)
-                elif isinstance(f, IsNotNull):
-                    term = (col, "notnull", None)
-                elif isinstance(f, StringStartsWith):
-                    term = (col, "startswith", f.value)
-                elif isinstance(f, StringContains):
-                    term = (col, "contains", f.value)
-                elif isinstance(f, StringEndsWith):
-                    term = (col, "endswith", f.value)
-            if term is not None:
-                accepted.append(term)
-            else:
-                yield f
-        if accepted:
-            self.predicate = accepted
-
     def partitions(self):
         from webcodec.spark.decode_job import plan_decode_splits
         from webcodec.spark.table import SnapshotTable
@@ -180,6 +148,57 @@ class WebcodecReader(DataSourceReader):
             partition.path, want, self.types, self.predicate, row_range=rng,
             delete_paths=partition.deletes,
         )
+
+
+class WebcodecPushdownReader(WebcodecReader):
+    """Opt-in filter-pushdown reader: ``.option("pushdown", "true")``.
+
+    OPT-IN (not the default) because Spark 4.1's Python DataSource caches
+    the planned read on the shared relation and ``PythonScanBuilder.
+    pushFilters`` OVERWRITES that cache with filter-pruned partitions
+    (``PythonDataSourceV2.setReadInfo``) — so on a REUSED DataFrame, a
+    filtered query poisons the plan of a later unfiltered query, which then
+    silently returns only the filtered subset (reproduced in
+    tests/test_datasource.py::test_no_cross_scan_filter_poisoning; affects
+    any Python DataSource implementing pushFilters, not just this one).
+    Safe usage contract: one loaded DataFrame per filter shape — i.e. call
+    ``spark.read...load()`` per query, which every internal query does.
+    Requires spark.sql.python.filterPushdown.enabled=true."""
+
+    def pushFilters(self, filters: list[Filter]):  # noqa: N802 (API name)
+        """Accept the D4 predicate algebra as a conjunct list: the five simple
+        comparisons, In, IsNull/IsNotNull, and StringStartsWith/Contains/
+        EndsWith (applied to manifest file pruning AND bloom/dict/page pruning
+        in the decoder; the substring ops prune at the dictionary tier).
+        Everything else is yielded back — Spark re-applies pushed filters
+        anyway, so pushdown is purely a scan reduction."""
+        accepted: list[tuple] = []
+        for f in filters:
+            term = None
+            if len(f.attribute) == 1:
+                col = f.attribute[0]
+                op = _OPS.get(type(f))
+                if op is not None:
+                    term = (col, op, f.value)
+                elif isinstance(f, In):
+                    term = (col, "in", list(f.value))
+                elif isinstance(f, IsNull):
+                    term = (col, "isnull", None)
+                elif isinstance(f, IsNotNull):
+                    term = (col, "notnull", None)
+                elif isinstance(f, StringStartsWith):
+                    term = (col, "startswith", f.value)
+                elif isinstance(f, StringContains):
+                    term = (col, "contains", f.value)
+                elif isinstance(f, StringEndsWith):
+                    term = (col, "endswith", f.value)
+            if term is not None:
+                accepted.append(term)
+            else:
+                yield f
+        # unconditional (re)assign: a reader instance must never carry a
+        # previous plan's conjuncts into a scan that pushed none
+        self.predicate = accepted or None
 
 
 @dataclass
@@ -376,7 +395,9 @@ class WebcodecStreamReader(DataSourceStreamReader):
             )
         props = newer.get("properties") or {}
         is_replace = (
-            newer.get("operation") in ("replace", "delete")
+            # upsert: its new files are MERGE results, not pure appends —
+            # diffing them as new rows would double-deliver the updated keys
+            newer.get("operation") in ("replace", "delete", "upsert")
             # legacy snapshots (pre-'operation' field) mark maintenance via
             # properties
             or props.get("compacted") == "true"
@@ -560,6 +581,10 @@ class WebcodecDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> WebcodecReader:
+        # pushdown is opt-in: see WebcodecPushdownReader's docstring for the
+        # Spark 4.1 shared-relation readInfo-poisoning bug it works around
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return WebcodecPushdownReader(self.options, schema)
         return WebcodecReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> WebcodecWriter:

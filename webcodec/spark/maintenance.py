@@ -190,6 +190,164 @@ def delete_where(spark: SparkSession, table_dir: str, predicate) -> dict:
             "snapshot_id": new["snapshot_id"]}
 
 
+def upsert(
+    spark: SparkSession,
+    table_dir: str,
+    df,
+    key_cols: list[str],
+    config: EncoderConfig | None = None,
+    sort_key: str | None = None,
+) -> dict:
+    """Atomic MERGE by key (Iceberg v2 row-level MERGE analogue, merge-on-read
+    flavor): every table row whose key appears in ``df`` is superseded via
+    positional-delete sidecars, and ALL of ``df`` lands as new data files —
+    in ONE snapshot commit (``operation="upsert"``), so a reader sees either
+    the old state or the fully merged state, never a mix. Data files are
+    never rewritten; ``compact``/``rewrite_encoded`` materialize later.
+
+    Scale shape: the source's DISTINCT keys are staged as parquet on table
+    storage — the build side of a hash join shipped via storage, so the
+    driver never materializes keys; one Spark task per candidate data file
+    decodes ONLY the key columns and records matching GLOBAL positions in an
+    O(matches) sidecar; the new rows stream through the bounded-memory
+    writer (row group cut every ~128 MB). With a single key column,
+    candidate files are first pruned by the manifest min/max stats against
+    the staged keys' [min, max] envelope.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from webcodec.spark.encode_job import (
+        LINEAGE_SCHEMA,
+        _make_scan_encode_fn,
+    )
+
+    tbl = SnapshotTable(table_dir)
+    snap = tbl.read_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot in {table_dir} (upsert needs a table)")
+    table_cols = [f["name"] for f in snap["schema"]]
+    if set(df.columns) != set(table_cols):
+        raise ValueError(
+            f"upsert source columns {sorted(df.columns)} != table columns "
+            f"{sorted(table_cols)}"
+        )
+    missing = [k for k in key_cols if k not in table_cols]
+    if missing:
+        raise ValueError(f"key columns not in table schema: {missing}")
+    df = df.select(*table_cols)  # align column order with the table schema
+
+    keys_dir = os.path.join(table_dir, "tmp", f"upsert-keys-{uuid.uuid4().hex[:12]}")
+    df.select(*key_cols).distinct().write.mode("overwrite").parquet(keys_dir)
+    try:
+        # -- stage 1: encode the source as NEW data files (no commit yet) --
+        fn = _make_scan_encode_fn(
+            tbl.data_dir, config or EncoderConfig(), sort_key, frozenset()
+        )
+        lineage = df.mapInArrow(fn, LINEAGE_SCHEMA).collect()
+        # namespace new partition ids by the next snapshot so repeated
+        # upserts/appends never collide in the manifest (same stance as the
+        # DataSource writer)
+        base = ((tbl.current_snapshot_id() or 0) + 1) * 1_000_000
+        new_entries = []
+        for r in lineage:
+            new_entries.append(
+                {
+                    "partition_id": base + r["partition_id"],
+                    "path": os.path.join("data", r["file"]),
+                    "rows": r["rows"],
+                    "raw_bytes": r["raw_bytes"],
+                    "compressed_bytes": r["compressed_bytes"],
+                    "codec_choices": json.loads(r["codec_choices"]),
+                    "column_stats": json.loads(r["column_stats"]),
+                }
+            )
+
+        # -- stage 2: positional deletes for superseded rows --
+        candidates = snap["files"]
+        if len(key_cols) == 1:
+            k = key_cols[0]
+            lohi = df.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).collect()[0]
+            if lohi["lo"] is not None:
+                candidates = tbl.data_files([(k, ">=", lohi["lo"]), (k, "<=", lohi["hi"])])
+        del_dir = os.path.join(table_dir, "deletes")
+        os.makedirs(del_dir, exist_ok=True)
+        items = [
+            (f["partition_id"], os.path.join(table_dir, f["path"]),
+             tuple(os.path.join(table_dir, d) for d in f.get("delete_files") or ()))
+            for f in candidates
+        ]
+        updated = []
+        total_superseded = 0
+        if items:
+            bc = spark.sparkContext.broadcast(items)
+            kcols = list(key_cols)
+
+            def find_fn(batches):
+                import numpy as np
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                from webcodec import filefmt
+                from webcodec.spark.decode_job import load_delete_positions
+
+                keys = pq.read_table(keys_dir, columns=kcols).to_pandas()
+                for b in batches:
+                    for i in b.column("id").to_pylist():
+                        pid, path, existing = bc.value[i]
+                        fk = filefmt.read_table(
+                            path, columns=kcols, verify_crc=False
+                        ).to_pandas()
+                        fk["__pos"] = np.arange(len(fk), dtype="<i8")
+                        pos = np.unique(
+                            fk.merge(keys, on=kcols, how="inner")["__pos"].to_numpy()
+                        )
+                        prior = load_delete_positions(existing)
+                        if prior is not None:
+                            pos = np.setdiff1d(pos, prior)
+                        if not len(pos):
+                            continue
+                        name = f"del-{pid:05d}-{uuid.uuid4().hex[:12]}.bin"
+                        with open(os.path.join(del_dir, name), "wb") as f:
+                            f.write(pos.astype("<i8").tobytes())
+                        yield pa.RecordBatch.from_pydict({
+                            "partition_id": pa.array([pid], pa.int64()),
+                            "delete_file": pa.array([os.path.join("deletes", name)]),
+                            "n_deleted": pa.array([len(pos)], pa.int64()),
+                        })
+
+            pdf = spark.range(0, len(items), 1, len(items))
+            rows = pdf.mapInArrow(
+                find_fn, "partition_id long, delete_file string, n_deleted long"
+            ).collect()
+            by_pid = {f["partition_id"]: f for f in snap["files"]}
+            for r in rows:
+                e = dict(by_pid[r["partition_id"]])
+                e["delete_files"] = list(e.get("delete_files") or []) + [r["delete_file"]]
+                e["deleted_rows"] = int(e.get("deleted_rows") or 0) + int(r["n_deleted"])
+                total_superseded += int(r["n_deleted"])
+                updated.append(e)
+
+        # -- stage 3: ONE commit covering both --
+        new = tbl.commit(
+            updated + new_entries,
+            snap["schema"],
+            properties=dict(snap.get("properties") or {}),
+            operation="upsert",
+            materialize=False,
+        )
+        return {
+            "inserted_rows": int(sum(e["rows"] for e in new_entries)),
+            "superseded_rows": total_superseded,
+            "files_added": len(new_entries),
+            "files_touched": len(updated),
+            "snapshot_id": new["snapshot_id"],
+        }
+    finally:
+        shutil.rmtree(keys_dir, ignore_errors=True)
+
+
 def rewrite_encoded(
     spark: SparkSession,
     src_dir: str,

@@ -186,7 +186,9 @@ class SnapshotTable:
         # dedupe within the commit (last wins — matches historic dict merge)
         dedup = {f["partition_id"]: f for f in files}
         entries = sorted(dedup.values(), key=lambda f: f["partition_id"])
-        is_delete = operation == "delete"
+        # upsert commits carry delete-entry updates alongside new files and
+        # need the same parent-dependent sidecar merge
+        is_delete = operation in ("delete", "upsert")
         # delete commits merge against the parent's VISIBLE entries inside
         # the retry loop (their shard content depends on the parent), so the
         # shard is written per attempt there; append/replace shards are
