@@ -277,3 +277,50 @@ def test_full_table_lifecycle(spark, tmp_path):
     after = read_encoded(spark, out)
     assert after.count() == 2_300
     assert after.filter(F.col("lang2") == "yy").count() == 300
+
+
+# ------------------------------------------------------------------ rollback
+
+
+def test_rollback_to_undoes_overwrite(spark, tmp_path):
+    """rollback_to commits a NEW snapshot reusing the target's manifest
+    shards: reads return the old state, history stays forward-only (time
+    travel to the undone snapshot still works), and a later append stacks
+    on top of the rolled-back state."""
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.maintenance import rollback_to
+
+    spark.dataSource.register(WebcodecDataSource)
+    out = str(tmp_path / "t")
+    t = webpages(2_000)
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(t, src)
+    df = spark.read.parquet(src)
+    df.write.format("webcodec").mode("append").option("path", out).save()   # snap 1
+    df.limit(500).write.format("webcodec").mode("overwrite").option("path", out).save()  # snap 2
+    tbl = SnapshotTable(out)
+    assert tbl.current_snapshot_id() == 2
+
+    res = rollback_to(out, 1)
+    assert res["snapshot_id"] == 3 and res["operation"] == "rollback"
+    assert res["properties"]["rolled_back_to"] == 1
+    back = spark.read.format("webcodec").option("path", out).load()
+    assert back.count() == 2_000  # pre-overwrite state restored
+    # O(1) metadata: the rollback reuses snapshot 1's shards verbatim
+    assert tbl.read_snapshot_meta(3)["manifests"] == tbl.read_snapshot_meta(1)["manifests"]
+    # forward-only history: the undone snapshot is still time-travelable
+    old = (spark.read.format("webcodec").option("path", out)
+           .option("snapshot_id", "2").load())
+    assert old.count() == 500
+    # appends stack on the rolled-back state
+    df.limit(100).write.format("webcodec").mode("append").option("path", out).save()
+    assert spark.read.format("webcodec").option("path", out).load().count() == 2_100
+
+
+def test_rollback_missing_snapshot_raises(tmp_path):
+    from webcodec.spark.maintenance import rollback_to
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.init()
+    with pytest.raises(FileNotFoundError, match="snapshot 7"):
+        rollback_to(str(tmp_path / "t"), 7)

@@ -397,7 +397,7 @@ class WebcodecStreamReader(DataSourceStreamReader):
         is_replace = (
             # upsert: its new files are MERGE results, not pure appends —
             # diffing them as new rows would double-deliver the updated keys
-            newer.get("operation") in ("replace", "delete", "upsert")
+            newer.get("operation") in ("replace", "delete", "upsert", "rollback")
             # legacy snapshots (pre-'operation' field) mark maintenance via
             # properties
             or props.get("compacted") == "true"

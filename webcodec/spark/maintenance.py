@@ -190,6 +190,15 @@ def delete_where(spark: SparkSession, table_dir: str, predicate) -> dict:
             "snapshot_id": new["snapshot_id"]}
 
 
+def rollback_to(table_dir: str, snapshot_id: int) -> dict:
+    """Undo commits by rolling the table back to ``snapshot_id`` — a NEW
+    snapshot reusing the target's manifest shards (O(1) metadata, no data
+    IO); see :meth:`SnapshotTable.rollback_to`. History stays forward-only:
+    time travel to the undone snapshots keeps working until
+    ``expire_snapshots`` ages them out."""
+    return SnapshotTable(table_dir).rollback_to(snapshot_id)
+
+
 def upsert(
     spark: SparkSession,
     table_dir: str,

@@ -300,6 +300,61 @@ class SnapshotTable:
             return self.read_snapshot(new_id) if materialize else snap
         raise RuntimeError("snapshot commit contention: 100 retries exhausted")
 
+    def rollback_to(self, snapshot_id: int) -> dict:
+        """Roll the table back to ``snapshot_id`` by committing a NEW
+        snapshot that reuses the target's manifest shards verbatim — O(1)
+        metadata, no shard rewrite, no data IO (Iceberg rollback semantics:
+        history stays forward-only, so time travel to the undone snapshots
+        keeps working, and ``expire_snapshots`` reclaims their files only
+        when they age out). Streaming treats the rollback as replace-like:
+        the files it re-exposes carry no new rows."""
+        target = self.read_snapshot_meta(snapshot_id)
+        if target is None:
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} not found in {self.table_dir} (expired?)"
+            )
+        if "files" in target:  # legacy inline list: consolidate into one shard
+            manifests = [
+                self._write_manifest(
+                    sorted(target["files"], key=lambda f: f["partition_id"])
+                )
+            ]
+        else:
+            manifests = list(target["manifests"])
+        for _attempt in range(100):
+            parent_id = self._max_snapshot_id()
+            new_id = (parent_id or 0) + 1
+            snap = {
+                "snapshot_id": new_id,
+                "parent_id": parent_id,
+                "operation": "rollback",
+                "committed_at": time.time(),
+                "schema": target["schema"],
+                "properties": {
+                    **(target.get("properties") or {}),
+                    "rolled_back_to": snapshot_id,
+                },
+                "manifests": manifests,
+                "total_rows": int(target["total_rows"]),
+                "total_raw_bytes": int(target["total_raw_bytes"]),
+                "total_compressed_bytes": int(target["total_compressed_bytes"]),
+            }
+            final = os.path.join(self.meta_dir, f"snapshot-{new_id}.json")
+            tmp = os.path.join(
+                self.meta_dir, f".snapshot-{new_id}-{uuid.uuid4().hex}.tmp"
+            )
+            with open(tmp, "w") as f:
+                json.dump(snap, f)
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # a concurrent committer claimed this id; retry
+            os.unlink(tmp)
+            self._advance_current(new_id)
+            return snap
+        raise RuntimeError("snapshot commit contention: 100 retries exhausted")
+
     def _advance_current(self, new_id: int) -> None:
         """Move the ``current`` pointer forward only (a slower committer of a
         smaller id must not roll a newer commit back)."""
