@@ -328,6 +328,39 @@ def _scan_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (r3, Iceberg/Delta OPTIMIZE ZORDER analogue):
+    ``sort_key="zorder(ts,user_id)"`` orders rows along a Morton curve over
+    rank-quantized (ts, user_id) (webcodec/kernels/zorder.py), so page
+    min/max stats stay narrow on BOTH dimensions and this two-dimensional
+    probe prunes pages on each — a single-column sort prunes only its own
+    column. Exactness is independent of pruning (residual filter re-applies
+    the predicate)."""
+    import datetime as _dt
+
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+
+    _prep(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = os.path.join(tempfile.mkdtemp(prefix="wcq_zorder_"), "t")
+    encode_table(df, out, sort_key="zorder(ts,user_id)", write_metrics=False)
+    back = read_encoded(
+        spark, out,
+        predicate=[
+            ("user_id", ">=", 20), ("user_id", "<", 30),
+            ("ts", ">=", _dt.datetime(2024, 1, 10)),
+            ("ts", "<", _dt.datetime(2024, 1, 13)),
+        ],
+    )
+    return back.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+    )
+
+
 def _rt_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-level struct shredding round-trip through the Spark DataSource
     (SURVEY.md §2 E1 subset): the struct's own validity is a BOOL chunk,
@@ -1386,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_documents_compacted": _rt_documents_compacted,
         "scan_bloom_miss": _scan_bloom_miss,
         "scan_ts_range": _scan_ts_range,
+        "scan_zorder": _scan_zorder,
         "rt_struct": _rt_struct,
         "rt_map": _rt_map,
         "rt_nested": _rt_nested,
@@ -1612,6 +1646,11 @@ def oracle_sql() -> dict[str, str]:
         "scan_ts_range": (
             "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type "
             "FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'"
+        ),
+        "scan_zorder": (
+            "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type "
+            "FROM events WHERE user_id >= 20 AND user_id < 30 "
+            "AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'"
         ),
         "rt_struct": (
             "SELECT doc_id, "

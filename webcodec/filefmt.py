@@ -870,6 +870,36 @@ def write_table(
             out.close()
 
 
+def sort_indices_for_key(table: pa.Table, sort_key: str):
+    """Row permutation for a ``sort_key`` spec, or None when no named column
+    exists in ``table`` (same silent-skip stance as the historic single-key
+    path — encode jobs share one key string across heterogeneous tables).
+
+    Forms:
+    - ``"col"`` — single-column ascending sort (historic behavior);
+    - ``"a,b[,...]"`` — lexicographic multi-column sort;
+    - ``"zorder(a,b[,c,d])"`` — Z-order/Morton clustering
+      (:mod:`webcodec.kernels.zorder`): every listed column's page min/max
+      stats stay narrow, so multi-dimension scans prune pages on each
+      dimension instead of only the leading sort column.
+    """
+    spec = sort_key.strip()
+    if spec.startswith("zorder(") and spec.endswith(")"):
+        cols = [c.strip() for c in spec[len("zorder("):-1].split(",") if c.strip()]
+        cols = [c for c in cols if c in table.column_names]
+        if len(cols) >= 2:
+            from webcodec.kernels.zorder import zorder_sort_indices
+
+            return zorder_sort_indices(table, cols[:4])
+        if cols:
+            return pc.sort_indices(table, sort_keys=[(cols[0], "ascending")])
+        return None
+    keys = [c.strip() for c in spec.split(",") if c.strip() in table.column_names]
+    if not keys:
+        return None
+    return pc.sort_indices(table, sort_keys=[(k, "ascending") for k in keys])
+
+
 def write_batches(
     batches,
     where: str | io.BufferedIOBase,
@@ -885,7 +915,9 @@ def write_batches(
     window. Single-group output is byte-identical to :func:`write_table`;
     multi-group output uses the same version-2 footer as append_files (the
     reader concatenates groups per column). ``sort_key`` sorts WITHIN each
-    group (a globally-sorted partition comes from the upstream shuffle).
+    group (a globally-sorted partition comes from the upstream shuffle);
+    it accepts a column, a comma list (lexicographic), or
+    ``"zorder(a,b[,c,d])"`` — see :func:`sort_indices_for_key`.
     Returns the footer, or None when the iterator yields no rows (the caller
     decides whether an empty file makes sense)."""
     config = config or DEFAULT_CONFIG
@@ -906,10 +938,10 @@ def write_batches(
                 return
             table = pa.Table.from_batches(acc)
             acc, acc_bytes = [], 0
-            if sort_key and sort_key in table.column_names:
-                table = table.take(
-                    pc.sort_indices(table, sort_keys=[(sort_key, "ascending")])
-                )
+            if sort_key:
+                idx = sort_indices_for_key(table, sort_key)
+                if idx is not None:
+                    table = table.take(idx)
             chunks, offset = _encode_group(table, config, out, offset)
             groups.append(
                 {

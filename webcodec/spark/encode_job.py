@@ -156,10 +156,10 @@ def _write_one(data_dir: str, pid: int, table: pa.Table, config: EncoderConfig,
                sort_key: str | None, input_desc: str | None = None) -> pa.Table:
     from webcodec import filefmt  # executor-side import
 
-    if sort_key and sort_key in table.column_names:
-        import pyarrow.compute as pc
-
-        table = table.take(pc.sort_indices(table, sort_keys=[(sort_key, "ascending")]))
+    if sort_key:
+        idx = filefmt.sort_indices_for_key(table, sort_key)
+        if idx is not None:
+            table = table.take(idx)
     attempt = uuid.uuid4().hex[:12]
     fname = f"part-{pid:05d}-{attempt}.wcd"
     fpath = os.path.join(data_dir, fname)
