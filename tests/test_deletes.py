@@ -185,3 +185,82 @@ def test_type_promotion_on_evolved_read(spark, tmp_path):
     assert got.agg({"x": "sum"}).collect()[0][0] == sum(range(200))
     job = read_encoded(spark, out)
     assert dict(job.dtypes)["x"] == "bigint" and job.count() == 200
+
+
+# ------------------------------------------------------------ equality deletes
+
+
+def test_delete_by_key_end_to_end(spark, tmp_path):
+    """Equality deletes: O(1) write (no data scan), read-time key matching
+    through both readers, composing with positional sidecars."""
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.maintenance import delete_by_key
+
+    out, t = _make_table(spark, tmp_path)
+    urls = list(dict.fromkeys(t.column("url").to_pylist()))[:40]
+    n_match = sum(1 for u in t.column("url").to_pylist() if u in set(urls))
+    keys = spark.createDataFrame([(u,) for u in urls], "url string")
+    res = delete_by_key(spark, out, keys, key_cols=["url"])
+    assert res["files_touched"] > 0 and res["sidecar"].startswith("deletes/eq-")
+    got = spark.read.format("webcodec").option("path", out).load()
+    assert got.count() == t.num_rows - n_match
+    assert got.filter(got.url.isin(urls)).count() == 0
+    assert read_encoded(spark, out).count() == t.num_rows - n_match
+    # positional deletes compose on top of equality deletes
+    n_en = (spark.read.format("webcodec").option("path", out).load()
+            .filter("lang = 'en'").count())
+    delete_where(spark, out, ("lang", "==", "en"))
+    left = spark.read.format("webcodec").option("path", out).load()
+    assert left.count() == t.num_rows - n_match - n_en
+    assert left.filter("lang = 'en'").count() == 0
+
+
+def test_delete_by_key_composite_and_rewrite_materializes(spark, tmp_path):
+    from webcodec.spark.maintenance import delete_by_key
+
+    out, t = _make_table(spark, tmp_path, rows=1_000)
+    pairs = list(dict.fromkeys(zip(t.column("url").to_pylist(),
+                                   t.column("lang").to_pylist())))[:25]
+    n_match = sum(1 for p in zip(t.column("url").to_pylist(),
+                                 t.column("lang").to_pylist()) if p in set(pairs))
+    keys = spark.createDataFrame(pairs, "url string, lang string")
+    delete_by_key(spark, out, keys, key_cols=["url", "lang"])
+    got = spark.read.format("webcodec").option("path", out).load()
+    assert got.count() == t.num_rows - n_match
+    # rewrite materializes: destination carries no sidecars, same rows
+    dst = str(tmp_path / "dst")
+    rewrite_encoded(spark, out, dst, EncoderConfig())
+    snap = SnapshotTable(dst).read_snapshot()
+    assert all(not f.get("delete_files") for f in snap["files"])
+    back = spark.read.format("webcodec").option("path", dst).load()
+    assert back.count() == t.num_rows - n_match
+
+
+def test_expire_vacuums_orphaned_equality_sidecar(spark, tmp_path):
+    """Once no kept snapshot references an equality sidecar, the vacuum
+    removes the parquet DIRECTORY (directory-aware removal)."""
+    import time as _time
+
+    from webcodec.spark.maintenance import (
+        delete_by_key,
+        expire_snapshots,
+        rollback_to,
+    )
+
+    out, t = _make_table(spark, tmp_path, rows=500)          # snapshot 1
+    pre = SnapshotTable(out).current_snapshot_id()
+    keys = spark.createDataFrame(
+        [(u,) for u in t.column("url").to_pylist()[:5]], "url string")
+    res = delete_by_key(spark, out, keys, key_cols=["url"])  # snapshot 2
+    eq_dir = os.path.join(out, res["sidecar"])
+    assert os.path.isdir(eq_dir)
+    rollback_to(out, pre)                                    # snapshot 3 = state 1
+    past = _time.time() - 7_200
+    os.utime(eq_dir, (past, past))
+    for fn in os.listdir(eq_dir):
+        os.utime(os.path.join(eq_dir, fn), (past, past))
+    r = expire_snapshots(out, keep_last=1, grace_seconds=3_600)
+    assert not os.path.exists(eq_dir)
+    assert r["removed_delete_files"] >= 1
+    assert (spark.read.format("webcodec").option("path", out).load().count()
+            == t.num_rows)

@@ -87,17 +87,48 @@ def _arrow_type_of_spark(spark_type: str) -> pa.DataType:
     raise ValueError(f"unsupported Spark type string: {spark_type!r}")
 
 
-def load_delete_positions(delete_paths) -> "np.ndarray | None":
-    """Union of positional-delete sidecars (sorted int64 little-endian raw
-    bytes, one position per 8 bytes) — executor-side, O(deleted rows)."""
+def load_delete_positions(delete_paths, data=None) -> "np.ndarray | None":
+    """Union of merge-on-read delete sidecars as GLOBAL physical row
+    positions of one data file — executor-side.
+
+    Two sidecar kinds (Iceberg v2 delete-file analogues):
+    - positional (``*.bin``): sorted int64 little-endian raw bytes, one
+      position per 8 bytes — O(deleted rows) to load;
+    - equality (a parquet file or directory of parquet parts): the
+      sidecar's SCHEMA names the key columns; the data file's key columns
+      are decoded and every row whose key appears in the sidecar is dropped
+      (the read-time key-decode is the known equality-delete trade for the
+      O(1) write). Requires ``data`` — the ``.wcd`` path or its bytes.
+    """
     import numpy as np
 
     if not delete_paths:
         return None
     parts = []
+    eq_paths = []
     for p in delete_paths:
-        with open(p, "rb") as f:
-            parts.append(np.frombuffer(f.read(), dtype="<i8"))
+        if p.endswith(".bin"):
+            with open(p, "rb") as f:
+                parts.append(np.frombuffer(f.read(), dtype="<i8"))
+        else:
+            eq_paths.append(p)
+    if eq_paths:
+        import pyarrow.parquet as pq
+
+        from webcodec import filefmt
+
+        if data is None:
+            raise ValueError(
+                "equality-delete sidecars need the data file (path or bytes)"
+            )
+        for p in eq_paths:
+            keys = pq.read_table(p).to_pandas().drop_duplicates()
+            kcols = list(keys.columns)
+            fk = filefmt.read_table(data, columns=kcols, verify_crc=False).to_pandas()
+            fk["__pos"] = np.arange(len(fk), dtype="<i8")
+            hit = fk.merge(keys, on=kcols, how="inner")["__pos"].to_numpy()
+            if len(hit):
+                parts.append(hit.astype("<i8"))
     return np.unique(np.concatenate(parts)) if parts else None
 
 
@@ -121,7 +152,7 @@ def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
     cols_here = [c for c in want if c in present]
     t = filefmt.read_table(data, columns=cols_here, predicate=predicate,
                            row_range=row_range,
-                           drop_rows=load_delete_positions(delete_paths))
+                           drop_rows=load_delete_positions(delete_paths, data))
     if cols_here != want:
         arrays = []
         for name in want:

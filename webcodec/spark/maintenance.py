@@ -154,7 +154,7 @@ def delete_where(spark: SparkSession, table_dir: str, predicate) -> dict:
             for i in b.column("id").to_pylist():
                 pid, path, existing = bc.value[i]
                 pos = filefmt.match_positions(path, conjuncts)
-                prior = load_delete_positions(existing)
+                prior = load_delete_positions(existing, path)
                 if prior is not None:
                     pos = np.setdiff1d(pos, prior)  # already-deleted rows don't recount
                 if not len(pos):
@@ -188,6 +188,57 @@ def delete_where(spark: SparkSession, table_dir: str, predicate) -> dict:
                      operation="delete", materialize=False)
     return {"deleted_rows": total, "files_touched": len(updated),
             "snapshot_id": new["snapshot_id"]}
+
+
+def delete_by_key(
+    spark: SparkSession, table_dir: str, keys_df, key_cols: list[str]
+) -> dict:
+    """Equality deletes (Iceberg v2 equality-delete analogue): stage the
+    source's DISTINCT keys as ONE parquet sidecar and attach it to every
+    candidate entry — NO data scan at delete time, so the write cost is
+    O(keys) and constant in table size (the CDC / streaming-takedown
+    flavor). Readers decode only the key columns of each affected file and
+    drop matching rows inside the same keep-mask machinery as positional
+    deletes (the read-time key decode is the known equality-delete trade);
+    ``rewrite_encoded`` materializes them, ``compact`` refuses to
+    byte-merge affected files, and positional sidecars compose freely.
+
+    Prefer ``delete_where`` when the takedown is a predicate (write-time
+    scan, zero read-time overhead); use this when delete time must not
+    touch the data. ``deleted_rows`` in the manifest stays unchanged —
+    the match count is unknown without a scan (same Iceberg stance)."""
+    tbl = SnapshotTable(table_dir)
+    snap = tbl.read_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot in {table_dir}")
+    table_cols = {f["name"] for f in snap["schema"]}
+    missing = [k for k in key_cols if k not in table_cols]
+    if missing:
+        raise ValueError(f"key columns not in table schema: {missing}")
+    rel = os.path.join("deletes", f"eq-{uuid.uuid4().hex[:12]}")
+    keys_df.select(*key_cols).distinct().write.parquet(os.path.join(table_dir, rel))
+
+    candidates = snap["files"]
+    if len(key_cols) == 1:
+        from pyspark.sql import functions as F
+
+        k = key_cols[0]
+        lohi = keys_df.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).collect()[0]
+        if lohi["lo"] is not None:
+            candidates = tbl.data_files([(k, ">=", lohi["lo"]), (k, "<=", lohi["hi"])])
+    if not candidates:
+        return {"files_touched": 0, "snapshot_id": snap["snapshot_id"],
+                "sidecar": rel}
+    updated = []
+    for f in candidates:
+        e = dict(f)
+        e["delete_files"] = list(e.get("delete_files") or []) + [rel]
+        updated.append(e)
+    new = tbl.commit(updated, snap["schema"],
+                     properties=dict(snap.get("properties") or {}),
+                     operation="delete", materialize=False)
+    return {"files_touched": len(updated), "snapshot_id": new["snapshot_id"],
+            "sidecar": rel}
 
 
 def rollback_to(table_dir: str, snapshot_id: int) -> dict:
@@ -312,7 +363,7 @@ def upsert(
                         pos = np.unique(
                             fk.merge(keys, on=kcols, how="inner")["__pos"].to_numpy()
                         )
-                        prior = load_delete_positions(existing)
+                        prior = load_delete_positions(existing, path)
                         if prior is not None:
                             pos = np.setdiff1d(pos, prior)
                         if not len(pos):
@@ -405,7 +456,7 @@ def rewrite_encoded(
                 # merge-on-read deletes MATERIALIZE here: the rewritten file
                 # contains only live rows and carries no sidecars
                 table = filefmt.read_table(path, columns=cols, predicate=predicate,
-                                           drop_rows=load_delete_positions(dels))
+                                           drop_rows=load_delete_positions(dels, path))
                 if table.num_rows == 0:
                     continue
                 yield from _write_one(
@@ -574,7 +625,12 @@ def expire_snapshots(
             fpath = os.path.join(del_dir, fn)
             try:
                 if rel not in referenced and os.path.getmtime(fpath) < age_bar:
-                    os.remove(fpath)
+                    if os.path.isdir(fpath):  # equality-delete parquet dir
+                        import shutil
+
+                        shutil.rmtree(fpath)
+                    else:
+                        os.remove(fpath)
                     removed_deletes += 1
             except OSError:
                 pass
