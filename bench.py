@@ -212,12 +212,18 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
 
     # -- clustered mode (north_rule skew path: salted domain clustering via
     #    the Arrow-native two-phase shuffle, zero JVM transfer) --
-    t0 = time.perf_counter()
-    encode_table(
-        df, os.path.join(work, "wp_clustered"), url_col="url", mode="clustered",
-        config=EncoderConfig.speed(), write_metrics=False, **split_kw,
-    )
-    queries["encode_webpages_clustered"] = time.perf_counter() - t0
+    def run_clustered(r):
+        import shutil
+
+        d = os.path.join(work, "wp_clustered")
+        if r:  # re-encode fresh; keep the final table for the size extra
+            shutil.rmtree(d, ignore_errors=True)
+        encode_table(
+            df, d, url_col="url", mode="clustered",
+            config=EncoderConfig.speed(), write_metrics=False, **split_kw,
+        )
+
+    queries["encode_webpages_clustered"] = best_of(run_clustered, 2)
     extras["encode_clustered_gbps"] = raw_bytes / queries["encode_webpages_clustered"] / 1e9
     snap_cl = SnapshotTable(os.path.join(work, "wp_clustered")).read_snapshot()
     extras["clustered_compressed_bytes"] = snap_cl["total_compressed_bytes"]
@@ -225,12 +231,22 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
     # -- salted-repartition mode (pure Spark-shuffle reference point;
     #    explicit opt-in — bridge-bound, kept for comparison) --
     n_parts = max(4 * cpus, 16)
-    t0 = time.perf_counter()
-    encode_table(
-        df, os.path.join(work, "wp_salted"), url_col="url", mode="salted",
-        config=EncoderConfig.speed(), num_partitions=n_parts, write_metrics=False,
-    )
-    queries["encode_webpages_salted"] = time.perf_counter() - t0
+
+    def run_salted(r):
+        import shutil
+
+        d = os.path.join(work, "wp_salted")
+        if r:
+            shutil.rmtree(d, ignore_errors=True)
+        encode_table(
+            df, d, url_col="url", mode="salted",
+            config=EncoderConfig.speed(), num_partitions=n_parts,
+            write_metrics=False,
+        )
+
+    # shuffle-bound and noisy run-to-run: report the best of 2 like the
+    # other encode paths instead of a single draw
+    queries["encode_webpages_salted"] = best_of(run_salted, 2)
     extras["encode_salted_gbps"] = raw_bytes / queries["encode_webpages_salted"] / 1e9
 
     # -- decode webpages (full-materialization agg) --

@@ -324,3 +324,26 @@ def test_rollback_missing_snapshot_raises(tmp_path):
     tbl.init()
     with pytest.raises(FileNotFoundError, match="snapshot 7"):
         rollback_to(str(tmp_path / "t"), 7)
+
+
+def test_history_audit_log(spark, tmp_path):
+    """history() narrates the table's life: append -> delete -> upsert ->
+    rollback, O(pointer files) only."""
+    from webcodec.fixtures import webpages as _wp
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.maintenance import delete_where, rollback_to
+
+    spark.dataSource.register(WebcodecDataSource)
+    out = str(tmp_path / "t")
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(_wp(800), src)
+    df = spark.read.parquet(src)
+    df.write.format("webcodec").mode("append").option("path", out).save()
+    delete_where(spark, out, ("lang", "==", "en"))
+    rollback_to(out, 1)
+    h = SnapshotTable(out).history()
+    assert [r["snapshot_id"] for r in h] == [1, 2, 3]
+    assert [r["operation"] for r in h] == ["append", "delete", "rollback"]
+    assert h[2]["rolled_back_to"] == 1
+    assert h[0]["total_rows"] == 800 and h[2]["total_rows"] == 800
+    assert all(r["committed_at"] for r in h)

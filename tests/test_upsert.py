@@ -147,3 +147,50 @@ def test_stream_rejects_upsert_commit(spark, tmp_path):
         run()
     run(ignore=True)  # opt-in skip: no duplicate delivery, no crash
     assert spark.read.parquet(sink).count() == t.num_rows
+
+
+def test_streaming_cdc_upsert_foreachbatch(spark, tmp_path):
+    """CDC-style streaming MERGE: a change stream applies via
+    foreachBatch -> latest-change-per-key dedup -> atomic upsert. One
+    snapshot per microbatch; final state = changes applied in version
+    order regardless of how files batch together."""
+    from pyspark.sql import Window, functions as F
+
+    out, t = _make_table(spark, tmp_path, rows=500)
+    cdc = str(tmp_path / "cdc")
+    os.makedirs(cdc)
+    urls = list(dict.fromkeys(t.column("url").to_pylist()))[:20]
+    ts0 = t.column("warc_ts")[0].as_py()
+
+    def change(u, txt, ver):
+        return {"url": u, "warc_ts": ts0, "html": b"", "text": txt,
+                "lang": "cdc", "ver": ver}
+
+    rows = [change(u, "v1", 1) for u in urls]
+    rows += [change(u, "v2", 2) for u in urls[:10]]
+    import pandas as pd
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(
+        os.path.join(cdc, "changes"), mode="overwrite")
+
+    schema = spark.read.parquet(os.path.join(cdc, "changes")).schema
+    stream = spark.readStream.schema(schema).parquet(os.path.join(cdc, "changes"))
+
+    def apply_batch(df, _bid):
+        w = Window.partitionBy("url").orderBy(F.desc("ver"))
+        latest = (df.withColumn("rn", F.row_number().over(w))
+                  .filter("rn = 1").drop("rn", "ver"))
+        if latest.count():
+            upsert(spark, out, latest, key_cols=["url"])
+
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.format("webcodec").option("path", out).load()
+    cdc_rows = got.filter("lang = 'cdc'")
+    assert cdc_rows.count() == 20  # one surviving row per changed key
+    by_text = {r["text"]: r["cnt"] for r in
+               cdc_rows.groupBy("text").agg(F.count("*").alias("cnt")).collect()}
+    assert by_text == {"v2": 10, "v1": 10}
+    assert got.filter(got.url.isin(urls)).filter("lang <> 'cdc'").count() == 0

@@ -117,6 +117,38 @@ class SnapshotTable:
         snap["files"] = sorted(merged.values(), key=lambda f: f["partition_id"])
         return snap
 
+    def history(self) -> list[dict]:
+        """Audit log of surviving snapshots, oldest first (DESCRIBE HISTORY
+        analogue): id, parent, operation, commit time, totals, and which ids
+        a rollback restored — reads only the O(#snapshots) pointer files,
+        never manifests or data."""
+        try:
+            ids = sorted(
+                int(fn[len("snapshot-"):-len(".json")])
+                for fn in os.listdir(self.meta_dir)
+                if fn.startswith("snapshot-") and fn.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+        out = []
+        for sid in ids:
+            s = self.read_snapshot_meta(sid)
+            if s is None:
+                continue
+            row = {
+                "snapshot_id": sid,
+                "parent_id": s.get("parent_id"),
+                "operation": s.get("operation", "append"),
+                "committed_at": s.get("committed_at"),
+                "total_rows": s.get("total_rows"),
+                "total_compressed_bytes": s.get("total_compressed_bytes"),
+            }
+            rb = (s.get("properties") or {}).get("rolled_back_to")
+            if rb is not None:
+                row["rolled_back_to"] = rb
+            out.append(row)
+        return out
+
     def _max_snapshot_id(self) -> int | None:
         """Highest snapshot id ON DISK (the concurrency source of truth —
         the ``current`` pointer may lag a writer that hasn't flipped yet)."""
