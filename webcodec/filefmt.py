@@ -1227,17 +1227,41 @@ def _bloom_may_contain(pc_chunk: dict, values) -> bool:
     )
 
 
-def match_positions(source: str | bytes | memoryview, predicate) -> "np.ndarray":
+def match_positions(
+    source: str | bytes | memoryview, predicate, aliases=None
+) -> "np.ndarray":
     """GLOBAL row positions matching ``predicate`` (webcodec.predicate
     algebra) — the produce side of merge-on-read deletes: a delete job
     records these positions in a sidecar instead of rewriting the file.
     Decodes only the predicate's columns, whole file (positions must index
-    the physical row space, so no pruning shortcuts)."""
+    the physical row space, so no pruning shortcuts). ``aliases`` (current
+    name -> older names) localizes renamed columns to this file's chunk
+    names; a column with no chunk here (added after the file) matches as
+    all-null — no positions."""
     from webcodec import predicate as predmod
 
     conjuncts = predmod.normalize(predicate)
     if conjuncts is None:
         raise ValueError("match_positions requires a predicate")
+    if aliases:
+        from webcodec.spark.decode_job import _chunk_names, local_names
+
+        src = source if isinstance(source, str) else memoryview(source)
+        lmap = local_names(
+            _chunk_names(src), [c for c, _, _ in conjuncts], aliases
+        )
+        localized = []
+        for c, op, v in conjuncts:
+            if c in lmap:
+                localized.append((lmap[c], op, v))
+            elif op == "isnull":
+                continue  # column added after this file: all-null, all match
+            else:
+                return np.empty(0, dtype=np.int64)  # all-null matches nothing
+        if not localized:
+            footer = read_footer_path(src) if isinstance(src, str) else read_footer(src)
+            return np.arange(int(footer["num_rows"]), dtype=np.int64)
+        conjuncts = localized
     cols = sorted({c for c, _, _ in conjuncts})
     t = read_table(source, columns=cols, verify_crc=False)
     mask = predmod.match_mask(t, conjuncts)

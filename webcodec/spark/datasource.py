@@ -114,6 +114,17 @@ class WebcodecReader(DataSourceReader):
             options.get("target_split_bytes", 128 * 1024 * 1024)
         )
         self.predicate: list[tuple] | None = None
+        # rename provenance (current name -> older chunk names), resolved
+        # driver-side at plan time and shipped to executors with the reader
+        try:
+            from webcodec.spark.table import SnapshotTable
+
+            snap = SnapshotTable(self.table_dir).read_snapshot_meta(self.snapshot_id)
+            self.aliases = {f["name"]: f["renamed_from"]
+                            for f in (snap or {}).get("schema") or []
+                            if f.get("renamed_from")}
+        except OSError:
+            self.aliases = {}
 
     def partitions(self):
         from webcodec.spark.decode_job import plan_decode_splits
@@ -146,7 +157,7 @@ class WebcodecReader(DataSourceReader):
         )
         yield from decode_file_evolved(
             partition.path, want, self.types, self.predicate, row_range=rng,
-            delete_paths=partition.deletes,
+            delete_paths=partition.deletes, aliases=self.aliases,
         )
 
 

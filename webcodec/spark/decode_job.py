@@ -87,7 +87,35 @@ def _arrow_type_of_spark(spark_type: str) -> pa.DataType:
     raise ValueError(f"unsupported Spark type string: {spark_type!r}")
 
 
-def load_delete_positions(delete_paths, data=None) -> "np.ndarray | None":
+def local_names(present, names, aliases) -> dict:
+    """Map each CURRENT column name to the name its chunk carries in one
+    specific file — identity when present, else the newest resolvable entry
+    of its rename chain (``aliases``: current name -> older names, oldest
+    first). Names unresolvable in this file are absent from the result."""
+    out = {}
+    for n in names:
+        if n in present:
+            out[n] = n
+            continue
+        for old in reversed(list((aliases or {}).get(n) or ())):
+            if old in present:
+                out[n] = old
+                break
+    return out
+
+
+def _chunk_names(data) -> set:
+    """Top-level chunk names of a .wcd file (path or bytes)."""
+    from webcodec import filefmt
+
+    if isinstance(data, str):
+        footer = filefmt.read_footer_path(data)
+    else:
+        footer = filefmt.read_footer(memoryview(data))
+    return {c["name"] for c in (footer.get("groups") or [footer])[0]["chunks"]}
+
+
+def load_delete_positions(delete_paths, data=None, aliases=None) -> "np.ndarray | None":
     """Union of merge-on-read delete sidecars as GLOBAL physical row
     positions of one data file — executor-side.
 
@@ -121,10 +149,19 @@ def load_delete_positions(delete_paths, data=None) -> "np.ndarray | None":
             raise ValueError(
                 "equality-delete sidecars need the data file (path or bytes)"
             )
+        present = _chunk_names(data)
         for p in eq_paths:
             keys = pq.read_table(p).to_pandas().drop_duplicates()
             kcols = list(keys.columns)
-            fk = filefmt.read_table(data, columns=kcols, verify_crc=False).to_pandas()
+            # renamed key columns: read this file's local chunk names; a key
+            # column with no chunk here (added later) can never match
+            lmap = local_names(present, kcols, aliases)
+            if len(lmap) != len(kcols):
+                continue
+            fk = filefmt.read_table(
+                data, columns=[lmap[k] for k in kcols], verify_crc=False
+            ).to_pandas()
+            fk.columns = kcols
             fk["__pos"] = np.arange(len(fk), dtype="<i8")
             hit = fk.merge(keys, on=kcols, how="inner")["__pos"].to_numpy()
             if len(hit):
@@ -135,29 +172,42 @@ def load_delete_positions(delete_paths, data=None) -> "np.ndarray | None":
 def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
                         predicate, batch_rows: int = 8_192,
                         row_range: tuple[int, int] | None = None,
-                        delete_paths=()):
-    """Decode one .wcd file to Arrow batches with Iceberg add-column
+                        delete_paths=(), aliases=None):
+    """Decode one .wcd file to Arrow batches with Iceberg schema-evolution
     semantics: columns added to the table AFTER this file was written decode
-    as nulls (``types`` maps column name -> Spark type string). Shared by the
-    job reader and the DataSource reader (executor-side). ``row_range``
+    as nulls, and columns RENAMED after it was written decode from their
+    old chunk name (``aliases`` maps current name -> older names, newest
+    last; predicates on a renamed column translate to the file-local name).
+    ``types`` maps column name -> Spark type string. Shared by the job
+    reader and the DataSource reader (executor-side). ``row_range``
     restricts decode to a half-open row slice — intra-file parallelism for
     large files (page-level skip keeps IO proportional to the slice).
-    ``delete_paths``: merge-on-read positional-delete sidecars to subtract."""
+    ``delete_paths``: merge-on-read delete sidecars to subtract."""
     from webcodec import filefmt
 
     with open(path, "rb") as f:
         data = f.read()
     footer = filefmt.read_footer(memoryview(data))
     present = {c["name"] for c in (footer.get("groups") or [footer])[0]["chunks"]}
-    cols_here = [c for c in want if c in present]
-    t = filefmt.read_table(data, columns=cols_here, predicate=predicate,
-                           row_range=row_range,
-                           drop_rows=load_delete_positions(delete_paths, data))
+    from webcodec import predicate as predmod
+
+    conj = predmod.normalize(predicate) if predicate is not None else None
+    pred_cols = [c for c, _, _ in conj] if conj else []
+    # current -> file-local chunk name, covering projection AND predicate
+    local_of = local_names(
+        present, list(dict.fromkeys([*want, *pred_cols])), aliases
+    )
+    if conj and any(local_of.get(c, c) != c for c in pred_cols):
+        predicate = [(local_of.get(c, c), op, v) for c, op, v in conj]
+    cols_here = [local_of[c] for c in want if c in local_of]
+    t = filefmt.read_table(
+        data, columns=cols_here, predicate=predicate, row_range=row_range,
+        drop_rows=load_delete_positions(delete_paths, data, aliases=aliases))
     if cols_here != want:
         arrays = []
         for name in want:
-            if name in present:
-                arrays.append(t.column(name))
+            if name in local_of:
+                arrays.append(t.column(local_of[name]))
             else:
                 at = _arrow_type_of_spark(types.get(name, "string"))
                 arrays.append(pa.nulls(t.num_rows, type=at))
@@ -276,6 +326,9 @@ def read_encoded(
     # the pattern is exactly how a 100-TB listing should ship anyway)
     bc = spark.sparkContext.broadcast(splits)
 
+    aliases = {f["name"]: f["renamed_from"] for f in snap["schema"]
+               if f.get("renamed_from")}
+
     def decode_fn(batches):
         sps = bc.value
         for b in batches:
@@ -284,7 +337,7 @@ def read_encoded(
                 rng = (lo, hi) if lo >= 0 else None
                 yield from decode_file_evolved(
                     path, want, types, predicate, batch_rows, row_range=rng,
-                    delete_paths=dels,
+                    delete_paths=dels, aliases=aliases,
                 )
 
     pdf = spark.range(0, len(splits), 1, len(splits))

@@ -37,6 +37,14 @@ def _merged_stats(entries: list[dict]) -> dict:
     return out
 
 
+def _aliases_of(snap: dict) -> dict:
+    """Rename provenance map (current name -> older chunk names) of a
+    snapshot's schema — threaded into every file-scanning op so predicates
+    and keys localize against pre-rename files."""
+    return {f["name"]: f["renamed_from"] for f in snap.get("schema") or []
+            if f.get("renamed_from")}
+
+
 def compact(table_dir: str, target_bytes: int = 128 << 20) -> dict:
     """Merge small files into ~target_bytes files WITHOUT re-encoding
     (byte-level page copy + footer merge), then commit a new snapshot.
@@ -136,6 +144,7 @@ def delete_where(spark: SparkSession, table_dir: str, predicate) -> dict:
                 "snapshot_id": snap["snapshot_id"]}
     del_dir = os.path.join(table_dir, "deletes")
     os.makedirs(del_dir, exist_ok=True)
+    aliases = _aliases_of(snap)
     items = [
         (f["partition_id"], os.path.join(table_dir, f["path"]),
          tuple(os.path.join(table_dir, d) for d in f.get("delete_files") or ()))
@@ -153,8 +162,8 @@ def delete_where(spark: SparkSession, table_dir: str, predicate) -> dict:
         for b in batches:
             for i in b.column("id").to_pylist():
                 pid, path, existing = bc.value[i]
-                pos = filefmt.match_positions(path, conjuncts)
-                prior = load_delete_positions(existing, path)
+                pos = filefmt.match_positions(path, conjuncts, aliases=aliases)
+                prior = load_delete_positions(existing, path, aliases=aliases)
                 if prior is not None:
                     pos = np.setdiff1d(pos, prior)  # already-deleted rows don't recount
                 if not len(pos):
@@ -188,6 +197,60 @@ def delete_where(spark: SparkSession, table_dir: str, predicate) -> dict:
                      operation="delete", materialize=False)
     return {"deleted_rows": total, "files_touched": len(updated),
             "snapshot_id": new["snapshot_id"]}
+
+
+def rename_column(table_dir: str, old: str, new: str) -> dict:
+    """Metadata-only column rename (Iceberg ALTER COLUMN RENAME analogue):
+    a new snapshot records ``renamed_from`` provenance; no data IO. Readers
+    resolve the new name against old files' chunk names through the alias
+    chain, predicates translate per file, and later appends carry the
+    provenance forward automatically. Running streams keep their load-time
+    schema — restart them to pick up the rename (the standard stance)."""
+    tbl = SnapshotTable(table_dir)
+    snap = tbl.read_snapshot_meta()
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot in {table_dir}")
+    names = [f["name"] for f in snap["schema"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} in table schema {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if new in (snap.get("dropped_columns") or []):
+        raise ValueError(
+            f"column {new!r} was dropped from this table; renaming onto it "
+            "would resurrect stale chunk data from pre-drop files"
+        )
+    schema = []
+    for f in snap["schema"]:
+        if f["name"] == old:
+            f = {**f, "name": new,
+                 "renamed_from": list(f.get("renamed_from") or []) + [old]}
+        schema.append(f)
+    return tbl.commit_metadata(schema, operation="schema")
+
+
+def drop_column(table_dir: str, name: str) -> dict:
+    """Metadata-only column drop: the column (and its whole rename chain)
+    leaves the schema and joins the tombstone list; data files keep their
+    chunks — reads simply never project them, and ``rewrite_encoded``
+    physically removes them. Re-adding a tombstoned name is refused at
+    commit time (pre-field-id stance: old files would resurrect stale
+    values instead of nulls)."""
+    tbl = SnapshotTable(table_dir)
+    snap = tbl.read_snapshot_meta()
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot in {table_dir}")
+    entry = next((f for f in snap["schema"] if f["name"] == name), None)
+    if entry is None:
+        raise ValueError(f"no column {name!r} in table schema")
+    schema = [f for f in snap["schema"] if f["name"] != name]
+    if not schema:
+        raise ValueError("cannot drop the last column")
+    dropped = list(snap.get("dropped_columns") or [])
+    dropped += [name, *(entry.get("renamed_from") or [])]
+    return tbl.commit_metadata(
+        schema, dropped_columns=sorted(set(dropped)), operation="schema"
+    )
 
 
 def delete_by_key(
@@ -343,6 +406,7 @@ def upsert(
         if items:
             bc = spark.sparkContext.broadcast(items)
             kcols = list(key_cols)
+            aliases = _aliases_of(snap)
 
             def find_fn(batches):
                 import numpy as np
@@ -350,20 +414,32 @@ def upsert(
                 import pyarrow.parquet as pq
 
                 from webcodec import filefmt
-                from webcodec.spark.decode_job import load_delete_positions
+                from webcodec.spark.decode_job import (
+                    _chunk_names,
+                    load_delete_positions,
+                    local_names,
+                )
 
                 keys = pq.read_table(keys_dir, columns=kcols).to_pandas()
                 for b in batches:
                     for i in b.column("id").to_pylist():
                         pid, path, existing = bc.value[i]
+                        # renamed key columns localize to this file's chunk
+                        # names; a key column with no chunk (added later)
+                        # can never match -> skip the file
+                        lmap = local_names(_chunk_names(path), kcols, aliases)
+                        if len(lmap) != len(kcols):
+                            continue
                         fk = filefmt.read_table(
-                            path, columns=kcols, verify_crc=False
+                            path, columns=[lmap[k] for k in kcols],
+                            verify_crc=False,
                         ).to_pandas()
+                        fk.columns = kcols
                         fk["__pos"] = np.arange(len(fk), dtype="<i8")
                         pos = np.unique(
                             fk.merge(keys, on=kcols, how="inner")["__pos"].to_numpy()
                         )
-                        prior = load_delete_positions(existing, path)
+                        prior = load_delete_positions(existing, path, aliases=aliases)
                         if prior is not None:
                             pos = np.setdiff1d(pos, prior)
                         if not len(pos):
@@ -441,6 +517,7 @@ def rewrite_encoded(
     ]
     data_dir = dst.data_dir
     cols = columns
+    aliases = _aliases_of(snap)
 
     bc = spark.sparkContext.broadcast(paths)
 
@@ -455,8 +532,9 @@ def rewrite_encoded(
                 pid, path, dels = items[i]
                 # merge-on-read deletes MATERIALIZE here: the rewritten file
                 # contains only live rows and carries no sidecars
-                table = filefmt.read_table(path, columns=cols, predicate=predicate,
-                                           drop_rows=load_delete_positions(dels, path))
+                table = filefmt.read_table(
+                    path, columns=cols, predicate=predicate,
+                    drop_rows=load_delete_positions(dels, path, aliases=aliases))
                 if table.num_rows == 0:
                     continue
                 yield from _write_one(

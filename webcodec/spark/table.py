@@ -243,6 +243,30 @@ class SnapshotTable:
                 if parent_id not in migrated:
                     migrated[parent_id] = self._write_manifest(parent["files"])
                 parent["manifests"] = [migrated[parent_id]]
+            # schema-evolution bookkeeping survives ordinary commits: carry
+            # forward rename provenance by column name, and refuse to re-add
+            # a DROPPED name — old files still hold its chunks, so re-adding
+            # would resurrect stale values instead of nulls (the pre-field-id
+            # limitation; rename to a fresh name or rewrite the table)
+            dropped = list((parent or {}).get("dropped_columns") or [])
+            if dropped:
+                clash = [f["name"] for f in schema if f["name"] in set(dropped)]
+                if clash:
+                    raise ValueError(
+                        f"column(s) {clash} were dropped from this table; "
+                        "re-adding the same name would resurrect stale chunk "
+                        "data from pre-drop files — use a new name or "
+                        "rewrite_encoded"
+                    )
+            if parent is not None:
+                pschema = {f["name"]: f for f in parent.get("schema") or []}
+                merged_schema = []
+                for f in schema:
+                    pf = pschema.get(f["name"])
+                    if pf and pf.get("renamed_from") and not f.get("renamed_from"):
+                        f = {**f, "renamed_from": list(pf["renamed_from"])}
+                    merged_schema.append(f)
+                schema = merged_schema
             if parent is None or replace:
                 if is_delete and entries and shard is None:
                     shard = self._write_manifest(entries)
@@ -308,6 +332,7 @@ class SnapshotTable:
                 "operation": operation or ("replace" if replace else "append"),
                 "committed_at": time.time(),
                 "schema": schema,
+                "dropped_columns": dropped,
                 "properties": properties or {},
                 "manifests": manifests,
                 "total_rows": int(rows),
@@ -330,6 +355,66 @@ class SnapshotTable:
             os.unlink(tmp)
             self._advance_current(new_id)
             return self.read_snapshot(new_id) if materialize else snap
+        raise RuntimeError("snapshot commit contention: 100 retries exhausted")
+
+    def commit_metadata(
+        self,
+        schema: list[dict],
+        dropped_columns: list[str] | None = None,
+        operation: str = "schema",
+    ) -> dict:
+        """Metadata-only commit (rename/drop column): a new snapshot reusing
+        the parent's manifest shards and totals verbatim — O(1), no data IO.
+        ``dropped_columns`` REPLACES the tombstone list when given (callers
+        must include the parent's tombstones they want kept)."""
+        for _attempt in range(100):
+            parent_id = self._max_snapshot_id()
+            parent = (
+                self.read_snapshot_meta(parent_id) if parent_id is not None else None
+            )
+            if parent is None:
+                raise FileNotFoundError(f"no snapshot in {self.table_dir}")
+            if "files" in parent:  # legacy inline: consolidate once
+                manifests = [
+                    self._write_manifest(
+                        sorted(parent["files"], key=lambda f: f["partition_id"])
+                    )
+                ]
+            else:
+                manifests = list(parent["manifests"])
+            dropped = (
+                list(dropped_columns)
+                if dropped_columns is not None
+                else list(parent.get("dropped_columns") or [])
+            )
+            new_id = (parent_id or 0) + 1
+            snap = {
+                "snapshot_id": new_id,
+                "parent_id": parent_id,
+                "operation": operation,
+                "committed_at": time.time(),
+                "schema": schema,
+                "dropped_columns": dropped,
+                "properties": dict(parent.get("properties") or {}),
+                "manifests": manifests,
+                "total_rows": int(parent["total_rows"]),
+                "total_raw_bytes": int(parent["total_raw_bytes"]),
+                "total_compressed_bytes": int(parent["total_compressed_bytes"]),
+            }
+            final = os.path.join(self.meta_dir, f"snapshot-{new_id}.json")
+            tmp = os.path.join(
+                self.meta_dir, f".snapshot-{new_id}-{uuid.uuid4().hex}.tmp"
+            )
+            with open(tmp, "w") as f:
+                json.dump(snap, f)
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue
+            os.unlink(tmp)
+            self._advance_current(new_id)
+            return snap
         raise RuntimeError("snapshot commit contention: 100 retries exhausted")
 
     def rollback_to(self, snapshot_id: int) -> dict:
