@@ -9,7 +9,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from webcodec.kernels import bitpack, bss, delta, deltalength, dictionary, fsst, plain, prefix, rle
+from webcodec.kernels import alp, bitpack, bss, delta, deltalength, dictionary, fsst, plain, prefix, rle
 from webcodec.kernels.varint import read_uvarint, write_uvarint
 from webcodec.types import IS_VARLEN, NUMPY_OF, Encoding, PhysType, widened
 
@@ -192,6 +192,8 @@ def encode_values(
         return delta.encode(v.view(np.int64) if v.dtype.itemsize == 8 else v.astype(np.int64))
     if encoding == Encoding.BYTE_STREAM_SPLIT:
         return bss.encode(v)
+    if encoding == Encoding.ALP:
+        return alp.encode(v)
     if encoding == Encoding.RLE:
         u = v.astype(np.int64).view(np.uint64)
         width = bitpack.max_bit_width(u)
@@ -278,6 +280,8 @@ def decode_values(
         v = v.view(dt) if dt.itemsize == 8 else v.astype(dt)
     elif encoding == Encoding.BYTE_STREAM_SPLIT:
         v = bss.decode(data, dt, n)
+    elif encoding == Encoding.ALP:
+        v = alp.decode(data, dt, n)
     elif encoding == Encoding.RLE:
         buf = memoryview(data)
         width = buf[0]

@@ -29,7 +29,7 @@ class EncoderConfig:
     binary_compression_level: int | None = None
     # Per-column encoding override, mirrors pyarrow ``column_encoding``
     # values: plain|rle|dict|delta_binary_packed|delta_length|delta_byte_array|
-    #         byte_stream_split|fsst|auto
+    #         byte_stream_split|fsst|alp|auto
     column_encoding: str | dict[str, str] = "auto"
     # FSST
     use_fsst: bool = True

@@ -1,0 +1,232 @@
+"""ALP: adaptive lossless floating-point compression (public algorithm —
+Afroozeh & Boncz, "ALP: Adaptive Lossless floating-Point Compression",
+SIGMOD 2023; also the BtrBlocks FP stance).
+
+Two internal modes behind one ``Encoding.ALP`` byte stream, chosen per page
+from the data itself:
+
+- **mode 0 (ALP "decimal")**: find exponents ``(e, f)`` on a sample such
+  that ``digits = round(x * 10^e / 10^f)`` round-trips through the EXACT
+  decode expression ``(digits * 10^f) / 10^e`` (float64 division — a single
+  rounding, unlike multiply-by-reciprocal which double-rounds). The int64
+  digits then ride the existing FOR+delta+bit-pack kernel
+  (:mod:`webcodec.kernels.delta`) — 2-decimal telemetry packs to ~2 B/value
+  vs ~5.6 B/value for BYTE_STREAM_SPLIT+zstd (measured on the events
+  table). Values the expression cannot reproduce bit-identically (NaN, inf,
+  sign-of-zero changes, overflow, foreign rounding) are patched exceptions:
+  positions + raw IEEE bytes.
+- **mode 1 (ALP-RD, "real doubles")**: when >20 % of values are
+  exceptions, or the best decimal pair needs close to the full IEEE width
+  anyway (random mantissas "round-trip" through e=18 by double-rounding
+  luck at ~63 digit bits/value), bit-split each value at ``r``: the right ``r`` mantissa bits
+  pack raw (they are incompressible), the left ``width-r`` bits (sign +
+  exponent + top mantissa) dictionary-code to <=8 entries chosen on a
+  sample, with position+left-bits exceptions for misses. ~55 bits/double on
+  random data vs 64 pre-codec, and still ~4-6 % under BSS+zstd post-codec.
+
+Both modes verify with the decode expression at encode time, so decode is
+bit-identical by construction for EVERY input — ALP is total on floats.
+
+Layout (little-endian; ``uvarint`` from :mod:`webcodec.kernels.varint`):
+
+mode 0: u8 0 | u8 e | u8 f | uvarint n_exc
+        [n_exc>0: uvarint len(pos) | delta(pos) | n_exc raw values]
+        | delta(digits)
+mode 1: u8 1 | u8 r | u8 code_width | u8 dict_size | dict_size * u64 lefts
+        | uvarint n_exc [n_exc>0: uvarint len(pos) | delta(pos)
+        | n_exc * u64 left] | uvarint len(codes) | bitpack(codes)
+        | bitpack(right, r)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from webcodec.kernels import bitpack, delta
+from webcodec.kernels.varint import read_uvarint, write_uvarint
+
+_MAX_E = {8: 18, 4: 10}  # 10^18 < 2^63; 10^10 covers float32 precision
+_RD_R = {8: range(40, 57), 4: range(16, 29)}  # right-bit-width search space
+_UINT = {8: np.uint64, 4: np.uint32}
+_RD_DICT_MAX = 8  # paper stance: left dictionary capped at 8 entries
+
+
+def _roundtrip(digits: np.ndarray, e: int, f: int, dtype: np.dtype) -> np.ndarray:
+    """THE decode expression (shared verbatim by encode-verify and decode)."""
+    back = (digits * (10.0 ** f)) / (10.0 ** e)
+    return back.astype(dtype) if dtype == np.float32 else back
+
+
+def _sample(x: np.ndarray, k: int = 512) -> np.ndarray:
+    return x[:: max(1, len(x) // k)][:k]
+
+
+def _find_ef(x: np.ndarray, dtype: np.dtype) -> tuple[int, int, float]:
+    """Best (e, f) on a sample: all pairs scored vectorized — exceptions cost
+    raw bytes, conforming values cost the digit-range bit width."""
+    s = _sample(x).astype(np.float64)
+    max_e = _MAX_E[dtype.itemsize]
+    pairs = [(e, f) for e in range(max_e + 1) for f in range(e + 1)]
+    scale = np.array([10.0 ** e / 10.0 ** f for e, f in pairs])
+    with np.errstate(over="ignore", invalid="ignore"):
+        dig = np.round(s[:, None] * scale[None, :])
+        ok = np.isfinite(dig) & (np.abs(dig) < 2.0 ** 62)
+        digz = np.where(ok, dig, 0.0)
+        fs = np.array([float(f) for _, f in pairs])
+        es = np.array([float(e) for e, _ in pairs])
+        back = (digz * 10.0 ** fs[None, :]) / (10.0 ** es[None, :])
+    if dtype == np.float32:
+        back = back.astype(np.float32).astype(np.float64)
+    exact = ok & (back == s[:, None]) & (np.signbit(back) == np.signbit(s)[:, None])
+    n = len(s)
+    n_exc = n - exact.sum(axis=0)
+    lo = np.where(exact, digz, np.inf).min(axis=0)
+    hi = np.where(exact, digz, -np.inf).max(axis=0)
+    span = np.where(hi >= lo, hi - lo, 0.0)
+    width = np.ceil(np.log2(np.maximum(span, 1.0) + 1.0))
+    bits = n_exc * (dtype.itemsize + 4) * 8 + (n - n_exc) * width
+    i = int(np.argmin(bits))
+    e, f = pairs[i]
+    return e, f, float(n_exc[i]) / max(n, 1), float(bits[i]) / max(n, 1)
+
+
+def _exc_block(pos: np.ndarray) -> bytes:
+    enc = delta.encode(pos.astype(np.int64))
+    return write_uvarint(len(enc)) + enc
+
+
+def _read_exc_block(buf: memoryview, pos: int, n_exc: int) -> tuple[np.ndarray, int]:
+    ln, pos = read_uvarint(buf, pos)
+    positions = delta.decode(buf[pos : pos + ln], n_exc)
+    return positions, pos + ln
+
+
+def _encode_decimal(x: np.ndarray, e: int, f: int) -> tuple[bytes, int]:
+    dtype = x.dtype
+    dig = np.round(x.astype(np.float64) * (10.0 ** e / 10.0 ** f))
+    finite = np.isfinite(dig) & (np.abs(dig) < 2.0 ** 62)
+    digits = np.where(finite, dig, 0.0).astype(np.int64)
+    back = _roundtrip(digits, e, f, dtype)
+    exact = finite & (back == x) & (np.signbit(back) == np.signbit(x))
+    exc_pos = np.flatnonzero(~exact)
+    np.copyto(digits, 0, where=~exact)  # keep the FOR range tight
+    out = [bytes([0, e, f]), write_uvarint(len(exc_pos))]
+    if len(exc_pos):
+        out.append(_exc_block(exc_pos))
+        out.append(x[exc_pos].tobytes())
+    out.append(delta.encode(digits))
+    return b"".join(out), len(exc_pos)
+
+
+def _rd_pick_r(u: np.ndarray, itemsize: int) -> tuple[int, int]:
+    """(r, code_width) minimizing estimated bits on a sample."""
+    s = _sample(u)
+    n = len(s)
+    best = None
+    for r in _RD_R[itemsize]:
+        left = s >> np.uint64(r)
+        _, cnt = np.unique(left, return_counts=True)
+        cnt[::-1].sort()
+        ds = min(_RD_DICT_MAX, len(cnt))
+        cw = max(1, int(np.ceil(np.log2(max(ds, 2)))))
+        n_exc = int(n - cnt[:ds].sum())
+        bits = n * (r + cw) + n_exc * (32 + 64)
+        if best is None or bits < best[0]:
+            best = (bits, r, cw)
+    return best[1], best[2]
+
+
+def _encode_rd(x: np.ndarray) -> bytes:
+    itemsize = x.dtype.itemsize
+    u = x.view(_UINT[itemsize]).astype(np.uint64)
+    n = len(x)
+    r, cw = _rd_pick_r(u, itemsize)
+    left = u >> np.uint64(r)
+    right = u & ((np.uint64(1) << np.uint64(r)) - np.uint64(1))
+    vals, cnt = np.unique(left, return_counts=True)
+    order = np.argsort(cnt)[::-1][: 1 << cw]
+    dic = np.sort(vals[order])
+    idx = np.searchsorted(dic, left)
+    idx_c = np.minimum(idx, len(dic) - 1)
+    hit = dic[idx_c] == left
+    codes = np.where(hit, idx_c, 0).astype(np.uint64)
+    exc_pos = np.flatnonzero(~hit)
+    out = [
+        bytes([1, r, cw, len(dic)]),
+        dic.astype(np.uint64).tobytes(),
+        write_uvarint(len(exc_pos)),
+    ]
+    if len(exc_pos):
+        out.append(_exc_block(exc_pos))
+        out.append(left[exc_pos].astype(np.uint64).tobytes())
+    codes_pk = bitpack.pack(codes, cw)
+    out.append(write_uvarint(len(codes_pk)))
+    out.append(codes_pk)
+    out.append(bitpack.pack(right, r))
+    return b"".join(out)
+
+
+def encode(values: np.ndarray) -> bytes:
+    """Encode a float32/float64 vector; exact for every input."""
+    x = np.ascontiguousarray(values)
+    if x.dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+        raise ValueError(f"ALP encodes float32/float64, got {x.dtype}")
+    if len(x) == 0:
+        return bytes([0, 0, 0]) + write_uvarint(0) + delta.encode(
+            np.zeros(0, np.int64)
+        )
+    e, f, sample_exc, bpv = _find_ef(x, x.dtype)
+    # a "decimal" win must be genuine: random mantissas round-trip through
+    # e=18 by double-rounding luck but at ~63 digit bits/value, which is
+    # WORSE than the RD bit-split — require a clear margin under RD's
+    # ~(r + code_width) bits/value before taking mode 0
+    if sample_exc <= 0.2 and bpv <= 0.8 * x.dtype.itemsize * 8:
+        payload, n_exc = _encode_decimal(x, e, f)
+        if n_exc <= 0.2 * len(x):
+            return payload
+    return _encode_rd(x)
+
+
+def decode(data: bytes | memoryview, dtype: np.dtype, n: int) -> np.ndarray:
+    dtype = np.dtype(dtype)
+    buf = memoryview(data)
+    mode = buf[0]
+    if mode == 0:
+        e, f = buf[1], buf[2]
+        n_exc, pos = read_uvarint(buf, 3)
+        exc_pos = exc_raw = None
+        if n_exc:
+            exc_pos, pos = _read_exc_block(buf, pos, n_exc)
+            exc_raw = np.frombuffer(
+                buf[pos : pos + n_exc * dtype.itemsize], dtype=dtype
+            )
+            pos += n_exc * dtype.itemsize
+        digits = delta.decode(buf[pos:], n)
+        x = np.asarray(_roundtrip(digits, e, f, dtype), dtype=dtype)
+        if n_exc:
+            x[exc_pos] = exc_raw
+        return x
+    if mode != 1:
+        raise ValueError(f"bad ALP mode {mode}")
+    r, cw, ds = buf[1], buf[2], buf[3]
+    pos = 4
+    dic = np.frombuffer(buf[pos : pos + ds * 8], dtype=np.uint64)
+    pos += ds * 8
+    n_exc, pos = read_uvarint(buf, pos)
+    exc_pos = exc_left = None
+    if n_exc:
+        exc_pos, pos = _read_exc_block(buf, pos, n_exc)
+        exc_left = np.frombuffer(buf[pos : pos + n_exc * 8], dtype=np.uint64)
+        pos += n_exc * 8
+    cl, pos = read_uvarint(buf, pos)
+    codes = bitpack.unpack(buf[pos : pos + cl], cw, n)
+    pos += cl
+    right = bitpack.unpack(buf[pos:], r, n)
+    left = dic[codes] if ds else np.zeros(n, dtype=np.uint64)
+    if n_exc:
+        left = left.copy()
+        left[exc_pos] = exc_left
+    u = (left << np.uint64(r)) | right
+    if dtype.itemsize == 4:
+        return u.astype(np.uint32).view(np.float32)
+    return u.view(np.float64)

@@ -34,6 +34,7 @@ class Encoding(enum.IntEnum):
     DELTA_BYTE_ARRAY = 5    # prefix
     BYTE_STREAM_SPLIT = 6
     FSST = 7                # delta lengths + FSST-compressed payload (our extension)
+    ALP = 8                 # adaptive lossless FP (SIGMOD'23; our extension)
 
 
 class Codec(enum.IntEnum):
