@@ -318,6 +318,18 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
             n=max(repeats, 4),  # sub-second runs: variance >> cost of repeats
         )
         extras["encode_lineitem_gbps"] = li_raw / queries["encode_lineitem"] / 1e9
+        # size vs the reference writer on the same input — the numeric-path
+        # analogue of size_ratio_vs_ref (ALP on the four 2-decimal double
+        # columns is most of the delta)
+        li_data = os.path.join(work, "li_0", "data")
+        li_ours = sum(
+            os.path.getsize(os.path.join(li_data, f))
+            for f in os.listdir(li_data)
+            if f.endswith(".wcd")
+        )
+        extras["lineitem_compressed_bytes"] = li_ours
+        extras["lineitem_ref_bytes"] = os.path.getsize(li_path)
+        extras["lineitem_size_ratio_vs_ref"] = li_ours / extras["lineitem_ref_bytes"]
         queries["decode_lineitem"] = best_of(
             lambda _r: read_encoded(spark, os.path.join(work, "li_0"))
             .agg(F.sum("l_orderkey"), F.sum("l_quantity")).collect(),
