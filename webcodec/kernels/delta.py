@@ -109,6 +109,16 @@ def encode(values: np.ndarray) -> bytes:
 
 def decode(data: bytes | memoryview, n_hint: int | None = None) -> np.ndarray:
     """Decode to int64. ``n_hint`` is checked against the stored count."""
+    return decode_stream(data, n_hint)[0]
+
+
+def decode_stream(
+    data: bytes | memoryview, n_hint: int | None = None
+) -> tuple[np.ndarray, int]:
+    """Decode a self-delimiting delta stream; also return the byte offset
+    one past its end — needed when the stream is a PREFIX of a larger
+    payload (parquet DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY pages put
+    the value bytes right after the length stream)."""
     buf = memoryview(data)
     pos = 0
     block, pos = read_uvarint(buf, pos)
@@ -119,13 +129,17 @@ def decode(data: bytes | memoryview, n_hint: int | None = None) -> np.ndarray:
     if n_hint is not None and n_hint != n:
         raise ValueError(f"delta stream count {n} != expected {n_hint}")
     if n == 0:
-        return np.empty(0, dtype=_I64)
+        return np.empty(0, dtype=_I64), pos
     if n == 1:
-        return np.array([first], dtype=_I64)
+        return np.array([first], dtype=_I64), pos
     mb_values = block // mbcount
     nd = n - 1
     nblocks = (nd + block - 1) // block
     nmb = nblocks * mbcount
+    # spec: trailing miniblocks of the last block that hold no values have
+    # their width byte present but NO payload, and readers must tolerate a
+    # nonzero byte there — clamp them to zero
+    needed_mb = (nd + mb_values - 1) // mb_values
     mins = np.empty(nblocks, dtype=_I64)
     widths = np.empty(nmb, dtype=np.uint8)
     mb_off = np.empty(nmb, dtype=np.int64)
@@ -136,13 +150,15 @@ def decode(data: bytes | memoryview, n_hint: int | None = None) -> np.ndarray:
     for b in range(nblocks):
         zz, pos = read_uvarint(buf, pos)
         mins[b] = unzigzag_int(zz)
-        wrow = bytes(buf[pos : pos + mbcount])
+        wrow = bytearray(buf[pos : pos + mbcount])
         pos += mbcount
         base = b * mbcount
-        widths[base : base + mbcount] = np.frombuffer(wrow, dtype=np.uint8)
         for m in range(mbcount):
+            if base + m >= needed_mb:
+                wrow[m] = 0
             mb_off[base + m] = pos
             pos += (mb_values * wrow[m]) >> 3
+        widths[base : base + mbcount] = np.frombuffer(bytes(wrow), dtype=np.uint8)
     # pass 2 — decode grouped BY WIDTH (mirror of encode): one fancy-index
     # gather + ONE bulk unpack per distinct width instead of a kernel call
     # per miniblock — 4700-block chunks drop from ~19k unpack calls to <=65
@@ -163,4 +179,4 @@ def decode(data: bytes | memoryview, n_hint: int | None = None) -> np.ndarray:
     out[0] = np.int64(first).astype(_U64)
     np.cumsum(deltas[:nd], out=out[1:])  # wrapping uint64 cumsum
     out[1:] += out[0]
-    return out.view(_I64)
+    return out.view(_I64), pos

@@ -5,10 +5,12 @@ deliberately deviates from parquet bytes (SURVEY.md §7.0 — bit-identical
 *decode output* is the contract), so self-round-trip alone cannot prove the
 level/RLE/bit-pack machinery matches reference semantics. This module parses
 pyarrow/parquet-java-written files directly — thrift compact-protocol page
-headers, v1 data pages, PLAIN and (PLAIN_/RLE_)DICTIONARY encodings,
+headers, v1 data pages, PLAIN, (PLAIN_/RLE_)DICTIONARY, DELTA_BINARY_PACKED,
+DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY and BYTE_STREAM_SPLIT encodings,
 RLE-encoded definition levels — and decodes them using ONLY webcodec kernels
-(``rle.decode_spec``, ``bitpack``, numpy plain readers). A value-for-value
-match against the reference reader is kernel-level format parity.
+(``rle.decode_spec``, ``bitpack``, ``delta``, ``bss``, numpy plain readers).
+A value-for-value match against the reference reader is kernel-level format
+parity.
 
 Format evidence (public): the parquet-format spec (Encodings.md: RLE header
 = ``groups << 1 | 1`` for bit-packed runs, ``count << 1`` + LE value bytes
@@ -109,6 +111,14 @@ def _read_struct(buf: memoryview, pos: int) -> tuple[dict, int]:
 
 _PAGE_DATA, _PAGE_DICT, _PAGE_DATA_V2 = 0, 2, 3  # PageType enum
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE, _ENC_RLE_DICT = 0, 2, 3, 8
+_ENC_DELTA_BP, _ENC_DELTA_LEN_BA, _ENC_DELTA_BA, _ENC_BSS = 5, 6, 7, 9
+
+_BSS_DTYPES = {
+    "INT32": np.dtype(np.int32),
+    "INT64": np.dtype(np.int64),
+    "FLOAT": np.dtype(np.float32),
+    "DOUBLE": np.dtype(np.float64),
+}
 
 
 def _decompress(payload: bytes, codec: str, usize: int) -> bytes:
@@ -143,6 +153,18 @@ def _plain_values(body: memoryview, n: int, phys: str):
             pos += ln
         return out
     raise NotImplementedError(f"physical type {phys}")
+
+
+def _delta_length_byte_array(body: memoryview, n: int) -> list:
+    """DELTA_LENGTH_BYTE_ARRAY: a DELTA_BINARY_PACKED stream of lengths,
+    immediately followed by the concatenated value bytes."""
+    from webcodec.kernels import delta
+
+    lens, off = delta.decode_stream(body, n)
+    blob = body[off:]
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    return [bytes(blob[s:e]) for s, e in zip(starts, ends)]
 
 
 def read_column_chunk(path: str, row_group: int, column: int) -> list:
@@ -239,6 +261,28 @@ def read_column_chunk(path: str, row_group: int, column: int) -> list:
             )
         elif enc == _ENC_PLAIN:
             vals = _plain_values(body, n_nonnull, phys)
+        elif enc == _ENC_DELTA_BP:
+            from webcodec.kernels import delta
+
+            vals = delta.decode(body, n_nonnull)
+            if phys == "INT32":
+                vals = vals.astype(np.int32)
+        elif enc == _ENC_DELTA_LEN_BA:
+            vals = _delta_length_byte_array(body, n_nonnull)
+        elif enc == _ENC_DELTA_BA:
+            from webcodec.kernels import delta
+
+            prefix_lens, off = delta.decode_stream(body, n_nonnull)
+            suffixes = _delta_length_byte_array(body[off:], n_nonnull)
+            vals = []
+            prev = b""
+            for plen, suf in zip(prefix_lens, suffixes):
+                prev = prev[: int(plen)] + suf
+                vals.append(prev)
+        elif enc == _ENC_BSS:
+            from webcodec.kernels import bss
+
+            vals = bss.decode(body, _BSS_DTYPES[phys], n_nonnull)
         else:
             raise NotImplementedError(f"encoding {enc}")
         if mask is None:
