@@ -361,6 +361,43 @@ def _scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style hidden partitioning (r3): the table is written with
+    ``partition_by=["days(ts)", "event_type"]`` — each task fans out into one
+    file per (day, type) tuple, no extra shuffle (webcodec/spark/partition.py)
+    — and this query's plain predicates on ts/event_type prune files by
+    EXACT partition-tuple match before any stats are consulted (the day
+    transform rewrites to a [day*86400e6, +1day) interval over ts; identity
+    matches the tuple value). Readers never mention partition fields — the
+    hidden-partitioning contract. Residual filter re-applies the predicate,
+    so the result is exact regardless of pruning."""
+    import datetime as _dt
+
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+
+    _prep(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = tempfile.mkdtemp(prefix="wcq_part_")
+    encode_table(df, os.path.join(out, "t"), write_metrics=False,
+                 partition_by=["days(ts)", "event_type"])
+    back = read_encoded(
+        spark,
+        os.path.join(out, "t"),
+        predicate=[
+            ("ts", ">=", _dt.datetime(2024, 1, 10)),
+            ("ts", "<", _dt.datetime(2024, 1, 12)),
+            ("event_type", "==", "click"),
+        ],
+    )
+    return back.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+    )
+
+
 def _rt_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-level struct shredding round-trip through the Spark DataSource
     (SURVEY.md §2 E1 subset): the struct's own validity is a BOOL chunk,
@@ -1419,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_documents_compacted": _rt_documents_compacted,
         "scan_bloom_miss": _scan_bloom_miss,
         "scan_ts_range": _scan_ts_range,
+        "scan_partition_prune": _scan_partition_prune,
         "scan_zorder": _scan_zorder,
         "rt_struct": _rt_struct,
         "rt_map": _rt_map,
@@ -1646,6 +1684,11 @@ def oracle_sql() -> dict[str, str]:
         "scan_ts_range": (
             "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type "
             "FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'"
+        ),
+        "scan_partition_prune": (
+            "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type "
+            "FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12' "
+            "AND event_type = 'click'"
         ),
         "scan_zorder": (
             "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type "

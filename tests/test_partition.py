@@ -1,0 +1,314 @@
+"""Iceberg-style hidden partitioning: transforms, fanout writes, manifest
+pruning (identity / days / hours / months / years / bucket / truncate).
+Pruning is exact on the tuple and always conservative; the residual filter
+re-applies predicates after decode, so results never depend on it."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webcodec.spark.partition import (
+    bucket_of_array,
+    bucket_of_value,
+    file_may_match,
+    parse_partition_spec,
+    split_by_partition,
+    transform_array,
+)
+
+US_DAY = 86_400_000_000
+
+
+# ------------------------------ unit: parse ----------------------------------
+
+
+def test_parse_spec_shapes():
+    spec = parse_partition_spec(
+        ["lang", "days(ts)", "bucket(16, url)", "truncate(4, url)", "years(ts)"]
+    )
+    assert [f["kind"] for f in spec] == [
+        "identity", "days", "bucket", "truncate", "years"]
+    assert [f["name"] for f in spec] == [
+        "lang", "ts_day", "url_bucket", "url_trunc", "ts_year"]
+    assert spec[2]["arg"] == 16 and spec[3]["arg"] == 4
+
+
+@pytest.mark.parametrize("bad", ["days(a,b)", "bucket(url)", "bucket(0, url)",
+                                 "frob(x)", "a b", "truncate(x, url)"])
+def test_parse_spec_rejects(bad):
+    with pytest.raises(ValueError):
+        parse_partition_spec([bad])
+
+
+def test_parse_spec_duplicate_names():
+    with pytest.raises(ValueError):
+        parse_partition_spec(["lang", "lang"])
+
+
+# --------------------------- unit: transforms --------------------------------
+
+
+def test_temporal_transforms():
+    ts = pa.array(
+        [datetime.datetime(2024, 3, 1, 5), datetime.datetime(2024, 3, 2, 23, 59),
+         None, datetime.datetime(1969, 12, 31, 23)],
+        pa.timestamp("us"),
+    )
+    days = transform_array(ts, {"kind": "days", "col": "ts", "arg": None})
+    assert days.to_pylist() == [19783, 19784, None, -1]  # floor for pre-epoch
+    hours = transform_array(ts, {"kind": "hours", "col": "ts", "arg": None})
+    assert hours.to_pylist()[0] == 19783 * 24 + 5
+    months = transform_array(ts, {"kind": "months", "col": "ts", "arg": None})
+    assert months.to_pylist()[:2] == [(2024 - 1970) * 12 + 2] * 2
+    years = transform_array(ts, {"kind": "years", "col": "ts", "arg": None})
+    assert years.to_pylist() == [54, 54, None, -1]
+
+
+def test_truncate_transforms():
+    s = transform_array(pa.array(["alphabet", "al", None]),
+                        {"kind": "truncate", "col": "s", "arg": 3})
+    assert s.to_pylist() == ["alp", "al", None]
+    i = transform_array(pa.array([17, -3, 1000], pa.int64()),
+                        {"kind": "truncate", "col": "i", "arg": 10})
+    assert i.to_pylist() == [10, -10, 1000]  # floor semantics for negatives
+
+
+def test_bucket_deterministic_and_matching_prune_hash():
+    arr = pa.array([f"url-{i}" for i in range(100)])
+    b = bucket_of_array(arr, 8)
+    assert set(np.unique(b)) <= set(range(8))
+    # driver-side single-value twin must agree value-for-value
+    for i in (0, 17, 99):
+        assert bucket_of_value(f"url-{i}", 8) == int(b[i])
+    ints = pa.array(np.arange(50), pa.int64())
+    bi = bucket_of_array(ints, 4)
+    for i in (0, 7, 49):
+        assert bucket_of_value(i, 4) == int(bi[i])
+
+
+def test_split_by_partition_groups_and_nulls():
+    t = pa.table({
+        "lang": pa.array(["en", "de", None, "en", "de", "en"]),
+        "n": pa.array(range(6), pa.int64()),
+    })
+    spec = parse_partition_spec(["lang"])
+    groups = split_by_partition(t, spec)
+    by_key = {str(v["lang"]): sub for v, sub in groups}
+    assert set(by_key) == {"en", "de", "None"}
+    assert by_key["en"].column("n").to_pylist() == [0, 3, 5]
+    assert by_key["None"].column("n").to_pylist() == [2]
+    # every row lands in exactly one group
+    assert sum(sub.num_rows for _, sub in groups) == 6
+
+
+# ----------------------------- unit: pruning ---------------------------------
+
+
+def test_file_may_match_days_interval():
+    spec = parse_partition_spec(["days(ts)"])
+    day = 19783  # 2024-03-01
+    fpart = {"ts_day": day}
+    inside = datetime.datetime(2024, 3, 1, 12)
+    before = datetime.datetime(2024, 2, 28)
+    assert file_may_match(spec, fpart, "ts", "==", inside, "timestamp")
+    assert not file_may_match(spec, fpart, "ts", "==", before, "timestamp")
+    assert file_may_match(spec, fpart, "ts", ">=", before, "timestamp")
+    assert not file_may_match(spec, fpart, "ts", "<", before, "timestamp")
+    # day's very first microsecond is included
+    start = datetime.datetime(2024, 3, 1)
+    assert file_may_match(spec, fpart, "ts", "<=", start, "timestamp")
+
+
+def test_file_may_match_identity_and_null_partition():
+    spec = parse_partition_spec(["lang"])
+    assert file_may_match(spec, {"lang": "en"}, "lang", "==", "en", "string")
+    assert not file_may_match(spec, {"lang": "de"}, "lang", "==", "en", "string")
+    assert file_may_match(spec, {"lang": "en"}, "lang", "in", ["en", "fr"], "string")
+    assert not file_may_match(spec, {"lang": "en"}, "lang", "isnull", None, "string")
+    # null partition: only isnull can match
+    assert file_may_match(spec, {"lang": None}, "lang", "isnull", None, "string")
+    assert not file_may_match(spec, {"lang": None}, "lang", "==", "en", "string")
+    assert not file_may_match(spec, {"lang": None}, "lang", "notnull", None, "string")
+    # predicates on other columns never prune
+    assert file_may_match(spec, {"lang": "de"}, "other", "==", 5, "bigint")
+
+
+def test_file_may_match_bucket_truncate():
+    spec = parse_partition_spec(["bucket(8, url)", "truncate(3, name)",
+                                 "truncate(100, n)"])
+    u = "https://example.com/x"
+    b = bucket_of_value(u, 8)
+    fpart = {"url_bucket": b, "name_trunc": "alp", "n_trunc": 300}
+    assert file_may_match(spec, fpart, "url", "==", u, "string")
+    assert not file_may_match(spec, {"url_bucket": (b + 1) % 8}, "url", "==", u,
+                              "string")
+    # bucket can't prune ranges — conservative keep
+    assert file_may_match(spec, fpart, "url", ">=", "a", "string")
+    assert file_may_match(spec, fpart, "name", "==", "alpha", "string")
+    assert not file_may_match(spec, fpart, "name", "==", "beta", "string")
+    assert file_may_match(spec, fpart, "name", "startswith", "al", "string")
+    assert file_may_match(spec, fpart, "n", "==", 342, "bigint")
+    assert not file_may_match(spec, fpart, "n", "==", 400, "bigint")
+    assert not file_may_match(spec, fpart, "n", ">", 399, "bigint")
+
+
+def test_file_may_match_months_years():
+    spec = parse_partition_spec(["months(ts)"])
+    fpart = {"ts_month": (2024 - 1970) * 12 + 2}  # 2024-03
+    assert file_may_match(spec, fpart, "ts", "==",
+                          datetime.datetime(2024, 3, 31, 23, 59), "timestamp")
+    assert not file_may_match(spec, fpart, "ts", "==",
+                              datetime.datetime(2024, 4, 1), "timestamp")
+    yspec = parse_partition_spec(["years(ts)"])
+    yf = {"ts_year": 54}
+    assert file_may_match(yspec, yf, "ts", "<=",
+                          datetime.datetime(2024, 12, 31, 23, 59), "timestamp")
+    assert not file_may_match(yspec, yf, "ts", ">",
+                              datetime.datetime(2024, 12, 31, 23, 59, 59, 999999),
+                              "timestamp")
+
+
+# ------------------------------ e2e via Spark --------------------------------
+
+
+@pytest.fixture(scope="module")
+def events_pq(tmp_path_factory):
+    """Synthetic events parquet: 4 days x 3 event types, with some null types."""
+    rng = np.random.default_rng(3)
+    n = 8_000
+    base = int(datetime.datetime(2024, 1, 10).timestamp()) * 1_000_000
+    ts = base + rng.integers(0, 4 * US_DAY, n)
+    etype = np.array(["click", "view", "buy"])[rng.integers(0, 3, n)].astype(object)
+    etype[rng.integers(0, n, 40)] = None
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(etype, pa.string()),
+        "value": pa.array(rng.standard_normal(n), pa.float64()),
+    })
+    d = tmp_path_factory.mktemp("events_part")
+    import pyarrow.parquet as pq
+
+    path = str(d / "events.parquet")
+    pq.write_table(t, path, row_group_size=1_000)
+    return path, t
+
+
+def _encode_partitioned(spark, src, out, partition_by, **kw):
+    from webcodec.spark.encode_job import encode_table
+
+    df = spark.read.parquet(src)
+    return encode_table(df, out, partition_by=partition_by, write_metrics=False,
+                        **kw)
+
+
+def test_files_mode_fanout_and_pruning(spark, events_pq, tmp_path):
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.table import SnapshotTable
+
+    src, t = events_pq
+    out = str(tmp_path / "tbl")
+    snap = _encode_partitioned(spark, src, out,
+                               ["days(ts)", "event_type"],
+                               target_partition_bytes=1 << 20)
+    tbl = SnapshotTable(out)
+    files = tbl.data_files()
+    # every file carries a partition tuple with both fields
+    assert all(set(f["partition"]) == {"ts_day", "event_type"} for f in files)
+    # fanout happened: more files than splits, one tuple per file
+    tuples = {(f["partition"]["ts_day"], f["partition"]["event_type"])
+              for f in files}
+    assert len(tuples) >= 4 * 3  # 4 days x 3 types (+ null partitions)
+
+    # pruning: one-day range + equality keeps only that day's click files
+    lo = datetime.datetime(2024, 1, 11)
+    hi = datetime.datetime(2024, 1, 12)
+    pred = [("ts", ">=", lo), ("ts", "<", hi), ("event_type", "==", "click")]
+    kept = tbl.data_files(pred)
+    assert 0 < len(kept) < len(files)
+    assert all(f["partition"]["ts_day"] == 19733 and
+               f["partition"]["event_type"] == "click" for f in kept)
+
+    # correctness: full read-back equals the source (modulo order)
+    back = read_encoded(spark, out).orderBy("event_id").toPandas()
+    assert len(back) == t.num_rows
+    assert back["event_id"].tolist() == list(range(t.num_rows))
+    # rows survived the fanout with values intact
+    src_df = spark.read.parquet(src).orderBy("event_id").toPandas()
+    assert (back["value"].to_numpy() == src_df["value"].to_numpy()).all()
+
+    # pruned read returns exactly the filtered rows
+    sel = read_encoded(spark, out, predicate=pred).toPandas()
+    import pandas as pd
+
+    mask = (src_df["ts"] >= pd.Timestamp(lo)) & (src_df["ts"] < pd.Timestamp(hi)) \
+        & (src_df["event_type"] == "click")
+    assert len(sel) == int(mask.sum())
+
+
+def test_null_partition_isnull_scan(spark, events_pq, tmp_path):
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.table import SnapshotTable
+
+    src, t = events_pq
+    out = str(tmp_path / "tbl_null")
+    _encode_partitioned(spark, src, out, ["event_type"],
+                        target_partition_bytes=1 << 20)
+    tbl = SnapshotTable(out)
+    kept = tbl.data_files([("event_type", "isnull", None)])
+    assert kept and all(f["partition"]["event_type"] is None for f in kept)
+    n_null = read_encoded(
+        spark, out, predicate=[("event_type", "isnull", None)]).count()
+    assert n_null == t.column("event_type").null_count
+
+
+def test_scan_mode_bucket_fanout(spark, events_pq, tmp_path):
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.table import SnapshotTable
+
+    src, t = events_pq
+    out = str(tmp_path / "tbl_bucket")
+    df = spark.read.parquet(src).repartition(3)
+    from webcodec.spark.encode_job import encode_table
+
+    encode_table(df, out, mode="scan", partition_by=["bucket(4, event_id)"],
+                 write_metrics=False)
+    tbl = SnapshotTable(out)
+    files = tbl.data_files()
+    assert {f["partition"]["event_id_bucket"] for f in files} == {0, 1, 2, 3}
+    # equality prunes to ONE bucket (min/max stats could never do this)
+    kept = tbl.data_files([("event_id", "==", 4321)])
+    assert len({f["partition"]["event_id_bucket"] for f in kept}) == 1
+    row = read_encoded(spark, out, predicate=[("event_id", "==", 4321)]).collect()
+    assert len(row) == 1 and row[0]["event_id"] == 4321
+    assert read_encoded(spark, out).count() == t.num_rows
+
+
+def test_partitioned_resume_skips_done_splits(spark, events_pq, tmp_path):
+    from webcodec.spark.table import SnapshotTable
+
+    src, _ = events_pq
+    out = str(tmp_path / "tbl_resume")
+    s1 = _encode_partitioned(spark, src, out, ["event_type"],
+                             target_partition_bytes=1 << 20)
+    # a rerun over the same input sees every split committed -> no new snapshot
+    s2 = _encode_partitioned(spark, src, out, ["event_type"],
+                             target_partition_bytes=1 << 20)
+    assert s2["snapshot_id"] == s1["snapshot_id"]
+    assert s2["total_rows"] == s1["total_rows"]
+    tbl = SnapshotTable(out)
+    assert tbl.current_snapshot_id() == s1["snapshot_id"]
+
+
+def test_partition_by_rejected_on_clustered(spark, events_pq):
+    from webcodec.spark.encode_job import encode_table
+
+    src, _ = events_pq
+    df = spark.read.parquet(src)
+    with pytest.raises(ValueError, match="partition_by"):
+        encode_table(df, "/tmp/never", mode="clustered", url_col="event_type",
+                     partition_by=["event_type"])

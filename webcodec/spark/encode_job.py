@@ -34,9 +34,9 @@ from webcodec.config import EncoderConfig
 from webcodec.spark.table import SnapshotTable
 
 LINEAGE_SCHEMA = (
-    "partition_id int, file string, rows long, raw_bytes long, encoded_bytes long, "
+    "partition_id long, file string, rows long, raw_bytes long, encoded_bytes long, "
     "compressed_bytes long, n_pages long, encode_secs double, codec_choices string, "
-    "column_stats string, input_files string, attempt string"
+    "column_stats string, input_files string, attempt string, partition string"
 )
 
 
@@ -103,7 +103,8 @@ def salted_partition_ids(
 
 
 def _lineage_row(pid: int, fname: str, footer: dict, secs: float,
-                 attempt: str, input_desc: str | None = None) -> pa.Table:
+                 attempt: str, input_desc: str | None = None,
+                 partition: dict | None = None) -> pa.Table:
     from pyspark import TaskContext
 
     # single-group footers carry chunks at the top; multi-group (streamed /
@@ -136,7 +137,7 @@ def _lineage_row(pid: int, fname: str, footer: dict, secs: float,
     )
     return pa.table(
         {
-            "partition_id": pa.array([pid], pa.int32()),
+            "partition_id": pa.array([pid], pa.int64()),
             "file": pa.array([fname]),
             "rows": pa.array([footer["num_rows"]], pa.int64()),
             "raw_bytes": pa.array([footer["raw_bytes"]], pa.int64()),
@@ -148,12 +149,16 @@ def _lineage_row(pid: int, fname: str, footer: dict, secs: float,
             "column_stats": pa.array([json.dumps(col_stats)]),
             "input_files": pa.array([inputs]),
             "attempt": pa.array([attempt]),
+            "partition": pa.array(
+                [json.dumps(partition, sort_keys=True) if partition else ""]
+            ),
         }
     )
 
 
 def _write_one(data_dir: str, pid: int, table: pa.Table, config: EncoderConfig,
-               sort_key: str | None, input_desc: str | None = None) -> pa.Table:
+               sort_key: str | None, input_desc: str | None = None,
+               partition: dict | None = None) -> pa.Table:
     from webcodec import filefmt  # executor-side import
 
     if sort_key:
@@ -168,7 +173,23 @@ def _write_one(data_dir: str, pid: int, table: pa.Table, config: EncoderConfig,
     footer = filefmt.write_table(table, tmp, config)
     os.rename(tmp, fpath)
     secs = time.perf_counter() - t0
-    return _lineage_row(pid, fname, footer, secs, attempt, input_desc)
+    return _lineage_row(pid, fname, footer, secs, attempt, input_desc, partition)
+
+
+def _write_fanout(data_dir: str, base_pid: int, table: pa.Table,
+                  config: EncoderConfig, sort_key: str | None, spec: list[dict],
+                  input_desc: str | None = None):
+    """Iceberg-style fanout writer: one .wcd file PER partition tuple seen in
+    this task's rows — no shuffle; pid = (task id << PID_SHIFT) + tuple rank
+    (ranks are deterministic: tuples sorted by canonical JSON). Yields
+    lineage batches."""
+    from webcodec.spark.partition import PID_SHIFT, split_by_partition
+
+    for rank, (values, sub) in enumerate(split_by_partition(table, spec)):
+        pid = (base_pid << PID_SHIFT) + rank
+        yield from _write_one(
+            data_dir, pid, sub, config, sort_key, input_desc, partition=values
+        ).to_batches()
 
 
 def _write_one_batches(data_dir: str, pid: int, batches, config: EncoderConfig,
@@ -201,11 +222,12 @@ def _write_one_batches(data_dir: str, pid: int, batches, config: EncoderConfig,
 
 
 def _make_scan_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | None,
-                         done: frozenset[int]):
+                         done: frozenset[int], spec: list[dict] | None = None):
     """mapInArrow over scan partitions: NO shuffle — each input split becomes
-    one .wcd file. Partition sizing = spark.sql.files.maxPartitionBytes; the
-    partition id is the deterministic scan-split index (resume-safe for the
-    same input listing + split size)."""
+    one .wcd file (or one per partition tuple when a partition spec is set).
+    Partition sizing = spark.sql.files.maxPartitionBytes; the partition id is
+    the deterministic scan-split index (resume-safe for the same input
+    listing + split size)."""
 
     def encode_partition(batches):
         from pyspark import TaskContext
@@ -213,6 +235,15 @@ def _make_scan_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | N
         pid = TaskContext.get().partitionId()
         if pid in done:
             return  # committed by a previous run (rows scanned, not re-encoded)
+        if spec:
+            # fanout needs the whole split to group by tuple — the split is
+            # already bounded by spark.sql.files.maxPartitionBytes
+            blist = list(batches)
+            if not blist:
+                return
+            table = pa.Table.from_batches(blist)
+            yield from _write_fanout(data_dir, pid, table, config, sort_key, spec)
+            return
         # streamed: bounded memory even on a skewed partition (group cut
         # every ~128MB raw; sort_key applies per group)
         row = _write_one_batches(data_dir, pid, batches, config, sort_key)
@@ -263,11 +294,12 @@ def _range_tasks(spark: SparkSession, items: list):
 
 
 def _make_file_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | None,
-                         splits_bc):
+                         splits_bc, spec: list[dict] | None = None):
     """Splits-in, lineage-out: each worker reads its parquet row groups
     DIRECTLY via pyarrow C++ and encodes — table bytes never cross the JVM.
     (The JVM->Python Arrow bridge moves ~4 MB/s/core; direct pyarrow reads
-    run at hundreds of MB/s/core, so this is the scale path.)"""
+    run at hundreds of MB/s/core, so this is the scale path.) With a
+    partition spec, each split fans out into one file per tuple."""
 
     def encode_split(batches):
         import pyarrow.parquet as pq
@@ -279,9 +311,14 @@ def _make_file_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | N
                 rgs = s["row_groups"]
                 table = pq.ParquetFile(s["path"]).read_row_groups(rgs)
                 desc = f"{s['path']}#rg{rgs}"
-                yield from _write_one(
-                    data_dir, s["split_id"], table, config, sort_key, desc
-                ).to_batches()
+                if spec:
+                    yield from _write_fanout(
+                        data_dir, s["split_id"], table, config, sort_key, spec, desc
+                    )
+                else:
+                    yield from _write_one(
+                        data_dir, s["split_id"], table, config, sort_key, desc
+                    ).to_batches()
 
     return encode_split
 
@@ -491,8 +528,16 @@ def encode_table(
     write_metrics: bool = True,
     mode: str | None = None,
     spill_compression: str | None = "lz4",
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Encode ``df`` into a webcodec snapshot table; returns the new snapshot.
+
+    ``partition_by`` declares Iceberg-style hidden partitioning — a list of
+    transforms over source columns (``"lang"``, ``"days(ts)"``,
+    ``"bucket(16, url)"``, ``"truncate(4, url)"``). Each task FANS OUT into
+    one file per partition tuple (no extra shuffle); manifest entries carry
+    the tuple and reads prune on it through plain predicates over the SOURCE
+    column. Supported with modes ``files`` and ``scan``.
 
     ``mode`` (default ``None`` = auto: ``"files"`` when ``df`` is a pure
     parquet scan, else ``"scan"`` — the zero-JVM-transfer path is the default
@@ -518,24 +563,41 @@ def encode_table(
     tbl = SnapshotTable(table_dir)
     tbl.init()
 
+    spec: list[dict] | None = None
+    if partition_by:
+        from webcodec.spark.partition import parse_partition_spec, validate_spec
+
+        spec = parse_partition_spec(partition_by)
+        validate_spec(spec, df.columns)
+
     if mode is None:
         # files mode reads the source parquet directly, so it is only valid
         # when df is the bare scan (no Project/Filter/... on top)
         mode = "files" if _is_pure_scan(df) else "scan"
+    if spec and mode not in ("files", "scan"):
+        raise ValueError(
+            f"partition_by is supported with modes 'files'/'scan', not {mode!r} "
+            "(clustered/salted define their own url-domain placement)"
+        )
 
     if mode == "files":
+        from webcodec.spark.partition import PID_SHIFT
+
         paths = [p.removeprefix("file://") for p in df.inputFiles()]
         if not paths:
             raise ValueError("mode='files' requires a parquet-backed DataFrame")
         splits = plan_file_splits(paths, target_partition_bytes)
         done = frozenset(tbl.completed_partition_ids()) if resume else frozenset()
+        if spec:  # fanout pids encode (split_id << shift) + tuple rank
+            done = frozenset(pid >> PID_SHIFT for pid in done)
         todo = [s for s in splits if s["split_id"] not in done]
         if not todo:
             return tbl.read_snapshot()
         sdf, bc = _range_tasks(spark, todo)
-        fn = _make_file_encode_fn(tbl.data_dir, config, sort_key or url_col, bc)
+        fn = _make_file_encode_fn(tbl.data_dir, config, sort_key or url_col, bc, spec)
         rows = sdf.mapInArrow(fn, LINEAGE_SCHEMA).collect()
-        return _commit(spark, tbl, table_dir, rows, df, sort_key or url_col, write_metrics)
+        return _commit(spark, tbl, table_dir, rows, df, sort_key or url_col,
+                       write_metrics, spec)
 
     if mode == "clustered":
         # Arrow-native two-phase shuffle: salted domain clustering at
@@ -598,10 +660,15 @@ def encode_table(
 
     if mode == "scan":
         done = frozenset(tbl.completed_partition_ids()) if resume else frozenset()
-        fn = _make_scan_encode_fn(tbl.data_dir, config, sort_key or url_col, done)
+        if spec:
+            from webcodec.spark.partition import PID_SHIFT
+
+            done = frozenset(pid >> PID_SHIFT for pid in done)
+        fn = _make_scan_encode_fn(tbl.data_dir, config, sort_key or url_col, done, spec)
         lineage = df.mapInArrow(fn, LINEAGE_SCHEMA)
         rows = lineage.collect()
-        return _commit(spark, tbl, table_dir, rows, df, sort_key or url_col, write_metrics)
+        return _commit(spark, tbl, table_dir, rows, df, sort_key or url_col,
+                       write_metrics, spec)
 
     if num_partitions is None:
         num_partitions, avg_row = estimate_partitions(df, target_partition_bytes)
@@ -636,22 +703,28 @@ def _commit(
     df: DataFrame,
     sort_key: str | None,
     write_metrics: bool,
+    spec: list[dict] | None = None,
 ) -> dict:
     files = []
     for r in rows:
-        files.append(
-            {
-                "partition_id": r["partition_id"],
-                "path": os.path.join("data", r["file"]),
-                "rows": r["rows"],
-                "raw_bytes": r["raw_bytes"],
-                "compressed_bytes": r["compressed_bytes"],
-                "codec_choices": json.loads(r["codec_choices"]),
-                "column_stats": json.loads(r["column_stats"]),
-            }
-        )
+        entry = {
+            "partition_id": r["partition_id"],
+            "path": os.path.join("data", r["file"]),
+            "rows": r["rows"],
+            "raw_bytes": r["raw_bytes"],
+            "compressed_bytes": r["compressed_bytes"],
+            "codec_choices": json.loads(r["codec_choices"]),
+            "column_stats": json.loads(r["column_stats"]),
+        }
+        part = r["partition"] if "partition" in r else ""
+        if part:
+            entry["partition"] = json.loads(part)
+        files.append(entry)
     schema = [{"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable} for f in df.schema.fields]
-    snap = tbl.commit(files, schema, properties={"sort_key": sort_key or ""})
+    props = {"sort_key": sort_key or ""}
+    if spec:
+        props["partition_spec"] = spec
+    snap = tbl.commit(files, schema, properties=props)
 
     if write_metrics and rows:
         mdir = os.path.join(table_dir, "metrics")

@@ -556,6 +556,14 @@ class SnapshotTable:
         phys_of = {"timestamp": PhysType.TIMESTAMP_US, "timestamp_ntz": PhysType.TIMESTAMP_US,
                    "date": PhysType.DATE32, "binary": PhysType.BINARY}
         types = {f["name"]: f["type"] for f in snap["schema"]}
+        # partition pruning first (Iceberg hidden partitioning): exact on the
+        # tuple, cheaper than stats and able to prune what min/max can't
+        # (hash buckets)
+        spec = (snap.get("properties") or {}).get("partition_spec")
+        if spec:
+            from webcodec.spark.partition import prune_files
+
+            files = prune_files(files, spec, conjuncts, types)
         kept = []
         for f in files:
             stats = f.get("column_stats") or {}
