@@ -312,3 +312,32 @@ def test_partition_by_rejected_on_clustered(spark, events_pq):
     with pytest.raises(ValueError, match="partition_by"):
         encode_table(df, "/tmp/never", mode="clustered", url_col="event_type",
                      partition_by=["event_type"])
+
+
+def test_compact_preserves_partition_tuples(spark, events_pq, tmp_path):
+    """Compaction bin-packs only within one partition tuple, keeps the tuple
+    on merged entries, and pruning stays exact afterwards."""
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.maintenance import compact
+    from webcodec.spark.table import SnapshotTable
+
+    src, t = events_pq
+    out = str(tmp_path / "tbl_compact")
+    # tiny splits -> many small same-tuple files across fanout tasks
+    _encode_partitioned(spark, src, out, ["event_type"],
+                        target_partition_bytes=64 << 10)
+    tbl = SnapshotTable(out)
+    before = tbl.data_files()
+    snap = compact(out)
+    after = tbl.data_files()
+    assert len(after) < len(before)
+    # one tuple per merged file, tuple kept on every entry
+    assert all("partition" in f for f in after)
+    assert snap["total_rows"] == t.num_rows
+    kept = tbl.data_files([("event_type", "==", "click")])
+    assert kept and all(f["partition"]["event_type"] == "click" for f in kept)
+    n = read_encoded(spark, out,
+                     predicate=[("event_type", "==", "click")]).count()
+    import pyarrow.compute as pc
+
+    assert n == pc.sum(pc.equal(t.column("event_type"), "click")).as_py()

@@ -52,22 +52,39 @@ def compact(table_dir: str, target_bytes: int = 128 << 20) -> dict:
     Files bin-pack only within one schema signature (chunk-name set +
     logical schema, ``filefmt.schema_signature``): after schema evolution a
     pre-evolution file and an evolved file must NOT byte-merge — the merged
-    footer would claim the added column for groups that never wrote it."""
+    footer would claim the added column for groups that never wrote it.
+
+    On a partitioned table, files bin-pack only within one partition TUPLE
+    (Iceberg compaction semantics) — merging across tuples would turn every
+    exact partition prune into a conservative keep; the merged entry keeps
+    its tuple, so pruning survives maintenance."""
+    import json as _json
+
     from webcodec import filefmt
 
     tbl = SnapshotTable(table_dir)
     snap = tbl.read_snapshot()
     if snap is None:
         raise FileNotFoundError(f"no snapshot in {table_dir}")
-    files = sorted(snap["files"], key=lambda f: f["partition_id"])
+    # group same-tuple files together (they interleave across fanout tasks),
+    # then by pid for deterministic merge order
+    files = sorted(
+        snap["files"],
+        key=lambda f: (_json.dumps(f.get("partition"), sort_keys=True, default=str),
+                       f["partition_id"]),
+    )
 
-    # bin-pack adjacent same-signature files up to target_bytes
+    # bin-pack adjacent same-signature, same-partition-tuple files up to
+    # target_bytes
     bins: list[list[dict]] = [[]]
     acc = 0
     sig = None
     for f in files:
-        s = filefmt.schema_signature(
-            filefmt.read_footer_path(os.path.join(table_dir, f["path"]))
+        s = (
+            filefmt.schema_signature(
+                filefmt.read_footer_path(os.path.join(table_dir, f["path"]))
+            ),
+            _json.dumps(f.get("partition"), sort_keys=True, default=str),
         )
         # files with merge-on-read delete sidecars never byte-merge: a byte
         # copy would resurrect their deleted rows (materialize them via
@@ -109,6 +126,8 @@ def compact(table_dir: str, target_bytes: int = 128 << 20) -> dict:
                 "column_stats": _merged_stats(b),
             }
         )
+        if b[0].get("partition") is not None:
+            new_files[-1]["partition"] = b[0]["partition"]
     props = dict(snap.get("properties", {}))
     props["compacted"] = "true"
     return tbl.commit(new_files, snap["schema"], properties=props, replace=True)
