@@ -341,3 +341,88 @@ def test_compact_preserves_partition_tuples(spark, events_pq, tmp_path):
     import pyarrow.compute as pc
 
     assert n == pc.sum(pc.equal(t.column("event_type"), "click")).as_py()
+
+
+def test_datasource_partitioned_write_and_prune(spark, events_pq, tmp_path):
+    """df.write.format('webcodec').option('partition_by', ...) fans out per
+    tuple; reads prune through the same manifest machinery."""
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.table import SnapshotTable
+
+    spark.dataSource.register(WebcodecDataSource)
+    src, t = events_pq
+    out = str(tmp_path / "ds_part")
+    (spark.read.parquet(src).repartition(2)
+        .write.format("webcodec").option("path", out)
+        .option("partition_by", "days(ts), event_type").mode("append").save())
+    tbl = SnapshotTable(out)
+    files = tbl.data_files()
+    assert all(set(f["partition"]) == {"ts_day", "event_type"} for f in files)
+    kept = tbl.data_files([("event_type", "==", "view")])
+    assert 0 < len(kept) < len(files)
+    assert all(f["partition"]["event_type"] == "view" for f in kept)
+    back = (spark.read.format("webcodec").option("path", out).load())
+    assert back.count() == t.num_rows
+    n_view = back.filter("event_type = 'view'").count()
+    import pyarrow.compute as pc
+
+    assert n_view == pc.sum(pc.equal(t.column("event_type"), "view")).as_py()
+
+
+def test_datasource_partitioned_fanout_flush(spark, events_pq, tmp_path):
+    """A tiny flush threshold cuts several files per tuple — bounded memory
+    per open tuple — and pruning/readback still hold."""
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.table import SnapshotTable
+
+    spark.dataSource.register(WebcodecDataSource)
+    src, t = events_pq
+    out = str(tmp_path / "ds_flush")
+    # small Arrow batches so one tuple spans many batches and crosses the
+    # flush threshold repeatedly
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        (spark.read.parquet(src).coalesce(1)
+            .write.format("webcodec").option("path", out)
+            .option("partition_by", "event_type")
+            .option("fanout_flush_bytes", str(8 << 10)).mode("append").save())
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    tbl = SnapshotTable(out)
+    files = tbl.data_files()
+    per_tuple: dict = {}
+    for f in files:
+        per_tuple.setdefault(f["partition"]["event_type"], []).append(f)
+    assert max(len(v) for v in per_tuple.values()) > 1  # several files per tuple
+    back = spark.read.format("webcodec").option("path", out).load()
+    assert back.count() == t.num_rows
+
+
+def test_streaming_sink_partitioned(spark, events_pq, tmp_path):
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.table import SnapshotTable
+
+    spark.dataSource.register(WebcodecDataSource)
+    src, t = events_pq
+    out = str(tmp_path / "stream_part")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = (spark.readStream.schema(spark.read.parquet(src).schema)
+           .parquet(str(tmp_path_parent(src))))
+    q = (sdf.writeStream.format("webcodec").option("path", out)
+         .option("partition_by", "event_type")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    tbl = SnapshotTable(out)
+    files = tbl.data_files()
+    assert files and all("partition" in f for f in files)
+    kept = tbl.data_files([("event_type", "==", "buy")])
+    assert all(f["partition"]["event_type"] == "buy" for f in kept)
+    back = spark.read.format("webcodec").option("path", out).load()
+    assert back.count() == t.num_rows
+
+
+def tmp_path_parent(p):
+    import os
+
+    return os.path.dirname(p)

@@ -214,7 +214,38 @@ class WebcodecPushdownReader(WebcodecReader):
 
 @dataclass
 class _CommitMsg(WriterCommitMessage):
-    lineage: str  # json: file name + stats, same fields as the manifest entry
+    lineage: str  # json: manifest entry dict, or a LIST of them (fanout)
+
+
+def _lineage_entries(messages) -> list[dict]:
+    """Flatten commit messages: each carries one manifest entry (plain write)
+    or a list of them (partitioned fanout)."""
+    out: list[dict] = []
+    for m in messages:
+        if m is None or not m.lineage:
+            continue
+        loaded = json.loads(m.lineage)
+        out.extend(loaded if isinstance(loaded, list) else [loaded])
+    return out
+
+
+def _split_transforms(s: str) -> list[str]:
+    """Split 'days(ts), bucket(16, url)' on TOP-LEVEL commas only."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
 
 
 class WebcodecWriter(DataSourceArrowWriter):
@@ -234,22 +265,122 @@ class WebcodecWriter(DataSourceArrowWriter):
         #   .option("use_dictionary", "false") / '["lang"]'
         self.column_encoding = _json_opt(options.get("column_encoding"), "auto")
         self.use_dictionary = _json_opt(options.get("use_dictionary"), True)
+        # Iceberg-style hidden partitioning, same transform syntax as the job
+        # API: .option("partition_by", "days(ts), event_type, bucket(16, url)")
+        # — top-level comma split is paren-aware
+        self.partition_spec = None
+        pb = options.get("partition_by")
+        if pb:
+            from webcodec.spark.partition import parse_partition_spec, validate_spec
 
-    def write(self, iterator):
-        from pyspark import TaskContext
-        from webcodec import filefmt
+            self.partition_spec = parse_partition_spec(_split_transforms(pb))
+            validate_spec(self.partition_spec, [f["name"] for f in self.schema_fields])
+        # per-tuple buffer flush threshold for fanout writes (raw Arrow bytes)
+        self.fanout_flush_bytes = int(options.get("fanout_flush_bytes", 128 << 20))
+
+    def _make_config(self):
         from webcodec.config import EncoderConfig
 
-        pid = TaskContext.get().partitionId()
-        data_dir = os.path.join(self.table_dir, "data")
-        os.makedirs(data_dir, exist_ok=True)
-        fname = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.wcd"
-        fpath = os.path.join(data_dir, fname)
-        cfg = EncoderConfig(
+        return EncoderConfig(
             compression=self.compression,
             column_encoding=self.column_encoding,
             use_dictionary=self.use_dictionary,
         )
+
+    def _lineage_of(self, pid: int, fname: str, footer: dict,
+                    partition: dict | None = None) -> dict:
+        groups = footer.get("groups") or [footer]
+        col_stats: dict = {}
+        for g in groups:
+            for c in g["chunks"]:
+                st = c.get("stats") or {}
+                cur = col_stats.setdefault(
+                    c["name"], {"min": None, "max": None, "null_count": 0}
+                )
+                if st.get("min") is not None:
+                    cur["min"] = st["min"] if cur["min"] is None else min(cur["min"], st["min"])
+                if st.get("max") is not None:
+                    cur["max"] = st["max"] if cur["max"] is None else max(cur["max"], st["max"])
+                cur["null_count"] += int(st.get("null_count", 0))
+        out = {
+            "partition_id": pid,
+            "path": os.path.join("data", fname),
+            "rows": footer["num_rows"],
+            "raw_bytes": footer["raw_bytes"],
+            "compressed_bytes": footer["compressed_bytes"],
+            "codec_choices": {c["name"]: c["encoding"] for c in groups[0]["chunks"]},
+            "column_stats": col_stats,
+        }
+        if partition is not None:
+            out["partition"] = partition
+        return out
+
+    def _write_tuple_file(self, data_dir: str, pid: int, parts: list,
+                          values: dict, cfg) -> dict:
+        import pyarrow as pa
+        from webcodec import filefmt
+
+        table = pa.concat_tables(parts)
+        if self.sort_key:
+            idx = filefmt.sort_indices_for_key(table, self.sort_key)
+            if idx is not None:
+                table = table.take(idx)
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.wcd"
+        fpath = os.path.join(data_dir, fname)
+        tmp = fpath + ".tmp"
+        footer = filefmt.write_table(table, tmp, cfg)
+        os.rename(tmp, fpath)
+        return self._lineage_of(pid, fname, footer, values)
+
+    def _write_partitioned(self, iterator, data_dir: str):
+        """Fanout writer: route each batch's rows into per-tuple buffers and
+        flush a tuple's buffer as its own .wcd file whenever it passes
+        ``fanout_flush_bytes`` (bounded memory per open tuple, the Iceberg
+        fanout-writer shape) — a tuple seen across many batches may thus
+        produce several files; pruning treats them identically."""
+        import pyarrow as pa
+        from pyspark import TaskContext
+        from webcodec.spark.partition import PID_SHIFT, split_by_partition
+
+        task_pid = TaskContext.get().partitionId()
+        cfg = self._make_config()
+        buffers: dict[str, dict] = {}
+        lineages: list[dict] = []
+        seq = 0
+        for batch in iterator:
+            table = pa.Table.from_batches([batch])
+            for values, sub in split_by_partition(table, self.partition_spec):
+                key = json.dumps(values, sort_keys=True, default=str)
+                buf = buffers.setdefault(key, {"values": values, "parts": [],
+                                               "bytes": 0})
+                buf["parts"].append(sub)
+                buf["bytes"] += sub.nbytes
+                if buf["bytes"] >= self.fanout_flush_bytes:
+                    pid = (task_pid << PID_SHIFT) + seq
+                    seq += 1
+                    lineages.append(self._write_tuple_file(
+                        data_dir, pid, buf["parts"], buf["values"], cfg))
+                    buf["parts"], buf["bytes"] = [], 0
+        for buf in buffers.values():
+            if buf["parts"]:
+                pid = (task_pid << PID_SHIFT) + seq
+                seq += 1
+                lineages.append(self._write_tuple_file(
+                    data_dir, pid, buf["parts"], buf["values"], cfg))
+        return _CommitMsg(lineage=json.dumps(lineages) if lineages else "")
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+        from webcodec import filefmt
+
+        data_dir = os.path.join(self.table_dir, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        if self.partition_spec:
+            return self._write_partitioned(iterator, data_dir)
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.wcd"
+        fpath = os.path.join(data_dir, fname)
+        cfg = self._make_config()
         tmp = fpath + ".tmp"
         # streamed: a new row GROUP every ~128MB raw, so one skewed Spark
         # partition never materializes in executor memory (sort_key sorts
@@ -264,29 +395,13 @@ class WebcodecWriter(DataSourceArrowWriter):
                 pass
             return _CommitMsg(lineage="")
         os.rename(tmp, fpath)
-        groups = footer.get("groups") or [footer]
-        col_stats: dict = {}
-        for g in groups:
-            for c in g["chunks"]:
-                st = c.get("stats") or {}
-                cur = col_stats.setdefault(
-                    c["name"], {"min": None, "max": None, "null_count": 0}
-                )
-                if st.get("min") is not None:
-                    cur["min"] = st["min"] if cur["min"] is None else min(cur["min"], st["min"])
-                if st.get("max") is not None:
-                    cur["max"] = st["max"] if cur["max"] is None else max(cur["max"], st["max"])
-                cur["null_count"] += int(st.get("null_count", 0))
-        lineage = {
-            "partition_id": pid,
-            "path": os.path.join("data", fname),
-            "rows": footer["num_rows"],
-            "raw_bytes": footer["raw_bytes"],
-            "compressed_bytes": footer["compressed_bytes"],
-            "codec_choices": {c["name"]: c["encoding"] for c in groups[0]["chunks"]},
-            "column_stats": col_stats,
-        }
-        return _CommitMsg(lineage=json.dumps(lineage))
+        return _CommitMsg(lineage=json.dumps(self._lineage_of(pid, fname, footer)))
+
+    def _props(self) -> dict:
+        props = {"sort_key": self.sort_key or ""}
+        if self.partition_spec:
+            props["partition_spec"] = self.partition_spec
+        return props
 
     def commit(self, messages):
         """Driver-side snapshot flip — files become visible atomically here
@@ -295,27 +410,29 @@ class WebcodecWriter(DataSourceArrowWriter):
 
         tbl = SnapshotTable(self.table_dir)
         tbl.init()
-        files = [json.loads(m.lineage) for m in messages if m is not None and m.lineage]
+        files = _lineage_entries(messages)
         # namespace partition ids by the new snapshot so repeated appends
         # never collide in the manifest (append means APPEND, not upsert —
-        # the job API's stable ids are a resume feature; this writer has none)
-        base = ((tbl.current_snapshot_id() or 0) + 1) * 1_000_000
+        # the job API's stable ids are a resume feature; this writer has
+        # none). Fanout pids already use (task << 20) + seq, so partitioned
+        # commits shift the namespace ABOVE that layout instead of the flat
+        # 1e6 stride.
+        sid = (tbl.current_snapshot_id() or 0) + 1
+        base = (sid << 44) if self.partition_spec else sid * 1_000_000
         for f in files:
             f["partition_id"] += base
         tbl.commit(
             files,
             self.schema_fields,
-            properties={"sort_key": self.sort_key or ""},
+            properties=self._props(),
             replace=self.overwrite,
             materialize=False,  # O(delta) commit: don't re-read the table
         )
 
     def abort(self, messages):
-        for m in messages:
-            if m is None or not m.lineage:
-                continue
+        for f in _lineage_entries(messages):
             try:
-                os.remove(os.path.join(self.table_dir, json.loads(m.lineage)["path"]))
+                os.remove(os.path.join(self.table_dir, f["path"]))
             except OSError:
                 pass
 
@@ -566,13 +683,14 @@ class WebcodecStreamWriter(DataSourceStreamArrowWriter):
 
         tbl = SnapshotTable(self._w.table_dir)
         tbl.init()
-        files = [json.loads(m.lineage) for m in messages if m is not None and m.lineage]
+        files = _lineage_entries(messages)
+        base = (batchId << 44) if self._w.partition_spec else batchId * 1_000_000
         for f in files:
-            f["partition_id"] = batchId * 1_000_000 + f["partition_id"]
+            f["partition_id"] = base + f["partition_id"]
         tbl.commit(
             files,
             self._w.schema_fields,
-            properties={"sort_key": self._w.sort_key or "", "last_batch_id": str(batchId)},
+            properties={**self._w._props(), "last_batch_id": str(batchId)},
             materialize=False,  # per-microbatch commits must stay O(delta)
         )
 
