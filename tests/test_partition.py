@@ -426,3 +426,31 @@ def tmp_path_parent(p):
     import os
 
     return os.path.dirname(p)
+
+
+def test_rewrite_preserves_partition_tuples(spark, events_pq, tmp_path):
+    """rewrite_encoded is 1:1 per source file — tuples and the spec carry
+    into the destination, so pruning works there too; a projection that
+    drops a spec source column drops the spec (tuples would dangle)."""
+    from webcodec.spark.maintenance import rewrite_encoded
+    from webcodec.spark.table import SnapshotTable
+    from webcodec.config import EncoderConfig
+
+    src, t = events_pq
+    out = str(tmp_path / "tbl_src")
+    _encode_partitioned(spark, src, out, ["event_type"],
+                        target_partition_bytes=1 << 20)
+    dst = str(tmp_path / "tbl_dst")
+    rewrite_encoded(spark, out, dst, EncoderConfig(compression="lz4"))
+    dtbl = SnapshotTable(dst)
+    files = dtbl.data_files()
+    assert all("partition" in f for f in files)
+    kept = dtbl.data_files([("event_type", "==", "click")])
+    assert 0 < len(kept) < len(files)
+
+    # projection that drops the spec's source column -> spec dropped
+    dst2 = str(tmp_path / "tbl_dst2")
+    rewrite_encoded(spark, out, dst2, columns=["event_id", "value"])
+    snap2 = SnapshotTable(dst2).read_snapshot()
+    assert "partition_spec" not in (snap2.get("properties") or {})
+    assert all("partition" not in f for f in snap2["files"])

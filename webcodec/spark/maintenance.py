@@ -568,20 +568,35 @@ def rewrite_encoded(
     schema = snap["schema"]
     if cols:
         schema = [f for f in schema if f["name"] in cols]
+    # the rewrite is 1:1 per source file, so partition tuples stay valid —
+    # carry them (and the spec) unless a projection dropped a source column
+    # the spec transforms
+    spec = (snap.get("properties") or {}).get("partition_spec")
+    if spec and cols and not all(f["col"] in cols for f in spec):
+        spec = None
+    part_by_pid = (
+        {f["partition_id"]: f.get("partition") for f in snap["files"]}
+        if spec else {}
+    )
     files = []
     for r in rows:
-        files.append(
-            {
-                "partition_id": r["partition_id"],
-                "path": os.path.join("data", r["file"]),
-                "rows": r["rows"],
-                "raw_bytes": r["raw_bytes"],
-                "compressed_bytes": r["compressed_bytes"],
-                "codec_choices": json.loads(r["codec_choices"]),
-                "column_stats": json.loads(r["column_stats"]),
-            }
-        )
-    return dst.commit(files, schema, properties={"rewritten_from": src_dir}, replace=True)
+        entry = {
+            "partition_id": r["partition_id"],
+            "path": os.path.join("data", r["file"]),
+            "rows": r["rows"],
+            "raw_bytes": r["raw_bytes"],
+            "compressed_bytes": r["compressed_bytes"],
+            "codec_choices": json.loads(r["codec_choices"]),
+            "column_stats": json.loads(r["column_stats"]),
+        }
+        part = part_by_pid.get(r["partition_id"])
+        if part is not None:
+            entry["partition"] = part
+        files.append(entry)
+    props = {"rewritten_from": src_dir}
+    if spec:
+        props["partition_spec"] = spec
+    return dst.commit(files, schema, properties=props, replace=True)
 
 
 def export_parquet(
