@@ -117,6 +117,28 @@ def _rt_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 modular encryption round-trip: documents encoded with per-page
+    AES-GCM (nonce||ct||tag payloads, AAD binds file/chunk/page identity)
+    and a GCM-signed plaintext footer (webcodec/crypto.py — parquet modular
+    encryption analogue, plaintext-footer mode). Decode with the key must be
+    bit-identical to the plaintext pipeline; a keyless read raises with the
+    footer's key_id."""
+    from webcodec.config import EncoderConfig
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+
+    _prep(spark)
+    key = bytes(range(32))
+    df = _src(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="wcq_enc_")
+    encode_table(df, os.path.join(out, "t"),
+                 EncoderConfig(encryption_key=key, encryption_key_id="test-key"),
+                 sort_key="doc_id", write_metrics=False)
+    back = read_encoded(spark, os.path.join(out, "t"), encryption_key=key)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def _rt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip of `events`: timestamp[us] FOR+delta (A8), double BSS (A11),
     low-cardinality dict+RLE (A6+A3)."""
@@ -1448,6 +1470,7 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rt_documents": _rt_documents,
+        "rt_encrypted": _rt_encrypted,
         "rt_events": _rt_events,
         "rt_lineitem_q1": _rt_lineitem_q1,
         "rt_join_orders": _rt_join_orders,
@@ -1652,6 +1675,7 @@ _ANN_PLANTED_ORACLE = (
 def oracle_sql() -> dict[str, str]:
     return {
         "rt_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "rt_encrypted": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "rt_events": (
             "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, "
             "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_c, props FROM events"

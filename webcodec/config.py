@@ -47,6 +47,16 @@ class EncoderConfig:
     selector_sample_values: int = 4_096
     # Sort rows within partition by these columns before encoding (None = keep order).
     sort_columns: tuple[str, ...] | None = None
+    # Modular encryption (SURVEY §2 C12, parquet modular-encryption analogue,
+    # plaintext-footer mode): AES-GCM per page + signed footer. The key ships
+    # inside this config (same trust model as parquet encryption properties);
+    # key_id is recorded in footers so readers know WHICH key to present.
+    encryption_key: bytes | None = None
+    encryption_key_id: str = ""
+    # internal: per-FILE random AAD prefix, set by write_table/write_batches —
+    # never set this yourself (sharing one prefix across files would let
+    # ciphertext pages be relocated between those files undetected)
+    encryption_aad_prefix: bytes | None = None
 
     # named profiles --------------------------------------------------------------
     @classmethod
@@ -69,6 +79,21 @@ class EncoderConfig:
         kw.setdefault("use_fsst", True)
         kw.setdefault("binary_compression_level", 11)
         return cls(**kw)
+
+    def file_crypto(self):
+        """The per-file encryption context, or None when encryption is off.
+        Valid only after the write path stamped this config with a fresh
+        per-file aad prefix."""
+        if self.encryption_key is None:
+            return None
+        from webcodec.crypto import FileCrypto
+
+        if self.encryption_aad_prefix is None:
+            raise ValueError(
+                "encryption_aad_prefix unset — encode through write_table/"
+                "write_batches, which stamp a fresh per-file prefix"
+            )
+        return FileCrypto(self.encryption_key, self.encryption_aad_prefix)
 
     # per-column resolved helpers -------------------------------------------------
     def compression_for(self, column: str) -> str:

@@ -1,0 +1,142 @@
+"""AES-GCM modular encryption (SURVEY.md §2 C12 — parquet modular
+encryption analogue, plaintext-footer mode).
+
+Public-format evidence: the parquet-format Encryption.md design — each
+MODULE (here: every page) is encrypted independently with AES-GCM so page
+projection/skipping still works; the footer stays plaintext (readable
+schema/stats for planning) but carries a GCM signature so tampering is
+detected when the key is presented; every module's AAD chains a per-file
+random prefix + a module identifier so ciphertext cannot be relocated
+across files, chunks, or page slots undetected.
+
+Layout choices (ours, not parquet bytes — SURVEY §7.0: decode-output parity
+is the contract, not byte parity):
+- page payload on disk = 12-byte random nonce || ciphertext || 16-byte tag
+  (the page header's compressed_size covers all of it; the CRC is computed
+  over the stored ciphertext so corruption is caught before decryption).
+- page AAD = aad_prefix(8, per file) || md5(chunk_name)[:8] ||
+  <page_type u8, first_row i64, n_values i64> — a page moved to another
+  file, column, or page slot fails authentication.
+- footer signature = GCM tag over the canonical footer JSON (signature
+  field blanked) as AAD with empty plaintext and a random nonce; stored as
+  base64(nonce || tag) inside footer["encryption"].
+
+Scope notes (documented, honest): manifest min/max stats and bloom filters
+remain plaintext in the footer (exactly parquet's plaintext-footer mode —
+use full-footer encryption if stats themselves are sensitive, not
+implemented here); clustered-mode shuffle spills are transient plaintext
+(Spark's own shuffle has the same property); encrypted files never
+byte-merge (per-file AAD prefixes) — compact via rewrite_encoded instead.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import struct
+
+ALGORITHM = "AES_GCM_V1"
+NONCE_LEN = 12
+TAG_LEN = 16
+PAGE_OVERHEAD = NONCE_LEN + TAG_LEN
+
+
+def _aesgcm(key: bytes):
+    try:
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+    except ImportError as e:  # pragma: no cover — cryptography ships in-container
+        raise RuntimeError(
+            "encrypted webcodec tables require the 'cryptography' package"
+        ) from e
+    return AESGCM(key)
+
+
+def check_key(key: bytes) -> bytes:
+    if not isinstance(key, (bytes, bytearray)) or len(key) not in (16, 24, 32):
+        raise ValueError("encryption_key must be 16/24/32 bytes (AES-128/192/256)")
+    return bytes(key)
+
+
+class FileCrypto:
+    """Per-file encryption context: the key + this file's random AAD prefix."""
+
+    __slots__ = ("key", "prefix", "_g")
+
+    def __init__(self, key: bytes, prefix: bytes):
+        self.key = check_key(key)
+        if len(prefix) != 8:
+            raise ValueError("aad_prefix must be 8 bytes")
+        self.prefix = bytes(prefix)
+        self._g = _aesgcm(self.key)
+
+    def aad_base(self, chunk_name: str) -> bytes:
+        return self.prefix + hashlib.md5(chunk_name.encode()).digest()[:8]
+
+    def _page_aad(self, aad_base: bytes, ptype: int, first_row: int,
+                  n_values: int) -> bytes:
+        return aad_base + struct.pack("<Bqq", ptype, first_row, n_values)
+
+    def encrypt_page(self, aad_base: bytes, ptype: int, first_row: int,
+                     n_values: int, payload: bytes) -> bytes:
+        nonce = os.urandom(NONCE_LEN)
+        aad = self._page_aad(aad_base, ptype, first_row, n_values)
+        return nonce + self._g.encrypt(nonce, bytes(payload), aad)
+
+    def decrypt_page(self, aad_base: bytes, ptype: int, first_row: int,
+                     n_values: int, blob) -> bytes:
+        blob = bytes(blob)
+        aad = self._page_aad(aad_base, ptype, first_row, n_values)
+        try:
+            return self._g.decrypt(blob[:NONCE_LEN], blob[NONCE_LEN:], aad)
+        except Exception as e:
+            raise ValueError(
+                "page decryption failed: wrong key, or the page was "
+                "tampered with / relocated (GCM tag mismatch)"
+            ) from e
+
+
+def _canonical_footer_bytes(footer: dict) -> bytes:
+    enc = dict(footer["encryption"])
+    enc["signature"] = ""
+    doc = {**footer, "encryption": enc}
+    return json.dumps(doc, sort_keys=True, separators=(",", ":"),
+                      default=str).encode()
+
+
+def sign_footer(key: bytes, footer: dict) -> str:
+    """GCM signature (base64 nonce||tag) over the canonical footer JSON —
+    call with footer["encryption"]["signature"] unset/blank."""
+    nonce = os.urandom(NONCE_LEN)
+    tag = _aesgcm(check_key(key)).encrypt(nonce, b"", _canonical_footer_bytes(footer))
+    return base64.b64encode(nonce + tag).decode()
+
+
+def verify_footer(key: bytes, footer: dict) -> None:
+    sig = base64.b64decode(footer["encryption"]["signature"])
+    nonce, tag = sig[:NONCE_LEN], sig[NONCE_LEN:]
+    try:
+        _aesgcm(check_key(key)).decrypt(nonce, tag, _canonical_footer_bytes(footer))
+    except Exception as e:
+        raise ValueError(
+            "footer signature verification failed: wrong key or tampered footer"
+        ) from e
+
+
+def reader_context(footer: dict, key: bytes | None) -> FileCrypto | None:
+    """Build the decryption context for a parsed footer (None when the file
+    is plaintext); verifies the footer signature. Raises with the key_id in
+    the message when the file is encrypted and no key was given."""
+    enc = footer.get("encryption")
+    if not enc:
+        return None
+    if key is None:
+        raise ValueError(
+            f"file is encrypted (algorithm={enc.get('algorithm')!r}, "
+            f"key_id={enc.get('key_id')!r}); pass encryption_key"
+        )
+    if enc.get("algorithm") != ALGORITHM:
+        raise ValueError(f"unsupported encryption algorithm {enc.get('algorithm')!r}")
+    verify_footer(key, footer)
+    return FileCrypto(key, base64.b64decode(enc["aad_prefix"]))

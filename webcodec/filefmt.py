@@ -101,11 +101,17 @@ def _build_page(
     stats: dict | None,
     check_crc: bool,
     level: int | None,
+    crypto=None,
+    aad_base: bytes = b"",
 ) -> _PageOut:
     body = struct.pack("<I", len(validity)) + validity + values
     comp = compress(body, codec, level)
     if len(comp) >= len(body) and codec != Codec.NONE:
         comp, codec = body, Codec.NONE  # incompressible page: store raw
+    if crypto is not None:
+        # C12 modular encryption: nonce||ct||tag stored as the page payload;
+        # CRC covers the ciphertext (corruption caught before decryption)
+        comp = crypto.encrypt_page(aad_base, page_type, first_row, n_values, comp)
     crc = zlib.crc32(comp) if check_crc else 0
     header = PAGE_HEADER.pack(
         page_type, int(encoding), int(codec), int(phys),
@@ -190,6 +196,8 @@ def _encode_chunk(
     level = config.compression_level
     if phys == PhysType.BINARY and config.binary_compression_level is not None:
         level = config.binary_compression_level
+    fcrypto = config.file_crypto()
+    aad_base = fcrypto.aad_base(name) if fcrypto else b""
     n = len(arr)
     raw = raw_byte_size(arr)
     stats = sample_stats(arr, phys, config.selector_sample_values)
@@ -256,6 +264,7 @@ def _encode_chunk(
             dp = _build_page(
                 PAGE_DICT, dict_inner, codec, phys, len(dict_values), 0, b"",
                 dict_payload, 0, None, config.write_page_checksum, level,
+                fcrypto, aad_base,
             )
             chunk["dict"] = {
                 "n": len(dict_values),
@@ -302,7 +311,7 @@ def _encode_chunk(
         st = page_stats(sl, phys, config.statistics_truncate_length) if config.statistics_enabled else None
         p = _build_page(
             PAGE_DATA, encoding, codec, phys, e - s, n_nulls, validity, values,
-            s, st, config.write_page_checksum, level,
+            s, st, config.write_page_checksum, level, fcrypto, aad_base,
         )
         pages_out.append(p)
         encoded_total += len(values) + len(validity)
@@ -845,6 +854,7 @@ def write_table(
 ) -> dict:
     """Encode an Arrow table into one webcodec file; returns the footer dict."""
     config = config or DEFAULT_CONFIG
+    config = _stamp_file_crypto(config)
     own = isinstance(where, str)
     out: io.BufferedIOBase = open(where, "wb") if own else where  # type: ignore[assignment]
     try:
@@ -863,11 +873,40 @@ def write_table(
             "created_by": "webcodec-0.1",
             "metadata": extra_metadata or {},
         }
+        _attach_encryption_footer(footer, config)
         _write_footer(out, footer)
         return footer
     finally:
         if own:
             out.close()
+
+
+def _stamp_file_crypto(config: EncoderConfig) -> EncoderConfig:
+    """Give an encrypting config a FRESH per-file AAD prefix (pages must not
+    be relocatable between files)."""
+    if config.encryption_key is None:
+        return config
+    from dataclasses import replace
+
+    return replace(config, encryption_aad_prefix=os.urandom(8))
+
+
+def _attach_encryption_footer(footer: dict, config: EncoderConfig) -> None:
+    if config.encryption_key is None:
+        return
+    import base64
+
+    from webcodec import crypto as wcrypto
+
+    footer["encryption"] = {
+        "algorithm": wcrypto.ALGORITHM,
+        "key_id": config.encryption_key_id,
+        "aad_prefix": base64.b64encode(config.encryption_aad_prefix).decode(),
+        "signature": "",
+    }
+    footer["encryption"]["signature"] = wcrypto.sign_footer(
+        config.encryption_key, footer
+    )
 
 
 def sort_indices_for_key(table: pa.Table, sort_key: str):
@@ -921,6 +960,7 @@ def write_batches(
     Returns the footer, or None when the iterator yields no rows (the caller
     decides whether an empty file makes sense)."""
     config = config or DEFAULT_CONFIG
+    config = _stamp_file_crypto(config)
     own = isinstance(where, str)
     out: io.BufferedIOBase = open(where, "wb") if own else where  # type: ignore[assignment]
     try:
@@ -978,6 +1018,7 @@ def write_batches(
             footer = {"version": 1, "chunks": groups[0]["chunks"], **common}
         else:
             footer = {"version": 2, "groups": groups, **common}
+        _attach_encryption_footer(footer, config)
         _write_footer(out, footer)
         return footer
     finally:
@@ -1029,7 +1070,15 @@ def append_files(dst: str, sources: list[str]) -> dict:
 
     All sources must share one schema signature (chunk-name set + logical
     schema): merging a pre-evolution file with an evolved one would silently
-    drop/null the added column on read — callers must re-encode instead."""
+    drop/null the added column on read — callers must re-encode instead.
+    Encrypted files never byte-merge (each file's pages authenticate against
+    its own random AAD prefix) — rewrite with the key instead."""
+    for src in sources:
+        if read_footer_path(src).get("encryption"):
+            raise ValueError(
+                "append_files: encrypted files cannot byte-merge (per-file "
+                "AAD prefixes); use rewrite_encoded with the encryption key"
+            )
     sig0 = schema_signature(read_footer_path(sources[0]))
     for src in sources[1:]:
         if schema_signature(read_footer_path(src)) != sig0:
@@ -1098,12 +1147,19 @@ def read_footer(data: bytes | memoryview) -> dict:
     return json.loads(fj)
 
 
-def _read_page(buf: memoryview, offset: int, verify_crc: bool = True):
+def _read_page(buf: memoryview, offset: int, verify_crc: bool = True,
+               crypto=None, aad_base: bytes = b""):
     h = PAGE_HEADER.unpack(buf[offset : offset + PAGE_HEADER.size])
     (ptype, enc, codec, phys, n_values, n_nulls, usize, csize, crc, first_row) = h
     payload = buf[offset + PAGE_HEADER.size : offset + PAGE_HEADER.size + csize]
     if verify_crc and crc and zlib.crc32(payload) != crc:
         raise ValueError(f"page crc mismatch at offset {offset}")
+    if crypto is not None:
+        # AAD binds the header's identity fields: a page relocated to another
+        # file/chunk/slot (or a doctored header) fails authentication here
+        payload = memoryview(
+            crypto.decrypt_page(aad_base, ptype, first_row, n_values, payload)
+        )
     body = decompress(payload, Codec(codec), usize)
     (vlen,) = struct.unpack("<I", body[:4])
     validity = body[4 : 4 + vlen]
@@ -1117,10 +1173,19 @@ def _rebuild_with_nulls(values: pa.Array, mask: np.ndarray, arrow_type: pa.DataT
     return colcodec.rebuild_with_nulls(values, mask, arrow_type)
 
 
+def _chunk_crypto(chunk: dict):
+    """(crypto, aad_base) of a chunk — read_table injects the per-read
+    context as ``_crypto`` into every footer chunk dict (plaintext files
+    carry none)."""
+    fc = chunk.get("_crypto")
+    return (fc, fc.aad_base(chunk["name"])) if fc is not None else (None, b"")
+
+
 def _decode_dict_page_only(buf: memoryview, chunk: dict, verify_crc: bool = True) -> pa.Array:
     """Decode just a chunk's dictionary page (for dictionary-level pruning)."""
     d = chunk["dict"]
-    _, inner, _, dn, _, _, dvals, _ = _read_page(buf, d["offset"], verify_crc)
+    fc, ab = _chunk_crypto(chunk)
+    _, inner, _, dn, _, _, dvals, _ = _read_page(buf, d["offset"], verify_crc, fc, ab)
     t = arrow_type_from_json(chunk["type"])
     return colcodec.decode_dict_page(
         dvals, PhysType(chunk["phys"]), inner, dn, widened(t) or t
@@ -1138,10 +1203,11 @@ def _decode_chunk(
     # narrow types decode at their widened storage type, cast back at the end
     work_type = widened(arrow_type) or arrow_type
     phys = PhysType(chunk["phys"])
+    fc, ab = _chunk_crypto(chunk)
     dict_values = None
     if chunk.get("dict"):
         d = chunk["dict"]
-        _, inner, _, dn, _, _, dvals, _ = _read_page(buf, d["offset"], verify_crc)
+        _, inner, _, dn, _, _, dvals, _ = _read_page(buf, d["offset"], verify_crc, fc, ab)
         dict_values = colcodec.decode_dict_page(dvals, phys, inner, dn, work_type)
     parts: list[pa.Array] = []
     for pm in chunk["pages"]:
@@ -1150,7 +1216,8 @@ def _decode_chunk(
             sub = keep[pm["first_row"] : pm["first_row"] + pm["n_values"]]
             if not sub.any():
                 continue  # page-level skip: no IO-decode for this page
-        ptype, enc, _, n_values, n_nulls, validity, values, _ = _read_page(buf, pm["offset"], verify_crc)
+        ptype, enc, _, n_values, n_nulls, validity, values, _ = _read_page(
+            buf, pm["offset"], verify_crc, fc, ab)
         n_valid = n_values - n_nulls
         if enc == Encoding.DICT:
             idx = colcodec.decode_dict_indices(values, n_valid)
@@ -1228,7 +1295,8 @@ def _bloom_may_contain(pc_chunk: dict, values) -> bool:
 
 
 def match_positions(
-    source: str | bytes | memoryview, predicate, aliases=None
+    source: str | bytes | memoryview, predicate, aliases=None,
+    encryption_key: bytes | None = None,
 ) -> "np.ndarray":
     """GLOBAL row positions matching ``predicate`` (webcodec.predicate
     algebra) — the produce side of merge-on-read deletes: a delete job
@@ -1263,7 +1331,8 @@ def match_positions(
             return np.arange(int(footer["num_rows"]), dtype=np.int64)
         conjuncts = localized
     cols = sorted({c for c, _, _ in conjuncts})
-    t = read_table(source, columns=cols, verify_crc=False)
+    t = read_table(source, columns=cols, verify_crc=False,
+                   encryption_key=encryption_key)
     mask = predmod.match_mask(t, conjuncts)
     return np.flatnonzero(mask.to_numpy(zero_copy_only=False))
 
@@ -1275,6 +1344,7 @@ def read_table(
     verify_crc: bool = True,
     row_range: tuple[int, int] | None = None,
     drop_rows: "np.ndarray | None" = None,
+    encryption_key: bytes | None = None,
 ) -> pa.Table:
     """Decode a webcodec file to an Arrow table.
 
@@ -1302,6 +1372,16 @@ def read_table(
     buf = memoryview(data)
     footer = read_footer(buf)
     groups = footer.get("groups") or [footer]
+    if footer.get("encryption") or encryption_key is not None:
+        from webcodec import crypto as wcrypto
+
+        fcr = wcrypto.reader_context(footer, encryption_key)
+        if fcr is not None:
+            # inject the per-read context into every chunk dict so the whole
+            # decode tree (nested chunks included) decrypts transparently
+            for g in groups:
+                for c in g["chunks"]:
+                    c["_crypto"] = fcr
     # child chunks of shredded structs are footer-internal, not columns
     names = columns or [
         c["name"] for c in groups[0]["chunks"] if _STRUCT_SEP not in c["name"]

@@ -113,6 +113,10 @@ class WebcodecReader(DataSourceReader):
         self.target_split_bytes = int(
             options.get("target_split_bytes", 128 * 1024 * 1024)
         )
+        # C12: key for encrypted tables, hex-encoded (the same trust surface
+        # as parquet's encryption properties — options ship to executors)
+        ekh = options.get("encryption_key_hex")
+        self.encryption_key = bytes.fromhex(ekh) if ekh else None
         self.predicate: list[tuple] | None = None
         # rename provenance (current name -> older chunk names), resolved
         # driver-side at plan time and shipped to executors with the reader
@@ -158,6 +162,7 @@ class WebcodecReader(DataSourceReader):
         yield from decode_file_evolved(
             partition.path, want, self.types, self.predicate, row_range=rng,
             delete_paths=partition.deletes, aliases=self.aliases,
+            encryption_key=self.encryption_key,
         )
 
 
@@ -277,6 +282,11 @@ class WebcodecWriter(DataSourceArrowWriter):
             validate_spec(self.partition_spec, [f["name"] for f in self.schema_fields])
         # per-tuple buffer flush threshold for fanout writes (raw Arrow bytes)
         self.fanout_flush_bytes = int(options.get("fanout_flush_bytes", 128 << 20))
+        # C12 modular encryption: .option("encryption_key_hex", key.hex())
+        # (+ optional "encryption_key_id" recorded in footers)
+        ekh = options.get("encryption_key_hex")
+        self.encryption_key = bytes.fromhex(ekh) if ekh else None
+        self.encryption_key_id = options.get("encryption_key_id", "")
 
     def _make_config(self):
         from webcodec.config import EncoderConfig
@@ -285,6 +295,8 @@ class WebcodecWriter(DataSourceArrowWriter):
             compression=self.compression,
             column_encoding=self.column_encoding,
             use_dictionary=self.use_dictionary,
+            encryption_key=self.encryption_key,
+            encryption_key_id=self.encryption_key_id,
         )
 
     def _lineage_of(self, pid: int, fname: str, footer: dict,

@@ -172,7 +172,8 @@ def load_delete_positions(delete_paths, data=None, aliases=None) -> "np.ndarray 
 def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
                         predicate, batch_rows: int = 8_192,
                         row_range: tuple[int, int] | None = None,
-                        delete_paths=(), aliases=None):
+                        delete_paths=(), aliases=None,
+                        encryption_key: bytes | None = None):
     """Decode one .wcd file to Arrow batches with Iceberg schema-evolution
     semantics: columns added to the table AFTER this file was written decode
     as nulls, and columns RENAMED after it was written decode from their
@@ -202,7 +203,8 @@ def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
     cols_here = [local_of[c] for c in want if c in local_of]
     t = filefmt.read_table(
         data, columns=cols_here, predicate=predicate, row_range=row_range,
-        drop_rows=load_delete_positions(delete_paths, data, aliases=aliases))
+        drop_rows=load_delete_positions(delete_paths, data, aliases=aliases),
+        encryption_key=encryption_key)
     if cols_here != want:
         arrays = []
         for name in want:
@@ -297,6 +299,7 @@ def read_encoded(
     batch_rows: int = 8_192,
     snapshot_id: int | None = None,
     target_split_bytes: int = 128 << 20,
+    encryption_key: bytes | None = None,
 ) -> DataFrame:
     """Scan a webcodec snapshot table as a DataFrame.
 
@@ -338,6 +341,7 @@ def read_encoded(
                 yield from decode_file_evolved(
                     path, want, types, predicate, batch_rows, row_range=rng,
                     delete_paths=dels, aliases=aliases,
+                    encryption_key=encryption_key,
                 )
 
     pdf = spark.range(0, len(splits), 1, len(splits))

@@ -510,10 +510,14 @@ def rewrite_encoded(
     config: EncoderConfig | None = None,
     columns: list[str] | None = None,
     predicate=None,
+    source_encryption_key: bytes | None = None,
 ) -> dict:
     """Transcode a webcodec table (decode -> re-encode with new options, e.g.
     different compression, column subset/masking). One Spark task per source
     file; bytes never cross the JVM (reference parity: ParquetRewriter).
+    ``source_encryption_key`` decrypts an encrypted source; the destination
+    encrypts iff ``config.encryption_key`` is set (this is also the
+    compaction path for encrypted tables, which never byte-merge).
 
     ``predicate`` (webcodec.predicate algebra) keeps only matching rows —
     the filtered-rewrite path a training-data pipeline uses for targeted
@@ -553,7 +557,8 @@ def rewrite_encoded(
                 # contains only live rows and carries no sidecars
                 table = filefmt.read_table(
                     path, columns=cols, predicate=predicate,
-                    drop_rows=load_delete_positions(dels, path, aliases=aliases))
+                    drop_rows=load_delete_positions(dels, path, aliases=aliases),
+                    encryption_key=source_encryption_key)
                 if table.num_rows == 0:
                     continue
                 yield from _write_one(
