@@ -198,6 +198,19 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
     extras["webpages_raw_bytes"] = snap["total_raw_bytes"]
     extras["webpages_compressed_bytes"] = snap["total_compressed_bytes"]
 
+    # -- encrypted encode (C12): same speed profile + per-page AES-GCM —
+    #    quantifies the security tax (AES-NI runs GB/s/core; expect ~noise) --
+    t0 = time.perf_counter()
+    encode_table(
+        df, os.path.join(work, "wp_enc"), url_col="url", mode="files",
+        config=EncoderConfig.speed(encryption_key=bytes(range(32))),
+        write_metrics=False, **split_kw,
+    )
+    queries["encode_webpages_encrypted"] = time.perf_counter() - t0
+    extras["encode_encrypted_gbps"] = (
+        raw_bytes / queries["encode_webpages_encrypted"] / 1e9
+    )
+
     # -- archive profile: FSST where the sampled trial wins — the size play
     #    (~0.48x the reference writer's bytes at ~5x its wall) --
     t0 = time.perf_counter()
