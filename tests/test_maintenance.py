@@ -347,3 +347,48 @@ def test_history_audit_log(spark, tmp_path):
     assert h[2]["rolled_back_to"] == 1
     assert h[0]["total_rows"] == 800 and h[2]["total_rows"] == 800
     assert all(r["committed_at"] for r in h)
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Orphans (crash leftovers no snapshot references) are removed once old
+    enough; referenced files and young files survive; history untouched."""
+    import time
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.maintenance import remove_orphan_files
+    from webcodec.spark.table import SnapshotTable
+
+    t = pa.table({"k": pa.array(np.arange(500), pa.int64()),
+                  "v": pa.array([f"v{i}" for i in range(500)])})
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "tbl")
+    encode_table(spark.read.parquet(src), out, write_metrics=False)
+    tbl = SnapshotTable(out)
+    n_before = len(tbl.read_snapshot()["files"])
+
+    # plant crash leftovers: an uncommitted .wcd, a .tmp spool, both backdated
+    orphan1 = os.path.join(out, "data", "part-99999-deadbeef.wcd")
+    orphan2 = os.path.join(out, "data", "part-99998-cafecafe.wcd.tmp")
+    for p in (orphan1, orphan2):
+        with open(p, "wb") as f:
+            f.write(b"leftover")
+        os.utime(p, (time.time() - 7200, time.time() - 7200))
+    # and one YOUNG unreferenced file (simulates an in-flight commit)
+    young = os.path.join(out, "data", "part-99997-beefbeef.wcd")
+    with open(young, "wb") as f:
+        f.write(b"in-flight")
+
+    res = remove_orphan_files(out, older_than_seconds=3600)
+    assert res["removed_data_files"] == 2
+    assert not os.path.exists(orphan1) and not os.path.exists(orphan2)
+    assert os.path.exists(young)  # inside the grace window
+    assert len(tbl.read_snapshot()["files"]) == n_before
+    assert read_encoded(spark, out).count() == 500
+    # a second pass after the window clears the young orphan too
+    os.utime(young, (time.time() - 7200, time.time() - 7200))
+    assert remove_orphan_files(out, older_than_seconds=3600)["removed_data_files"] == 1

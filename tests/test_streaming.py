@@ -383,3 +383,37 @@ def test_stream_across_legacy_to_shard_migration(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 600  # delta only — no legacy rows re-delivered
     assert df.exceptAll(got).count() == 0 and got.exceptAll(df).count() == 0
+
+
+def test_stream_rate_limit_max_bytes_per_trigger(spark, tmp_path):
+    """maxBytesPerTrigger analogue: each microbatch's admitted files stay
+    under the byte bound (except a single oversized file, which must still
+    be admitted so the stream never stalls); union covers every file once."""
+    from webcodec.spark.datasource import WebcodecDataSource, WebcodecStreamReader
+    from webcodec.spark.table import SnapshotTable
+
+    spark.dataSource.register(WebcodecDataSource)
+    out = str(tmp_path / "t")
+    df = spark.range(4_000).selectExpr("id", "repeat(cast(id as string), 20) AS s")
+    df.repartition(6).write.format("webcodec").mode("append").option("path", out).save()
+    sizes = {f["path"]: f["compressed_bytes"]
+             for f in SnapshotTable(out).read_snapshot()["files"]}
+    bound = int(max(sizes.values()) * 1.5)  # fits 1, never 2 of the large files
+
+    r = WebcodecStreamReader({"path": out, "max_bytes_per_trigger": str(bound)})
+    off = r.initialOffset()
+    seen: list[str] = []
+    batches = 0
+    while True:
+        end = r.latestOffset()
+        if end == off:
+            break
+        files = r._files_between(off, end)
+        got = sum(sizes[f["path"]] for f in files)
+        assert got <= bound or len(files) == 1  # oversized single file allowed
+        seen.extend(f["path"] for f in files)
+        off = end
+        batches += 1
+        assert batches < 20
+    assert len(seen) == len(set(seen)) == 6
+    assert batches >= 3  # the bound actually split the backlog

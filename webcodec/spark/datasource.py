@@ -477,6 +477,13 @@ class WebcodecStreamReader(DataSourceStreamReader):
         # pos = consumed files of that snapshot's delta; -1 = fully consumed.
         mft = options.get("max_files_per_trigger")
         self.max_files_per_trigger = int(mft) if mft is not None else None
+        # maxBytesPerTrigger analogue: bound each microbatch by the COMPRESSED
+        # bytes of the files it admits (manifest totals — no file IO). At
+        # least one file is always admitted so the stream cannot stall on a
+        # single oversized file. Composes with max_files_per_trigger
+        # (whichever bound hits first).
+        mbt = options.get("max_bytes_per_trigger")
+        self.max_bytes_per_trigger = int(mbt) if mbt is not None else None
         # replace commits (compact/rewrite/overwrite) re-list existing rows
         # under new paths; delivering them as appends breaks exactly-once.
         # Default: fail loudly. Opt-in ignore_changes=true skips them.
@@ -575,7 +582,7 @@ class WebcodecStreamReader(DataSourceStreamReader):
         cur = max(SnapshotTable(self.table_dir).current_snapshot_id() or 0,
                   self.start_snapshot)
         head = {"snapshot_id": cur, "pos": -1}
-        if self.max_files_per_trigger is None:
+        if self.max_files_per_trigger is None and self.max_bytes_per_trigger is None:
             self._last = head
             return head
         if self._last is None:
@@ -590,15 +597,24 @@ class WebcodecStreamReader(DataSourceStreamReader):
                 return head
             self._last = cursor
         s, p = int(self._last["snapshot_id"]), int(self._last.get("pos", -1))
-        budget = self.max_files_per_trigger
-        while budget > 0 and (s < cur or (s == cur and p != -1)):
+        inf = float("inf")
+        fbudget = self.max_files_per_trigger if self.max_files_per_trigger is not None else inf
+        bbudget = self.max_bytes_per_trigger if self.max_bytes_per_trigger is not None else inf
+        taken = 0
+        while fbudget > 0 and bbudget > 0 and (s < cur or (s == cur and p != -1)):
             if p == -1:
                 s, p = s + 1, 0
                 continue
             d = self._delta_files(s)
-            take = min(budget, len(d) - p)
-            p += take
-            budget -= take
+            while p < len(d) and fbudget > 0 and bbudget > 0:
+                sz = int(d[p].get("compressed_bytes") or 0)
+                if taken > 0 and sz > bbudget:
+                    bbudget = 0  # bytes bound hit; file waits for next batch
+                    break
+                p += 1
+                taken += 1
+                fbudget -= 1
+                bbudget -= sz
             if p >= len(d):
                 p = -1
         off = {"snapshot_id": s, "pos": p}

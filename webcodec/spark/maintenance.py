@@ -774,3 +774,64 @@ def expire_snapshots(
         "removed_manifests": removed_shards,
         "removed_delete_files": removed_deletes,
     }
+
+
+def remove_orphan_files(table_dir: str, older_than_seconds: float = 86_400.0) -> dict:
+    """Iceberg RemoveOrphanFiles analogue: delete data files and delete-file
+    sidecars that NO snapshot (any id — history is untouched) references and
+    that are older than ``older_than_seconds``.
+
+    Orphans accumulate from crashes, not normal operation: a writer killed
+    between writing ``part-*.wcd`` and committing, leftover ``.tmp`` spool
+    files, a commit that lost the optimistic claim race and died before its
+    own cleanup. ``expire_snapshots`` never sees them (it vacuums only files
+    that WERE referenced by now-expired snapshots), so a long-lived table
+    needs both tools — exactly Iceberg's split between ExpireSnapshots and
+    DeleteOrphanFiles. The default 24h window is Iceberg's ``older_than``
+    stance: generous enough that no in-flight commit can still link the file.
+    """
+    tbl = SnapshotTable(table_dir)
+    try:
+        sids = sorted(
+            int(fn[len("snapshot-"):-len(".json")])
+            for fn in os.listdir(tbl.meta_dir)
+            if fn.startswith("snapshot-") and fn.endswith(".json")
+        )
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no snapshot in {table_dir}") from None
+    referenced: set[str] = set()
+    for sid in sids:
+        snap = tbl.read_snapshot(sid)
+        if snap is None:
+            continue
+        for f in snap["files"]:
+            referenced.add(f["path"])
+            referenced.update(f.get("delete_files") or ())
+    age_bar = time.time() - max(older_than_seconds, 0.0)
+    removed = {"data": 0, "deletes": 0}
+    for sub, key in (("data", "data"), ("deletes", "deletes")):
+        d = os.path.join(table_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for fn in os.listdir(d):
+            rel = os.path.join(sub, fn)
+            fpath = os.path.join(d, fn)
+            if rel in referenced:
+                continue
+            try:
+                if os.path.getmtime(fpath) >= age_bar:
+                    continue
+                if os.path.isdir(fpath):  # equality-delete parquet dir
+                    import shutil
+
+                    shutil.rmtree(fpath)
+                else:
+                    os.remove(fpath)
+                removed[key] += 1
+            except OSError:
+                pass
+    return {
+        "removed_data_files": removed["data"],
+        "removed_delete_files": removed["deletes"],
+        "scanned_snapshots": len(sids),
+    }
