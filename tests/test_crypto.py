@@ -233,3 +233,33 @@ def test_rewrite_encrypted_source(spark, tmp_path):
                     source_encryption_key=KEY)
     back = read_encoded(spark, out, encryption_key=KEY2)
     assert back.count() == t.num_rows
+
+
+def test_cross_group_page_swap_detected(tmp_path):
+    """Multi-group file (write_batches): the AAD chain includes the row-group
+    ordinal, so swapping same-slot pages between two groups must fail —
+    without the ordinal both pages would share (file, chunk, first_row,
+    n_values) identity and the swap would decode 'successfully'."""
+    n = 4_000
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(np.arange(n)[::-1].copy(), pa.int64())})
+    path = str(tmp_path / "g.wcd")
+    footer = filefmt.write_batches(
+        iter(t.to_batches(max_chunksize=2_000)), path,
+        EncoderConfig(encryption_key=KEY, write_page_checksum=False,
+                      page_row_count_limit=2_000),
+        group_target_bytes=8 << 10)
+    groups = footer["groups"]
+    assert len(groups) >= 2
+    c0 = next(c for c in groups[0]["chunks"] if c["name"] == "doc_id")
+    c1 = next(c for c in groups[1]["chunks"] if c["name"] == "doc_id")
+    p0, p1 = c0["pages"][0], c1["pages"][0]
+    assert (p0["first_row"], p0["n_values"]) == (p1["first_row"], p1["n_values"])
+    data = bytearray(open(path, "rb").read())
+    h = filefmt.PAGE_HEADER.size
+    a = bytes(data[p0["offset"] + h: p0["offset"] + p0["size"]])
+    b = bytes(data[p1["offset"] + h: p1["offset"] + p1["size"]])
+    nb = min(len(a), len(b))
+    data[p0["offset"] + h: p0["offset"] + h + nb] = b[:nb]
+    with pytest.raises(ValueError, match="decryption failed"):
+        filefmt.read_table(bytes(data), encryption_key=KEY)

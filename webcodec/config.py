@@ -57,6 +57,10 @@ class EncoderConfig:
     # never set this yourself (sharing one prefix across files would let
     # ciphertext pages be relocated between those files undetected)
     encryption_aad_prefix: bytes | None = None
+    # internal: row-group ordinal within the file (write_batches sets it per
+    # flushed group so the AAD chain distinguishes same-slot pages of
+    # different groups)
+    encryption_group_ordinal: int = 0
 
     # named profiles --------------------------------------------------------------
     @classmethod

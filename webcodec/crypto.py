@@ -71,8 +71,12 @@ class FileCrypto:
         self.prefix = bytes(prefix)
         self._g = _aesgcm(self.key)
 
-    def aad_base(self, chunk_name: str) -> bytes:
-        return self.prefix + hashlib.md5(chunk_name.encode()).digest()[:8]
+    def aad_base(self, chunk_name: str, group_ordinal: int = 0) -> bytes:
+        """AAD prefix for one chunk of one row GROUP: the group ordinal is in
+        the chain so same-slot pages in different groups of a multi-group
+        file (write_batches output) cannot be swapped undetected."""
+        return (self.prefix + hashlib.md5(chunk_name.encode()).digest()[:8]
+                + struct.pack("<i", group_ordinal))
 
     def _page_aad(self, aad_base: bytes, ptype: int, first_row: int,
                   n_values: int) -> bytes:

@@ -197,7 +197,9 @@ def _encode_chunk(
     if phys == PhysType.BINARY and config.binary_compression_level is not None:
         level = config.binary_compression_level
     fcrypto = config.file_crypto()
-    aad_base = fcrypto.aad_base(name) if fcrypto else b""
+    aad_base = (
+        fcrypto.aad_base(name, config.encryption_group_ordinal) if fcrypto else b""
+    )
     n = len(arr)
     raw = raw_byte_size(arr)
     stats = sample_stats(arr, phys, config.selector_sample_values)
@@ -982,7 +984,14 @@ def write_batches(
                 idx = sort_indices_for_key(table, sort_key)
                 if idx is not None:
                     table = table.take(idx)
-            chunks, offset = _encode_group(table, config, out, offset)
+            gconfig = config
+            if config.encryption_key is not None:
+                from dataclasses import replace as _dc_replace
+
+                # group ordinal feeds the AAD chain (pages of group N only
+                # authenticate in slot N)
+                gconfig = _dc_replace(config, encryption_group_ordinal=len(groups))
+            chunks, offset = _encode_group(table, gconfig, out, offset)
             groups.append(
                 {
                     "num_rows": table.num_rows,
@@ -1175,10 +1184,12 @@ def _rebuild_with_nulls(values: pa.Array, mask: np.ndarray, arrow_type: pa.DataT
 
 def _chunk_crypto(chunk: dict):
     """(crypto, aad_base) of a chunk — read_table injects the per-read
-    context as ``_crypto`` into every footer chunk dict (plaintext files
-    carry none)."""
+    context as ``_crypto`` (+ ``_crypto_group`` ordinal) into every footer
+    chunk dict (plaintext files carry none)."""
     fc = chunk.get("_crypto")
-    return (fc, fc.aad_base(chunk["name"])) if fc is not None else (None, b"")
+    if fc is None:
+        return None, b""
+    return fc, fc.aad_base(chunk["name"], chunk.get("_crypto_group", 0))
 
 
 def _decode_dict_page_only(buf: memoryview, chunk: dict, verify_crc: bool = True) -> pa.Array:
@@ -1378,10 +1389,12 @@ def read_table(
         fcr = wcrypto.reader_context(footer, encryption_key)
         if fcr is not None:
             # inject the per-read context into every chunk dict so the whole
-            # decode tree (nested chunks included) decrypts transparently
-            for g in groups:
+            # decode tree (nested chunks included) decrypts transparently;
+            # the group ordinal re-enters the AAD chain here
+            for gi, g in enumerate(groups):
                 for c in g["chunks"]:
                     c["_crypto"] = fcr
+                    c["_crypto_group"] = gi
     # child chunks of shredded structs are footer-internal, not columns
     names = columns or [
         c["name"] for c in groups[0]["chunks"] if _STRUCT_SEP not in c["name"]

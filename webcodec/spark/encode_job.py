@@ -185,7 +185,13 @@ def _write_fanout(data_dir: str, base_pid: int, table: pa.Table,
     lineage batches."""
     from webcodec.spark.partition import PID_SHIFT, split_by_partition
 
-    for rank, (values, sub) in enumerate(split_by_partition(table, spec)):
+    groups = split_by_partition(table, spec)
+    if len(groups) >= (1 << PID_SHIFT):
+        raise ValueError(
+            f"partition fanout of {len(groups)} tuples in one task exceeds "
+            f"the pid layout (2^{PID_SHIFT}); coarsen the partition spec"
+        )
+    for rank, (values, sub) in enumerate(groups):
         pid = (base_pid << PID_SHIFT) + rank
         yield from _write_one(
             data_dir, pid, sub, config, sort_key, input_desc, partition=values

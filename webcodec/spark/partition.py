@@ -215,8 +215,15 @@ def split_by_partition(table: pa.Table, spec: list[dict]) -> list[tuple[dict, pa
         c = np.where(np.isnan(idx), -1, idx).astype(np.int64) if idx.dtype.kind == "f" \
             else idx.astype(np.int64)
         k = len(de.dictionary) + 1  # +1 for the null slot
-        codes = codes * k + (c + 1)
         radix *= k
+        if radix > (1 << 62):
+            raise ValueError(
+                "partition spec is too fine-grained for this task's rows "
+                f"(mixed-radix tuple space {radix} overflows): partition "
+                "columns must be low-cardinality — use bucket()/truncate()/"
+                "temporal transforms instead of identity over unique values"
+            )
+        codes = codes * k + (c + 1)
         dicts.append(de.dictionary)
     uniq, inverse = np.unique(codes, return_inverse=True)
     order = np.argsort(inverse, kind="stable")
