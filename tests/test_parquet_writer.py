@@ -171,3 +171,77 @@ def test_multi_row_group_output(tmp_path):
     assert back.column("lang").to_pylist() == t.column("lang").to_pylist()
     n = duckdb.sql(f"SELECT count(*) AS c, count(DISTINCT lang) AS d FROM read_parquet('{path}')").fetchone()
     assert n == (5_000, 6)
+
+
+def test_emit_delta_binary_packed_read_by_reference(tmp_path):
+    """Write-side half of the delta differential test: OUR spec
+    DELTA_BINARY_PACKED bytes must be decoded by the reference reader."""
+    import numpy as np
+
+    from webcodec.parquet_writer import write_parquet
+
+    rng = np.random.default_rng(13)
+    vals = np.cumsum(rng.integers(-500, 500, 30_000)).astype(np.int64)
+    nullable = [None if i % 9 == 0 else int(v) for i, v in enumerate(vals)]
+    t = pa.table({
+        "i64": pa.array(nullable, pa.int64()),
+        "i32": pa.array((vals % (2**28)).astype(np.int32)),
+        "ts": pa.array(np.abs(vals) * 1000, pa.timestamp("us")),
+    })
+    path = str(tmp_path / "delta.parquet")
+    write_parquet(t, path, codec="zstd",
+                  column_encoding={"i64": "delta_binary_packed",
+                                   "i32": "delta_binary_packed",
+                                   "ts": "delta_binary_packed"})
+    pf = pq.ParquetFile(path)
+    for ci in range(3):
+        assert "DELTA_BINARY_PACKED" in pf.metadata.row_group(0).column(ci).encodings
+    got = pq.read_table(path)
+    assert got.column("i64").to_pylist() == nullable
+    assert got.column("i32").to_pylist() == t.column("i32").to_pylist()
+    # converted_type TS_MICROS reads back tz=UTC — compare raw micros
+    assert got.column("ts").cast(pa.int64()).to_pylist() == \
+        t.column("ts").cast(pa.int64()).to_pylist()
+    import duckdb
+
+    assert duckdb.sql(
+        f"SELECT count(*), sum(i32) FROM '{path}'"
+    ).fetchone() == (30_000, int(t.column('i32').to_pandas().sum()))
+
+
+def test_emit_byte_stream_split_read_by_reference(tmp_path):
+    import numpy as np
+
+    from webcodec.parquet_writer import write_parquet
+
+    rng = np.random.default_rng(17)
+    t = pa.table({
+        "f": pa.array(rng.standard_normal(8_000).astype(np.float32)),
+        "d": pa.array([None if i % 7 == 0 else float(x)
+                       for i, x in enumerate(rng.standard_normal(8_000))],
+                      pa.float64()),
+    })
+    path = str(tmp_path / "bss.parquet")
+    write_parquet(t, path, codec="zstd",
+                  column_encoding={"f": "byte_stream_split",
+                                   "d": "byte_stream_split"})
+    pf = pq.ParquetFile(path)
+    for ci in range(2):
+        assert "BYTE_STREAM_SPLIT" in pf.metadata.row_group(0).column(ci).encodings
+    got = pq.read_table(path)
+    assert got.column("f").to_pylist() == t.column("f").to_pylist()
+    assert got.column("d").to_pylist() == t.column("d").to_pylist()
+
+
+def test_emit_delta_multi_row_group(tmp_path):
+    import numpy as np
+
+    from webcodec.parquet_writer import write_parquet
+
+    t = pa.table({"k": pa.array(np.arange(10_000), pa.int64())})
+    path = str(tmp_path / "delta_rg.parquet")
+    write_parquet(t, path, row_group_rows=3_000,
+                  column_encoding={"k": "delta_binary_packed"})
+    pf = pq.ParquetFile(path)
+    assert pf.metadata.num_row_groups == 4
+    assert pq.read_table(path).column("k").to_pylist() == list(range(10_000))

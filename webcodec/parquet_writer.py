@@ -36,6 +36,7 @@ MAGIC = b"PAR1"
 # parquet.thrift enums
 _T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY = 0, 1, 2, 4, 5, 6
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
+_ENC_DELTA_BP, _ENC_BSS = 5, 9
 _REP_OPTIONAL = 1
 _CT_UTF8, _CT_DATE, _CT_TS_MICROS = 0, 6, 10
 _CODEC = {"none": 0, "uncompressed": 0, "snappy": 1, "gzip": 2, "zstd": 6, "lz4": 7}
@@ -231,15 +232,78 @@ def _dict_page_header(n_values: int, usize: int, csize: int) -> bytes:
 # --------------------------------- writer -------------------------------------
 
 
+def _delta_bp_bytes(valid: pa.Array) -> bytes:
+    """Spec DELTA_BINARY_PACKED stream of the non-null values — the SAME
+    kernel the .wcd format uses (webcodec/kernels/delta.py implements the
+    parquet-format layout exactly), so a pyarrow read of this page is the
+    write-side half of the delta differential test."""
+    from webcodec.kernels import delta
+
+    t = valid.type
+    if pa.types.is_timestamp(t):
+        valid = valid.cast(pa.int64())
+    elif pa.types.is_date32(t):
+        valid = valid.cast(pa.int32())
+    ints = valid.to_numpy(zero_copy_only=False).astype(np.int64)
+    return delta.encode(ints)
+
+
+def _bss_bytes(valid: pa.Array) -> bytes:
+    from webcodec.kernels import bss
+
+    t = valid.type
+    if pa.types.is_timestamp(t):
+        valid = valid.cast(pa.int64())
+    elif pa.types.is_date32(t):
+        valid = valid.cast(pa.int32())
+    return bss.encode(valid.to_numpy(zero_copy_only=False))
+
+
 def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
-                        use_dictionary: bool) -> tuple[dict, int]:
+                        use_dictionary: bool, encoding: str | None = None
+                        ) -> tuple[dict, int]:
     """One column chunk of one row group: optional dict page + one v1 data
-    page; returns (col_meta, new_offset)."""
+    page; returns (col_meta, new_offset). ``encoding`` forces
+    delta_binary_packed / byte_stream_split instead of dict/PLAIN."""
     n_rows = len(arr)
     ptype, conv = _phys_of(arr.type)
     mask = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
     valid = arr.drop_null()
     levels = _rle_def_levels(mask)
+
+    if encoding is not None:
+        enc_name = encoding.lower()
+        if enc_name == "delta_binary_packed":
+            if ptype not in (_T_INT32, _T_INT64):
+                raise TypeError(
+                    f"delta_binary_packed needs an INT32/INT64 column, not {arr.type}")
+            values_bytes, enc = _delta_bp_bytes(valid), _ENC_DELTA_BP
+        elif enc_name == "byte_stream_split":
+            if ptype not in (_T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE):
+                raise TypeError(
+                    f"byte_stream_split needs a fixed-width column, not {arr.type}")
+            values_bytes, enc = _bss_bytes(valid), _ENC_BSS
+        else:
+            raise ValueError(f"unsupported parquet export encoding {encoding!r}")
+        body = struct.pack("<I", len(levels)) + levels + values_bytes
+        comp = _compress(body, codec)
+        header = _page_header(n_rows, len(body), len(comp), enc)
+        data_page_offset = offset
+        out.write(header)
+        out.write(comp)
+        offset += len(header) + len(comp)
+        return (
+            {
+                "name": name, "type": ptype, "conv": conv,
+                "num_values": n_rows,
+                "usize": len(header) + len(body),
+                "csize": len(header) + len(comp),
+                "offset": data_page_offset,
+                "dict_offset": None,
+                "enc": enc,
+            },
+            offset,
+        )
 
     # dictionary-encode low-cardinality non-bool columns
     # (PLAIN_DICTIONARY: PLAIN dict page + bit-width-prefixed RLE
@@ -293,7 +357,8 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
 
 def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                   use_dictionary: bool = True,
-                  row_group_rows: int | None = None) -> None:
+                  row_group_rows: int | None = None,
+                  column_encoding: dict[str, str] | None = None) -> None:
     """Write ``table`` as a standard parquet file (PLAIN or PLAIN_DICTIONARY
     per column chunk, optional columns with RLE def levels) using only
     webcodec kernels + the thrift serialization written here.
@@ -301,7 +366,11 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
     ``row_group_rows`` splits the output into multiple row groups of that
     many rows (reference C4 sizing: large exports must not balloon into one
     giant group — readers parallelize and page-skip per group); None keeps
-    one group."""
+    one group. ``column_encoding`` maps column -> "delta_binary_packed"
+    (INT32/INT64/timestamp/date) or "byte_stream_split" (fixed-width) to
+    emit those spec encodings from webcodec's own kernels — the write-side
+    half of the delta/BSS differential tests (the reference reader must
+    decode our bytes)."""
     n_rows = table.num_rows
     if row_group_rows is None or row_group_rows <= 0 or row_group_rows >= max(n_rows, 1):
         slices = [table]
@@ -320,7 +389,8 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
                 cm, offset = _write_column_chunk(
-                    out, offset, name, arr, codec, use_dictionary
+                    out, offset, name, arr, codec, use_dictionary,
+                    (column_encoding or {}).get(name),
                 )
                 col_meta.append(cm)
             groups_meta.append(col_meta)
@@ -359,7 +429,13 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
             md = _TOut()
             last = 0
             last = _f_i32(md, last, 1, c["type"])
-            encs = [_ENC_PLAIN, _ENC_RLE] + ([_ENC_PLAIN_DICT] if c.get("dict_offset") is not None else [])
+            encs = [_ENC_RLE]
+            if c["enc"] in (_ENC_DELTA_BP, _ENC_BSS):
+                encs.append(c["enc"])
+            else:
+                encs.insert(0, _ENC_PLAIN)
+                if c.get("dict_offset") is not None:
+                    encs.append(_ENC_PLAIN_DICT)
             last = _f_list_header(md, last, 2, len(encs), 5)
             for e in encs:
                 md.zigzag(e)
