@@ -245,3 +245,43 @@ def test_emit_delta_multi_row_group(tmp_path):
     pf = pq.ParquetFile(path)
     assert pf.metadata.num_row_groups == 4
     assert pq.read_table(path).column("k").to_pylist() == list(range(10_000))
+
+
+def test_export_parquet_carries_delta_encoding(spark, tmp_path):
+    """export_parquet re-emits columns the .wcd selector delta-packed as
+    spec DELTA_BINARY_PACKED parquet pages; the reference reader decodes
+    them value-for-value."""
+    import numpy as np
+
+    import os
+
+    from webcodec import filefmt
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import export_parquet
+    from webcodec.spark.table import SnapshotTable
+    from webcodec.types import Encoding
+
+    n = 20_000
+    t = pa.table({
+        "seq": pa.array(np.cumsum(np.random.default_rng(5).integers(0, 9, n)),
+                        pa.int64()),
+        "name": pa.array([f"n{i % 50}" for i in range(n)]),
+    })
+    srcp = str(tmp_path / "src.parquet")
+    pq.write_table(t, srcp)
+    tdir = str(tmp_path / "tbl")
+    encode_table(spark.read.parquet(srcp), tdir, write_metrics=False)
+    # precondition: the selector actually chose DELTA for the monotone ints
+    f0 = SnapshotTable(tdir).read_snapshot()["files"][0]
+    footer = filefmt.read_footer_path(os.path.join(tdir, f0["path"]))
+    enc_of = {c["name"]: c["encoding"]
+              for c in (footer.get("groups") or [footer])[0]["chunks"]}
+    assert Encoding(enc_of["seq"]) == Encoding.DELTA_BINARY_PACKED
+    out = str(tmp_path / "out")
+    export_parquet(spark, tdir, out)
+    part = sorted(os.listdir(out))[0]
+    pf = pq.ParquetFile(os.path.join(out, part))
+    seq_idx = pf.schema_arrow.get_field_index("seq")
+    assert "DELTA_BINARY_PACKED" in pf.metadata.row_group(0).column(seq_idx).encodings
+    back = pq.read_table(out).sort_by("seq")
+    assert back.column("seq").to_pylist() == sorted(t.column("seq").to_pylist())

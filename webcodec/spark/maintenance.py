@@ -605,7 +605,8 @@ def rewrite_encoded(
 
 
 def export_parquet(
-    spark: SparkSession, table_dir: str, out_dir: str, codec: str = "zstd"
+    spark: SparkSession, table_dir: str, out_dir: str, codec: str = "zstd",
+    carry_encodings: bool = True,
 ) -> dict:
     """Transcode a webcodec table into STANDARD parquet files — decoded with
     webcodec kernels AND re-serialized with webcodec's own parquet writer
@@ -613,7 +614,11 @@ def export_parquet(
     so any reference reader can consume the result. One Spark task per
     source file, bytes never cross the JVM. Scope: flat primitive columns
     (list columns would need Dremel rep levels — out of scope per SURVEY
-    §2.E)."""
+    §2.E). With ``carry_encodings`` (default), columns the .wcd selector
+    encoded as DELTA_BINARY_PACKED / BYTE_STREAM_SPLIT export as the SAME
+    spec encoding (the selector's evidence transfers: what delta-packed well
+    in .wcd delta-packs well in parquet); everything else stays
+    dict/PLAIN."""
     src = SnapshotTable(table_dir)
     snap = src.read_snapshot()
     if snap is None:
@@ -631,17 +636,50 @@ def export_parquet(
         from webcodec import filefmt
         from webcodec.parquet_writer import write_parquet
 
+        from webcodec.types import Encoding as _Enc
+
+        carry = {
+            int(_Enc.DELTA_BINARY_PACKED): "delta_binary_packed",
+            int(_Enc.BYTE_STREAM_SPLIT): "byte_stream_split",
+        }
         items = bc.value
         for b in batches:
             for i in b.column("id").to_pylist():
                 pid, path = items[i]
                 t = filefmt.read_table(path)
+                col_enc = None
+                if carry_encodings:
+                    import pyarrow as _pa
+
+                    footer = filefmt.read_footer_path(path)
+                    g0 = (footer.get("groups") or [footer])[0]
+
+                    def _ok(name: str, enc: str) -> bool:
+                        # only types the parquet spec allows for the encoding
+                        # (narrow .wcd types decode as int8/16 etc. — skip)
+                        if name not in t.column_names:
+                            return False
+                        at = t.column(name).type
+                        wide = (_pa.types.is_int32(at) or _pa.types.is_int64(at)
+                                or (_pa.types.is_timestamp(at) and at.unit == "us")
+                                or _pa.types.is_date32(at))
+                        if enc == "delta_binary_packed":
+                            return wide
+                        return wide or _pa.types.is_float32(at) or _pa.types.is_float64(at)
+
+                    col_enc = {
+                        c["name"]: carry[c["encoding"]]
+                        for c in g0["chunks"]
+                        if c.get("encoding") in carry
+                        and _ok(c["name"], carry[c["encoding"]])
+                    } or None
                 out = os.path.join(out_dir, f"part-{pid:05d}.parquet")
                 # ~64MB row groups so downstream readers parallelize (C4)
                 rg_rows = max(
                     t.num_rows * (64 << 20) // max(t.nbytes, 1), 4096
                 )
-                write_parquet(t, out, codec=codec, row_group_rows=int(rg_rows))
+                write_parquet(t, out, codec=codec, row_group_rows=int(rg_rows),
+                              column_encoding=col_enc)
                 yield pa.RecordBatch.from_pydict(
                     {"pid": pa.array([pid], pa.int32()),
                      "rows": pa.array([t.num_rows], pa.int64())}
