@@ -263,3 +263,69 @@ def test_cross_group_page_swap_detected(tmp_path):
     data[p0["offset"] + h: p0["offset"] + h + nb] = b[:nb]
     with pytest.raises(ValueError, match="decryption failed"):
         filefmt.read_table(bytes(data), encryption_key=KEY)
+
+
+def test_per_file_dek_derivation(tmp_path):
+    """Each file encrypts under its own HKDF-derived DEK (distinct stored
+    salts); the master key alone decrypts both."""
+    import base64
+
+    t = _table(400)
+    cfg = EncoderConfig(encryption_key=KEY)
+    f1, f2 = str(tmp_path / "a.wcd"), str(tmp_path / "b.wcd")
+    e1 = filefmt.write_table(t, f1, cfg)["encryption"]
+    e2 = filefmt.write_table(t, f2, cfg)["encryption"]
+    assert e1["dek_salt"] != e2["dek_salt"]
+    assert e1["aad_prefix"] != e2["aad_prefix"]
+    d1 = wcrypto.derive_dek(KEY, base64.b64decode(e1["dek_salt"]))
+    d2 = wcrypto.derive_dek(KEY, base64.b64decode(e2["dek_salt"]))
+    assert d1 != d2 and d1 != KEY
+    assert filefmt.read_table(f1, encryption_key=KEY).equals(t)
+    assert filefmt.read_table(f2, encryption_key=KEY).equals(t)
+
+
+def test_delete_where_and_export_on_encrypted(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import delete_where, export_parquet
+
+    t = _table(1_200, seed=11)
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "tbl")
+    encode_table(spark.read.parquet(src), out,
+                 EncoderConfig(encryption_key=KEY), write_metrics=False)
+    res = delete_where(spark, out, ("lang", "==", "pt"), encryption_key=KEY)
+    import pyarrow.compute as pc
+
+    n_pt = pc.sum(pc.equal(t.column("lang"), "pt")).as_py()
+    assert res["deleted_rows"] == n_pt
+    assert read_encoded(spark, out, encryption_key=KEY).count() == t.num_rows - n_pt
+    # export decrypts into plaintext interchange parquet
+    exp = str(tmp_path / "exp")
+    export_parquet(spark, out, exp, encryption_key=KEY)
+    assert pq.read_table(exp).num_rows == t.num_rows  # deletes are merge-on-read
+
+
+def test_streaming_source_encrypted(spark, tmp_path):
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    spark.dataSource.register(WebcodecDataSource)
+    t = _table(800, seed=13)
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "tbl")
+    (spark.read.parquet(src).write.format("webcodec").option("path", out)
+        .option("encryption_key_hex", KEY.hex()).mode("append").save())
+    sink = str(tmp_path / "sink")
+    q = (spark.readStream.format("webcodec").option("path", out)
+         .option("encryption_key_hex", KEY.hex()).load()
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == t.num_rows

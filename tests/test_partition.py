@@ -454,3 +454,109 @@ def test_rewrite_preserves_partition_tuples(spark, events_pq, tmp_path):
     snap2 = SnapshotTable(dst2).read_snapshot()
     assert "partition_spec" not in (snap2.get("properties") or {})
     assert all("partition" not in f for f in snap2["files"])
+
+
+def test_months_transform_is_utc_not_session_local():
+    """months()/years() must use UTC calendar math even on tz-aware arrays —
+    pc.year/pc.month would localize and disagree with the UTC month bounds
+    pruning uses (a row near a month boundary would be silently pruned)."""
+    # 2023-12-31T19:00 UTC = 2024-01-01T00:30 in Asia/Kolkata
+    ts = pa.array([datetime.datetime(2023, 12, 31, 19, 0)],
+                  pa.timestamp("us")).cast(pa.timestamp("us", tz="Asia/Kolkata"))
+    m = transform_array(ts, {"kind": "months", "col": "ts", "arg": None})
+    assert m.to_pylist() == [(2023 - 1970) * 12 + 11]  # Dec-2023 in UTC
+    y = transform_array(ts, {"kind": "years", "col": "ts", "arg": None})
+    assert y.to_pylist() == [53]
+    # and pruning agrees: the UTC instant matches its own file
+    spec = parse_partition_spec(["months(ts)"])
+    assert file_may_match(spec, {"ts_month": (2023 - 1970) * 12 + 11}, "ts",
+                          "==", datetime.datetime(2023, 12, 31, 19, 0),
+                          "timestamp")
+
+
+def test_spec_change_across_appends_rejected(spark, events_pq, tmp_path):
+    """bucket(16)->bucket(8) shares the field name url_bucket; evaluating old
+    tuples under the new arg would silently mis-prune — the commit must
+    refuse a changed spec."""
+    src, _ = events_pq
+    out = str(tmp_path / "tbl_specchange")
+    _encode_partitioned(spark, src, out, ["bucket(16, event_id)"],
+                        target_partition_bytes=1 << 20)
+    with pytest.raises(Exception, match="partition spec changed"):
+        from webcodec.spark.encode_job import encode_table
+
+        encode_table(spark.read.parquet(src), out, resume=False,
+                     partition_by=["bucket(8, event_id)"], write_metrics=False)
+
+
+def test_plain_append_keeps_spec_for_pruning(spark, events_pq, tmp_path):
+    """A spec-less append to a partitioned table carries the spec forward:
+    old files keep exact pruning, the new untupled files are kept
+    conservatively."""
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.table import SnapshotTable
+
+    spark.dataSource.register(WebcodecDataSource)
+    src, t = events_pq
+    out = str(tmp_path / "tbl_carry")
+    _encode_partitioned(spark, src, out, ["event_type"],
+                        target_partition_bytes=1 << 20)
+    (spark.read.parquet(src).write.format("webcodec").option("path", out)
+        .mode("append").save())
+    tbl = SnapshotTable(out)
+    snap = tbl.read_snapshot()
+    assert (snap["properties"] or {}).get("partition_spec")
+    kept = tbl.data_files([("event_type", "==", "click")])
+    tupled = [f for f in kept if f.get("partition")]
+    untupled = [f for f in kept if not f.get("partition")]
+    assert tupled and untupled  # old files pruned exactly, new kept
+    assert all(f["partition"]["event_type"] == "click" for f in tupled)
+
+
+def test_resume_skip_never_aliases_plain_pids(spark, events_pq, tmp_path):
+    """Fanout pids and plain split ids share the integer domain (fanout
+    split 0 emits pids 0..k): the resume skip-set must only consider
+    same-kind manifest entries, or a partitioned append over a plain table
+    would silently skip splits (and vice versa)."""
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.table import SnapshotTable
+
+    src, t = events_pq
+    out = str(tmp_path / "tbl_alias")
+    # plain (non-partitioned) encode commits pids 0..N
+    encode_table(spark.read.parquet(src), out, write_metrics=False,
+                 target_partition_bytes=1 << 20)
+    n1 = SnapshotTable(out).read_snapshot()["total_rows"]
+    assert n1 == t.num_rows
+    # partitioned append with resume=True must NOT treat plain pids as done
+    encode_table(spark.read.parquet(src), out, write_metrics=False,
+                 partition_by=["event_type"], target_partition_bytes=1 << 20)
+    assert SnapshotTable(out).read_snapshot()["total_rows"] == 2 * t.num_rows
+
+
+def test_fanout_stream_flushes_bounded(tmp_path):
+    """_fanout_stream cuts a tuple's file at the flush threshold — several
+    files per tuple, full coverage, bounded buffers."""
+    import pyarrow as pa
+
+    from webcodec.config import EncoderConfig
+    from webcodec.spark.encode_job import _fanout_stream
+    from webcodec.spark.partition import parse_partition_spec
+    from webcodec import filefmt
+
+    n = 6_000
+    t = pa.table({
+        "k": pa.array(np.arange(n) % 3, pa.int64()),
+        "v": pa.array([f"payload-{i}" for i in range(n)]),
+    })
+    spec = parse_partition_spec(["k"])
+    data_dir = str(tmp_path)
+    rows = list(_fanout_stream(data_dir, 7, iter(t.to_batches(max_chunksize=500)),
+                               EncoderConfig(), None, spec, flush_bytes=4 << 10))
+    import os as _os
+
+    files = [f for f in _os.listdir(data_dir) if f.endswith(".wcd")]
+    assert len(files) > 3  # multiple flushes per tuple
+    total = sum(filefmt.read_footer_path(_os.path.join(data_dir, f))["num_rows"]
+                for f in files)
+    assert total == n

@@ -61,6 +61,9 @@ class EncoderConfig:
     # flushed group so the AAD chain distinguishes same-slot pages of
     # different groups)
     encryption_group_ordinal: int = 0
+    # internal: per-file random HKDF salt — the page key is a per-FILE DEK
+    # derived from (encryption_key, this salt), never the master key itself
+    encryption_dek_salt: bytes | None = None
 
     # named profiles --------------------------------------------------------------
     @classmethod
@@ -85,19 +88,22 @@ class EncoderConfig:
         return cls(**kw)
 
     def file_crypto(self):
-        """The per-file encryption context, or None when encryption is off.
-        Valid only after the write path stamped this config with a fresh
-        per-file aad prefix."""
+        """The per-file encryption context (memoized; keyed by the derived
+        per-file DEK + AAD prefix), or None when encryption is off. Valid
+        only after the write path stamped this config with a fresh per-file
+        aad prefix + dek salt."""
         if self.encryption_key is None:
             return None
-        from webcodec.crypto import FileCrypto
+        from webcodec.crypto import _cached_context, derive_dek
 
-        if self.encryption_aad_prefix is None:
+        if self.encryption_aad_prefix is None or self.encryption_dek_salt is None:
             raise ValueError(
-                "encryption_aad_prefix unset — encode through write_table/"
-                "write_batches, which stamp a fresh per-file prefix"
+                "per-file encryption material unset — encode through "
+                "write_table/write_batches, which stamp a fresh aad prefix "
+                "and dek salt per file"
             )
-        return FileCrypto(self.encryption_key, self.encryption_aad_prefix)
+        dek = derive_dek(bytes(self.encryption_key), bytes(self.encryption_dek_salt))
+        return _cached_context(dek, bytes(self.encryption_aad_prefix))
 
     # per-column resolved helpers -------------------------------------------------
     def compression_for(self, column: str) -> str:

@@ -9,6 +9,11 @@ detected when the key is presented; every module's AAD chains a per-file
 random prefix + a module identifier so ciphertext cannot be relocated
 across files, chunks, or page slots undetected.
 
+Key hierarchy: the user supplies a MASTER key; every file encrypts under
+its own DEK = HKDF-SHA256(master, per-file random salt) stored-salt-only in
+the footer — the parquet DEK stance, which also keeps any one GCM key far
+below the NIST 2^32 random-nonce bound at 10^12-document scale.
+
 Layout choices (ours, not parquet bytes — SURVEY §7.0: decode-output parity
 is the contract, not byte parity):
 - page payload on disk = 12-byte random nonce || ciphertext || 16-byte tag
@@ -32,6 +37,7 @@ byte-merge (per-file AAD prefixes) — compact via rewrite_encoded instead.
 from __future__ import annotations
 
 import base64
+import functools
 import hashlib
 import json
 import os
@@ -41,6 +47,27 @@ ALGORITHM = "AES_GCM_V1"
 NONCE_LEN = 12
 TAG_LEN = 16
 PAGE_OVERHEAD = NONCE_LEN + TAG_LEN
+DEK_SALT_LEN = 16
+
+
+@functools.lru_cache(maxsize=1024)
+def derive_dek(master_key: bytes, salt: bytes) -> bytes:
+    """Per-FILE data-encryption key: HKDF-SHA256(master, salt) — the parquet
+    modular-encryption DEK stance. One long-lived master key at
+    10^12-document scale would encrypt >2^32 pages, where random 96-bit GCM
+    nonces hit the NIST birthday bound; per-file DEKs cap any one key at the
+    pages of one file (~thousands). The salt is random per file and stored
+    in the footer (it is not secret — the master key is)."""
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.kdf.hkdf import HKDF
+
+    return HKDF(algorithm=hashes.SHA256(), length=32, salt=salt,
+                info=b"webcodec-page-dek-v1").derive(check_key(master_key))
+
+
+@functools.lru_cache(maxsize=1024)
+def _cached_context(dek: bytes, prefix: bytes) -> "FileCrypto":
+    return FileCrypto(dek, prefix)
 
 
 def _aesgcm(key: bytes):
@@ -130,7 +157,8 @@ def verify_footer(key: bytes, footer: dict) -> None:
 
 def reader_context(footer: dict, key: bytes | None) -> FileCrypto | None:
     """Build the decryption context for a parsed footer (None when the file
-    is plaintext); verifies the footer signature. Raises with the key_id in
+    is plaintext): derive the file's DEK from the master key + stored salt,
+    verify the footer signature under the DEK. Raises with the key_id in
     the message when the file is encrypted and no key was given."""
     enc = footer.get("encryption")
     if not enc:
@@ -142,5 +170,6 @@ def reader_context(footer: dict, key: bytes | None) -> FileCrypto | None:
         )
     if enc.get("algorithm") != ALGORITHM:
         raise ValueError(f"unsupported encryption algorithm {enc.get('algorithm')!r}")
-    verify_footer(key, footer)
-    return FileCrypto(key, base64.b64decode(enc["aad_prefix"]))
+    dek = derive_dek(bytes(key), base64.b64decode(enc["dek_salt"]))
+    verify_footer(dek, footer)
+    return _cached_context(dek, base64.b64decode(enc["aad_prefix"]))

@@ -884,13 +884,17 @@ def write_table(
 
 
 def _stamp_file_crypto(config: EncoderConfig) -> EncoderConfig:
-    """Give an encrypting config a FRESH per-file AAD prefix (pages must not
-    be relocatable between files)."""
+    """Give an encrypting config FRESH per-file material: the AAD prefix
+    (pages must not be relocatable between files) and the HKDF dek salt
+    (each file encrypts under its own derived key — see crypto.derive_dek)."""
     if config.encryption_key is None:
         return config
     from dataclasses import replace
 
-    return replace(config, encryption_aad_prefix=os.urandom(8))
+    from webcodec.crypto import DEK_SALT_LEN
+
+    return replace(config, encryption_aad_prefix=os.urandom(8),
+                   encryption_dek_salt=os.urandom(DEK_SALT_LEN))
 
 
 def _attach_encryption_footer(footer: dict, config: EncoderConfig) -> None:
@@ -904,11 +908,13 @@ def _attach_encryption_footer(footer: dict, config: EncoderConfig) -> None:
         "algorithm": wcrypto.ALGORITHM,
         "key_id": config.encryption_key_id,
         "aad_prefix": base64.b64encode(config.encryption_aad_prefix).decode(),
+        "dek_salt": base64.b64encode(config.encryption_dek_salt).decode(),
         "signature": "",
     }
-    footer["encryption"]["signature"] = wcrypto.sign_footer(
-        config.encryption_key, footer
+    dek = wcrypto.derive_dek(
+        bytes(config.encryption_key), bytes(config.encryption_dek_salt)
     )
+    footer["encryption"]["signature"] = wcrypto.sign_footer(dek, footer)
 
 
 def sort_indices_for_key(table: pa.Table, sort_key: str):

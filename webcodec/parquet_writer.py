@@ -232,11 +232,16 @@ def _dict_page_header(n_values: int, usize: int, csize: int) -> bytes:
 # --------------------------------- writer -------------------------------------
 
 
-def _delta_bp_bytes(valid: pa.Array) -> bytes:
+def _delta_bp_bytes(valid: pa.Array, ptype: int) -> bytes:
     """Spec DELTA_BINARY_PACKED stream of the non-null values — the SAME
     kernel the .wcd format uses (webcodec/kernels/delta.py implements the
     parquet-format layout exactly), so a pyarrow read of this page is the
-    write-side half of the delta differential test."""
+    write-side half of the delta differential test.
+
+    INT32 columns must delta in 32-BIT wrapping arithmetic (reference
+    readers cap the miniblock width at the integer width and reject 33+):
+    re-cumsum the int32-wrapped deltas in int64 so the kernel's int64 diffs
+    reproduce them exactly — every delta then fits 32 bits."""
     from webcodec.kernels import delta
 
     t = valid.type
@@ -245,6 +250,15 @@ def _delta_bp_bytes(valid: pa.Array) -> bytes:
     elif pa.types.is_date32(t):
         valid = valid.cast(pa.int32())
     ints = valid.to_numpy(zero_copy_only=False).astype(np.int64)
+    if ptype == _T_INT32 and len(ints) > 1:
+        v32 = ints.astype(np.int32)
+        with np.errstate(over="ignore"):
+            d32 = (v32[1:].astype(np.uint32) - v32[:-1].astype(np.uint32)).view(np.int32)
+        w = np.empty(len(v32), dtype=np.int64)
+        w[0] = int(v32[0])
+        np.cumsum(d32.astype(np.int64), out=w[1:])
+        w[1:] += w[0]
+        ints = w
     return delta.encode(ints)
 
 
@@ -277,7 +291,7 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
             if ptype not in (_T_INT32, _T_INT64):
                 raise TypeError(
                     f"delta_binary_packed needs an INT32/INT64 column, not {arr.type}")
-            values_bytes, enc = _delta_bp_bytes(valid), _ENC_DELTA_BP
+            values_bytes, enc = _delta_bp_bytes(valid, ptype), _ENC_DELTA_BP
         elif enc_name == "byte_stream_split":
             if ptype not in (_T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE):
                 raise TypeError(

@@ -505,6 +505,9 @@ class WebcodecStreamReader(DataSourceStreamReader):
         self.types = (
             {f.name: f.dataType.simpleString() for f in schema.fields} if schema else {}
         )
+        # C12: key for streaming over encrypted tables
+        ekh = options.get("encryption_key_hex")
+        self.encryption_key = bytes.fromhex(ekh) if ekh else None
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
         off = {"snapshot_id": self.start_snapshot, "pos": -1}
@@ -670,12 +673,14 @@ class WebcodecStreamReader(DataSourceStreamReader):
             from webcodec.spark.decode_job import decode_file_evolved
 
             yield from decode_file_evolved(
-                partition.path, list(self.types), self.types, None, row_range=rng
+                partition.path, list(self.types), self.types, None, row_range=rng,
+                encryption_key=self.encryption_key,
             )
         else:
             from webcodec import filefmt
 
-            t = filefmt.read_table(partition.path, row_range=rng)
+            t = filefmt.read_table(partition.path, row_range=rng,
+                                   encryption_key=self.encryption_key)
             yield from t.to_batches(max_chunksize=8192)
 
     def commit(self, end: dict) -> None:

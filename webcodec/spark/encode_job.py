@@ -183,7 +183,7 @@ def _write_fanout(data_dir: str, base_pid: int, table: pa.Table,
     this task's rows — no shuffle; pid = (task id << PID_SHIFT) + tuple rank
     (ranks are deterministic: tuples sorted by canonical JSON). Yields
     lineage batches."""
-    from webcodec.spark.partition import PID_SHIFT, split_by_partition
+    from webcodec.spark.partition import FANOUT_FLAG, PID_SHIFT, split_by_partition
 
     groups = split_by_partition(table, spec)
     if len(groups) >= (1 << PID_SHIFT):
@@ -192,10 +192,53 @@ def _write_fanout(data_dir: str, base_pid: int, table: pa.Table,
             f"the pid layout (2^{PID_SHIFT}); coarsen the partition spec"
         )
     for rank, (values, sub) in enumerate(groups):
-        pid = (base_pid << PID_SHIFT) + rank
+        pid = FANOUT_FLAG | ((base_pid << PID_SHIFT) + rank)
         yield from _write_one(
             data_dir, pid, sub, config, sort_key, input_desc, partition=values
         ).to_batches()
+
+
+def _fanout_stream(data_dir: str, base_pid: int, batches, config: EncoderConfig,
+                   sort_key: str | None, spec: list[dict],
+                   flush_bytes: int = 128 << 20):
+    """Streamed fanout for scan partitions: route each incoming batch's rows
+    into per-tuple buffers and flush a tuple as its own file whenever its
+    buffer passes ``flush_bytes`` — peak memory is one open buffer per live
+    tuple, never the whole Spark partition (scan mode feeds from shuffles,
+    whose partition sizes are unbounded by maxPartitionBytes). A tuple may
+    thus emit several files per task; pruning treats them identically."""
+    from webcodec.spark.partition import FANOUT_FLAG, PID_SHIFT, split_by_partition
+
+    buffers: dict[str, dict] = {}
+    seq = 0
+
+    def flush(buf) -> pa.Table:
+        nonlocal seq
+        if seq >= (1 << PID_SHIFT):
+            raise ValueError(
+                f"partition fanout exceeded 2^{PID_SHIFT} files in one task; "
+                "coarsen the partition spec"
+            )
+        pid = FANOUT_FLAG | ((base_pid << PID_SHIFT) + seq)
+        seq += 1
+        table = pa.concat_tables(buf["parts"])
+        buf["parts"], buf["bytes"] = [], 0
+        return _write_one(data_dir, pid, table, config, sort_key,
+                          partition=buf["values"])
+
+    for batch in batches:
+        table = pa.Table.from_batches([batch])
+        for values, sub in split_by_partition(table, spec):
+            key = json.dumps(values, sort_keys=True, default=str)
+            buf = buffers.setdefault(key, {"values": values, "parts": [],
+                                           "bytes": 0})
+            buf["parts"].append(sub)
+            buf["bytes"] += sub.nbytes
+            if buf["bytes"] >= flush_bytes:
+                yield from flush(buf).to_batches()
+    for buf in buffers.values():
+        if buf["parts"]:
+            yield from flush(buf).to_batches()
 
 
 def _write_one_batches(data_dir: str, pid: int, batches, config: EncoderConfig,
@@ -242,13 +285,11 @@ def _make_scan_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | N
         if pid in done:
             return  # committed by a previous run (rows scanned, not re-encoded)
         if spec:
-            # fanout needs the whole split to group by tuple — the split is
-            # already bounded by spark.sql.files.maxPartitionBytes
-            blist = list(batches)
-            if not blist:
-                return
-            table = pa.Table.from_batches(blist)
-            yield from _write_fanout(data_dir, pid, table, config, sort_key, spec)
+            # STREAMED fanout: scan partitions come from arbitrary upstream
+            # plans (shuffles), whose sizes maxPartitionBytes does not bound —
+            # buffer per tuple and flush at ~128MB, never the whole partition
+            yield from _fanout_stream(data_dir, pid, batches, config,
+                                      sort_key, spec)
             return
         # streamed: bounded memory even on a skewed partition (group cut
         # every ~128MB raw; sort_key applies per group)
@@ -509,6 +550,27 @@ def _make_encode_fn(data_dir: str, config: EncoderConfig, sort_key: str | None):
     return encode_group
 
 
+def _completed_ids(tbl: SnapshotTable, partitioned: bool) -> frozenset[int]:
+    """Resume skip-set, aliasing-safe: fanout pids ((split << PID_SHIFT) +
+    rank) and plain split ids share the integer domain (fanout split 0 emits
+    pids 0..k too), so the skip-set must only consider manifest entries of
+    the SAME kind — entries WITH a partition tuple for a partitioned run
+    (collapsed to their split id), entries WITHOUT one otherwise."""
+    from webcodec.spark.partition import FANOUT_FLAG, PID_SHIFT
+
+    snap = tbl.read_snapshot()
+    if not snap:
+        return frozenset()
+    if partitioned:
+        return frozenset(
+            (f["partition_id"] & ~FANOUT_FLAG) >> PID_SHIFT
+            for f in snap["files"] if f.get("partition") is not None
+        )
+    return frozenset(
+        f["partition_id"] for f in snap["files"] if f.get("partition") is None
+    )
+
+
 def _is_pure_scan(df: DataFrame) -> bool:
     """True when ``df`` is a bare file-source relation (safe for files mode:
     no Spark-side transformation would be silently dropped by reading the
@@ -587,15 +649,11 @@ def encode_table(
         )
 
     if mode == "files":
-        from webcodec.spark.partition import PID_SHIFT
-
         paths = [p.removeprefix("file://") for p in df.inputFiles()]
         if not paths:
             raise ValueError("mode='files' requires a parquet-backed DataFrame")
         splits = plan_file_splits(paths, target_partition_bytes)
-        done = frozenset(tbl.completed_partition_ids()) if resume else frozenset()
-        if spec:  # fanout pids encode (split_id << shift) + tuple rank
-            done = frozenset(pid >> PID_SHIFT for pid in done)
+        done = _completed_ids(tbl, bool(spec)) if resume else frozenset()
         todo = [s for s in splits if s["split_id"] not in done]
         if not todo:
             return tbl.read_snapshot()
@@ -627,7 +685,7 @@ def encode_table(
         total_rows = sum(s["num_rows"] for s in splits)
         rpp = max(total_rows // num_partitions, 1)
         hot = sample_hot_domains_from_files(paths, url_col, rpp)
-        done = frozenset(tbl.completed_partition_ids()) if resume else frozenset()
+        done = _completed_ids(tbl, False) if resume else frozenset()
         shuffle_dir = os.path.join(table_dir, "_shuffle")
         # stale spills from a killed run are BOTH a leak (commit-time cleanup
         # never ran) and a duplicate-rows hazard (phase B reads every file in
@@ -665,11 +723,7 @@ def encode_table(
         return snap
 
     if mode == "scan":
-        done = frozenset(tbl.completed_partition_ids()) if resume else frozenset()
-        if spec:
-            from webcodec.spark.partition import PID_SHIFT
-
-            done = frozenset(pid >> PID_SHIFT for pid in done)
+        done = _completed_ids(tbl, bool(spec)) if resume else frozenset()
         fn = _make_scan_encode_fn(tbl.data_dir, config, sort_key or url_col, done, spec)
         lineage = df.mapInArrow(fn, LINEAGE_SCHEMA)
         rows = lineage.collect()
@@ -691,7 +745,7 @@ def encode_table(
             "_pid", F.pmod(F.xxhash64(F.col(first)), F.lit(num_partitions)).cast("int")
         )
 
-    done = tbl.completed_partition_ids() if resume else set()
+    done = _completed_ids(tbl, False) if resume else frozenset()
     if done:
         dfp = dfp.filter(~F.col("_pid").isin(list(done)))
 

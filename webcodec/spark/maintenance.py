@@ -133,7 +133,8 @@ def compact(table_dir: str, target_bytes: int = 128 << 20) -> dict:
     return tbl.commit(new_files, snap["schema"], properties=props, replace=True)
 
 
-def delete_where(spark: SparkSession, table_dir: str, predicate) -> dict:
+def delete_where(spark: SparkSession, table_dir: str, predicate,
+                 encryption_key: bytes | None = None) -> dict:
     """Merge-on-read row deletion (Iceberg v2 positional-delete analogue —
     the takedown path a training-data pipeline needs WITHOUT rewriting
     petabytes): one Spark task per candidate file computes the GLOBAL
@@ -181,7 +182,8 @@ def delete_where(spark: SparkSession, table_dir: str, predicate) -> dict:
         for b in batches:
             for i in b.column("id").to_pylist():
                 pid, path, existing = bc.value[i]
-                pos = filefmt.match_positions(path, conjuncts, aliases=aliases)
+                pos = filefmt.match_positions(path, conjuncts, aliases=aliases,
+                                              encryption_key=encryption_key)
                 prior = load_delete_positions(existing, path, aliases=aliases)
                 if prior is not None:
                     pos = np.setdiff1d(pos, prior)  # already-deleted rows don't recount
@@ -606,7 +608,7 @@ def rewrite_encoded(
 
 def export_parquet(
     spark: SparkSession, table_dir: str, out_dir: str, codec: str = "zstd",
-    carry_encodings: bool = True,
+    carry_encodings: bool = True, encryption_key: bytes | None = None,
 ) -> dict:
     """Transcode a webcodec table into STANDARD parquet files — decoded with
     webcodec kernels AND re-serialized with webcodec's own parquet writer
@@ -646,7 +648,7 @@ def export_parquet(
         for b in batches:
             for i in b.column("id").to_pylist():
                 pid, path = items[i]
-                t = filefmt.read_table(path)
+                t = filefmt.read_table(path, encryption_key=encryption_key)
                 col_enc = None
                 if carry_encodings:
                     import pyarrow as _pa

@@ -36,10 +36,14 @@ import pyarrow.compute as pc
 _US_PER_DAY = 86_400_000_000
 _US_PER_HOUR = 3_600_000_000
 
-# fanout pid layout: (task/split id << _PID_SHIFT) + partition rank. 2^20
+# fanout pid layout: FANOUT_FLAG | (task/split id << PID_SHIFT) + rank. 2^20
 # partition tuples per task is far beyond any sane fanout (Iceberg's own
-# fanout writers cap open files in the hundreds).
+# fanout writers cap open files in the hundreds). The high flag bit keeps
+# fanout pids disjoint from plain split ids in one manifest — task 0's
+# fanout pids 0..k would otherwise SHADOW a previous plain commit's entries
+# 0..k under the manifest's overwrite-by-pid semantics.
 PID_SHIFT = 20
+FANOUT_FLAG = 1 << 62
 
 _FUNC_RE = re.compile(r"^(\w+)\s*\(\s*([^()]*)\s*\)$")
 
@@ -169,14 +173,12 @@ def transform_array(arr: pa.Array, field: dict) -> pa.Array:
         vals = np.floor_divide(us, div)
         out = pa.array(vals, pa.int64())
     elif kind in ("months", "years"):
-        y = pc.fill_null(pc.year(arr).cast(pa.int64()), 1970).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        if kind == "months":
-            m = pc.fill_null(pc.month(arr).cast(pa.int64()), 1).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            vals = (y - 1970) * 12 + (m - 1)
-        else:
-            vals = y - 1970
+        # UTC calendar math via datetime64 (pc.year/pc.month would localize
+        # tz-aware arrays to the session zone, silently disagreeing with the
+        # UTC month bounds file_may_match prunes with — and with days/hours)
+        us = _ts_micros(arr)
+        months = us.astype("M8[us]").astype("M8[M]").astype(np.int64)
+        vals = months if kind == "months" else np.floor_divide(months, 12)
         out = pa.array(vals, pa.int64())
     elif kind == "bucket":
         out = pa.array(bucket_of_array(arr, field["arg"]), pa.int64())

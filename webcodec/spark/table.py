@@ -267,6 +267,24 @@ class SnapshotTable:
                         f = {**f, "renamed_from": list(pf["renamed_from"])}
                     merged_schema.append(f)
                 schema = merged_schema
+            # partition-spec continuity (non-replace commits): a DIFFERENT
+            # spec would make file_may_match evaluate old tuples under new
+            # transform args (bucket(16)->bucket(8) shares the field name) —
+            # silent mis-pruning. Same spec: fine. No spec on this commit:
+            # carry the parent's forward so existing tuples keep pruning
+            # (the new untupled files are conservatively kept).
+            if parent is not None and not replace:
+                pspec = (parent.get("properties") or {}).get("partition_spec")
+                nspec = (properties or {}).get("partition_spec")
+                if pspec and nspec and pspec != nspec:
+                    raise ValueError(
+                        "partition spec changed between commits "
+                        f"({pspec} -> {nspec}); spec evolution is not "
+                        "supported — rewrite the table (rewrite_encoded) or "
+                        "write to a new table"
+                    )
+                if pspec and not nspec:
+                    properties = {**(properties or {}), "partition_spec": pspec}
             if parent is None or replace:
                 if is_delete and entries and shard is None:
                     shard = self._write_manifest(entries)
