@@ -1,0 +1,168 @@
+"""Regression tests for the round-3 review findings: schema-evolution edge
+cases in deletes/renames/rollback/rewrite, streaming upsert semantics."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from webcodec.spark.table import SnapshotTable
+
+
+def _pq(tmp_path, name, t):
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+def _base_table(tmp_path, spark, n=600):
+    from webcodec.spark.encode_job import encode_table
+
+    t = pa.table({"k": pa.array(np.arange(n), pa.int64()),
+                  "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(n)])})
+    src = _pq(tmp_path, "src.parquet", t)
+    out = str(tmp_path / "tbl")
+    encode_table(spark.read.parquet(src), out, write_metrics=False)
+    return out, t, src
+
+
+def test_delete_where_on_added_column_no_renames(spark, tmp_path):
+    """Predicate over a column ADDED after old files were written must treat
+    those files as all-null (no match), not crash with StopIteration —
+    even when the table has no renames (aliases={})."""
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.maintenance import delete_where
+
+    spark.dataSource.register(WebcodecDataSource)
+    out, t, src = _base_table(tmp_path, spark)
+    # append a second batch WITH an extra column (schema evolution)
+    t2 = pa.table({"k": pa.array(np.arange(1000, 1400), pa.int64()),
+                   "lang": pa.array(["pt"] * 400),
+                   "score": pa.array(np.arange(400), pa.int64())})
+    src2 = _pq(tmp_path, "src2.parquet", t2)
+    (spark.read.parquet(src2).write.format("webcodec")
+        .option("path", out).mode("append").save())
+    res = delete_where(spark, out, ("score", ">=", 350))
+    assert res["deleted_rows"] == 50  # only new-file rows have score
+    assert read_encoded(spark, out).count() == t.num_rows + 400 - 50
+
+
+def test_retired_rename_name_cannot_rebind(spark, tmp_path):
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.maintenance import rename_column
+
+    spark.dataSource.register(WebcodecDataSource)
+    out, t, src = _base_table(tmp_path, spark)
+    rename_column(out, "lang", "language")
+    # appending a NEW column named "lang" must be refused — old files still
+    # carry a "lang" chunk that would serve stale pre-rename values
+    t2 = pa.table({"k": pa.array([9999], pa.int64()),
+                   "language": pa.array(["en"]),
+                   "lang": pa.array(["sneaky"])})
+    src2 = _pq(tmp_path, "src2.parquet", t2)
+    with pytest.raises(Exception, match="retired"):
+        (spark.read.parquet(src2).write.format("webcodec")
+            .option("path", out).mode("append").save())
+    # renaming another column TO the retired name is refused too
+    with pytest.raises(ValueError, match="retired"):
+        rename_column(out, "k", "lang")
+
+
+def test_rollback_preserves_dropped_tombstones(spark, tmp_path):
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.maintenance import drop_column
+
+    spark.dataSource.register(WebcodecDataSource)
+    out, t, src = _base_table(tmp_path, spark)
+    drop_column(out, "lang")
+    tbl = SnapshotTable(out)
+    sid = tbl.current_snapshot_id()
+    tbl.rollback_to(sid)  # rollback to the post-drop state
+    snap = tbl.read_snapshot()
+    assert snap.get("dropped_columns") == ["lang"]
+    # the re-add guard still fires after the rollback
+    t2 = pa.table({"k": pa.array([1], pa.int64()), "lang": pa.array(["x"])})
+    src2 = _pq(tmp_path, "src2.parquet", t2)
+    with pytest.raises(Exception, match="dropped"):
+        (spark.read.parquet(src2).write.format("webcodec")
+            .option("path", out).mode("append").save())
+
+
+def test_rewrite_with_columns_after_rename(spark, tmp_path):
+    """rewrite_encoded(columns=[renamed]) must localize per file like the
+    read path instead of StopIteration-ing on pre-rename files."""
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.maintenance import rename_column, rewrite_encoded
+
+    out, t, src = _base_table(tmp_path, spark)
+    rename_column(out, "lang", "language")
+    dst = str(tmp_path / "dst")
+    rewrite_encoded(spark, out, dst, columns=["k", "language"])
+    back = read_encoded(spark, dst).orderBy("k").toPandas()
+    assert list(back.columns) == ["k", "language"]
+    assert back["language"].tolist() == t.column("lang").to_pylist()
+
+
+def test_rewrite_default_purges_dropped_column(spark, tmp_path):
+    """drop_column + rewrite_encoded (no columns arg) must PHYSICALLY remove
+    the dropped column's chunks — the documented takedown path."""
+    from webcodec import filefmt
+    from webcodec.spark.maintenance import drop_column, rewrite_encoded
+
+    out, t, src = _base_table(tmp_path, spark)
+    drop_column(out, "lang")
+    dst = str(tmp_path / "dst")
+    rewrite_encoded(spark, out, dst)
+    dtbl = SnapshotTable(dst)
+    for f in dtbl.read_snapshot()["files"]:
+        footer = filefmt.read_footer_path(os.path.join(dst, f["path"]))
+        names = {c["name"] for c in (footer.get("groups") or [footer])[0]["chunks"]}
+        assert "lang" not in names  # physically gone, not just hidden
+
+
+def test_streaming_upsert_raises_even_with_ignore_changes(spark, tmp_path):
+    from webcodec.spark.datasource import WebcodecStreamReader
+    from webcodec.spark.maintenance import upsert
+
+    out, t, src = _base_table(tmp_path, spark)
+    df2 = spark.createDataFrame([(5, "xx"), (10_000, "new")], "k long, lang string")
+    upsert(spark, out, df2, key_cols=["k"])
+    r = WebcodecStreamReader({"path": out, "ignore_changes": "true"})
+    r.initialOffset()
+    with pytest.raises(RuntimeError, match="upsert"):
+        end = r.latestOffset()
+        r._files_between({"snapshot_id": 0, "pos": -1}, end)
+
+
+def test_concurrent_replace_vs_delete_detected(spark, tmp_path):
+    """A delete computed against pre-compaction files must fail loudly when a
+    replace commit (compaction) landed in between — silently re-pointing the
+    pid at the stale path would drop the other merged rows."""
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import compact
+
+    t = pa.table({"k": pa.array(np.arange(3_000), pa.int64()),
+                  "lang": pa.array([["en", "de"][i % 2] for i in range(3_000)])})
+    p = str(tmp_path / "src.parquet")
+    pq.write_table(t, p, row_group_size=500)  # several row groups -> splits
+    out = str(tmp_path / "tbl")
+    encode_table(spark.read.parquet(p), out, write_metrics=False,
+                 target_partition_bytes=8 << 10)  # several small files
+    tbl = SnapshotTable(out)
+    snap = tbl.read_snapshot()
+    assert len(snap["files"]) > 1
+    # simulate the race: entries captured pre-compaction...
+    stale_entries = []
+    for f in snap["files"][:1]:
+        e = dict(f)
+        e["delete_files"] = ["deletes/fake.bin"]
+        stale_entries.append(e)
+    compact(out)  # ...replace commit lands first
+    with pytest.raises(RuntimeError, match="concurrent replace"):
+        tbl.commit(stale_entries, snap["schema"], operation="delete",
+                   require_visible={e["partition_id"] for e in stale_entries})

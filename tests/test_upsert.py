@@ -145,8 +145,12 @@ def test_stream_rejects_upsert_commit(spark, tmp_path):
     upsert(spark, out, df, key_cols=["url"])
     with pytest.raises(Exception):
         run()
-    run(ignore=True)  # opt-in skip: no duplicate delivery, no crash
-    assert spark.read.parquet(sink).count() == t.num_rows
+    # ignore_changes does NOT rescue an upsert snapshot: skipping it would
+    # silently LOSE the 5 inserted rows (it mixes updates and inserts), so
+    # the stream fails loudly either way — r3 review fix
+    with pytest.raises(Exception, match="upsert"):
+        run(ignore=True)
+    assert spark.read.parquet(sink).count() == t.num_rows  # baseline only
 
 
 def test_streaming_cdc_upsert_foreachbatch(spark, tmp_path):

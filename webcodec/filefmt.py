@@ -1328,25 +1328,28 @@ def match_positions(
     conjuncts = predmod.normalize(predicate)
     if conjuncts is None:
         raise ValueError("match_positions requires a predicate")
-    if aliases:
-        from webcodec.spark.decode_job import _chunk_names, local_names
+    # ALWAYS localize — even with no renames, a column ADDED to the table
+    # after this file was written has no chunk here and must read as
+    # all-null (isnull matches every row, anything else matches none),
+    # never as a bare StopIteration from the projection
+    from webcodec.spark.decode_job import _chunk_names, local_names
 
-        src = source if isinstance(source, str) else memoryview(source)
-        lmap = local_names(
-            _chunk_names(src), [c for c, _, _ in conjuncts], aliases
-        )
-        localized = []
-        for c, op, v in conjuncts:
-            if c in lmap:
-                localized.append((lmap[c], op, v))
-            elif op == "isnull":
-                continue  # column added after this file: all-null, all match
-            else:
-                return np.empty(0, dtype=np.int64)  # all-null matches nothing
-        if not localized:
-            footer = read_footer_path(src) if isinstance(src, str) else read_footer(src)
-            return np.arange(int(footer["num_rows"]), dtype=np.int64)
-        conjuncts = localized
+    src = source if isinstance(source, str) else memoryview(source)
+    lmap = local_names(
+        _chunk_names(src), [c for c, _, _ in conjuncts], aliases or {}
+    )
+    localized = []
+    for c, op, v in conjuncts:
+        if c in lmap:
+            localized.append((lmap[c], op, v))
+        elif op == "isnull":
+            continue  # column added after this file: all-null, all match
+        else:
+            return np.empty(0, dtype=np.int64)  # all-null matches nothing
+    if not localized:
+        footer = read_footer_path(src) if isinstance(src, str) else read_footer(src)
+        return np.arange(int(footer["num_rows"]), dtype=np.int64)
+    conjuncts = localized
     cols = sorted({c for c, _, _ in conjuncts})
     t = read_table(source, columns=cols, verify_crc=False,
                    encryption_key=encryption_key)

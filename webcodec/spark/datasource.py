@@ -544,10 +544,21 @@ class WebcodecStreamReader(DataSourceStreamReader):
                 "snapshot history"
             )
         props = newer.get("properties") or {}
+        if newer.get("operation") == "upsert":
+            # NOT skippable even under ignore_changes: an upsert snapshot
+            # mixes superseded-key updates with genuinely NEW inserted rows
+            # in one commit — skipping it silently LOSES the inserts, and
+            # delivering it double-delivers the updates. Neither preserves
+            # the documented semantics, so fail with guidance.
+            raise RuntimeError(
+                f"webcodec stream: snapshot {s} of {self.table_dir} is an "
+                "upsert (mixed updates + inserts); it cannot be streamed "
+                "exactly-once and ignore_changes would silently drop the "
+                "inserted rows. Stream from an append-only table, or "
+                "restart from a fresh checkpoint past this snapshot"
+            )
         is_replace = (
-            # upsert: its new files are MERGE results, not pure appends —
-            # diffing them as new rows would double-deliver the updated keys
-            newer.get("operation") in ("replace", "delete", "upsert", "rollback")
+            newer.get("operation") in ("replace", "delete", "rollback")
             # legacy snapshots (pre-'operation' field) mark maintenance via
             # properties
             or props.get("compacted") == "true"

@@ -215,7 +215,8 @@ def delete_where(spark: SparkSession, table_dir: str, predicate,
         updated.append(e)
     new = tbl.commit(updated, snap["schema"],
                      properties=dict(snap.get("properties") or {}),
-                     operation="delete", materialize=False)
+                     operation="delete", materialize=False,
+                     require_visible={e["partition_id"] for e in updated})
     return {"deleted_rows": total, "files_touched": len(updated),
             "snapshot_id": new["snapshot_id"]}
 
@@ -320,7 +321,8 @@ def delete_by_key(
         updated.append(e)
     new = tbl.commit(updated, snap["schema"],
                      properties=dict(snap.get("properties") or {}),
-                     operation="delete", materialize=False)
+                     operation="delete", materialize=False,
+                     require_visible={e["partition_id"] for e in updated})
     return {"files_touched": len(updated), "snapshot_id": new["snapshot_id"],
             "sidecar": rel}
 
@@ -493,6 +495,7 @@ def upsert(
             properties=dict(snap.get("properties") or {}),
             operation="upsert",
             materialize=False,
+            require_visible={e["partition_id"] for e in updated},
         )
         return {
             "inserted_rows": int(sum(e["rows"] for e in new_entries)),
@@ -541,28 +544,73 @@ def rewrite_encoded(
         for f in snap["files"]
     ]
     data_dir = dst.data_dir
-    cols = columns
+    # ALWAYS project the current schema: columns=None must still EXCLUDE
+    # dropped columns' chunks (drop_column's contract is that rewrite
+    # physically purges them) and rename-localize per file
+    cols = columns if columns is not None else [f["name"] for f in snap["schema"]]
     aliases = _aliases_of(snap)
+    types = {f["name"]: f["type"] for f in snap["schema"]}
+    from webcodec import predicate as _predmod
+
+    conj = _predmod.normalize(predicate)
 
     bc = spark.sparkContext.broadcast(paths)
 
     def rewrite_fn(batches):
+        import pyarrow as pa
+
         from webcodec import filefmt
-        from webcodec.spark.decode_job import load_delete_positions
+        from webcodec.spark.decode_job import (
+            _arrow_type_of_spark,
+            _chunk_names,
+            load_delete_positions,
+            local_names,
+        )
         from webcodec.spark.encode_job import _write_one
 
         items = bc.value
         for b in batches:
             for i in b.column("id").to_pylist():
                 pid, path, dels = items[i]
+                # per-file rename localization (same resolution the read
+                # path uses): current names map to this file's chunk names;
+                # columns ADDED after the file null-fill
+                present = _chunk_names(path)
+                pred_cols = [c for c, _, _ in conj] if conj else []
+                lmap = local_names(
+                    present, list(dict.fromkeys([*cols, *pred_cols])), aliases
+                )
+                pred_here = None
+                if conj:
+                    terms = []
+                    skip_file = False
+                    for c, op, v in conj:
+                        if c in lmap:
+                            terms.append((lmap[c], op, v))
+                        elif op != "isnull":
+                            skip_file = True  # all-null column matches nothing
+                            break
+                    if skip_file:
+                        continue
+                    pred_here = terms or None
+                cols_here = [lmap[c] for c in cols if c in lmap]
                 # merge-on-read deletes MATERIALIZE here: the rewritten file
                 # contains only live rows and carries no sidecars
                 table = filefmt.read_table(
-                    path, columns=cols, predicate=predicate,
+                    path, columns=cols_here, predicate=pred_here,
                     drop_rows=load_delete_positions(dels, path, aliases=aliases),
                     encryption_key=source_encryption_key)
                 if table.num_rows == 0:
                     continue
+                if cols_here != cols:
+                    arrays = []
+                    for name in cols:
+                        if name in lmap:
+                            arrays.append(table.column(lmap[name]))
+                        else:
+                            at = _arrow_type_of_spark(types.get(name, "string"))
+                            arrays.append(pa.nulls(table.num_rows, type=at))
+                    table = pa.Table.from_arrays(arrays, names=cols)
                 yield from _write_one(
                     data_dir, pid, table, config, None
                 ).to_batches()

@@ -42,6 +42,23 @@ import uuid
 MANIFEST_MERGE_THRESHOLD = 32
 
 
+def _check_retired_names(schema: list[dict]) -> None:
+    """A column name that lives in ANOTHER column's rename chain must never
+    be (re)bound: old files still carry a chunk under that name, so the
+    alias-chain reader would serve the SAME chunk to two logical columns —
+    stale pre-rename values instead of nulls."""
+    names = {f["name"] for f in schema}
+    for f in schema:
+        for old in f.get("renamed_from") or ():
+            if old in names and old != f["name"]:
+                raise ValueError(
+                    f"column name {old!r} was renamed to {f['name']!r} and is "
+                    "retired: re-binding it would resurrect pre-rename chunk "
+                    "data from old files — use a fresh name or rewrite the "
+                    "table"
+                )
+
+
 def _entry_rollup(entries: list[dict]) -> dict:
     pids = [f["partition_id"] for f in entries]
     return {
@@ -176,16 +193,23 @@ class SnapshotTable:
     ) -> dict[int, dict]:
         """The entries currently VISIBLE for ``pids`` (later shard wins).
         Walks shards newest-first and loads only shards whose
-        [min_pid, max_pid] range can intersect; the common append path
+        [min_pid, max_pid] range contains SOME requested pid (bisect on the
+        sorted pid set — a [min(pids), max(pids)] span test would load every
+        shard when the set mixes small update pids with large namespaced
+        insert pids, as upsert commits do); the common append path
         (monotonic partition_ids, disjoint from every shard range) loads
         nothing."""
-        lo, hi = min(pids), max(pids)
+        import bisect
+
+        ordered = sorted(pids)
         need = set(pids)
         out: dict[int, dict] = {}
         for m in reversed(manifests):
             if not need:
                 break
-            if m["max_pid"] < lo or m["min_pid"] > hi:
+            # any requested pid inside this shard's [min_pid, max_pid]?
+            i = bisect.bisect_left(ordered, m["min_pid"])
+            if i >= len(ordered) or ordered[i] > m["max_pid"]:
                 continue
             for f in self.read_manifest(m["path"]):
                 pid = f["partition_id"]
@@ -202,6 +226,7 @@ class SnapshotTable:
         replace: bool = False,
         materialize: bool = True,
         operation: str | None = None,
+        require_visible: set[int] | None = None,
     ) -> dict:
         """Two-phase commit with optimistic concurrency: write the new
         entries as ONE immutable manifest shard, build a snapshot pointer =
@@ -267,6 +292,7 @@ class SnapshotTable:
                         f = {**f, "renamed_from": list(pf["renamed_from"])}
                     merged_schema.append(f)
                 schema = merged_schema
+            _check_retired_names(schema)
             # partition-spec continuity (non-replace commits): a DIFFERENT
             # spec would make file_may_match evaluate old tuples under new
             # transform args (bucket(16)->bucket(8) shares the field name) —
@@ -304,10 +330,27 @@ class SnapshotTable:
                     # may have attached sidecars after our job read the
                     # table — union delete_files with the parent's visible
                     # entry so no sidecar reference is ever lost (positions
-                    # may overlap across sidecars; readers np.unique them)
+                    # may overlap across sidecars; readers np.unique them).
+                    # A racing REPLACE (compaction/rewrite) is NOT mergeable:
+                    # our positions index the old file layout, and re-pointing
+                    # the pid at the old path would drop the other rows the
+                    # replace merged under it — fail loudly instead.
                     attempt_entries = []
                     for e in entries:
-                        pv = visible.get(e["partition_id"])
+                        pid = e["partition_id"]
+                        pv = visible.get(pid)
+                        required = require_visible is not None and pid in require_visible
+                        if (pv is not None and pv.get("path") != e.get("path")) or (
+                                required and pv is None):
+                            raise RuntimeError(
+                                "concurrent replace detected: partition "
+                                f"{pid} now references "
+                                f"{(pv or {}).get('path')!r}, but this "
+                                f"delete/upsert was computed against "
+                                f"{e.get('path')!r} (compaction or rewrite "
+                                "ran mid-job) — re-run against the new "
+                                "snapshot"
+                            )
                         if pv is not None and pv.get("delete_files"):
                             e = dict(e)
                             mine = list(e.get("delete_files") or [])
@@ -385,6 +428,7 @@ class SnapshotTable:
         the parent's manifest shards and totals verbatim — O(1), no data IO.
         ``dropped_columns`` REPLACES the tombstone list when given (callers
         must include the parent's tombstones they want kept)."""
+        _check_retired_names(schema)
         for _attempt in range(100):
             parent_id = self._max_snapshot_id()
             parent = (
@@ -465,6 +509,10 @@ class SnapshotTable:
                 "operation": "rollback",
                 "committed_at": time.time(),
                 "schema": target["schema"],
+                # restore the TARGET's tombstones (rollback restores table
+                # state; omitting the field would erase them and re-enable
+                # the stale-resurrection the re-add guard exists to prevent)
+                "dropped_columns": list(target.get("dropped_columns") or []),
                 "properties": {
                     **(target.get("properties") or {}),
                     "rolled_back_to": snapshot_id,
