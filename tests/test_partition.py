@@ -560,3 +560,26 @@ def test_fanout_stream_flushes_bounded(tmp_path):
     total = sum(filefmt.read_footer_path(_os.path.join(data_dir, f))["num_rows"]
                 for f in files)
     assert total == n
+
+
+def test_hash_distribution_reduces_file_count(spark, events_pq, tmp_path):
+    """distribution='hash' co-locates same-tuple rows (one opt-in shuffle),
+    so the fanout emits ~1 file per tuple instead of tasks x tuples; results
+    stay identical."""
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.table import SnapshotTable
+
+    src, t = events_pq
+    out1 = str(tmp_path / "nodist")
+    encode_table(spark.read.parquet(src), out1, partition_by=["event_type"],
+                 write_metrics=False, target_partition_bytes=64 << 10)
+    out2 = str(tmp_path / "hashdist")
+    encode_table(spark.read.parquet(src), out2, partition_by=["event_type"],
+                 distribution="hash", write_metrics=False)
+    n1 = len(SnapshotTable(out1).read_snapshot()["files"])
+    n2 = len(SnapshotTable(out2).read_snapshot()["files"])
+    assert n2 < n1  # tuples co-located -> fewer files
+    assert read_encoded(spark, out2).count() == t.num_rows
+    kept = SnapshotTable(out2).data_files([("event_type", "==", "click")])
+    assert kept and all(f["partition"]["event_type"] == "click" for f in kept)

@@ -597,6 +597,7 @@ def encode_table(
     mode: str | None = None,
     spill_compression: str | None = "lz4",
     partition_by: list[str] | None = None,
+    distribution: str | None = None,
 ) -> dict:
     """Encode ``df`` into a webcodec snapshot table; returns the new snapshot.
 
@@ -606,6 +607,14 @@ def encode_table(
     one file per partition tuple (no extra shuffle); manifest entries carry
     the tuple and reads prune on it through plain predicates over the SOURCE
     column. Supported with modes ``files`` and ``scan``.
+
+    ``distribution="hash"`` (partitioned writes only; Iceberg
+    write.distribution-mode=hash analogue) pre-repartitions by the partition
+    expressions so same-tuple rows co-locate and the fanout emits ~1 file
+    per tuple instead of tasks x tuples — ONE opt-in shuffle traded against
+    file count; forces ``scan`` mode (the shuffle output is not a pure file
+    scan). Correctness never depends on the Spark-side expressions — the
+    Arrow-side transforms assign the manifest tuples either way.
 
     ``mode`` (default ``None`` = auto: ``"files"`` when ``df`` is a pure
     parquet scan, else ``"scan"`` — the zero-JVM-transfer path is the default
@@ -637,6 +646,17 @@ def encode_table(
 
         spec = parse_partition_spec(partition_by)
         validate_spec(spec, df.columns)
+
+    if distribution is not None:
+        if distribution != "hash":
+            raise ValueError(f"unknown distribution {distribution!r} (use 'hash')")
+        if not spec:
+            raise ValueError("distribution='hash' requires partition_by")
+        from webcodec.spark.partition import spark_partition_exprs
+
+        n_part = num_partitions or estimate_partitions(df, target_partition_bytes)[0]
+        df = df.repartition(n_part, *spark_partition_exprs(spec))
+        mode = "scan"  # the shuffle output is no longer a pure file scan
 
     if mode is None:
         # files mode reads the source parquet directly, so it is only valid

@@ -260,6 +260,37 @@ def _json_value(scalar: pa.Scalar):
     return v
 
 
+def spark_partition_exprs(spec: list[dict]):
+    """Spark Column expressions approximating each transform — used ONLY for
+    write distribution (repartition co-locates same-tuple rows so the fanout
+    writer emits ~1 file per tuple instead of tasks x tuples). Correctness
+    never depends on them: the Arrow-side transforms assign the manifest
+    tuples; a mismatch here merely costs extra files. bucket() uses
+    xxhash64 (not the manifest's md5) for exactly that reason — co-location
+    needs any deterministic hash, pruning needs the md5 twin."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for field in spec:
+        col = F.col(field["col"])
+        kind = field["kind"]
+        if kind == "identity":
+            out.append(col)
+        elif kind == "days":
+            out.append(F.floor(F.unix_micros(col.cast("timestamp")) / F.lit(_US_PER_DAY)))
+        elif kind == "hours":
+            out.append(F.floor(F.unix_micros(col.cast("timestamp")) / F.lit(_US_PER_HOUR)))
+        elif kind == "months":
+            out.append((F.year(col) - F.lit(1970)) * F.lit(12) + F.month(col) - F.lit(1))
+        elif kind == "years":
+            out.append(F.year(col) - F.lit(1970))
+        elif kind == "bucket":
+            out.append(F.pmod(F.xxhash64(col), F.lit(field["arg"])))
+        elif kind == "truncate":
+            out.append(F.substring(col.cast("string"), 1, field["arg"]))
+    return out
+
+
 # ------------------------------- pruning --------------------------------------
 
 
