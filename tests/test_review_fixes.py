@@ -166,3 +166,26 @@ def test_concurrent_replace_vs_delete_detected(spark, tmp_path):
     with pytest.raises(RuntimeError, match="concurrent replace"):
         tbl.commit(stale_entries, snap["schema"], operation="delete",
                    require_visible={e["partition_id"] for e in stale_entries})
+
+
+def test_archive_profile_with_levelless_codecs(tmp_path):
+    """binary_compression_level must clamp/drop for codecs that reject
+    levels (gzip caps at 9, snappy/lz4 take none) instead of crashing."""
+    from webcodec import filefmt
+    from webcodec.config import EncoderConfig
+
+    t = pa.table({"b": pa.array([b"payload" * 20] * 50, pa.binary())})
+    for codec in ("gzip", "snappy", "lz4"):
+        path = str(tmp_path / f"{codec}.wcd")
+        filefmt.write_table(t, path, EncoderConfig.archive(compression=codec))
+        assert filefmt.read_table(path).equals(t), codec
+
+
+def test_decimal_in_list_clear_error(tmp_path):
+    from decimal import Decimal
+
+    from webcodec import filefmt
+
+    t = pa.table({"d": pa.array([[Decimal("1.5")]], pa.list_(pa.decimal128(20, 3)))})
+    with pytest.raises(TypeError, match="nested inside list/map"):
+        filefmt.write_table(t, str(tmp_path / "x.wcd"))

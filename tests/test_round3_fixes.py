@@ -264,9 +264,15 @@ def test_stream_rate_limit_survives_restart(tmp_path):
         off = end
     assert len(seen) == len(set(seen)) == 12
 
-    # inverted plan (cursor collision between identical queries) fails loudly
-    with pytest.raises(RuntimeError, match="stream_id"):
-        r2.partitions({"snapshot_id": 9, "pos": -1}, {"snapshot_id": 4, "pos": -1})
+    # inverted plan (a crash left the best-effort cursor one batch behind the
+    # engine's committed start, or identical queries share a cursor): clamp
+    # to an EMPTY batch and re-seed from the engine's start — the stream
+    # self-heals on the next trigger instead of crash-looping (r3 review fix)
+    parts = r2.partitions({"snapshot_id": 9, "pos": -1}, {"snapshot_id": 4, "pos": -1})
+    assert parts == []
+    assert r2._last == {"snapshot_id": 9, "pos": -1}
+    nxt = r2.latestOffset()  # proceeds from the engine's cursor, stays bounded
+    assert len(r2._files_between({"snapshot_id": 9, "pos": -1}, nxt)) <= 3
 
 
 # ---------------------------------------------------------------- VERDICT #5

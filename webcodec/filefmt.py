@@ -60,6 +60,15 @@ _CODECS: dict = {}
 def compress(data: bytes, codec: Codec, level: int | None = None) -> bytes:
     if codec == Codec.NONE:
         return data
+    # level semantics per codec: zstd/brotli take any, gzip caps at 9,
+    # snappy/lz4 take none — clamp/drop instead of crashing when a profile's
+    # level override (e.g. archive's binary_compression_level=11) meets a
+    # codec that rejects it
+    if level is not None:
+        if codec == Codec.GZIP:
+            level = min(max(level, 1), 9)
+        elif codec in (Codec.SNAPPY, Codec.LZ4):
+            level = None
     if codec == Codec.GZIP:
         return zlib.compress(data, level if level is not None else 6)
     key = (codec, level)
@@ -353,6 +362,18 @@ def _encode_chunk(
 _STRUCT_SEP = "\x1f"  # footer-internal child-chunk name separator
 
 
+def _contains_decimal(t: pa.DataType) -> bool:
+    if pa.types.is_decimal(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _contains_decimal(t.value_type)
+    if pa.types.is_map(t):
+        return _contains_decimal(t.key_type) or _contains_decimal(t.item_type)
+    if pa.types.is_struct(t):
+        return any(_contains_decimal(f.type) for f in t)
+    return False
+
+
 def _encode_any_chunks(
     name: str, arr: pa.Array, config: EncoderConfig, out: io.BufferedIOBase, offset0: int
 ) -> tuple[list[dict], int]:
@@ -368,6 +389,15 @@ def _encode_any_chunks(
     t = arr.type
     if pa.types.is_decimal(t):
         return _encode_decimal_chunks(name, arr, config, out, offset0)
+    if (pa.types.is_list(t) or pa.types.is_map(t)) and _contains_decimal(t):
+        # decimals shred via a lo/hi int64 split that the generic-LIST child
+        # machinery doesn't carry — fail at DISPATCH with the actual scope
+        # instead of a deep phys_type_of error mid-job
+        raise TypeError(
+            f"column {name!r}: decimal128 nested inside list/map is not "
+            "supported (top-level and struct-field decimals are) — cast to "
+            "double/string or restructure"
+        )
     if pa.types.is_struct(t):
         return _encode_struct_chunks(name, arr, config, out, offset0)
     if pa.types.is_map(t):
@@ -1075,6 +1105,15 @@ def schema_signature(footer: dict) -> tuple:
     schema = tuple(sorted((f["name"], json.dumps(f["type"], sort_keys=True))
                           for f in footer["schema"]))
     return (chunk_names, schema)
+
+
+def schema_signature_str(footer: dict) -> str:
+    """Canonical string form of :func:`schema_signature` — stored in manifest
+    entries at write time so compaction plans bin-packs from METADATA alone
+    (a million driver-side footer reads just to group same-schema files
+    defeats the sharded-manifest scaling work)."""
+    names, schema = schema_signature(footer)
+    return json.dumps([sorted(names), schema], sort_keys=True)
 
 
 def append_files(dst: str, sources: list[str]) -> dict:

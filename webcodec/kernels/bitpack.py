@@ -50,7 +50,11 @@ def pack(values: np.ndarray, width: int) -> bytes:
         return b""
     if width > 64:
         raise ValueError(f"width {width} > 64")
-    v = np.ascontiguousarray(values.astype(_U64, copy=False))
+    # '<u8' pins LITTLE-ENDIAN byte order so the on-disk layout is
+    # platform-independent (a native view would pick the HIGH bytes on a
+    # big-endian host and silently corrupt the stream); on LE it is the
+    # native dtype, so no copy beyond the existing astype
+    v = np.ascontiguousarray(values.astype(_U64, copy=False), dtype="<u8")
     nbytes = (width + 7) // 8
     byt = v.view(np.uint8).reshape(n, 8)[:, :nbytes]
     if width == nbytes * 8:
@@ -71,12 +75,14 @@ def unpack(data: bytes | memoryview, width: int, n: int) -> np.ndarray:
     out = np.zeros((n, 8), dtype=np.uint8)
     if width == nbytes * 8:
         out[:, :nbytes] = raw[: n * nbytes].reshape(n, nbytes)
-        return out.reshape(-1).view(_U64)
+        return out.reshape(-1).view("<u8").astype(_U64, copy=False)
     bits = np.unpackbits(raw, bitorder="little")[: n * width].reshape(n, width)
     padded = np.zeros((n, nbytes * 8), dtype=np.uint8)
     padded[:, :width] = bits
     out[:, :nbytes] = np.packbits(padded, axis=1, bitorder="little")
-    return out.reshape(-1).view(_U64)
+    # bytes are little-endian on disk; '<u8' view decodes them identically on
+    # any host (astype is a no-op on LE)
+    return out.reshape(-1).view("<u8").astype(_U64, copy=False)
 
 
 def packed_size(n: int, width: int) -> int:

@@ -314,6 +314,8 @@ class WebcodecWriter(DataSourceArrowWriter):
                 if st.get("max") is not None:
                     cur["max"] = st["max"] if cur["max"] is None else max(cur["max"], st["max"])
                 cur["null_count"] += int(st.get("null_count", 0))
+        from webcodec import filefmt as _ff
+
         out = {
             "partition_id": pid,
             "path": os.path.join("data", fname),
@@ -322,6 +324,7 @@ class WebcodecWriter(DataSourceArrowWriter):
             "compressed_bytes": footer["compressed_bytes"],
             "codec_choices": {c["name"]: c["encoding"] for c in groups[0]["chunks"]},
             "column_stats": col_stats,
+            "schema_sig": _ff.schema_signature_str(footer),
         }
         if partition is not None:
             out["partition"] = partition
@@ -654,12 +657,15 @@ class WebcodecStreamReader(DataSourceStreamReader):
         # normalize pos=-1 (fully consumed) as +inf within its snapshot
         norm = lambda t: (t[0], float("inf") if t[1] == -1 else t[1])  # noqa: E731
         if norm(b) < norm(a):
-            raise RuntimeError(
-                f"webcodec stream: planned end offset {end} precedes start "
-                f"{start} — two streaming queries with identical options are "
-                "sharing one rate-limit cursor; give each query a distinct "
-                "option('stream_id', ...)"
-            )
+            # The engine's committed start is AHEAD of the end latestOffset
+            # planned — normal after a crash between the engine's commit-log
+            # write and our best-effort cursor persist (the cursor is then
+            # one batch stale), or when two queries share a stream_id. Clamp
+            # to an empty batch and re-seed the cursor from the engine's
+            # start: the stream self-heals on the next trigger instead of
+            # crash-looping.
+            self._last = dict(start)
+            return []
         self._last = dict(end)  # ground rate limiting in the engine's cursor
         files = self._files_between(start, end)
         # large microbatch files -> row-range tasks, same planner as batch

@@ -36,7 +36,8 @@ from webcodec.spark.table import SnapshotTable
 LINEAGE_SCHEMA = (
     "partition_id long, file string, rows long, raw_bytes long, encoded_bytes long, "
     "compressed_bytes long, n_pages long, encode_secs double, codec_choices string, "
-    "column_stats string, input_files string, attempt string, partition string"
+    "column_stats string, input_files string, attempt string, partition string, "
+    "schema_sig string"
 )
 
 
@@ -152,8 +153,15 @@ def _lineage_row(pid: int, fname: str, footer: dict, secs: float,
             "partition": pa.array(
                 [json.dumps(partition, sort_keys=True) if partition else ""]
             ),
+            "schema_sig": pa.array([_sig_of(footer)]),
         }
     )
+
+
+def _sig_of(footer: dict) -> str:
+    from webcodec import filefmt
+
+    return filefmt.schema_signature_str(footer)
 
 
 def _write_one(data_dir: str, pid: int, table: pa.Table, config: EncoderConfig,
@@ -799,6 +807,8 @@ def _commit(
         part = r["partition"] if "partition" in r else ""
         if part:
             entry["partition"] = json.loads(part)
+        if "schema_sig" in r and r["schema_sig"]:
+            entry["schema_sig"] = r["schema_sig"]
         files.append(entry)
     schema = [{"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable} for f in df.schema.fields]
     props = {"sort_key": sort_key or ""}

@@ -80,12 +80,13 @@ def compact(table_dir: str, target_bytes: int = 128 << 20) -> dict:
     acc = 0
     sig = None
     for f in files:
-        s = (
-            filefmt.schema_signature(
-                filefmt.read_footer_path(os.path.join(table_dir, f["path"]))
-            ),
-            _json.dumps(f.get("partition"), sort_keys=True, default=str),
+        # metadata-only when the writer recorded the signature (r3+); footer
+        # read only as a fallback for pre-signature files
+        sig_str = f.get("schema_sig") or filefmt.schema_signature_str(
+            filefmt.read_footer_path(os.path.join(table_dir, f["path"]))
         )
+        s = (sig_str,
+             _json.dumps(f.get("partition"), sort_keys=True, default=str))
         # files with merge-on-read delete sidecars never byte-merge: a byte
         # copy would resurrect their deleted rows (materialize them via
         # rewrite_encoded first); keep each in a single-file bin
@@ -793,19 +794,27 @@ def expire_snapshots(
             continue
         if rel not in referenced and mtime < age_bar:
             candidates.append((rel, fpath))
-    # re-list snapshots: anything committed DURING the scan also pins files
+    # re-list snapshots: anything committed DURING the scan also pins files.
+    # Only snapshots NEWER than the kept set can have appeared — check the id
+    # BEFORE materializing (reading every to-be-deleted old snapshot here was
+    # O(#old x file-list) wasted driver IO, and crashed outright when a prior
+    # crashed expire had already vacuumed a shard an old snapshot references)
     for fn in os.listdir(tbl.meta_dir):
         if fn.startswith("snapshot-") and fn.endswith(".json"):
             sid = int(fn[len("snapshot-"):-len(".json")])
-            if sid not in keep:
+            if sid in keep or sid <= max(keep):
+                continue
+            try:
                 late = tbl.read_snapshot(sid)
-                if late is not None and sid > max(keep):
-                    for f in late["files"]:
-                        referenced.add(f["path"])
-                        referenced.update(f.get("delete_files") or ())
-                    referenced_shards.update(
-                        m["path"] for m in late.get("manifests") or []
-                    )
+            except FileNotFoundError:
+                continue  # its shards are already gone; nothing to pin
+            if late is not None:
+                for f in late["files"]:
+                    referenced.add(f["path"])
+                    referenced.update(f.get("delete_files") or ())
+                referenced_shards.update(
+                    m["path"] for m in late.get("manifests") or []
+                )
     removed_files = 0
     for rel, fpath in candidates:
         if rel in referenced:

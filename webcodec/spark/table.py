@@ -253,6 +253,7 @@ class SnapshotTable:
         shard = self._write_manifest(entries) if entries and not is_delete else None
         new_pids = set(dedup)
         migrated: dict[int, dict] = {}
+        consolidated: dict[tuple, list] = {}  # claim-race retries reuse merges
         for _attempt in range(100):
             parent_id = self._max_snapshot_id()
             parent = (
@@ -371,16 +372,21 @@ class SnapshotTable:
                     comp -= pv["compressed_bytes"]
             if len(manifests) > MANIFEST_MERGE_THRESHOLD:
                 # amortized Iceberg-style manifest merge: rewrite the merged
-                # view as one shard so the list stays O(1)-ish per snapshot
-                merged: dict[int, dict] = {}
-                for m in manifests:
-                    for f in self.read_manifest(m["path"]):
-                        merged[f["partition_id"]] = f
-                manifests = [
-                    self._write_manifest(
-                        sorted(merged.values(), key=lambda f: f["partition_id"])
-                    )
-                ]
+                # view as one shard so the list stays O(1)-ish per snapshot.
+                # Memoized per source-shard tuple — a committer that loses
+                # the claim race must not orphan one O(table) shard per retry
+                mkey = tuple(m["path"] for m in manifests)
+                if mkey not in consolidated:
+                    merged: dict[int, dict] = {}
+                    for m in manifests:
+                        for f in self.read_manifest(m["path"]):
+                            merged[f["partition_id"]] = f
+                    consolidated[mkey] = [
+                        self._write_manifest(
+                            sorted(merged.values(), key=lambda f: f["partition_id"])
+                        )
+                    ]
+                manifests = list(consolidated[mkey])
             new_id = (parent_id or 0) + 1
             snap = {
                 "snapshot_id": new_id,
