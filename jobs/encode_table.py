@@ -37,6 +37,14 @@ def main() -> None:
     ap.add_argument("--target-partition-mb", type=int, default=128)
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--partition-by", default=None,
+                    help="comma list of partition transforms, e.g. "
+                         "'days(ts), event_type, bucket(16, url)'")
+    ap.add_argument("--distribution", default=None, choices=[None, "hash"],
+                    help="'hash' = repartition by the transforms (fewer files)")
+    ap.add_argument("--encryption-key-hex", default=None,
+                    help="AES key (hex, 16/24/32 bytes) — C12 modular encryption")
+    ap.add_argument("--encryption-key-id", default="")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,16 +55,28 @@ def main() -> None:
     spark = SparkSession.builder.appName("webcodec-encode").getOrCreate()
     df = spark.read.parquet(args.input)
     t0 = time.time()
+    partition_by = None
+    if args.partition_by:
+        from webcodec.spark.datasource import _split_transforms
+
+        partition_by = _split_transforms(args.partition_by)
     snap = encode_table(
         df,
         args.output,
-        EncoderConfig(compression=args.compression),
+        EncoderConfig(
+            compression=args.compression,
+            encryption_key=(bytes.fromhex(args.encryption_key_hex)
+                            if args.encryption_key_hex else None),
+            encryption_key_id=args.encryption_key_id,
+        ),
         url_col=args.url_col,
         sort_key=args.sort_key,
         target_partition_bytes=args.target_partition_mb << 20,
         num_partitions=args.num_partitions,
         resume=not args.no_resume,
         mode=args.mode,
+        partition_by=partition_by,
+        distribution=args.distribution,
     )
     out = {
         "snapshot_id": snap["snapshot_id"],
