@@ -27,6 +27,8 @@ def main() -> None:
                     help='JSON conjunct list, e.g. \'[["lang","==","en"],["n","<",5]]\'')
     ap.add_argument("--snapshot-id", type=int, default=None, help="time travel")
     ap.add_argument("--out", default=None, help="write decoded rows as parquet here")
+    ap.add_argument("--encryption-key-hex", default=None,
+                    help="AES key (hex) for C12-encrypted tables")
     ap.add_argument("--verify-against", default=None, help="source parquet to compare")
     args = ap.parse_args()
 
@@ -40,7 +42,9 @@ def main() -> None:
     if args.predicate:
         pred = [tuple(term) for term in json.loads(args.predicate)]
     t0 = time.time()
+    ekey = bytes.fromhex(args.encryption_key_hex) if args.encryption_key_hex else None
     df = read_encoded(spark, args.table, columns=cols, predicate=pred,
+                      encryption_key=ekey,
                       snapshot_id=args.snapshot_id)
     result: dict = {}
     if args.out:
