@@ -189,3 +189,91 @@ def test_decimal_in_list_clear_error(tmp_path):
     t = pa.table({"d": pa.array([[Decimal("1.5")]], pa.list_(pa.decimal128(20, 3)))})
     with pytest.raises(TypeError, match="nested inside list/map"):
         filefmt.write_table(t, str(tmp_path / "x.wcd"))
+
+
+# ---------------- fourth review pass (core files) ----------------
+
+
+def test_list_float32_null_children_roundtrip(tmp_path):
+    """The LIST_FLOAT32 BSS fast path has no child-validity stream; null
+    elements must route to the generic LIST layout, not round-trip as NaN."""
+    from webcodec import filefmt
+
+    t = pa.table({"e": pa.array([[1.0, None, 3.0], [4.0], None, []],
+                                pa.list_(pa.float32()))})
+    path = str(tmp_path / "e.wcd")
+    filefmt.write_table(t, path)
+    back = filefmt.read_table(path)
+    assert back.column("e").to_pylist() == t.column("e").to_pylist()
+    # null-free embeddings keep the fast path
+    t2 = pa.table({"e": pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float32()))})
+    p2 = str(tmp_path / "e2.wcd")
+    footer = filefmt.write_table(t2, p2)
+    from webcodec.types import Encoding, PhysType
+
+    assert footer["chunks"][0]["phys"] == int(PhysType.LIST_FLOAT32)
+    assert filefmt.read_table(p2).equals(t2)
+
+
+def test_invalid_encoding_override_rejected(tmp_path):
+    """An explicit rle/delta override on floats used to astype-TRUNCATE the
+    values; it must raise instead."""
+    from webcodec import filefmt
+    from webcodec.config import EncoderConfig
+
+    t = pa.table({"x": pa.array([3.5, 2.25, 7.125], pa.float64())})
+    for enc in ("rle", "delta_binary_packed"):
+        with pytest.raises(ValueError, match="invalid"):
+            filefmt.write_table(t, str(tmp_path / "x.wcd"),
+                                EncoderConfig(column_encoding={"x": enc}))
+    # valid float overrides still work
+    for enc in ("alp", "byte_stream_split", "plain"):
+        p = str(tmp_path / f"{enc}.wcd")
+        filefmt.write_table(t, p, EncoderConfig(column_encoding={"x": enc}))
+        assert filefmt.read_table(p).equals(t)
+
+
+def test_ddl_parse_decimal_inside_struct_map():
+    from webcodec.spark.decode_job import _arrow_type_of_spark
+
+    t = _arrow_type_of_spark("struct<a:decimal(10,2),b:int>")
+    assert t == pa.struct([("a", pa.decimal128(10, 2)), ("b", pa.int32())])
+    m = _arrow_type_of_spark("map<string,decimal(10,2)>")
+    assert m == pa.map_(pa.string(), pa.decimal128(10, 2))
+
+
+def test_sample_stats_honor_slice_offset():
+    from webcodec.stats import sample_stats
+    from webcodec.types import PhysType
+
+    vals = [f"prefix-{i:04d}" for i in range(3000)]
+    full = pa.array(vals, pa.large_string())
+    sliced = full.slice(1000, 1000)
+    copied = pa.array(vals[1000:2000], pa.large_string())
+    a = sample_stats(sliced, PhysType.STRING)
+    b = sample_stats(copied, PhysType.STRING)
+    assert abs(a.prefix_ratio - b.prefix_ratio) < 1e-9
+    assert abs(a.byte_entropy - b.byte_entropy) < 1e-9
+
+
+def test_truncated_max_stat_never_underestimates():
+    from webcodec.stats import _encode_stat
+    from webcodec.types import PhysType
+
+    v = "\U0010FFFF" * 70
+    assert _encode_stat(v, PhysType.STRING, 64, is_max=True) is None  # drop
+    bumped = _encode_stat("a" * 70, PhysType.STRING, 64, is_max=True)
+    assert bumped is not None and bumped > "a" * 70
+    # bump never lands in the surrogate range
+    s = chr(0xD7FF) * 65
+    out = _encode_stat(s, PhysType.STRING, 64, is_max=True)
+    assert out is not None and not any(0xD800 <= ord(c) <= 0xDFFF for c in out)
+    assert out > s[:64]
+
+
+def test_read_encoded_unknown_column_raises(spark, tmp_path):
+    from webcodec.spark.decode_job import read_encoded
+
+    out, t, src = _base_table(tmp_path, spark, n=50)
+    with pytest.raises(KeyError, match="lagn"):
+        read_encoded(spark, out, columns=["k", "lagn"])

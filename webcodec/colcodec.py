@@ -90,7 +90,11 @@ def rebuild_with_nulls(values: pa.Array, mask: np.ndarray, arrow_type: pa.DataTy
         # outer validity over list offsets: null slots get zero-length ranges
         # and are masked out (NOT silently decoded as empty lists)
         inner = values
-        offs = np.frombuffer(inner.buffers()[1], dtype=np.int32, count=len(inner) + 1)
+        # rebase by inner.offset — a sliced input's buffers are the parent's
+        # (flatten() below honors the slice; the raw buffer read must too)
+        offs = np.frombuffer(
+            inner.buffers()[1], dtype=np.int32, count=inner.offset + len(inner) + 1
+        )[inner.offset:]
         lens = np.diff(offs)
         full_lens = np.zeros(n, dtype=np.int64)
         full_lens[mask] = lens

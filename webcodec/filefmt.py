@@ -194,6 +194,11 @@ def _encode_chunk(
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     phys = phys_type_of(arr.type)
+    if phys == PhysType.LIST_FLOAT32 and arr.flatten().null_count:
+        # the BSS fast path has no child-validity stream (embeddings never
+        # have null elements); null children must take the generic LIST
+        # layout or they'd silently round-trip as NaN
+        phys = PhysType.LIST
     # narrow types (int8/16, uint8/16/32, float16) store WIDENED — the
     # parquet INT_8-over-INT32 stance; the footer keeps the original type
     # and decode casts back (types.widened)

@@ -46,11 +46,44 @@ def fallback_encoding(phys: PhysType) -> Encoding:
     return Encoding.PLAIN
 
 
+# type-validity of EXPLICIT per-column overrides; the auto-selector never
+# picks an invalid pair, but a user override silently corrupted data before
+# this check existed (rle on float64 astype-truncated values to ints)
+_INT_DOMAIN = (PhysType.BOOL, PhysType.INT32, PhysType.INT64,
+               PhysType.TIMESTAMP_US, PhysType.DATE32)
+_FLOATS = (PhysType.FLOAT32, PhysType.FLOAT64)
+_VARLEN = (PhysType.STRING, PhysType.BINARY)
+_OVERRIDE_OK = {
+    Encoding.PLAIN: None,  # any
+    Encoding.DICT: None,   # any (size guard falls back)
+    Encoding.RLE: _INT_DOMAIN,
+    Encoding.DELTA_BINARY_PACKED: _INT_DOMAIN,
+    Encoding.DELTA_LENGTH: _VARLEN,
+    Encoding.DELTA_BYTE_ARRAY: _VARLEN,
+    Encoding.FSST: _VARLEN,
+    Encoding.BYTE_STREAM_SPLIT: _INT_DOMAIN + _FLOATS + (PhysType.LIST_FLOAT32,),
+    Encoding.ALP: _FLOATS,
+}
+
+
+def _check_override(column: str, enc: Encoding, phys: PhysType) -> None:
+    ok = _OVERRIDE_OK.get(enc)
+    if ok is not None and phys not in ok:
+        raise ValueError(
+            f"column_encoding[{column!r}] = {enc.name.lower()!r} is invalid "
+            f"for physical type {phys.name} — it would corrupt or reject the "
+            "values (use 'auto', or alp/byte_stream_split for floats, "
+            "delta_length/delta_byte_array/fsst for strings/binary)"
+        )
+
+
 def choose(column: str, phys: PhysType, stats: SampleStats, config: EncoderConfig) -> Encoding:
     """A-priori choice. The encoder still applies the A7 size guard afterwards."""
     override = config.encoding_for(column)
     if override != "auto":
-        return encoding_from_name(override)
+        enc = encoding_from_name(override)
+        _check_override(column, enc, phys)
+        return enc
     dict_ok = config.dictionary_for(column)
 
     if phys == PhysType.BOOL:

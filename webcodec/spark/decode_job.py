@@ -49,12 +49,13 @@ _ARROW_SCALAR = {
 
 
 def _split_top(s: str) -> list[str]:
-    """Split on commas at angle-bracket depth 0 (struct field lists)."""
+    """Split on commas at bracket depth 0 — BOTH angle brackets and parens
+    (decimal(p,s) nests a comma inside struct/map field lists)."""
     parts, depth, start = [], 0, 0
     for i, ch in enumerate(s):
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(s[start:i])
@@ -113,6 +114,29 @@ def _chunk_names(data) -> set:
     else:
         footer = filefmt.read_footer(memoryview(data))
     return {c["name"] for c in (footer.get("groups") or [footer])[0]["chunks"]}
+
+
+# (path, sidecars, aliases) -> positions; sidecar files and .wcd files are
+# immutable (uuid-suffixed names), so this is safe to reuse across the
+# row-range SPLITS of one file a worker processes — the equality-delete kind
+# re-decodes the file's key columns otherwise, once per split instead of
+# once per file
+_DELETE_POS_CACHE: dict = {}
+
+
+def cached_delete_positions(path: str, delete_paths, data=None, aliases=None):
+    if not delete_paths:
+        return None
+    import json as _json
+
+    key = (path, tuple(delete_paths), _json.dumps(aliases or {}, sort_keys=True))
+    if key not in _DELETE_POS_CACHE:
+        if len(_DELETE_POS_CACHE) >= 16:
+            _DELETE_POS_CACHE.clear()
+        _DELETE_POS_CACHE[key] = load_delete_positions(
+            delete_paths, data if data is not None else path, aliases=aliases
+        )
+    return _DELETE_POS_CACHE[key]
 
 
 def load_delete_positions(delete_paths, data=None, aliases=None) -> "np.ndarray | None":
@@ -203,7 +227,7 @@ def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
     cols_here = [local_of[c] for c in want if c in local_of]
     t = filefmt.read_table(
         data, columns=cols_here, predicate=predicate, row_range=row_range,
-        drop_rows=load_delete_positions(delete_paths, data, aliases=aliases),
+        drop_rows=cached_delete_positions(path, delete_paths, data, aliases=aliases),
         encryption_key=encryption_key)
     if cols_here != want:
         arrays = []
@@ -315,6 +339,15 @@ def read_encoded(
     if snap is None:
         raise FileNotFoundError(f"no snapshot in {table_dir}")
     files = tbl.data_files(predicate, snapshot_id=snapshot_id)
+    if columns is not None:
+        known = {f["name"] for f in snap["schema"]}
+        missing = [c for c in columns if c not in known]
+        if missing:
+            raise KeyError(
+                f"column(s) {missing} not in table schema "
+                f"{sorted(known)} — silently dropping them would surface as "
+                "a confusing unresolved-column error downstream"
+            )
     ddl = _schema_ddl(snap["schema"], columns)
     want = [f["name"] for f in snap["schema"] if columns is None or f["name"] in columns]
     if columns is not None:

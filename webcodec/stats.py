@@ -76,9 +76,20 @@ def sample_stats(arr: pa.Array, phys: PhysType, sample_n: int = 4096) -> SampleS
 
     if phys in IS_VARLEN:
         s2 = s.cast(pa.large_binary()) if not pa.types.is_large_binary(s.type) else s
-        buffers = s2.combine_chunks().buffers() if isinstance(s2, pa.ChunkedArray) else s2.buffers()
-        offsets = np.frombuffer(buffers[1], dtype=np.int64, count=n + 1)
-        data = np.frombuffer(buffers[2] or b"", dtype=np.uint8, count=int(offsets[-1]))
+        if isinstance(s2, pa.ChunkedArray):
+            s2 = s2.combine_chunks()
+        buffers = s2.buffers()
+        # honor the slice offset: a large_* input arrives zero-copy, so the
+        # buffers are the PARENT's — reading from position 0 would compute
+        # stats over a different region and mis-drive the selector
+        offsets = np.frombuffer(
+            buffers[1], dtype=np.int64, count=s2.offset + n + 1
+        )[s2.offset:]
+        base = int(offsets[0])
+        data = np.frombuffer(
+            buffers[2] or b"", dtype=np.uint8, count=int(offsets[-1])
+        )[base:]
+        offsets = offsets - base
         lens = np.diff(offsets)
         avg_len = float(lens.mean()) if n else 0.0
         entropy = _entropy_bits(data[: 1 << 16])
@@ -115,14 +126,20 @@ def sample_stats(arr: pa.Array, phys: PhysType, sample_n: int = 4096) -> SampleS
 # ---- page/chunk min-max stats (footer) ---------------------------------------
 
 
-def _bump_last(s: str) -> str:
-    """Increment the last char so a truncated MAX stays an upper bound
-    (reference parity: BinaryTruncator for the column index)."""
+def _bump_last(s: str) -> str | None:
+    """Increment the last bumpable char so a truncated MAX stays an upper
+    bound (reference parity: BinaryTruncator for the column index). Skips
+    the UTF-16 surrogate range (unencodable as UTF-8); returns None when no
+    char can bump (all U+10FFFF) — the caller must DROP the stat rather
+    than store a non-bound."""
     for i in range(len(s) - 1, -1, -1):
         c = ord(s[i])
         if c < 0x10FFFF:
-            return s[:i] + chr(c + 1)
-    return s
+            c += 1
+            if 0xD800 <= c <= 0xDFFF:
+                c = 0xE000
+            return s[:i] + chr(c)
+    return None
 
 
 def _encode_stat(v, phys: PhysType, truncate: int, is_max: bool = False):
