@@ -37,14 +37,22 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     if getattr(sc, "_webcodec_shipped", False):
         return
     zip_path = os.path.join(_REPO, "webcodec.zip")
-    if not os.path.exists(zip_path):
-        pkg = os.path.join(_REPO, "webcodec")
+    pkg = os.path.join(_REPO, "webcodec")
+    sources = [
+        os.path.join(root, fn)
+        for root, _dirs, files in os.walk(pkg)
+        for fn in files if fn.endswith(".py")
+    ]
+    # rebuild when ANY package source is newer than the zip — a stale zip
+    # ships stale kernels to executors silently (this trap bit once)
+    stale = (
+        not os.path.exists(zip_path)
+        or max(os.path.getmtime(p) for p in sources) > os.path.getmtime(zip_path)
+    )
+    if stale:
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        zf.write(full, os.path.relpath(full, _REPO))
+            for full in sources:
+                zf.write(full, os.path.relpath(full, _REPO))
     try:
         sc.addPyFile(zip_path)
     except Exception:
@@ -1051,7 +1059,12 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
     edges = edges.persist()
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
-    for _ in range(25):
+    changed = 1
+    # neighbor-min propagation converges in O(component diameter) rounds;
+    # near-dup clusters are dense (diameter a handful). 64 is generous
+    # headroom — but NEVER return a non-converged labeling silently: the
+    # oracle computes the EXACT closure, so a cap-hit must fail loudly
+    for _round in range(64):
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy("dst")
@@ -1075,6 +1088,10 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge in 64 rounds"
+        )
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

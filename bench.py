@@ -45,7 +45,7 @@ def log(*a):
 # ---------------------------------------------------------------------------
 
 
-def gen_webpages(n: int, seed: int = 42) -> pa.Table:
+def gen_webpages(n: int, seed: int = 42, _row_offset: int = 0) -> pa.Table:
     """Deterministic Common-Crawl-style table (url, warc_ts, html, text, lang).
 
     All string assembly happens in Arrow C++ (binary_join_element_wise) — no
@@ -54,7 +54,14 @@ def gen_webpages(n: int, seed: int = 42) -> pa.Table:
     """
     chunk = 500_000
     if n > chunk:
-        parts = [gen_webpages(min(chunk, n - s), seed + s) for s in range(0, n, chunk)]
+        # chunk offsets keep urls globally unique and warc_ts globally
+        # monotone (each chunk's ts range sits above the previous one), so
+        # the concatenation matches the single-chunk fixture shape instead
+        # of sawtoothing at every 500k boundary
+        parts = [
+            gen_webpages(min(chunk, n - s), seed + s, _row_offset=s)
+            for s in range(0, n, chunk)
+        ]
         return pa.concat_tables(parts)
     rng = np.random.default_rng(seed)
     n_domains = 500
@@ -68,7 +75,7 @@ def gen_webpages(n: int, seed: int = 42) -> pa.Table:
 
     path_pool = pa.array([f"section{i % 37}/page" for i in range(200)])
     paths = path_pool.take(pa.array((np.arange(n) % 200).astype(np.int32)))
-    ids = pa.array(np.arange(n).astype(str))
+    ids = pa.array((np.arange(n) + _row_offset).astype(str))
     url = pc.binary_join_element_wise(dom, paths, ids, pa.scalar(".html"), "")
 
     # sentence pool -> 3 sampled sentences per row, joined in C++
@@ -93,7 +100,10 @@ def gen_webpages(n: int, seed: int = 42) -> pa.Table:
         " ",
     ).cast(pa.binary())
 
-    warc_ts = 1_700_000_000_000_000 + np.sort(
+    # each 500k chunk gets its own disjoint ts window above the previous
+    # one, so multi-chunk tables stay globally sorted like the fixture
+    ts_base = 1_700_000_000_000_000 + (_row_offset // 500_000) * 10_000_000_000_000
+    warc_ts = ts_base + np.sort(
         rng.integers(0, 10_000_000_000_000, size=n, dtype=np.int64)
     )
     langs = pa.array(["en", "de", "fr", "es", "zh", "ru"])
@@ -119,12 +129,26 @@ def materialize_webpages(n: int) -> str:
         t = gen_webpages(n)
         # small row groups so the scan splits across cores (scan-mode encode)
         pq.write_table(t, path, compression="zstd", row_group_size=max(n // 64, 4096))
+        with open(path + ".nbytes", "w") as f:
+            f.write(str(t.nbytes))  # avoid a full re-read just for .nbytes
         log(f"materialized {n} rows ({t.nbytes/1e9:.2f} GB raw) in {time.perf_counter()-t0:.1f}s")
     return path
 
 
 def table_raw_bytes(path: str) -> int:
-    return pq.read_table(path).nbytes
+    side = path + ".nbytes"
+    try:
+        with open(side) as f:
+            return int(f.read())
+    except (OSError, ValueError):
+        pass
+    nb = pq.read_table(path).nbytes
+    try:
+        with open(side, "w") as f:
+            f.write(str(nb))
+    except OSError:
+        pass
+    return nb
 
 
 # ---------------------------------------------------------------------------
@@ -341,7 +365,12 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
             if f.endswith(".wcd")
         )
         extras["lineitem_compressed_bytes"] = li_ours
-        extras["lineitem_ref_bytes"] = os.path.getsize(li_path)
+        # size denominator = a DEFAULT-settings reference write (the
+        # re-chunked li_path exists only so scans split; its small groups
+        # compress worse and would flatter our ratio)
+        li_ref = os.path.join(work, "lineitem_ref.parquet")
+        pq.write_table(li_t, li_ref, compression="zstd")
+        extras["lineitem_ref_bytes"] = os.path.getsize(li_ref)
         extras["lineitem_size_ratio_vs_ref"] = li_ours / extras["lineitem_ref_bytes"]
         queries["decode_lineitem"] = best_of(
             lambda _r: read_encoded(spark, os.path.join(work, "li_0"))
@@ -542,7 +571,10 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    except ValueError:
+        sf = 0.1  # dir not named sf<float>: label only, never fatal
     rows = args.rows or max(int(4_000_000 * sf), 20_000)
     repeats = args.repeats or 2
 

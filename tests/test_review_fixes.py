@@ -277,3 +277,23 @@ def test_read_encoded_unknown_column_raises(spark, tmp_path):
     out, t, src = _base_table(tmp_path, spark, n=50)
     with pytest.raises(KeyError, match="lagn"):
         read_encoded(spark, out, columns=["k", "lagn"])
+
+
+def test_prefix_encode_wide_value_fallback():
+    """One multi-MB outlier must not blow up the padded prefix matrices —
+    encode falls back to the sequential path and round-trips exactly."""
+    import numpy as np
+
+    from webcodec.kernels import prefix
+
+    vals = [b"https://a.example/" + bytes([65 + i % 26]) * 30 for i in range(2_000)]
+    vals[700] = b"https://a.example/" + b"X" * (2 << 20)  # 2MB outlier
+    offs = np.zeros(len(vals) + 1, dtype=np.int64)
+    np.cumsum([len(v) for v in vals], out=offs[1:])
+    data = b"".join(vals)
+    enc = prefix.encode(offs, data)
+    back = prefix.decode(enc, len(vals))
+    got = [v.as_py() if not isinstance(v.as_py(), bytes) else v.as_py()
+           for v in back]
+    want = [v.decode() if isinstance(got[0], str) else v for v in vals]
+    assert got == want

@@ -66,9 +66,9 @@ def webpages(n: int = 20_000, seed: int = 42, null_frac: float = 0.0) -> pa.Tabl
 def webpages_variant(kind: str, n: int = 2_000, seed: int = 42) -> pa.Table:
     """Codec-stress variants (FIXTURES.md §2)."""
     rng = np.random.default_rng(seed)
-    t = webpages(n, seed)
-    if kind == "nulls":
+    if kind == "nulls":  # before the base build: don't generate twice
         return webpages(n, seed, null_frac=0.1)
+    t = webpages(n, seed)
     if kind == "const":
         return t.set_column(
             4, "lang", pa.array(["en"] * n, type=pa.string())

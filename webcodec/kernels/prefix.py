@@ -22,8 +22,11 @@ import pyarrow as pa
 from webcodec.kernels import delta, deltalength
 from webcodec.kernels.varint import read_uvarint, write_uvarint
 
-# Guard: matrix decode allocates O(n * maxlen); cap at ~512 MB.
+# Guard: the matrix paths allocate ~3 O(n * maxlen) temporaries (byte
+# matrix + shifted copy/output + boolean mask); cap the SUM at ~512 MB, i.e.
+# one matrix at ~170 MB, and fall back to the sequential path beyond it.
 _MATRIX_BYTE_CAP = 512 << 20
+_MATRIX_TEMPORARIES = 3
 
 
 def _byte_matrix(offsets: np.ndarray, data: np.ndarray, maxlen: int, fill: int) -> np.ndarray:
@@ -49,18 +52,32 @@ def prefix_lengths(offsets: np.ndarray, data: bytes | memoryview) -> np.ndarray:
     if maxlen == 0:
         return np.zeros(n, dtype=np.int64)
     raw = np.frombuffer(data, dtype=np.uint8, count=int(offs[-1]))
-    # distinct fill values so padding never matches
+    if maxlen * n * _MATRIX_TEMPORARIES > _MATRIX_BYTE_CAP:
+        # one multi-MB outlier value would blow the padded matrices up to
+        # n * maxlen — mirror decode's guard with a sequential fallback
+        return _prefix_lengths_sequential(offs, raw)
+    # distinct fill values so padding never matches (0xFE vs 0xFD)
     a = _byte_matrix(offs, raw, maxlen, 0xFE)
-    b = a.copy()
-    # rows of b get fill 0xFD where padding
-    col = np.arange(maxlen)
-    pad_mask = col[None, :] >= lens[:, None]
-    b[pad_mask] = 0xFD
+    b = _byte_matrix(offs, raw, maxlen, 0xFD)
     eq = a[:-1] == b[1:]
     all_eq = eq.all(axis=1)
     p = np.where(all_eq, maxlen, eq.argmin(axis=1)).astype(np.int64)
     p = np.minimum(p, np.minimum(lens[:-1], lens[1:]))
     return np.concatenate(([0], p))
+
+
+def _prefix_lengths_sequential(offs: np.ndarray, raw: np.ndarray) -> np.ndarray:
+    """Cold path for pathologically wide values: O(total bytes) without the
+    padded matrices."""
+    n = len(offs) - 1
+    out = np.zeros(n, dtype=np.int64)
+    for i in range(1, n):
+        a = raw[offs[i - 1]:offs[i]]
+        b = raw[offs[i]:offs[i + 1]]
+        m = min(len(a), len(b))
+        neq = np.flatnonzero(a[:m] != b[:m])
+        out[i] = int(neq[0]) if len(neq) else m
+    return out
 
 
 def encode(offsets: np.ndarray, data: bytes | memoryview) -> bytes:
@@ -106,7 +123,7 @@ def decode(data: bytes | memoryview, n: int, arrow_type: pa.DataType | None = No
         return deltalength.from_parts(np.empty(0, np.int64), b"", 0, arrow_type)
     out_lens = p + slens
     maxlen = int(out_lens.max()) if n else 0
-    if maxlen * n > _MATRIX_BYTE_CAP:
+    if maxlen * n * _MATRIX_TEMPORARIES > _MATRIX_BYTE_CAP:
         return _decode_sequential(p, slens, suffix, n, arrow_type)
     # suffix byte matrix: row i holds suffix bytes at columns [p_i, p_i + slen_i)
     smat = np.zeros((n, max(maxlen, 1)), dtype=np.uint8)
