@@ -147,12 +147,14 @@ def _fsst_trial(arr: pa.Array, codec: Codec, level: int | None, sample_bytes: in
     FSST is not worth it for this chunk."""
     from webcodec.kernels import fsst as _fsst
 
-    # 256KB trial payload: at 64KB the size ranking between symbol-length
-    # variants flips vs full-page scale (table overhead dominates)
-    payload = colcodec.sample_payload(arr, 4096, 1 << 18)
+    # trial payload is 16x the table-build sample (default 256KB/16KB): at
+    # smaller trial sizes the ranking between symbol-length variants flips
+    # vs full-page scale (table overhead dominates); both scale with the
+    # config's fsst_sample_bytes knob
+    payload = colcodec.sample_payload(arr, 4096, sample_bytes * 16)
     if len(payload) < 1024:
         return None
-    base_table = _fsst.build_table(payload[: 1 << 14])
+    base_table = _fsst.build_table(payload[:sample_bytes])
     if not base_table.symbols:
         return None
     best, best_size = None, 0.9 * len(compress(payload, codec, level))
@@ -172,6 +174,11 @@ def _page_ranges(n: int, avg_bytes: float, config: EncoderConfig) -> list[tuple[
         return [(0, 0)]
     by_bytes = max(int(config.data_page_size / max(avg_bytes, 1e-9)), 1)
     step = max(min(config.page_row_count_limit, by_bytes), 256)
+    # the 256-row floor must yield for huge values (multi-MB media blobs):
+    # a page body past u32 would overflow the header size fields — cap the
+    # page at ~1 GB uncompressed
+    if step * avg_bytes > (1 << 30):
+        step = max(int((1 << 30) / max(avg_bytes, 1.0)), 1)
     return [(s, min(s + step, n)) for s in range(0, n, step)]
 
 
@@ -191,8 +198,20 @@ def _encode_chunk(
     offset0: int,
 ) -> tuple[dict, int]:
     """Encode one column chunk; writes pages; returns (chunk_meta, new_offset)."""
+    orig_t = arr.type
     if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
+        try:
+            arr = arr.combine_chunks()
+        except pa.ArrowInvalid:
+            # >2GB varlen column: 32-bit offsets overflow on combine —
+            # process at 64-bit offsets; the footer keeps the ORIGINAL type
+            # (phys BINARY/STRING covers both widths)
+            if pa.types.is_binary(orig_t):
+                arr = arr.cast(pa.large_binary()).combine_chunks()
+            elif pa.types.is_string(orig_t):
+                arr = arr.cast(pa.large_string()).combine_chunks()
+            else:
+                raise
     phys = phys_type_of(arr.type)
     if phys == PhysType.LIST_FLOAT32 and arr.flatten().null_count:
         # the BSS fast path has no child-validity stream (embeddings never
@@ -201,8 +220,9 @@ def _encode_chunk(
         phys = PhysType.LIST
     # narrow types (int8/16, uint8/16/32, float16) store WIDENED — the
     # parquet INT_8-over-INT32 stance; the footer keeps the original type
-    # and decode casts back (types.widened)
-    orig_json = arrow_type_json(arr.type)
+    # and decode casts back (types.widened). orig_t predates any >2GB
+    # large_* widening above for the same reason.
+    orig_json = arrow_type_json(orig_t)
     _w = widened(arr.type)
     if _w is not None:
         arr = arr.cast(_w)
@@ -359,7 +379,10 @@ def _encode_chunk(
     chunk["stats"] = {
         "min": min(mins) if mins else None,
         "max": max(maxs) if maxs else None,
-        "null_count": int(sum(p.get("null_count", 0) for p in chunk["pages"])),
+        # roll up from n_nulls (ALWAYS present in page meta) — the stats
+        # field is absent when statistics_enabled=False, and a fabricated
+        # null_count=0 would make isnull file-pruning drop matching rows
+        "null_count": int(sum(p.get("n_nulls", 0) for p in chunk["pages"])),
     }
     return chunk, offset
 
@@ -390,7 +413,14 @@ def _encode_any_chunks(
     Every emitted chunk keeps the top-level row count, so page pruning,
     keep-masks and row-range splits apply unchanged at any depth."""
     if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
+        try:
+            arr = arr.combine_chunks()
+        except pa.ArrowInvalid:
+            # >2GB varlen column (32-bit offset overflow): _encode_chunk
+            # handles the large_* widening itself — pass the chunked array
+            # through (it only dispatches on .type here)
+            if not (pa.types.is_binary(arr.type) or pa.types.is_string(arr.type)):
+                raise
     t = arr.type
     if pa.types.is_decimal(t):
         return _encode_decimal_chunks(name, arr, config, out, offset0)
@@ -503,6 +533,15 @@ def _encode_struct_chunks(
         arr = arr.combine_chunks()
     if arr.type.num_fields == 0:
         raise TypeError(f"empty struct column unsupported: {name}")
+    fnames = [arr.type.field(i).name for i in range(arr.type.num_fields)]
+    if len(set(fnames)) != len(fnames):
+        # Arrow permits duplicate struct field names; our child chunks are
+        # name-spaced, so duplicates would all decode from the FIRST field's
+        # chunk — silent wrong data. Refuse loudly.
+        raise TypeError(
+            f"struct column {name!r} has duplicate field names {fnames}; "
+            "rename the fields before encoding"
+        )
     validity = arr.is_valid()
     parent, offset = _encode_chunk(name, validity, config, out, offset0)
     parent["struct"] = {
@@ -623,6 +662,13 @@ def _encode_list_struct_chunks(
     when present, travels as an aligned list<bool> chunk."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    st = arr.type.value_type
+    fnames = [st.field(i).name for i in range(st.num_fields)]
+    if len(set(fnames)) != len(fnames):
+        raise TypeError(
+            f"list<struct> column {name!r} has duplicate field names "
+            f"{fnames}; rename the fields before encoding"
+        )
     validity = arr.is_valid()
     parent, offset = _encode_chunk(name, validity, config, out, offset0)
     entries = arr.values  # StructArray, absolute w.r.t. arr.offsets
@@ -864,6 +910,14 @@ def _encode_group(
 ) -> tuple[list[dict], int]:
     chunks: list[dict] = []
     for name in table.column_names:
+        if _STRUCT_SEP in name:
+            # 0x1F namespaces shredded child chunks in the footer; a column
+            # carrying it would be filtered out on read (silent data loss)
+            # or collide with a sibling struct's child chunk
+            raise ValueError(
+                f"column name {name!r} contains the reserved separator "
+                "U+001F; rename the column"
+            )
         cs, offset = _encode_any_chunks(name, table.column(name), config, out, offset)
         chunks.extend(cs)
     return chunks, offset
@@ -1147,6 +1201,7 @@ def append_files(dst: str, sources: list[str]) -> dict:
                 "merge would lose data; rewrite/transcode these files instead"
             )
     groups = []
+    first_schema = None
     with open(dst, "wb") as out:
         out.write(MAGIC)
         offset = len(MAGIC)
@@ -1154,6 +1209,8 @@ def append_files(dst: str, sources: list[str]) -> dict:
             with open(src, "rb") as f:
                 data = f.read()
             footer = read_footer(data)
+            if first_schema is None:
+                first_schema = footer["schema"]  # reuse — no second full read
             flen = struct.unpack("<I", data[-12:-8])[0]
             body_start, body_end = len(MAGIC), len(data) - 12 - flen
             out.write(data[body_start:body_end])
@@ -1174,11 +1231,10 @@ def append_files(dst: str, sources: list[str]) -> dict:
                     }
                 )
             offset += body_end - body_start
-        first = read_footer(open(sources[0], "rb").read())
         footer = {
             "version": 2,
             "num_rows": int(sum(g["num_rows"] for g in groups)),
-            "schema": first["schema"],
+            "schema": first_schema,
             "groups": groups,
             "raw_bytes": int(sum(g["raw_bytes"] for g in groups)),
             "compressed_bytes": int(sum(g["compressed_bytes"] for g in groups)),
@@ -1448,8 +1504,10 @@ def read_table(
                 for c in g["chunks"]:
                     c["_crypto"] = fcr
                     c["_crypto_group"] = gi
-    # child chunks of shredded structs are footer-internal, not columns
-    names = columns or [
+    # child chunks of shredded structs are footer-internal, not columns.
+    # columns=[] means ZERO columns (e.g. a pure null-fill read of columns
+    # added after this file) — `or` would silently decode the whole file
+    names = columns if columns is not None else [
         c["name"] for c in groups[0]["chunks"] if _STRUCT_SEP not in c["name"]
     ]
 

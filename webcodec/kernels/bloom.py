@@ -27,8 +27,18 @@ _HASH_CAP = 32  # hash at most the first 32 bytes of each value
 
 def hash_values(offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
     """Vectorized FNV-1a-64 of each value's first <=32 bytes (+ length mixed
-    in, so truncated prefixes of different lengths still differ)."""
+    in, so truncated prefixes of different lengths still differ).
+
+    Processed in 1M-value blocks: the gather/compare matrices are O(n x 32)
+    — unblocked, an 8M-row chunk would transiently allocate several GB on
+    the encode path."""
     n = len(offsets) - 1
+    _BLOCK = 1 << 20
+    if n > _BLOCK:
+        return np.concatenate([
+            hash_values(offsets[s: s + _BLOCK + 1], data)
+            for s in range(0, n, _BLOCK)
+        ])
     lens = np.diff(offsets)
     if data.size == 0:  # all-empty values: keep the gather index 0 in bounds
         data = np.zeros(1, dtype=np.uint8)

@@ -16,6 +16,10 @@ def write_uvarint(x: int) -> bytes:
     """ULEB128-encode one unsigned int (scalar — headers only)."""
     out = bytearray()
     x = int(x)
+    if x < 0:
+        # Python's arithmetic shift keeps negatives negative forever — a
+        # caller bug would otherwise hang with unbounded memory growth
+        raise ValueError(f"uvarint requires a non-negative int, got {x}")
     while True:
         b = x & 0x7F
         x >>= 7

@@ -225,6 +225,15 @@ def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
     if conj and any(local_of.get(c, c) != c for c in pred_cols):
         predicate = [(local_of.get(c, c), op, v) for c, op, v in conj]
     cols_here = [local_of[c] for c in want if c in local_of]
+    if want and not cols_here:
+        # pure null-fill read (every projected column was added after this
+        # file): read_table(columns=[]) now correctly decodes NOTHING, so
+        # decode the file's cheapest chunk just to get the surviving row
+        # count under predicate/row_range/deletes
+        groups0 = (footer.get("groups") or [footer])[0]
+        tops = [c for c in groups0["chunks"] if "\x1f" not in c["name"]]
+        cheapest = min(tops, key=lambda c: c.get("compressed_bytes", 0))
+        cols_here = [cheapest["name"]]
     t = filefmt.read_table(
         data, columns=cols_here, predicate=predicate, row_range=row_range,
         drop_rows=cached_delete_positions(path, delete_paths, data, aliases=aliases),

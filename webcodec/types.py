@@ -177,11 +177,20 @@ def arrow_type_from_json(s: str) -> pa.DataType:
     if s.startswith("decimal128(") and s.endswith(")"):
         p, sc = s[len("decimal128(") : -1].split(",")
         return pa.decimal128(int(p), int(sc))
-    # list child field name varies by producer ("item", "element", ...)
+    # list child field name varies by producer ("item", "element", ...) —
+    # preserve BOTH the name and the nullability so list schemas round-trip
+    # (list<element: int64 not null> must not come back as list<item: int64>)
     for prefix in ("list<", "large_list<"):
         if s.startswith(prefix) and s.endswith(">"):
             inner = s[len(prefix) : -1]
-            child = inner.split(": ", 1)[1] if ": " in inner else inner
-            child = child.removesuffix(" not null")
-            return pa.list_(arrow_type_from_json(child))
+            cname = "item"
+            child = inner
+            if ": " in inner:
+                cname, child = inner.split(": ", 1)
+            nullable = True
+            if child.endswith(" not null"):
+                nullable = False
+                child = child.removesuffix(" not null")
+            field = pa.field(cname, arrow_type_from_json(child), nullable=nullable)
+            return pa.list_(field)
     raise TypeError(f"cannot parse arrow type {s!r}")
