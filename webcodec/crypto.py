@@ -19,9 +19,12 @@ is the contract, not byte parity):
 - page payload on disk = 12-byte random nonce || ciphertext || 16-byte tag
   (the page header's compressed_size covers all of it; the CRC is computed
   over the stored ciphertext so corruption is caught before decryption).
-- page AAD = aad_prefix(8, per file) || md5(chunk_name)[:8] ||
-  <page_type u8, first_row i64, n_values i64> — a page moved to another
-  file, column, or page slot fails authentication.
+- page AAD = aad_prefix(8, per file) || md5(chunk_name)[:8] || group ordinal
+  || <page_type u8, first_row i64, n_values i64, encoding u8, codec u8,
+  n_nulls i64, uncompressed_size i64> — the full plaintext page-header
+  identity, so a page moved to another file, column, or page slot AND any
+  doctored header field (encoding/codec flip, null-count or size forgery)
+  fails authentication.
 - footer signature = GCM tag over the canonical footer JSON (signature
   field blanked) as AAD with empty plaintext and a random nonce; stored as
   base64(nonce || tag) inside footer["encryption"].
@@ -106,19 +109,32 @@ class FileCrypto:
                 + struct.pack("<i", group_ordinal))
 
     def _page_aad(self, aad_base: bytes, ptype: int, first_row: int,
-                  n_values: int) -> bytes:
-        return aad_base + struct.pack("<Bqq", ptype, first_row, n_values)
+                  n_values: int, encoding: int, codec: int, n_nulls: int,
+                  usize: int) -> bytes:
+        # the FULL plaintext page-header identity is authenticated: the CRC
+        # is attacker-recomputable, so without encoding/codec/n_nulls/usize
+        # in the AAD a flipped encoding byte (e.g. PLAIN -> BYTE_STREAM_SPLIT,
+        # both accept arbitrary same-length payloads) would pass CRC and GCM
+        # and silently decode permuted values
+        return aad_base + struct.pack(
+            "<BqqBBqq", ptype, first_row, n_values, encoding, codec,
+            n_nulls, usize,
+        )
 
     def encrypt_page(self, aad_base: bytes, ptype: int, first_row: int,
-                     n_values: int, payload: bytes) -> bytes:
+                     n_values: int, payload: bytes, *, encoding: int = 0,
+                     codec: int = 0, n_nulls: int = 0, usize: int = 0) -> bytes:
         nonce = os.urandom(NONCE_LEN)
-        aad = self._page_aad(aad_base, ptype, first_row, n_values)
+        aad = self._page_aad(aad_base, ptype, first_row, n_values,
+                             encoding, codec, n_nulls, usize)
         return nonce + self._g.encrypt(nonce, bytes(payload), aad)
 
     def decrypt_page(self, aad_base: bytes, ptype: int, first_row: int,
-                     n_values: int, blob) -> bytes:
+                     n_values: int, blob, *, encoding: int = 0,
+                     codec: int = 0, n_nulls: int = 0, usize: int = 0) -> bytes:
         blob = bytes(blob)
-        aad = self._page_aad(aad_base, ptype, first_row, n_values)
+        aad = self._page_aad(aad_base, ptype, first_row, n_values,
+                             encoding, codec, n_nulls, usize)
         try:
             return self._g.decrypt(blob[:NONCE_LEN], blob[NONCE_LEN:], aad)
         except Exception as e:

@@ -119,8 +119,13 @@ def _build_page(
         comp, codec = body, Codec.NONE  # incompressible page: store raw
     if crypto is not None:
         # C12 modular encryption: nonce||ct||tag stored as the page payload;
-        # CRC covers the ciphertext (corruption caught before decryption)
-        comp = crypto.encrypt_page(aad_base, page_type, first_row, n_values, comp)
+        # CRC covers the ciphertext (corruption caught before decryption);
+        # the AAD binds every plaintext header field (see crypto._page_aad)
+        comp = crypto.encrypt_page(
+            aad_base, page_type, first_row, n_values, comp,
+            encoding=int(encoding), codec=int(codec), n_nulls=n_nulls,
+            usize=len(body),
+        )
     crc = zlib.crc32(comp) if check_crc else 0
     header = PAGE_HEADER.pack(
         page_type, int(encoding), int(codec), int(phys),
@@ -1270,10 +1275,13 @@ def _read_page(buf: memoryview, offset: int, verify_crc: bool = True,
     if verify_crc and crc and zlib.crc32(payload) != crc:
         raise ValueError(f"page crc mismatch at offset {offset}")
     if crypto is not None:
-        # AAD binds the header's identity fields: a page relocated to another
-        # file/chunk/slot (or a doctored header) fails authentication here
+        # AAD binds ALL of the header's plaintext fields: a page relocated to
+        # another file/chunk/slot or a doctored header (encoding/codec flip,
+        # size or null-count forgery) fails authentication here
         payload = memoryview(
-            crypto.decrypt_page(aad_base, ptype, first_row, n_values, payload)
+            crypto.decrypt_page(aad_base, ptype, first_row, n_values, payload,
+                                encoding=enc, codec=codec, n_nulls=n_nulls,
+                                usize=usize)
         )
     body = decompress(payload, Codec(codec), usize)
     (vlen,) = struct.unpack("<I", body[:4])

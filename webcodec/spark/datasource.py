@@ -326,6 +326,8 @@ class WebcodecWriter(DataSourceArrowWriter):
             "column_stats": col_stats,
             "schema_sig": _ff.schema_signature_str(footer),
         }
+        if footer.get("encryption"):
+            out["encrypted"] = True
         if partition is not None:
             out["partition"] = partition
         return out
@@ -371,6 +373,14 @@ class WebcodecWriter(DataSourceArrowWriter):
                 buf["parts"].append(sub)
                 buf["bytes"] += sub.nbytes
                 if buf["bytes"] >= self.fanout_flush_bytes:
+                    if seq >= (1 << PID_SHIFT):
+                        # same guard as encode_job._fanout_stream: a carry
+                        # into the next task's pid namespace would make the
+                        # manifest's overwrite-by-pid drop files silently
+                        raise ValueError(
+                            f"partition fanout exceeded 2^{PID_SHIFT} files "
+                            "in one task; coarsen the partition spec"
+                        )
                     pid = (task_pid << PID_SHIFT) + seq
                     seq += 1
                     lineages.append(self._write_tuple_file(
@@ -378,6 +388,11 @@ class WebcodecWriter(DataSourceArrowWriter):
                     buf["parts"], buf["bytes"] = [], 0
         for buf in buffers.values():
             if buf["parts"]:
+                if seq >= (1 << PID_SHIFT):
+                    raise ValueError(
+                        f"partition fanout exceeded 2^{PID_SHIFT} files "
+                        "in one task; coarsen the partition spec"
+                    )
                 pid = (task_pid << PID_SHIFT) + seq
                 seq += 1
                 lineages.append(self._write_tuple_file(

@@ -124,22 +124,34 @@ def _chunk_names(data) -> set:
 _DELETE_POS_CACHE: dict = {}
 
 
-def cached_delete_positions(path: str, delete_paths, data=None, aliases=None):
+def cached_delete_positions(path: str, delete_paths, data=None, aliases=None,
+                            encryption_key: bytes | None = None):
     if not delete_paths:
         return None
+    import hashlib as _hashlib
     import json as _json
 
-    key = (path, tuple(delete_paths), _json.dumps(aliases or {}, sort_keys=True))
+    # the key's sha256 (not the key) enters the cache key so two reads of the
+    # same file under different keys never alias
+    kh = (_hashlib.sha256(encryption_key).hexdigest()[:16]
+          if encryption_key else "")
+    key = (path, tuple(delete_paths),
+           _json.dumps(aliases or {}, sort_keys=True), kh)
     if key not in _DELETE_POS_CACHE:
-        if len(_DELETE_POS_CACHE) >= 16:
-            _DELETE_POS_CACHE.clear()
+        while len(_DELETE_POS_CACHE) >= 16:
+            # evict oldest (insertion order) instead of clearing wholesale:
+            # a worker cycling >16 (file, sidecar) pairs would otherwise
+            # thrash the equality-delete key decode this cache exists to avoid
+            _DELETE_POS_CACHE.pop(next(iter(_DELETE_POS_CACHE)))
         _DELETE_POS_CACHE[key] = load_delete_positions(
-            delete_paths, data if data is not None else path, aliases=aliases
+            delete_paths, data if data is not None else path, aliases=aliases,
+            encryption_key=encryption_key,
         )
     return _DELETE_POS_CACHE[key]
 
 
-def load_delete_positions(delete_paths, data=None, aliases=None) -> "np.ndarray | None":
+def load_delete_positions(delete_paths, data=None, aliases=None,
+                          encryption_key: bytes | None = None) -> "np.ndarray | None":
     """Union of merge-on-read delete sidecars as GLOBAL physical row
     positions of one data file — executor-side.
 
@@ -183,7 +195,8 @@ def load_delete_positions(delete_paths, data=None, aliases=None) -> "np.ndarray 
             if len(lmap) != len(kcols):
                 continue
             fk = filefmt.read_table(
-                data, columns=[lmap[k] for k in kcols], verify_crc=False
+                data, columns=[lmap[k] for k in kcols], verify_crc=False,
+                encryption_key=encryption_key,
             ).to_pandas()
             fk.columns = kcols
             fk["__pos"] = np.arange(len(fk), dtype="<i8")
@@ -236,7 +249,9 @@ def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
         cols_here = [cheapest["name"]]
     t = filefmt.read_table(
         data, columns=cols_here, predicate=predicate, row_range=row_range,
-        drop_rows=cached_delete_positions(path, delete_paths, data, aliases=aliases),
+        drop_rows=cached_delete_positions(path, delete_paths, data,
+                                          aliases=aliases,
+                                          encryption_key=encryption_key),
         encryption_key=encryption_key)
     if cols_here != want:
         arrays = []

@@ -37,7 +37,7 @@ LINEAGE_SCHEMA = (
     "partition_id long, file string, rows long, raw_bytes long, encoded_bytes long, "
     "compressed_bytes long, n_pages long, encode_secs double, codec_choices string, "
     "column_stats string, input_files string, attempt string, partition string, "
-    "schema_sig string"
+    "schema_sig string, encrypted boolean"
 )
 
 
@@ -154,6 +154,10 @@ def _lineage_row(pid: int, fname: str, footer: dict, secs: float,
                 [json.dumps(partition, sort_keys=True) if partition else ""]
             ),
             "schema_sig": pa.array([_sig_of(footer)]),
+            # manifest flag so maintenance (compact) never needs a footer
+            # read to learn a file is encrypted (encrypted files never
+            # byte-merge — per-file AAD prefixes)
+            "encrypted": pa.array([bool(footer.get("encryption"))], pa.bool_()),
         }
     )
 
@@ -809,6 +813,8 @@ def _commit(
             entry["partition"] = json.loads(part)
         if "schema_sig" in r and r["schema_sig"]:
             entry["schema_sig"] = r["schema_sig"]
+        if "encrypted" in r and r["encrypted"]:
+            entry["encrypted"] = True
         files.append(entry)
     schema = [{"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable} for f in df.schema.fields]
     props = {"sort_key": sort_key or ""}

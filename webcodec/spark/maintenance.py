@@ -57,7 +57,11 @@ def compact(table_dir: str, target_bytes: int = 128 << 20) -> dict:
     On a partitioned table, files bin-pack only within one partition TUPLE
     (Iceberg compaction semantics) — merging across tuples would turn every
     exact partition prune into a conservative keep; the merged entry keeps
-    its tuple, so pruning survives maintenance."""
+    its tuple, so pruning survives maintenance.
+
+    Encrypted files (C12) never byte-merge — per-file AAD prefixes make a
+    page copy fail authentication — so they stay in single-file bins here
+    (safe no-op); materialize their compaction via ``rewrite_encoded``."""
     import json as _json
 
     from webcodec import filefmt
@@ -80,17 +84,25 @@ def compact(table_dir: str, target_bytes: int = 128 << 20) -> dict:
     acc = 0
     sig = None
     for f in files:
-        # metadata-only when the writer recorded the signature (r3+); footer
-        # read only as a fallback for pre-signature files
-        sig_str = f.get("schema_sig") or filefmt.schema_signature_str(
-            filefmt.read_footer_path(os.path.join(table_dir, f["path"]))
-        )
+        # metadata-only when the writer recorded signature+encrypted (r3+);
+        # footer read only as a fallback for pre-flag manifests
+        enc = f.get("encrypted")
+        if f.get("schema_sig") and enc is not None:
+            sig_str = f["schema_sig"]
+        else:
+            footer = filefmt.read_footer_path(os.path.join(table_dir, f["path"]))
+            sig_str = f.get("schema_sig") or filefmt.schema_signature_str(footer)
+            if enc is None:
+                enc = bool(footer.get("encryption"))
         s = (sig_str,
              _json.dumps(f.get("partition"), sort_keys=True, default=str))
         # files with merge-on-read delete sidecars never byte-merge: a byte
         # copy would resurrect their deleted rows (materialize them via
-        # rewrite_encoded first); keep each in a single-file bin
-        if f.get("delete_files"):
+        # rewrite_encoded first). Encrypted files never byte-merge either
+        # (per-file AAD prefixes — append_files would raise mid-run after
+        # earlier bins were already written); compact them via
+        # rewrite_encoded. Both stay in single-file bins (no-op).
+        if f.get("delete_files") or enc:
             if bins[-1]:
                 bins.append([])
             bins[-1].append(f)
@@ -185,7 +197,8 @@ def delete_where(spark: SparkSession, table_dir: str, predicate,
                 pid, path, existing = bc.value[i]
                 pos = filefmt.match_positions(path, conjuncts, aliases=aliases,
                                               encryption_key=encryption_key)
-                prior = load_delete_positions(existing, path, aliases=aliases)
+                prior = load_delete_positions(existing, path, aliases=aliases,
+                                              encryption_key=encryption_key)
                 if prior is not None:
                     pos = np.setdiff1d(pos, prior)  # already-deleted rows don't recount
                 if not len(pos):
@@ -344,6 +357,7 @@ def upsert(
     key_cols: list[str],
     config: EncoderConfig | None = None,
     sort_key: str | None = None,
+    encryption_key: bytes | None = None,
 ) -> dict:
     """Atomic MERGE by key (Iceberg v2 row-level MERGE analogue, merge-on-read
     flavor): every table row whose key appears in ``df`` is superseded via
@@ -360,6 +374,10 @@ def upsert(
     writer (row group cut every ~128 MB). With a single key column,
     candidate files are first pruned by the manifest min/max stats against
     the staged keys' [min, max] envelope.
+
+    ``encryption_key`` decrypts EXISTING data files in stage 2 (key-column
+    decode for the positional deletes); it defaults to the write config's
+    ``encryption_key``, the same-key-for-the-whole-table norm.
     """
     import shutil
 
@@ -399,17 +417,18 @@ def upsert(
         base = ((tbl.current_snapshot_id() or 0) + 1) * 1_000_000
         new_entries = []
         for r in lineage:
-            new_entries.append(
-                {
-                    "partition_id": base + r["partition_id"],
-                    "path": os.path.join("data", r["file"]),
-                    "rows": r["rows"],
-                    "raw_bytes": r["raw_bytes"],
-                    "compressed_bytes": r["compressed_bytes"],
-                    "codec_choices": json.loads(r["codec_choices"]),
-                    "column_stats": json.loads(r["column_stats"]),
-                }
-            )
+            e = {
+                "partition_id": base + r["partition_id"],
+                "path": os.path.join("data", r["file"]),
+                "rows": r["rows"],
+                "raw_bytes": r["raw_bytes"],
+                "compressed_bytes": r["compressed_bytes"],
+                "codec_choices": json.loads(r["codec_choices"]),
+                "column_stats": json.loads(r["column_stats"]),
+            }
+            if "encrypted" in r and r["encrypted"]:
+                e["encrypted"] = True
+            new_entries.append(e)
 
         # -- stage 2: positional deletes for superseded rows --
         candidates = snap["files"]
@@ -431,6 +450,8 @@ def upsert(
             bc = spark.sparkContext.broadcast(items)
             kcols = list(key_cols)
             aliases = _aliases_of(snap)
+            read_key = (encryption_key if encryption_key is not None
+                        else getattr(config, "encryption_key", None))
 
             def find_fn(batches):
                 import numpy as np
@@ -456,14 +477,15 @@ def upsert(
                             continue
                         fk = filefmt.read_table(
                             path, columns=[lmap[k] for k in kcols],
-                            verify_crc=False,
+                            verify_crc=False, encryption_key=read_key,
                         ).to_pandas()
                         fk.columns = kcols
                         fk["__pos"] = np.arange(len(fk), dtype="<i8")
                         pos = np.unique(
                             fk.merge(keys, on=kcols, how="inner")["__pos"].to_numpy()
                         )
-                        prior = load_delete_positions(existing, path, aliases=aliases)
+                        prior = load_delete_positions(existing, path, aliases=aliases,
+                                                      encryption_key=read_key)
                         if prior is not None:
                             pos = np.setdiff1d(pos, prior)
                         if not len(pos):
@@ -599,7 +621,9 @@ def rewrite_encoded(
                 # contains only live rows and carries no sidecars
                 table = filefmt.read_table(
                     path, columns=cols_here, predicate=pred_here,
-                    drop_rows=load_delete_positions(dels, path, aliases=aliases),
+                    drop_rows=load_delete_positions(
+                        dels, path, aliases=aliases,
+                        encryption_key=source_encryption_key),
                     encryption_key=source_encryption_key)
                 if table.num_rows == 0:
                     continue
@@ -648,6 +672,8 @@ def rewrite_encoded(
         part = part_by_pid.get(r["partition_id"])
         if part is not None:
             entry["partition"] = part
+        if "encrypted" in r and r["encrypted"]:
+            entry["encrypted"] = True
         files.append(entry)
     props = {"rewritten_from": src_dir}
     if spec:

@@ -295,13 +295,13 @@ def spark_partition_exprs(spec: list[dict]):
 
 
 def _month_bounds_us(months_since_epoch: int) -> tuple[int, int]:
-    y, m = divmod(int(months_since_epoch), 12)
-    start = datetime.datetime(1970 + y, m + 1, 1)
-    ny, nm = (y + 1, 0) if m == 11 else (y, m + 1)
-    end = datetime.datetime(1970 + ny, nm + 1, 1)
-    epoch = datetime.datetime(1970, 1, 1)
-    return (int((start - epoch).total_seconds()) * 1_000_000,
-            int((end - epoch).total_seconds()) * 1_000_000 - 1)
+    # numpy datetime64 arithmetic (like transform_array): datetime.datetime
+    # raises outside years 1..9999, so a single extreme sentinel timestamp in
+    # the data would break every subsequent predicate scan at plan time
+    start = np.datetime64(0, "M") + int(months_since_epoch)
+    end = start + 1
+    return (int(start.astype("datetime64[us]").astype(np.int64)),
+            int(end.astype("datetime64[us]").astype(np.int64)) - 1)
 
 
 def file_may_match(spec: list[dict], fpart: dict, col: str, op: str, value,
