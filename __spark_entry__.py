@@ -653,6 +653,52 @@ def _rt_upserted_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def _rt_renamed_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column rename (Iceberg ALTER COLUMN RENAME analogue):
+    encode documents, rename `lang` -> `language` (zero data IO —
+    webcodec/spark/maintenance.py rename_column records `renamed_from`
+    provenance in the new snapshot), then read back: old files' chunks
+    resolve through the alias chain and PREDICATES on the new name
+    translate per file. The oracle is the same data under the new name."""
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import rename_column
+
+    _prep(spark)
+    df = _src(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = os.path.join(tempfile.mkdtemp(prefix="wcq_ren_"), "t")
+    encode_table(df, out, sort_key="doc_id", write_metrics=False)
+    rename_column(out, "lang", "language")
+    back = read_encoded(spark, out, columns=["doc_id", "language", "n_chars"],
+                        predicate=("language", "notnull", None))
+    return back.select("doc_id", "language",
+                       F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def _rt_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: encode documents (snapshot 1), delete all
+    lang='de' rows (snapshot 2, merge-on-read sidecars), then read AS OF
+    snapshot 1 — the pre-delete state must equal the raw source exactly
+    (snapshots are immutable; sidecars attach to manifest entries, never to
+    data files, so the old manifest still sees every row)."""
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import delete_where
+    from webcodec.spark.table import SnapshotTable
+
+    _prep(spark)
+    df = _src(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = os.path.join(tempfile.mkdtemp(prefix="wcq_tt_"), "t")
+    encode_table(df, out, sort_key="doc_id", write_metrics=False)
+    sid = SnapshotTable(out).current_snapshot_id()
+    delete_where(spark, out, ("lang", "==", "de"))
+    # sanity at plan level: the CURRENT read must be smaller — but the
+    # oracle compares the time-traveled (pre-delete) read
+    back = read_encoded(spark, out, snapshot_id=sid)
+    return back.select("doc_id", "lang",
+                       F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def _agg_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over decoded output (dict+RLE column feeding a groupBy)."""
     df = _encode_decode(spark, sf_dir, "documents", sort_key="lang", columns=["lang"])
@@ -938,6 +984,101 @@ def _simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("vec_id", dot.alias("dot"))
         .orderBy(F.col("dot").desc(), F.col("vec_id"))
         .limit(5)
+    )
+
+
+def _simsearch_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-query IVF ANN — queries as a TABLE, not a driver-collected
+    vector (the dedup-against-index shape: at 10^12 rows both sides are
+    DataFrames). 3 query vectors (vec_id 0,1,2), 3 exact planted copies
+    each (vec_id 1000000*(q+1)+r — the planted-duplicates oracle of
+    _embeddings_planted generalized per query). Plan shape: bounded-sample
+    driver k-means -> broadcast centroids; cell assignment AND per-query
+    multi-probe (nprobe=4) both via vectorized mapInArrow kernels; the
+    probe expansion (queries x nprobe, tiny) broadcasts into a join on
+    cell — candidates never cross-join, and no query embedding is ever
+    collected. Per-query top-3 via a window over the exact
+    integer-quantized dot."""
+    import numpy as np
+    import pyarrow as _pa
+
+    from pyspark.sql import Window
+
+    _prep(spark)
+    base = _src(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = base.filter(F.col("vec_id") < 3)
+    planted = (
+        qs.select(F.col("vec_id").alias("q"), "embedding")
+        .crossJoin(spark.range(1, 4).select(F.col("id").alias("r")))
+        .select(((F.col("q") + 1) * 1000000 + F.col("r")).alias("vec_id"),
+                "embedding")
+    )
+    df = base.unionByName(planted)
+
+    # bounded driver-side sample -> deterministic k-means (same quantizer
+    # stance as _simsearch_ivf: the sample is bounded, assignment distributed)
+    sample_rows = df.orderBy("vec_id").limit(512).collect()
+    X = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    rng = np.random.default_rng(7)
+    k = 16
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(8):
+        cell = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            m = cell == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    C[j] = v / nrm
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        from webcodec.spark.text import embedding_matrix
+
+        for b in batches:
+            emb = embedding_matrix(b.column("embedding"))
+            cells = np.argmax(emb @ bc.value.T, axis=1).astype(np.int32)
+            yield _pa.RecordBatch.from_pydict(
+                {"vec_id": b.column("vec_id"), "cell": _pa.array(cells, _pa.int32())}
+            )
+
+    def probe_cells(batches):
+        # per QUERY row: its nprobe nearest centroids — one output row per
+        # (query, probed cell); runs distributed over the query table
+        from webcodec.spark.text import embedding_matrix
+
+        for b in batches:
+            emb = embedding_matrix(b.column("embedding"))
+            order = np.argsort(-(emb @ bc.value.T), axis=1)[:, :4]
+            qids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            yield _pa.RecordBatch.from_pydict({
+                "qid": _pa.array(np.repeat(qids, order.shape[1]), _pa.int64()),
+                "cell": _pa.array(order.ravel().astype(np.int32), _pa.int32()),
+            })
+
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
+    )
+    cells = df.mapInArrow(assign, "vec_id long, cell int")
+    cand = (df.join(cells, "vec_id").filter(F.col("vec_id") >= 3)
+            .select("vec_id", "cell", quant.alias("cvec")))
+    probes = qs.mapInArrow(probe_cells, "qid long, cell int")
+    qvecs = qs.select(F.col("vec_id").alias("qid"), quant.alias("qvec"))
+    # (queries x nprobe) is the tiny side -> broadcast both query tables
+    joined = cand.join(F.broadcast(probes), "cell").join(F.broadcast(qvecs), "qid")
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return (
+        joined.select("qid", "vec_id", dot.alias("dot"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", "dot")
     )
 
 
@@ -1514,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_top10": _simsearch_top10,
         "simsearch_lsh": _simsearch_lsh,
         "simsearch_ivf": _simsearch_ivf,
+        "simsearch_ivf_batch": _simsearch_ivf_batch,
         "metrics_lineage": _metrics_lineage,
         "lang_id_stopwords": _lang_id_stopwords,
         "text_fingerprint": _text_fingerprint,
@@ -1538,6 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_narrow_types": _rt_narrow_types,
         "rt_deleted_rows": _rt_deleted_rows,
         "rt_upserted_rows": _rt_upserted_rows,
+        "rt_renamed_col": _rt_renamed_col,
+        "rt_time_travel": _rt_time_travel,
     }
 
 
@@ -1911,6 +2055,29 @@ def oracle_sql() -> dict[str, str]:
         # are pinned in tests/test_ann.py).
         "simsearch_lsh": _ANN_PLANTED_ORACLE,
         "simsearch_ivf": _ANN_PLANTED_ORACLE,
+        # batch shape: per-query brute-force top-3 over embeddings + 3
+        # planted copies of EACH query (vec_id 1000000*(q+1)+r) — any
+        # correct batch ANN must reproduce it (copies share the query's
+        # cell by construction)
+        "simsearch_ivf_batch": (
+            "WITH qs AS (SELECT vec_id AS qid, embedding FROM embeddings "
+            "WHERE vec_id < 3), "
+            "allv AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT (q.qid + 1) * 1000000 + t.r AS vec_id, "
+            "q.embedding FROM qs q CROSS JOIN range(1, 4) t(r)), "
+            "qq AS (SELECT qid, list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qvec "
+            "FROM qs), "
+            "c AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS cvec "
+            "FROM allv WHERE vec_id >= 3), "
+            "d AS (SELECT qid, vec_id, "
+            "CAST(list_sum(list_transform(range(1, len(qvec)+1), "
+            "i -> qvec[i] * cvec[i])) AS BIGINT) AS dot FROM c, qq), "
+            "r AS (SELECT qid, vec_id, dot, row_number() OVER "
+            "(PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn FROM d) "
+            "SELECT qid, vec_id, dot FROM r WHERE rn <= 3"
+        ),
         "sample_stratified": (
             "WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h "
             "FROM documents), "
@@ -2010,6 +2177,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 7 = 0 "
             "UNION ALL SELECT doc_id + 1000000, 'yy', CAST(n_chars AS BIGINT) "
             "FROM documents WHERE doc_id % 97 = 0"
+        ),
+        "rt_renamed_col": (
+            "SELECT doc_id, lang AS language, CAST(n_chars AS BIGINT) "
+            "AS n_chars FROM documents"
+        ),
+        "rt_time_travel": (
+            "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars "
+            "FROM documents"
         ),
         "rt_narrow_types": (
             "SELECT doc_id, "
