@@ -113,7 +113,9 @@ def _build_page(
     crypto=None,
     aad_base: bytes = b"",
 ) -> _PageOut:
-    body = struct.pack("<I", len(validity)) + validity + values
+    # single-allocation assembly: `+` chains copy the multi-MB values
+    # segment once per operand on the hot path
+    body = b"".join((struct.pack("<I", len(validity)), validity, values))
     comp = compress(body, codec, level)
     if len(comp) >= len(body) and codec != Codec.NONE:
         comp, codec = body, Codec.NONE  # incompressible page: store raw
@@ -204,6 +206,8 @@ def _encode_chunk(
 ) -> tuple[dict, int]:
     """Encode one column chunk; writes pages; returns (chunk_meta, new_offset)."""
     orig_t = arr.type
+    if isinstance(arr, pa.ChunkedArray) and arr.num_chunks == 1:
+        arr = arr.chunk(0)  # zero-copy unwrap
     if isinstance(arr, pa.ChunkedArray):
         try:
             arr = arr.combine_chunks()
@@ -418,14 +422,17 @@ def _encode_any_chunks(
     Every emitted chunk keeps the top-level row count, so page pruning,
     keep-masks and row-range splits apply unchanged at any depth."""
     if isinstance(arr, pa.ChunkedArray):
-        try:
-            arr = arr.combine_chunks()
-        except pa.ArrowInvalid:
-            # >2GB varlen column (32-bit offset overflow): _encode_chunk
-            # handles the large_* widening itself — pass the chunked array
-            # through (it only dispatches on .type here)
-            if not (pa.types.is_binary(arr.type) or pa.types.is_string(arr.type)):
-                raise
+        if arr.num_chunks == 1:
+            arr = arr.chunk(0)  # zero-copy unwrap — combine would copy
+        else:
+            try:
+                arr = arr.combine_chunks()
+            except pa.ArrowInvalid:
+                # >2GB varlen column (32-bit offset overflow): _encode_chunk
+                # handles the large_* widening itself — pass the chunked array
+                # through (it only dispatches on .type here)
+                if not (pa.types.is_binary(arr.type) or pa.types.is_string(arr.type)):
+                    raise
     t = arr.type
     if pa.types.is_decimal(t):
         return _encode_decimal_chunks(name, arr, config, out, offset0)

@@ -46,14 +46,19 @@ def hash_values(offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
     col = np.arange(w, dtype=np.int64)
     valid = col[None, :] < lens[:, None]
     take = np.where(valid, offsets[:-1, None] + col[None, :], 0)
-    mat = data[take].astype(np.uint64)
+    mat = data[take]  # stays uint8 — per-round xor upcasts one column at a time
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
     np.multiply(h, _FNV_PRIME, out=h)  # mix a round for the length byte
     h ^= lens.astype(np.uint64)
+    live_counts = valid.sum(axis=0)
     for k in range(w):
-        live = valid[:, k]
-        hk = (h ^ mat[:, k]) * _FNV_PRIME
-        h = np.where(live, hk, h)
+        if live_counts[k] == n:
+            # common fast path (every value still has a byte here): no mask
+            h = (h ^ mat[:, k]) * _FNV_PRIME
+        else:
+            live = valid[:, k]
+            hk = (h ^ mat[:, k]) * _FNV_PRIME
+            h[live] = hk[live]
     return _finalize(h)
 
 

@@ -16,17 +16,22 @@ from webcodec.kernels import delta
 from webcodec.kernels.varint import read_uvarint, write_uvarint
 
 
-def encode_parts(offsets: np.ndarray, data: bytes | memoryview) -> tuple[bytes, bytes]:
-    """Returns (encoded_lengths, payload_bytes) for Arrow offsets+data."""
+def encode_parts(offsets: np.ndarray, data: bytes | memoryview) -> tuple[bytes, memoryview]:
+    """Returns (encoded_lengths, payload_view) for Arrow offsets+data — the
+    payload is a zero-copy VIEW of the Arrow data buffer (the page path
+    materializes it exactly once, inside the final join)."""
     offs = offsets.astype(np.int64, copy=False)
     lens = np.diff(offs)
-    payload = bytes(memoryview(data)[int(offs[0]) : int(offs[-1])])
+    payload = memoryview(data)[int(offs[0]) : int(offs[-1])]
     return delta.encode(lens), payload
 
 
 def encode(offsets: np.ndarray, data: bytes | memoryview) -> bytes:
     enc_lens, payload = encode_parts(offsets, data)
-    return write_uvarint(len(enc_lens)) + enc_lens + payload
+    # bytes.join copies each segment ONCE into a single allocation — the
+    # former uvarint + enc_lens + bytes(payload) chain copied the multi-MB
+    # payload twice per page on the hot string path
+    return b"".join((write_uvarint(len(enc_lens)), enc_lens, payload))
 
 
 def decode(data: bytes | memoryview, n: int, arrow_type: pa.DataType | None = None) -> pa.Array:
