@@ -257,6 +257,44 @@ def _rt_export_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def _rt_export_parquet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested/decimal interop loop (r4): a table with list<string>,
+    struct<string,long> and decimal(20,2) columns round-trips webcodec ->
+    export_parquet (our writer emits Dremel rep/def levels for the 3-level
+    LIST groups, per-leaf def levels for the struct, FLBA(16) big-endian
+    decimals — webcodec/parquet_writer.py) -> Spark's reference parquet
+    reader. Output projects to scalars for the oracle hash."""
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import export_parquet
+
+    _prep(spark)
+    df = _src(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 != 2,
+               F.slice(F.split(F.col("text"), " "), 1, 3)).alias("words"),
+        F.when(F.col("doc_id") % 7 != 3,
+               F.struct(F.col("lang").alias("l"),
+                        F.col("n_chars").alias("n"))).alias("meta"),
+        F.expr("CAST(n_chars + 0.25 AS DECIMAL(20,2))").alias("dec"),
+    )
+    out = tempfile.mkdtemp(prefix="wcq_expn_")
+    encode_table(df, os.path.join(out, "t"), sort_key="doc_id",
+                 write_metrics=False)
+    export_parquet(spark, os.path.join(out, "t"), os.path.join(out, "pq"))
+    back = spark.read.parquet(os.path.join(out, "pq"))
+    return back.select(
+        "doc_id",
+        F.when(F.col("words").isNull(), F.lit(None).cast("string"))
+         .otherwise(F.array_join(F.col("words"), "|")).alias("words_joined"),
+        F.when(F.col("words").isNull(), F.lit(-1))
+         .otherwise(F.size(F.col("words"))).cast("long").alias("n_words"),
+        F.col("meta.l").alias("lang"),
+        F.col("meta.n").cast("long").alias("n"),
+        F.col("meta").isNull().cast("int").alias("meta_null"),
+        F.expr("CAST(dec * 100 AS BIGINT)").alias("dec_c"),
+    )
+
+
 def _scan_prune_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + predicate pushdown through the engine's read path: only
     (doc_id, lang) pages are decoded, files pruned via manifest min/max (D2/D6)."""
@@ -1646,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_decimal_date": _rt_decimal_date,
         "rt_list_words": _rt_list_words,
         "rt_export_parquet": _rt_export_parquet,
+        "rt_export_parquet_nested": _rt_export_parquet_nested,
         "stats_minmax": _stats_minmax,
         "agg_lang_counts": _agg_lang_counts,
         "dedup_exact": _dedup_exact,
@@ -2177,6 +2216,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 7 = 0 "
             "UNION ALL SELECT doc_id + 1000000, 'yy', CAST(n_chars AS BIGINT) "
             "FROM documents WHERE doc_id % 97 = 0"
+        ),
+        "rt_export_parquet_nested": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 5 = 2 THEN NULL "
+            "ELSE array_to_string(string_split(text, ' ')[1:3], '|') END "
+            "AS words_joined, "
+            "CAST(CASE WHEN doc_id % 5 = 2 THEN -1 "
+            "ELSE least(len(string_split(text, ' ')), 3) END AS BIGINT) "
+            "AS n_words, "
+            "CASE WHEN doc_id % 7 = 3 THEN NULL ELSE lang END AS lang, "
+            "CAST(CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n_chars END "
+            "AS BIGINT) AS n, "
+            "CAST(doc_id % 7 = 3 AS INT) AS meta_null, "
+            "CAST(CAST(n_chars + 0.25 AS DECIMAL(20,2)) * 100 AS BIGINT) "
+            "AS dec_c FROM documents"
         ),
         "rt_renamed_col": (
             "SELECT doc_id, lang AS language, CAST(n_chars AS BIGINT) "

@@ -285,3 +285,55 @@ def test_export_parquet_carries_delta_encoding(spark, tmp_path):
     assert "DELTA_BINARY_PACKED" in pf.metadata.row_group(0).column(seq_idx).encodings
     back = pq.read_table(out).sort_by("seq")
     assert back.column("seq").to_pylist() == sorted(t.column("seq").to_pylist())
+
+
+def test_nested_and_decimal_export_roundtrip(tmp_path):
+    """One-level list / struct / decimal128 export: rep/def levels and FLBA
+    big-endian decimals read back value-identical by the reference reader,
+    including null lists, empty lists, null elements, null structs, null
+    struct fields, and negative / full-precision decimals — across multiple
+    row groups with the edge rows landing on group boundaries."""
+    import decimal
+
+    rows = []
+    for i in range(1_000):
+        tags = (None if i % 5 == 2
+                else [] if i % 7 == 3
+                else [f"t{i % 13}", None if i % 11 == 0 else f"u{i % 3}"])
+        st = (None if i % 9 == 4
+              else {"x": None if i % 6 == 1 else i, "y": f"s{i % 4}"})
+        dec = (None if i % 8 == 5
+               else decimal.Decimal(i - 500) * decimal.Decimal("1.01"))
+        rows.append({"id": i, "tags": tags, "st": st, "dec": dec})
+    t = pa.Table.from_pylist(rows, schema=pa.schema([
+        ("id", pa.int64()),
+        ("tags", pa.list_(pa.string())),
+        ("st", pa.struct([("x", pa.int64()), ("y", pa.string())])),
+        ("dec", pa.decimal128(38, 2)),
+    ]))
+    p = str(tmp_path / "nested.parquet")
+    write_parquet(t, p, codec="zstd", row_group_rows=333)
+    pf = pq.ParquetFile(p)
+    assert pf.metadata.num_row_groups == 4
+    assert pf.metadata.num_rows == 1_000
+    back = pq.read_table(p)
+    assert back.equals(t)
+
+
+def test_nested_export_rejects_deep_nesting(tmp_path):
+    t = pa.table({"ll": pa.array([[[1]]], pa.list_(pa.list_(pa.int64())))})
+    with pytest.raises(TypeError, match="one nesting level"):
+        write_parquet(t, str(tmp_path / "x.parquet"))
+
+
+def test_decimal_export_extremes(tmp_path):
+    """38-digit decimals (the full int128 range parquet FLBA(16) carries)
+    round-trip bit-exact, including the negative extreme."""
+    import decimal
+
+    vals = [decimal.Decimal("9" * 36 + ".99"), decimal.Decimal("-9" * 1 + "0.01"),
+            decimal.Decimal("-" + "9" * 36 + ".99"), decimal.Decimal("0.00"), None]
+    t = pa.table({"d": pa.array(vals, pa.decimal128(38, 2))})
+    p = str(tmp_path / "dec.parquet")
+    write_parquet(t, p, codec="none")
+    assert pq.read_table(p).equals(t)

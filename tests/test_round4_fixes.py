@@ -233,3 +233,31 @@ def test_delete_pos_cache_lru_eviction(tmp_path):
     assert all(k[1][0] != sidecars[0] for k in keys)
     assert any(k[1][0] == sidecars[16] for k in keys)
     decode_job._DELETE_POS_CACHE.clear()
+
+
+def test_hot_domain_sampling_scales_with_row_groups(tmp_path):
+    """sample_hot_domains_from_files with max_row_groups=None samples a
+    quarter of the row groups (clamped [8, 64]) — a hot domain spread over a
+    32-row-group file is detected, and the evenly-spaced stride covers the
+    back half of the table."""
+    import pyarrow.parquet as pq
+
+    from webcodec.spark.encode_job import sample_hot_domains_from_files
+
+    rows_per_group = 500
+    tables = []
+    for g in range(32):
+        # the hot domain only appears in the back half of the file
+        hot = ["https://hot.example/x"] * (rows_per_group // 2 if g >= 16 else 0)
+        cold = [f"https://cold{g}-{i}.example/y"
+                for i in range(rows_per_group - len(hot))]
+        tables.append(pa.table({"url": pa.array(hot + cold)}))
+    path = str(tmp_path / "many_rg.parquet")
+    writer = pq.ParquetWriter(path, tables[0].schema)
+    for t in tables:
+        writer.write_table(t, row_group_size=rows_per_group)
+    writer.close()
+    assert pq.ParquetFile(path).metadata.num_row_groups == 32
+    hot_counts = sample_hot_domains_from_files([path], "url",
+                                               rows_per_partition=1_000)
+    assert hot_counts.get("hot.example", 0) > 1  # salted, not missed

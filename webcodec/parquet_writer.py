@@ -13,11 +13,14 @@ parquet.thrift: SchemaElement/ColumnMetaData/RowGroup/FileMetaData/
 PageHeader field ids; Encodings.md RLE hybrid; the PAR1 magic + footer-length
 tail layout) and the thrift compact protocol spec.
 
-Scope: flat schemas, one or more row groups (``row_group_rows``), PLAIN or
+Scope: flat schemas plus ONE level of nesting — list<primitive> (3-level
+LIST groups, Dremel rep/def levels), struct<primitive...> (per-leaf def
+levels), decimal128(p, s) as FIXED_LEN_BYTE_ARRAY(16) big-endian two's
+complement — one or more row groups (``row_group_rows``), PLAIN or
 PLAIN_DICTIONARY data pages, all columns written as OPTIONAL with RLE def
 levels; types bool/int32/int64/float/double/string/binary/timestamp[us]/
-date32; codecs none/snappy/gzip/zstd/lz4 (raw). Deliberately small — the
-point is byte-format parity, not a second engine.
+date32/decimal128; codecs none/snappy/gzip/zstd/lz4 (raw). Deliberately
+small — the point is byte-format parity, not a second engine.
 """
 
 from __future__ import annotations
@@ -35,11 +38,13 @@ MAGIC = b"PAR1"
 
 # parquet.thrift enums
 _T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY = 0, 1, 2, 4, 5, 6
+_T_FLBA = 7
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
 _ENC_DELTA_BP, _ENC_BSS = 5, 9
-_REP_OPTIONAL = 1
-_CT_UTF8, _CT_DATE, _CT_TS_MICROS = 0, 6, 10
+_REP_REQUIRED, _REP_OPTIONAL, _REP_REPEATED = 0, 1, 2
+_CT_UTF8, _CT_DECIMAL, _CT_DATE, _CT_TS_MICROS, _CT_LIST = 0, 5, 6, 10, 3
 _CODEC = {"none": 0, "uncompressed": 0, "snappy": 1, "gzip": 2, "zstd": 6, "lz4": 7}
+_DECIMAL_FLBA_LEN = 16  # decimal128 exports as 16-byte big-endian FLBA
 
 
 # ---------------------------- thrift compact writer ---------------------------
@@ -131,6 +136,8 @@ def _phys_of(t: pa.DataType):
         return _T_INT64, _CT_TS_MICROS
     if pa.types.is_date32(t):
         return _T_INT32, _CT_DATE
+    if pa.types.is_decimal(t):
+        return _T_FLBA, _CT_DECIMAL
     raise TypeError(f"parquet_writer: unsupported type {t}")
 
 
@@ -159,6 +166,17 @@ def _plain_bytes(valid: pa.Array) -> bytes:
             )
             out_view[np.repeat(starts + 4, lens) + within] = payload
         return out.tobytes()
+    if pa.types.is_decimal(t):
+        # decimal128 -> FLBA(16): arrow stores 16-byte LITTLE-endian two's
+        # complement; parquet DECIMAL FLBA is BIG-endian — reverse per value
+        # (the buffer slice honors the array offset)
+        n = len(valid)
+        b = np.frombuffer(valid.buffers()[1], dtype=np.uint8,
+                          count=(valid.offset + n) * _DECIMAL_FLBA_LEN)
+        b = b[valid.offset * _DECIMAL_FLBA_LEN:]
+        return np.ascontiguousarray(
+            b.reshape(n, _DECIMAL_FLBA_LEN)[:, ::-1]
+        ).tobytes()
     if pa.types.is_timestamp(t):
         valid = valid.cast(pa.int64())
     elif pa.types.is_date32(t):
@@ -281,6 +299,10 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
     delta_binary_packed / byte_stream_split instead of dict/PLAIN."""
     n_rows = len(arr)
     ptype, conv = _phys_of(arr.type)
+    extra: dict = {"path": [name], "max_def": 1, "max_rep": 0}
+    if pa.types.is_decimal(arr.type):
+        extra.update(tlen=_DECIMAL_FLBA_LEN, prec=arr.type.precision,
+                     scale=arr.type.scale)
     mask = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
     valid = arr.drop_null()
     levels = _rle_def_levels(mask)
@@ -315,15 +337,17 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
                 "offset": data_page_offset,
                 "dict_offset": None,
                 "enc": enc,
+                **extra,
             },
             offset,
         )
 
     # dictionary-encode low-cardinality non-bool columns
     # (PLAIN_DICTIONARY: PLAIN dict page + bit-width-prefixed RLE
-    # indices — the reference v1 writer's default)
+    # indices — the reference v1 writer's default); FLBA decimals stay PLAIN
     dict_bytes = None
-    if use_dictionary and not pa.types.is_boolean(arr.type) and len(valid):
+    if (use_dictionary and not pa.types.is_boolean(arr.type)
+            and not pa.types.is_decimal(arr.type) and len(valid)):
         de = valid.dictionary_encode()
         ndv = len(de.dictionary)
         if ndv <= 65536 and ndv <= max(len(valid) // 2, 1):
@@ -364,9 +388,83 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
             "offset": data_page_offset,
             "dict_offset": dict_page_offset,
             "enc": enc,
+            **extra,
         },
         offset,
     )
+
+
+def _write_shredded_chunk(out, offset: int, path_names: list[str],
+                          leaf: pa.Array, rep: np.ndarray | None,
+                          defs: np.ndarray, max_rep: int, max_def: int,
+                          codec: str) -> tuple[dict, int]:
+    """One leaf column chunk with EXPLICIT Dremel levels (nested columns):
+    ``leaf`` holds only the present values (def == max_def), ``defs``/``rep``
+    are per-ENTRY level arrays. v1 page body = [4-byte-prefixed RLE rep
+    levels (when max_rep > 0)] [4-byte-prefixed RLE def levels] [PLAIN
+    values]; num_values is the ENTRY count (spec: levels count, not rows)."""
+    ptype, conv = _phys_of(leaf.type)
+    extra: dict = {"path": path_names, "max_def": max_def, "max_rep": max_rep}
+    if pa.types.is_decimal(leaf.type):
+        extra.update(tlen=_DECIMAL_FLBA_LEN, prec=leaf.type.precision,
+                     scale=leaf.type.scale)
+    parts = []
+    if max_rep > 0:
+        r = _rle_spec_encode(rep, max(max_rep.bit_length(), 1))
+        parts.append(struct.pack("<I", len(r)) + r)
+    d = _rle_spec_encode(defs, max(max_def.bit_length(), 1))
+    parts.append(struct.pack("<I", len(d)) + d)
+    parts.append(_plain_bytes(leaf))
+    body = b"".join(parts)
+    comp = _compress(body, codec)
+    n_values = len(defs)
+    header = _page_header(n_values, len(body), len(comp), _ENC_PLAIN)
+    data_page_offset = offset
+    out.write(header)
+    out.write(comp)
+    offset += len(header) + len(comp)
+    return (
+        {
+            "name": path_names[0], "type": ptype, "conv": conv,
+            "num_values": n_values,
+            "usize": len(header) + len(body),
+            "csize": len(header) + len(comp),
+            "offset": data_page_offset,
+            "dict_offset": None,
+            "enc": _ENC_PLAIN,
+            **extra,
+        },
+        offset,
+    )
+
+
+def _list_levels(arr: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """(leaf values where def==3, rep, def) for an optional list<optional
+    primitive> column under the 3-level LIST encoding: def 0 = null list,
+    1 = empty list, 2 = present list/null element, 3 = present element;
+    rep 0 starts a row, 1 continues the row's list."""
+    n = len(arr)
+    lmask = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                         count=arr.offset + n + 1)[arr.offset:].astype(np.int64)
+    lens = np.where(lmask, np.diff(offs), 0)
+    n_entries = np.maximum(lens, 1)  # null/empty lists still emit one entry
+    total = int(n_entries.sum())
+    starts = np.cumsum(n_entries) - n_entries
+    rep = np.ones(total, dtype=np.uint64)
+    rep[starts] = 0
+    defs = np.zeros(total, dtype=np.uint64)
+    flat = arr.flatten()  # honors list validity: only present lists' elements
+    emask = pc.is_valid(flat).to_numpy(zero_copy_only=False).astype(bool)
+    has = lens > 0
+    # rows with elements: def = 2 + element-validity; empty list = 1; null = 0
+    entry_row = np.repeat(np.arange(n), n_entries)
+    is_elem = np.zeros(total, dtype=bool)
+    elem_rows = np.repeat(has, n_entries)  # entries of rows that HAVE elements
+    is_elem[elem_rows] = True
+    defs[is_elem] = 2 + emask.astype(np.uint64)
+    defs[~is_elem] = lmask[entry_row[~is_elem]].astype(np.uint64)  # 1=empty, 0=null
+    return flat.drop_null(), rep, defs
 
 
 def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
@@ -402,11 +500,42 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                 arr = sl.column(name)
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
-                cm, offset = _write_column_chunk(
-                    out, offset, name, arr, codec, use_dictionary,
-                    (column_encoding or {}).get(name),
-                )
-                col_meta.append(cm)
+                t = arr.type
+                if pa.types.is_list(t):
+                    if pa.types.is_nested(t.value_type):
+                        raise TypeError(
+                            f"parquet_writer: list<{t.value_type}> export is "
+                            "limited to one nesting level")
+                    leaf, rep, defs = _list_levels(arr)
+                    cm, offset = _write_shredded_chunk(
+                        out, offset, [name, "list", "element"], leaf, rep,
+                        defs, 1, 3, codec)
+                    col_meta.append(cm)
+                elif pa.types.is_struct(t):
+                    smask = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
+                    for i in range(t.num_fields):
+                        if pa.types.is_nested(t.field(i).type):
+                            raise TypeError(
+                                "parquet_writer: struct-of-nested export is "
+                                "limited to one nesting level")
+                        child = arr.field(i)
+                        cmask = (pc.is_valid(child)
+                                 .to_numpy(zero_copy_only=False).astype(bool)
+                                 & smask)
+                        defs = smask.astype(np.uint64) + cmask.astype(np.uint64)
+                        leaf = child.filter(pa.array(cmask))
+                        cm, offset = _write_shredded_chunk(
+                            out, offset, [name, t.field(i).name], leaf, None,
+                            defs, 0, 2, codec)
+                        col_meta.append(cm)
+                else:
+                    cm, offset = _write_column_chunk(
+                        out, offset, name, arr, codec, use_dictionary,
+                        (column_encoding or {}).get(name),
+                    )
+                    col_meta.append(cm)
+            for cm in col_meta:
+                cm["rows"] = sl.num_rows
             groups_meta.append(col_meta)
         footer = _file_metadata(table, groups_meta, codec, n_rows)
         out.write(footer)
@@ -414,27 +543,70 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
         out.write(MAGIC)
 
 
+def _schema_element(name: str, *, ptype: int | None = None,
+                    repetition: int = _REP_OPTIONAL,
+                    num_children: int | None = None, conv: int | None = None,
+                    tlen: int | None = None, scale: int | None = None,
+                    prec: int | None = None) -> bytes:
+    """One thrift SchemaElement (parquet.thrift field ids: 1 type,
+    2 type_length, 3 repetition_type, 4 name, 5 num_children,
+    6 converted_type, 7 scale, 8 precision)."""
+    e = _TOut()
+    last = 0
+    if ptype is not None:
+        last = _f_i32(e, last, 1, ptype)
+    if tlen is not None:
+        last = _f_i32(e, last, 2, tlen)
+    last = _f_i32(e, last, 3, repetition)
+    last = _f_binary(e, last, 4, name.encode())
+    if num_children is not None:
+        last = _f_i32(e, last, 5, num_children)
+    if conv is not None:
+        last = _f_i32(e, last, 6, conv)
+    if scale is not None:
+        last = _f_i32(e, last, 7, scale)
+    if prec is not None:
+        last = _f_i32(e, last, 8, prec)
+    _stop(e)
+    return bytes(e.buf)
+
+
+def _leaf_element(name: str, t: pa.DataType,
+                  repetition: int = _REP_OPTIONAL) -> bytes:
+    ptype, conv = _phys_of(t)
+    kw: dict = {}
+    if pa.types.is_decimal(t):
+        kw = {"tlen": _DECIMAL_FLBA_LEN, "scale": t.scale, "prec": t.precision}
+    return _schema_element(name, ptype=ptype, repetition=repetition,
+                           conv=conv, **kw)
+
+
+def _schema_elements(schema: pa.Schema) -> list[bytes]:
+    """Flattened SchemaElement tree (depth-first, as the spec requires):
+    root -> per-column leaf, or LIST 3-level group, or struct group."""
+    elems = [_schema_element("schema", repetition=_REP_REQUIRED,
+                             num_children=len(schema))]
+    for field in schema:
+        t = field.type
+        if pa.types.is_list(t):
+            elems.append(_schema_element(field.name, conv=_CT_LIST,
+                                         num_children=1))
+            elems.append(_schema_element("list", repetition=_REP_REPEATED,
+                                         num_children=1))
+            elems.append(_leaf_element("element", t.value_type))
+        elif pa.types.is_struct(t):
+            elems.append(_schema_element(field.name,
+                                         num_children=t.num_fields))
+            for i in range(t.num_fields):
+                elems.append(_leaf_element(t.field(i).name, t.field(i).type))
+        else:
+            elems.append(_leaf_element(field.name, t))
+    return elems
+
+
 def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
                    n_rows: int) -> bytes:
-    # schema elements: root + one leaf per column (shared by all row groups)
-    first = groups_meta[0]
-    elems = []
-    root = _TOut()
-    last = 0
-    last = _f_binary(root, last, 4, b"schema")
-    last = _f_i32(root, last, 5, len(first))
-    _stop(root)
-    elems.append(bytes(root.buf))
-    for c in first:
-        e = _TOut()
-        last = 0
-        last = _f_i32(e, last, 1, c["type"])
-        last = _f_i32(e, last, 3, _REP_OPTIONAL)
-        last = _f_binary(e, last, 4, c["name"].encode())
-        if c["conv"] is not None:
-            last = _f_i32(e, last, 6, c["conv"])
-        _stop(e)
-        elems.append(bytes(e.buf))
+    elems = _schema_elements(table.schema)
 
     rgs = []
     for col_meta in groups_meta:
@@ -453,9 +625,11 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
             last = _f_list_header(md, last, 2, len(encs), 5)
             for e in encs:
                 md.zigzag(e)
-            last = _f_list_header(md, last, 3, 1, 8)  # path_in_schema
-            md.uvarint(len(c["name"].encode()))
-            md.buf += c["name"].encode()
+            cpath = c.get("path") or [c["name"]]
+            last = _f_list_header(md, last, 3, len(cpath), 8)  # path_in_schema
+            for seg in cpath:
+                md.uvarint(len(seg.encode()))
+                md.buf += seg.encode()
             last = _f_i32(md, last, 4, _CODEC[codec.lower()])
             last = _f_i64(md, last, 5, c["num_values"])
             last = _f_i64(md, last, 6, c["usize"])
@@ -478,7 +652,9 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
         for ch in chunks:
             rg.buf += ch
         last = _f_i64(rg, last, 2, sum(c["csize"] for c in col_meta))
-        last = _f_i64(rg, last, 3, col_meta[0]["num_values"] if col_meta else 0)
+        # ROW count, not level count: nested leaves' num_values counts
+        # entries, so the group must carry its own row count
+        last = _f_i64(rg, last, 3, col_meta[0].get("rows", col_meta[0]["num_values"]) if col_meta else 0)
         _stop(rg)
         rgs.append(bytes(rg.buf))
 

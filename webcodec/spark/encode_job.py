@@ -392,13 +392,19 @@ def _domains_of(urls) -> "pa.Array":
 
 
 def sample_hot_domains_from_files(
-    paths: list[str], url_col: str, rows_per_partition: int, max_row_groups: int = 8
+    paths: list[str], url_col: str, rows_per_partition: int,
+    max_row_groups: int | None = None,
 ) -> dict[str, int]:
     """Hot-domain salt counts from a BOUNDED driver-side sample: read the url
     column of up to ``max_row_groups`` evenly-spaced row groups directly via
     pyarrow C++ (threaded) and scale the histogram by the sampled fraction.
     Replaces a whole Spark sampling job (fixed ~1.7s) with a sub-second read
-    that stays O(max_row_groups x url-chunk) regardless of table size."""
+    that stays O(max_row_groups x url-chunk) regardless of table size.
+
+    ``max_row_groups=None`` scales the sample with the table — a quarter of
+    the row groups, clamped to [8, 64]: a fixed 8 at 100 TB would be a
+    ~0.001% sample that misses hot domains entirely (each missed hot domain
+    is a straggler bucket in clustered mode)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -411,6 +417,8 @@ def sample_hot_domains_from_files(
             total_rows += md.row_group(i).num_rows
     if not rgs or total_rows == 0:
         return {}
+    if max_row_groups is None:
+        max_row_groups = min(64, max(8, len(rgs) // 4))
     step = max(len(rgs) // max_row_groups, 1)
     chosen = rgs[:: step][:max_row_groups]
     sampled_rows = sum(r for _, _, r in chosen)
@@ -730,12 +738,17 @@ def encode_table(
         sdf, bc = _range_tasks(spark, splits)
         spill = _make_spill_fn(shuffle_dir, url_col, num_partitions, hot, done, bc,
                                spill_compression=spill_compression)
-        # driver-side aggregation: cheaper than an extra shuffle stage for a
-        # <=(tasks x buckets)-row side channel
-        spill_rows = sdf.mapInArrow(spill, "bucket int, rows long").collect()
-        sizes: dict[int, int] = {}
-        for r in spill_rows:
-            sizes[int(r["bucket"])] = sizes.get(int(r["bucket"]), 0) + int(r["rows"])
+        # pre-aggregate the (tasks x touched-buckets) side channel per bucket
+        # IN SPARK before collecting: at 100 TB (~800k splits x thousands of
+        # buckets) a raw collect is millions of driver rows; the groupBy is a
+        # tiny shuffle and the collect becomes O(buckets)
+        spill_rows = (
+            sdf.mapInArrow(spill, "bucket int, rows long")
+            .groupBy("bucket").agg(F.sum("rows").alias("rows")).collect()
+        )
+        sizes: dict[int, int] = {
+            int(r["bucket"]): int(r["rows"]) for r in spill_rows
+        }
         # exactly ONE bucket per task (hash-repartition of n ids into n
         # partitions leaves ~1/e of slots empty and stacks 2-3 buckets on
         # others), largest bucket first: Spark launches partitions in index
