@@ -131,7 +131,9 @@ def encode_regex(data: bytes, table: SymbolTable) -> bytes:
     return table._pattern.sub(repl, data)
 
 
-_CHASE_STRIDE = 32  # anchor spacing for the vectorized greedy chase
+_CHASE_STRIDE = 16  # anchor spacing for the vectorized greedy chase
+# (measured sweep on the text corpus: 16 edges out 32 — one fewer full
+# pointer-doubling gather buys more than the 2x-longer anchor walk costs)
 
 _POS_CACHE = np.empty(0, dtype=np.int64)
 
@@ -232,7 +234,11 @@ def _encode_segment(data: bytes, table: SymbolTable) -> bytes:
     candi = cand.astype(np.intp)
     cl = sym_len[candi]
     pos = _pos(n)
-    long_hit = (cand != NOSYM) & ((w4 & mask_lo[candi]) == key_lo[candi]) & (pos <= n - cl)
+    long_hit = (cand != NOSYM) & ((w4 & mask_lo[candi]) == key_lo[candi])
+    # a match may not run past the end — only the last 8 positions can,
+    # so fix them up instead of paying a full-array compare
+    tail = max(n - MAX_SYMBOL_LEN, 0)
+    long_hit[tail:] &= pos[tail:] <= n - cl[tail:]
     # high-dword verify only where the low dword already matched a >4-byte symbol
     sub = np.flatnonzero(long_hit & (cl > 4))
     if len(sub):
@@ -250,9 +256,11 @@ def _encode_segment(data: bytes, table: SymbolTable) -> bytes:
         two_hit[-1] = False
     one_code = lut1[raw]
 
-    best_len = np.where(
-        long_hit, cl, np.where(two_hit, 2, (one_code != NOSYM).view(np.uint8))
-    ).astype(np.int32)
+    # layered masked stores beat nested np.where chains (no u8 intermediate
+    # + final astype): 1-byte hit -> 1, then 2-byte -> 2, then long -> cl
+    best_len = (one_code != NOSYM).astype(np.int32)
+    best_len[two_hit] = 2
+    np.putmask(best_len, long_hit, cl.astype(np.int32))
 
     # jump table with sentinel at n (escape advances 1)
     j1 = np.full(n + 1, n, dtype=np.int32)
