@@ -147,6 +147,28 @@ def _rt_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def _rt_encrypted_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 ENCRYPTED-FOOTER mode (r4, parquet EF analogue): the whole footer
+    — schema, chunk layout, stats, blooms — is GCM-encrypted under the file
+    DEK; a keyless read reveals only algorithm + key_id
+    (webcodec/crypto.py encrypt_footer_blob, filefmt._wrap_footer_for_disk).
+    Decode with the key must still be bit-identical to plaintext."""
+    from webcodec.config import EncoderConfig
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+
+    _prep(spark)
+    key = bytes(range(32))
+    df = _src(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="wcq_encf_")
+    encode_table(df, os.path.join(out, "t"),
+                 EncoderConfig(encryption_key=key, encryption_key_id="test-key",
+                               encryption_footer_mode="encrypted"),
+                 sort_key="doc_id", write_metrics=False)
+    back = read_encoded(spark, os.path.join(out, "t"), encryption_key=key)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def _rt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip of `events`: timestamp[us] FOR+delta (A8), double BSS (A11),
     low-cardinality dict+RLE (A6+A3)."""
@@ -1667,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rt_documents": _rt_documents,
         "rt_encrypted": _rt_encrypted,
+        "rt_encrypted_footer": _rt_encrypted_footer,
         "rt_events": _rt_events,
         "rt_lineitem_q1": _rt_lineitem_q1,
         "rt_join_orders": _rt_join_orders,
@@ -1876,6 +1899,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "rt_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "rt_encrypted": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "rt_encrypted_footer": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "rt_events": (
             "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, "
             "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_c, props FROM events"

@@ -45,6 +45,10 @@ def main() -> None:
     ap.add_argument("--encryption-key-hex", default=None,
                     help="AES key (hex, 16/24/32 bytes) — C12 modular encryption")
     ap.add_argument("--encryption-key-id", default="")
+    ap.add_argument("--encryption-footer-mode", default="plaintext",
+                    choices=["plaintext", "encrypted"],
+                    help="'encrypted' = whole footer confidential (schema/"
+                         "stats/blooms unreadable without the key)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,6 +72,7 @@ def main() -> None:
             encryption_key=(bytes.fromhex(args.encryption_key_hex)
                             if args.encryption_key_hex else None),
             encryption_key_id=args.encryption_key_id,
+            encryption_footer_mode=args.encryption_footer_mode,
         ),
         url_col=args.url_col,
         sort_key=args.sort_key,

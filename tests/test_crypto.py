@@ -329,3 +329,112 @@ def test_streaming_source_encrypted(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert spark.read.parquet(sink).count() == t.num_rows
+
+
+# ---------------------- encrypted-footer mode (r4) ----------------------
+
+
+def _enc_footer_cfg(**kw):
+    return EncoderConfig(encryption_key=KEY, encryption_key_id="k-ef",
+                         encryption_footer_mode="encrypted", **kw)
+
+
+def test_encrypted_footer_roundtrip(tmp_path):
+    t = _table()
+    path = str(tmp_path / "ef.wcd")
+    footer = filefmt.write_table(t, path, _enc_footer_cfg())
+    # the RETURNED footer is the inner one (has chunks); the DISK footer is
+    # the wrapper
+    assert footer["encryption"]["footer_mode"] == "encrypted"
+    got = filefmt.read_table(path, encryption_key=KEY)
+    assert got.equals(t)
+
+
+def test_encrypted_footer_keyless_read_reveals_only_key_id(tmp_path):
+    t = _table(1_000)
+    path = str(tmp_path / "ef.wcd")
+    filefmt.write_table(t, path, _enc_footer_cfg())
+    with pytest.raises(ValueError, match="footer is encrypted.*k-ef"):
+        filefmt.read_footer_path(path)
+    with pytest.raises(ValueError, match="footer is encrypted"):
+        filefmt.read_table(path)
+    # confidentiality: no schema/chunk/stat material in the raw tail bytes
+    with open(path, "rb") as f:
+        raw = f.read()
+    for secret in (b'"chunks"', b'"schema"', b'"stats"', b"doc_id", b"lang",
+                   b'"min"', b'"bloom"'):
+        assert secret not in raw, secret
+    # only the bootstrap fields are plaintext
+    assert b"AES_GCM_V1" in raw and b"k-ef" in raw
+
+
+def test_encrypted_footer_wrong_key_and_tamper(tmp_path):
+    t = _table(1_000)
+    path = str(tmp_path / "ef.wcd")
+    filefmt.write_table(t, path, _enc_footer_cfg())
+    with pytest.raises(ValueError, match="footer decryption failed"):
+        filefmt.read_table(path, encryption_key=KEY2)
+    # flip one ciphertext byte of the footer blob (keep the CRC valid by
+    # recomputing it, like an attacker would)
+    import base64
+    import json as _json
+    import struct as _struct
+    import zlib as _zlib
+
+    with open(path, "rb") as f:
+        data = bytearray(f.read())
+    flen = _struct.unpack("<I", data[-12:-8])[0]
+    fj = _json.loads(bytes(data[-12 - flen:-12]))
+    blob = bytearray(base64.b64decode(fj["encrypted_footer"]["footer"]))
+    blob[20] ^= 0xFF
+    fj["encrypted_footer"]["footer"] = base64.b64encode(bytes(blob)).decode()
+    nj = _json.dumps(fj, separators=(",", ":")).encode()
+    data = data[: len(data) - 12 - flen] + nj + _struct.pack(
+        "<II", len(nj), _zlib.crc32(nj)) + filefmt.MAGIC
+    with pytest.raises(ValueError, match="footer decryption failed"):
+        filefmt.read_table(bytes(data), encryption_key=KEY)
+
+
+def test_encrypted_footer_predicate_and_projection(tmp_path):
+    """Page pruning / projection still work once the key is presented."""
+    t = _table(8_000)
+    path = str(tmp_path / "ef.wcd")
+    filefmt.write_table(t, path, _enc_footer_cfg())
+    got = filefmt.read_table(path, columns=["doc_id", "lang"],
+                             predicate=("lang", "==", "en"),
+                             encryption_key=KEY)
+    want = [v for v in t.column("lang").to_pylist() if v == "en"]
+    assert got.num_rows == len(want)
+    assert got.column_names == ["doc_id", "lang"]
+
+
+def test_encrypted_footer_append_files_refuses(tmp_path):
+    t = _table(500)
+    p1, p2 = str(tmp_path / "a.wcd"), str(tmp_path / "b.wcd")
+    filefmt.write_table(t, p1, _enc_footer_cfg())
+    filefmt.write_table(t, p2, _enc_footer_cfg())
+    with pytest.raises(ValueError, match="cannot byte-merge"):
+        filefmt.append_files(str(tmp_path / "m.wcd"), [p1, p2])
+
+
+def test_encrypted_footer_spark_job_roundtrip(tmp_path, spark):
+    import pyarrow.parquet as pq2
+
+    from webcodec.fixtures import webpages
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import delete_where
+
+    t = webpages(1_200)
+    src = str(tmp_path / "src.parquet")
+    pq2.write_table(t, src)
+    out = str(tmp_path / "ef_t")
+    encode_table(spark.read.parquet(src), out, _enc_footer_cfg(),
+                 num_partitions=3, write_metrics=False)
+    got = read_encoded(spark, out, encryption_key=KEY)
+    assert got.count() == t.num_rows
+    # maintenance on an encrypted-footer table
+    n_en = sum(1 for v in t.column("lang").to_pylist() if v == "en")
+    res = delete_where(spark, out, ("lang", "==", "en"), encryption_key=KEY)
+    assert res["deleted_rows"] == n_en
+    assert read_encoded(spark, out, encryption_key=KEY).count() == t.num_rows - n_en

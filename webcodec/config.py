@@ -53,6 +53,11 @@ class EncoderConfig:
     # key_id is recorded in footers so readers know WHICH key to present.
     encryption_key: bytes | None = None
     encryption_key_id: str = ""
+    # "plaintext" (default: readable schema/stats for planning + GCM
+    # signature) or "encrypted" (parquet encrypted-footer analogue: the WHOLE
+    # footer is GCM-encrypted under the DEK — a keyless read reveals nothing
+    # but algorithm/key_id; schema, stats and blooms are confidential)
+    encryption_footer_mode: str = "plaintext"
     # internal: per-FILE random AAD prefix, set by write_table/write_batches —
     # never set this yourself (sharing one prefix across files would let
     # ciphertext pages be relocated between those files undetected)

@@ -171,6 +171,30 @@ def verify_footer(key: bytes, footer: dict) -> None:
         ) from e
 
 
+_FOOTER_AAD = b"webcodec-footer-v1"
+FOOTER_MODE_PLAINTEXT = "plaintext"
+FOOTER_MODE_ENCRYPTED = "encrypted"
+
+
+def encrypt_footer_blob(dek: bytes, footer_json: bytes) -> bytes:
+    """Encrypted-footer mode (parquet EF analogue): the WHOLE footer JSON is
+    GCM-encrypted under the file DEK — schema, chunk layout, stats and bloom
+    filters are confidential, not just signed. Returns nonce || ct || tag."""
+    nonce = os.urandom(NONCE_LEN)
+    return nonce + _aesgcm(check_key(dek)).encrypt(nonce, footer_json, _FOOTER_AAD)
+
+
+def decrypt_footer_blob(dek: bytes, blob) -> bytes:
+    blob = bytes(blob)
+    try:
+        return _aesgcm(check_key(dek)).decrypt(blob[:NONCE_LEN],
+                                               blob[NONCE_LEN:], _FOOTER_AAD)
+    except Exception as e:
+        raise ValueError(
+            "footer decryption failed: wrong key or tampered footer"
+        ) from e
+
+
 def reader_context(footer: dict, key: bytes | None) -> FileCrypto | None:
     """Build the decryption context for a parsed footer (None when the file
     is plaintext): derive the file's DEK from the master key + stored salt,
@@ -187,5 +211,9 @@ def reader_context(footer: dict, key: bytes | None) -> FileCrypto | None:
     if enc.get("algorithm") != ALGORITHM:
         raise ValueError(f"unsupported encryption algorithm {enc.get('algorithm')!r}")
     dek = derive_dek(bytes(key), base64.b64decode(enc["dek_salt"]))
-    verify_footer(dek, footer)
+    if enc.get("footer_mode") != FOOTER_MODE_ENCRYPTED:
+        # plaintext-footer mode authenticates via the GCM signature; in
+        # encrypted-footer mode the whole-footer GCM already did (a parsed
+        # footer can only come out of a successful decrypt_footer_blob)
+        verify_footer(dek, footer)
     return _cached_context(dek, base64.b64decode(enc["aad_prefix"]))

@@ -977,7 +977,7 @@ def write_table(
             "metadata": extra_metadata or {},
         }
         _attach_encryption_footer(footer, config)
-        _write_footer(out, footer)
+        _write_footer(out, _wrap_footer_for_disk(footer, config))
         return footer
     finally:
         if own:
@@ -1010,12 +1010,71 @@ def _attach_encryption_footer(footer: dict, config: EncoderConfig) -> None:
         "key_id": config.encryption_key_id,
         "aad_prefix": base64.b64encode(config.encryption_aad_prefix).decode(),
         "dek_salt": base64.b64encode(config.encryption_dek_salt).decode(),
+        "footer_mode": config.encryption_footer_mode,
         "signature": "",
     }
     dek = wcrypto.derive_dek(
         bytes(config.encryption_key), bytes(config.encryption_dek_salt)
     )
-    footer["encryption"]["signature"] = wcrypto.sign_footer(dek, footer)
+    if config.encryption_footer_mode != wcrypto.FOOTER_MODE_ENCRYPTED:
+        # plaintext-footer mode: integrity via GCM signature. Encrypted-
+        # footer mode skips it — the whole-footer GCM blob authenticates.
+        footer["encryption"]["signature"] = wcrypto.sign_footer(dek, footer)
+
+
+def _wrap_footer_for_disk(footer: dict, config: EncoderConfig) -> dict:
+    """Encrypted-footer mode (C12 parity with parquet's EF files): what hits
+    disk is a tiny plaintext wrapper — algorithm, key_id, dek_salt — plus the
+    GCM-encrypted footer JSON. A keyless reader learns nothing else (no
+    schema, no chunk layout, no stats/blooms)."""
+    from webcodec import crypto as wcrypto
+
+    if (config.encryption_key is None
+            or config.encryption_footer_mode != wcrypto.FOOTER_MODE_ENCRYPTED):
+        return footer
+    import base64
+
+    dek = wcrypto.derive_dek(
+        bytes(config.encryption_key), bytes(config.encryption_dek_salt)
+    )
+    blob = wcrypto.encrypt_footer_blob(
+        dek, json.dumps(footer, separators=(",", ":")).encode()
+    )
+    return {
+        "version": 1,
+        "encrypted_footer": {
+            "algorithm": wcrypto.ALGORITHM,
+            "key_id": config.encryption_key_id,
+            "dek_salt": base64.b64encode(config.encryption_dek_salt).decode(),
+            "footer": base64.b64encode(blob).decode(),
+        },
+    }
+
+
+def _unwrap_footer(footer: dict, encryption_key: bytes | None) -> dict:
+    """Inverse of :func:`_wrap_footer_for_disk`; plaintext footers pass
+    through untouched."""
+    enc = footer.get("encrypted_footer")
+    if not enc:
+        return footer
+    if encryption_key is None:
+        raise ValueError(
+            f"file footer is encrypted (algorithm={enc.get('algorithm')!r}, "
+            f"key_id={enc.get('key_id')!r}); pass encryption_key"
+        )
+    import base64
+
+    from webcodec import crypto as wcrypto
+
+    if enc.get("algorithm") != wcrypto.ALGORITHM:
+        raise ValueError(
+            f"unsupported encryption algorithm {enc.get('algorithm')!r}")
+    dek = wcrypto.derive_dek(
+        bytes(encryption_key), base64.b64decode(enc["dek_salt"])
+    )
+    return json.loads(wcrypto.decrypt_footer_blob(
+        dek, base64.b64decode(enc["footer"])
+    ))
 
 
 def sort_indices_for_key(table: pa.Table, sort_key: str):
@@ -1135,7 +1194,7 @@ def write_batches(
         else:
             footer = {"version": 2, "groups": groups, **common}
         _attach_encryption_footer(footer, config)
-        _write_footer(out, footer)
+        _write_footer(out, _wrap_footer_for_disk(footer, config))
         return footer
     finally:
         if own:
@@ -1145,7 +1204,7 @@ def write_batches(
 # --------------------------- append / compaction ------------------------------
 
 
-def read_footer_path(path: str) -> dict:
+def read_footer_path(path: str, encryption_key: bytes | None = None) -> dict:
     """Footer of a file on disk WITHOUT reading the page bytes: read the
     12-byte trailer for the footer length, then just the footer slice."""
     with open(path, "rb") as f:
@@ -1160,7 +1219,7 @@ def read_footer_path(path: str) -> dict:
         fj = f.read(flen)
     if zlib.crc32(fj) != fcrc:
         raise ValueError(f"footer crc mismatch: {path}")
-    return json.loads(fj)
+    return _unwrap_footer(json.loads(fj), encryption_key)
 
 
 def schema_signature(footer: dict) -> tuple:
@@ -1199,7 +1258,13 @@ def append_files(dst: str, sources: list[str]) -> dict:
     Encrypted files never byte-merge (each file's pages authenticate against
     its own random AAD prefix) — rewrite with the key instead."""
     for src in sources:
-        if read_footer_path(src).get("encryption"):
+        try:
+            enc = bool(read_footer_path(src).get("encryption"))
+        except ValueError as e:
+            if "footer is encrypted" not in str(e):
+                raise
+            enc = True  # encrypted-footer mode: same no-merge rule
+        if enc:
             raise ValueError(
                 "append_files: encrypted files cannot byte-merge (per-file "
                 "AAD prefixes); use rewrite_encoded with the encryption key"
@@ -1263,7 +1328,8 @@ def append_files(dst: str, sources: list[str]) -> dict:
 # ------------------------------ read path ------------------------------------
 
 
-def read_footer(data: bytes | memoryview) -> dict:
+def read_footer(data: bytes | memoryview,
+                encryption_key: bytes | None = None) -> dict:
     buf = memoryview(data)
     if bytes(buf[:4]) != MAGIC or bytes(buf[-4:]) != MAGIC:
         raise ValueError("not a webcodec file")
@@ -1271,7 +1337,7 @@ def read_footer(data: bytes | memoryview) -> dict:
     fj = bytes(buf[-12 - flen : -12])
     if zlib.crc32(fj) != fcrc:
         raise ValueError("footer crc mismatch")
-    return json.loads(fj)
+    return _unwrap_footer(json.loads(fj), encryption_key)
 
 
 def _read_page(buf: memoryview, offset: int, verify_crc: bool = True,
@@ -1451,7 +1517,8 @@ def match_positions(
 
     src = source if isinstance(source, str) else memoryview(source)
     lmap = local_names(
-        _chunk_names(src), [c for c, _, _ in conjuncts], aliases or {}
+        _chunk_names(src, encryption_key=encryption_key),
+        [c for c, _, _ in conjuncts], aliases or {},
     )
     localized = []
     for c, op, v in conjuncts:
@@ -1462,7 +1529,8 @@ def match_positions(
         else:
             return np.empty(0, dtype=np.int64)  # all-null matches nothing
     if not localized:
-        footer = read_footer_path(src) if isinstance(src, str) else read_footer(src)
+        footer = (read_footer_path(src, encryption_key) if isinstance(src, str)
+                  else read_footer(src, encryption_key))
         return np.arange(int(footer["num_rows"]), dtype=np.int64)
     conjuncts = localized
     cols = sorted({c for c, _, _ in conjuncts})
@@ -1505,7 +1573,7 @@ def read_table(
     else:
         data = source
     buf = memoryview(data)
-    footer = read_footer(buf)
+    footer = read_footer(buf, encryption_key)
     groups = footer.get("groups") or [footer]
     if footer.get("encryption") or encryption_key is not None:
         from webcodec import crypto as wcrypto

@@ -287,6 +287,9 @@ class WebcodecWriter(DataSourceArrowWriter):
         ekh = options.get("encryption_key_hex")
         self.encryption_key = bytes.fromhex(ekh) if ekh else None
         self.encryption_key_id = options.get("encryption_key_id", "")
+        # "plaintext" (default) or "encrypted" (whole footer confidential)
+        self.encryption_footer_mode = options.get(
+            "encryption_footer_mode", "plaintext")
 
     def _make_config(self):
         from webcodec.config import EncoderConfig
@@ -297,6 +300,7 @@ class WebcodecWriter(DataSourceArrowWriter):
             use_dictionary=self.use_dictionary,
             encryption_key=self.encryption_key,
             encryption_key_id=self.encryption_key_id,
+            encryption_footer_mode=self.encryption_footer_mode,
         )
 
     def _lineage_of(self, pid: int, fname: str, footer: dict,

@@ -105,14 +105,14 @@ def local_names(present, names, aliases) -> dict:
     return out
 
 
-def _chunk_names(data) -> set:
+def _chunk_names(data, encryption_key: bytes | None = None) -> set:
     """Top-level chunk names of a .wcd file (path or bytes)."""
     from webcodec import filefmt
 
     if isinstance(data, str):
-        footer = filefmt.read_footer_path(data)
+        footer = filefmt.read_footer_path(data, encryption_key)
     else:
-        footer = filefmt.read_footer(memoryview(data))
+        footer = filefmt.read_footer(memoryview(data), encryption_key)
     return {c["name"] for c in (footer.get("groups") or [footer])[0]["chunks"]}
 
 
@@ -185,7 +185,7 @@ def load_delete_positions(delete_paths, data=None, aliases=None,
             raise ValueError(
                 "equality-delete sidecars need the data file (path or bytes)"
             )
-        present = _chunk_names(data)
+        present = _chunk_names(data, encryption_key=encryption_key)
         for p in eq_paths:
             keys = pq.read_table(p).to_pandas().drop_duplicates()
             kcols = list(keys.columns)
@@ -225,7 +225,7 @@ def decode_file_evolved(path: str, want: list[str], types: dict[str, str],
 
     with open(path, "rb") as f:
         data = f.read()
-    footer = filefmt.read_footer(memoryview(data))
+    footer = filefmt.read_footer(memoryview(data), encryption_key)
     present = {c["name"] for c in (footer.get("groups") or [footer])[0]["chunks"]}
     from webcodec import predicate as predmod
 

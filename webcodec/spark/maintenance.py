@@ -90,10 +90,17 @@ def compact(table_dir: str, target_bytes: int = 128 << 20) -> dict:
         if f.get("schema_sig") and enc is not None:
             sig_str = f["schema_sig"]
         else:
-            footer = filefmt.read_footer_path(os.path.join(table_dir, f["path"]))
-            sig_str = f.get("schema_sig") or filefmt.schema_signature_str(footer)
-            if enc is None:
-                enc = bool(footer.get("encryption"))
+            try:
+                footer = filefmt.read_footer_path(os.path.join(table_dir, f["path"]))
+                sig_str = f.get("schema_sig") or filefmt.schema_signature_str(footer)
+                if enc is None:
+                    enc = bool(footer.get("encryption"))
+            except ValueError as e:
+                if "footer is encrypted" not in str(e):
+                    raise
+                # encrypted-footer file from a pre-flag manifest: keyless
+                # compact can't inspect it — single-file bin (safe no-op)
+                enc, sig_str = True, f.get("schema_sig") or f["path"]
         s = (sig_str,
              _json.dumps(f.get("partition"), sort_keys=True, default=str))
         # files with merge-on-read delete sidecars never byte-merge: a byte
@@ -472,7 +479,9 @@ def upsert(
                         # renamed key columns localize to this file's chunk
                         # names; a key column with no chunk (added later)
                         # can never match -> skip the file
-                        lmap = local_names(_chunk_names(path), kcols, aliases)
+                        lmap = local_names(
+                            _chunk_names(path, encryption_key=read_key),
+                            kcols, aliases)
                         if len(lmap) != len(kcols):
                             continue
                         fk = filefmt.read_table(
@@ -598,7 +607,8 @@ def rewrite_encoded(
                 # per-file rename localization (same resolution the read
                 # path uses): current names map to this file's chunk names;
                 # columns ADDED after the file null-fill
-                present = _chunk_names(path)
+                present = _chunk_names(
+                    path, encryption_key=source_encryption_key)
                 pred_cols = [c for c, _, _ in conj] if conj else []
                 lmap = local_names(
                     present, list(dict.fromkeys([*cols, *pred_cols])), aliases
@@ -730,7 +740,7 @@ def export_parquet(
                 if carry_encodings:
                     import pyarrow as _pa
 
-                    footer = filefmt.read_footer_path(path)
+                    footer = filefmt.read_footer_path(path, encryption_key)
                     g0 = (footer.get("groups") or [footer])[0]
 
                     def _ok(name: str, enc: str) -> bool:
