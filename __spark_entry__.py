@@ -1159,6 +1159,48 @@ def _metrics_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("total_rows")
 
 
+def _media_decode_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (r4): a synthetic two-band BMP/PPM per document
+    (top rows color A, bottom color B — colors/dims pure doc_id arithmetic)
+    is decoded by the dependency-free numpy codecs (webcodec/imaging.py via
+    webcodec/spark/media.py decode_image_stats). The oracle recomputes the
+    exact integer pixel sums analytically; top_left_r catches a decoder
+    that forgets BMP's bottom-up row order, odd widths exercise row padding."""
+    import pyarrow as _pa
+
+    from webcodec.spark.media import decode_image_stats
+
+    _prep(spark)
+    df = _src(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from webcodec.imaging import encode_bmp, encode_ppm
+
+        for b in batches:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            blobs = []
+            for d in ids:
+                d = int(d)
+                w, h = 8 + d % 13, 8 + d % 7
+                ca = np.array([d * 7 % 256, d * 11 % 256, d * 13 % 256], np.uint8)
+                cb = np.array([d * 17 % 256, d * 19 % 256, d * 23 % 256], np.uint8)
+                px = np.empty((h, w, 3), np.uint8)
+                hh = (h + 1) // 2
+                px[:hh] = ca
+                px[hh:] = cb
+                blobs.append(encode_bmp(px) if d % 2 == 0 else encode_ppm(px))
+            yield pa.RecordBatch.from_pydict({
+                "doc_id": pa.array(ids, pa.int64()),
+                "img": pa.array(blobs, pa.binary()),
+            })
+
+    imgs = df.mapInArrow(gen, "doc_id long, img binary")
+    return decode_image_stats(imgs, "doc_id", "img")
+
+
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-3-gram Jaccard similarity between doc_id pairs (i, i+1) —
     integer-quantized so both engines agree exactly."""
@@ -1723,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "media_binary_meta": _media_binary_meta,
         "media_features": _media_features,
+        "media_decode_pixels": _media_decode_pixels,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_lsh_pairs": _dedup_lsh_pairs,
         "dedup_clusters": _dedup_clusters,
@@ -2040,6 +2083,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "metrics_lineage": "SELECT count(*) AS total_rows FROM documents",
         "media_features": _media_features_oracle(),
+        # analytic pixel oracle: the images are two horizontal color bands
+        # whose dims/colors are doc_id arithmetic, so exact integer channel
+        # sums and the top-left pixel are computable without any decoder
+        "media_decode_pixels": (
+            "WITH p AS (SELECT doc_id, 8 + doc_id % 13 AS w, "
+            "8 + doc_id % 7 AS h, "
+            "(doc_id * 7) % 256 AS ra, (doc_id * 11) % 256 AS ga, "
+            "(doc_id * 13) % 256 AS ba, "
+            "(doc_id * 17) % 256 AS rb, (doc_id * 19) % 256 AS gb, "
+            "(doc_id * 23) % 256 AS bb FROM documents) "
+            "SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format, "
+            "CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+            "CAST((ra * ((h + 1) // 2) + rb * (h - (h + 1) // 2)) * w "
+            "AS BIGINT) AS sum_r, "
+            "CAST((ga * ((h + 1) // 2) + gb * (h - (h + 1) // 2)) * w "
+            "AS BIGINT) AS sum_g, "
+            "CAST((ba * ((h + 1) // 2) + bb * (h - (h + 1) // 2)) * w "
+            "AS BIGINT) AS sum_b, "
+            "CAST(ra AS INT) AS top_left_r, TRUE AS decoded FROM p"
+        ),
         "dedup_simhash": _dedup_simhash_oracle(),
         "dedup_lsh_pairs": _dedup_lsh_pairs_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),

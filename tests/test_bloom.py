@@ -64,3 +64,40 @@ def test_bloom_disabled(tmp_path):
     path = str(tmp_path / "t.wcd")
     footer = filefmt.write_table(t, path, EncoderConfig(bloom_filter_enabled=False))
     assert all(c.get("bloom") is None for c in footer["chunks"])
+
+
+def test_bloom_sizing_adapts_to_ndv():
+    """B4 parity note (SURVEY bloomFilterNDVs / AdaptiveBlockSplitBloomFilter):
+    our build sees the EXACT distinct-hash set up front, so the filter is
+    sized from true NDV at the configured fpp, capped at 1 MiB — low-NDV
+    chunks get small filters, huge-NDV chunks saturate the cap."""
+    import numpy as np
+
+    from webcodec.kernels import bloom
+
+    small = bloom.build(np.arange(100, dtype=np.uint64) * 0x9E3779B97F4A7C15,
+                        fpp=0.01)
+    large = bloom.build(np.arange(100_000, dtype=np.uint64) * 0x9E3779B97F4A7C15,
+                        fpp=0.01)
+    huge = bloom.build(np.arange(2_000_000, dtype=np.uint64) * 0x9E3779B97F4A7C15,
+                       fpp=0.01, max_bytes=1 << 20)
+    assert len(small) < len(large) <= 1 << 20
+    assert len(huge) == 1 << 20  # cap saturates
+    # ~9.6 bits/value at fpp=0.01 -> 100k values ~ 120KB, within 2x
+    assert (100_000 * 9.6 / 8) / 2 < len(large) < (100_000 * 9.6 / 8) * 2
+
+
+def test_bloom_fpp_measured():
+    """Measured false-positive rate lands near the configured 1%."""
+    import numpy as np
+
+    from webcodec.kernels import bloom
+
+    rng = np.random.default_rng(11)
+    members = rng.integers(0, 1 << 63, 50_000, dtype=np.uint64)
+    f = bloom.build(np.unique(members), fpp=0.01)
+    words = np.frombuffer(f, dtype=np.uint32).reshape(-1, 8)
+    probes = rng.integers(0, 1 << 63, 20_000, dtype=np.uint64)
+    probes = np.setdiff1d(probes, members)
+    hits = sum(bloom.might_contain(f, h) for h in probes[:2_000])
+    assert hits / 2_000 < 0.03  # 1% target, 3x slack for variance

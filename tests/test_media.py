@@ -75,3 +75,85 @@ def test_media_stub_matches_scalar_md5():
         assert bytes(hb[i]) == d[:8]
         w, h = 64 + d[0] % 192, 64 + d[1] % 192
         assert (64 + hb[i, 0] % 192, 64 + hb[i, 1] % 192) == (w, h)
+
+
+# ---------------------- real BMP/PPM decode (r4) ----------------------
+
+
+def test_imaging_roundtrip_random_pixels():
+    import numpy as np
+
+    from webcodec.imaging import decode_bmp, decode_image, decode_ppm, encode_bmp, encode_ppm
+
+    rng = np.random.default_rng(3)
+    for w in (1, 2, 3, 5, 8, 13):  # odd widths exercise BMP row padding
+        for h in (1, 2, 7):
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_bmp(encode_bmp(px)), px), (w, h)
+            assert np.array_equal(decode_ppm(encode_ppm(px)), px), (w, h)
+            assert np.array_equal(decode_image(encode_bmp(px)), px)
+
+
+def test_imaging_bmp_top_down_and_orientation():
+    """Negative biHeight = top-down rows; bottom-up files must flip."""
+    import struct
+
+    import numpy as np
+
+    from webcodec.imaging import decode_bmp, encode_bmp
+
+    px = np.zeros((4, 3, 3), np.uint8)
+    px[0] = [255, 0, 0]  # top row red
+    blob = bytearray(encode_bmp(px))
+    out = decode_bmp(bytes(blob))
+    assert tuple(out[0, 0]) == (255, 0, 0)  # bottom-up flip applied
+    # rewrite height as negative (top-down): rows then read in file order
+    struct.pack_into("<i", blob, 22, -4)
+    out2 = decode_bmp(bytes(blob))
+    assert tuple(out2[3, 0]) == (255, 0, 0)  # red lands at the BOTTOM now
+
+
+def test_imaging_ppm_comments_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from webcodec.imaging import decode_bmp, decode_ppm, encode_ppm
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob = b"P6 # a comment\n3 # width\n2\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(blob), px)
+    with _pytest.raises(ValueError, match="truncated PPM"):
+        decode_ppm(encode_ppm(px)[:-1])
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6 1 1 65535\n" + b"\0" * 6)
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + b"\0" * 60)
+    with _pytest.raises(ValueError, match="truncated BMP"):
+        from webcodec.imaging import encode_bmp
+
+        decode_bmp(encode_bmp(px)[:-1])
+
+
+def test_decode_image_stats_spark(spark):
+    """Spark op: BMP/PPM rows decode to exact sums; opaque blobs pass
+    through undecoded."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webcodec.imaging import encode_bmp, encode_ppm
+    from webcodec.spark.media import decode_image_stats
+
+    px1 = np.full((2, 5, 3), 10, np.uint8)
+    px2 = np.full((3, 4, 3), 200, np.uint8)
+    t = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "blob": pa.array([encode_bmp(px1), encode_ppm(px2), b"\xff\xd8\xffjpeg..."],
+                         pa.binary()),
+    })
+    df = spark.createDataFrame(t.to_pandas())
+    rows = {r["media_id"]: r for r in decode_image_stats(df, "media_id", "blob").collect()}
+    assert rows[1]["format"] == "bmp" and rows[1]["sum_r"] == 10 * 2 * 5
+    assert rows[1]["width"] == 5 and rows[1]["height"] == 2 and rows[1]["decoded"]
+    assert rows[2]["format"] == "ppm" and rows[2]["sum_g"] == 200 * 3 * 4
+    assert rows[3]["format"] == "unknown" and not rows[3]["decoded"]
+    assert rows[3]["width"] == -1
