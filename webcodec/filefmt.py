@@ -1005,6 +1005,13 @@ def _attach_encryption_footer(footer: dict, config: EncoderConfig) -> None:
 
     from webcodec import crypto as wcrypto
 
+    if config.encryption_footer_mode not in (
+            wcrypto.FOOTER_MODE_PLAINTEXT, wcrypto.FOOTER_MODE_ENCRYPTED):
+        # a typo'd mode must not SILENTLY fall back to plaintext footers
+        raise ValueError(
+            f"encryption_footer_mode must be 'plaintext' or 'encrypted', "
+            f"got {config.encryption_footer_mode!r}")
+
     footer["encryption"] = {
         "algorithm": wcrypto.ALGORITHM,
         "key_id": config.encryption_key_id,

@@ -57,7 +57,13 @@ def encode(values: np.ndarray, width: int) -> bytes:
         # all values are zero; single RLE run carries everything
         return write_uvarint(n << 1)
     starts, lens = run_lengths(v)
-    big = np.flatnonzero(lens >= _MIN_RLE_RUN)
+    # width-adaptive run cutoff: an RLE run saves ceil(L*w/8) packed bytes
+    # but costs a ~2B varint header + ceil(w/8) value bytes + ~2B for the
+    # extra bit-packed span header it splits off — at small widths short
+    # runs LOSE bytes and fragment the stream into many tiny pack() calls
+    # (the former lineitem hot spot). Break-even: L > 32/w + 1.
+    min_run = max(_MIN_RLE_RUN, 32 // width + 2)
+    big = np.flatnonzero(lens >= min_run)
     out: list[bytes] = []
     pos = 0
     for ri in big:  # one iteration per LONG run only

@@ -444,6 +444,9 @@ def _list_levels(arr: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     1 = empty list, 2 = present list/null element, 3 = present element;
     rep 0 starts a row, 1 continues the row's list."""
     n = len(arr)
+    if n == 0 or arr.buffers()[1] is None:
+        return (pa.array([], arr.type.value_type),
+                np.zeros(0, np.uint64), np.zeros(0, np.uint64))
     lmask = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
                          count=arr.offset + n + 1)[arr.offset:].astype(np.int64)
