@@ -223,26 +223,39 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
     extras["webpages_compressed_bytes"] = snap["total_compressed_bytes"]
 
     # -- encrypted encode (C12): same speed profile + per-page AES-GCM —
-    #    quantifies the security tax (AES-NI runs GB/s/core; expect ~noise) --
-    t0 = time.perf_counter()
-    encode_table(
-        df, os.path.join(work, "wp_enc"), url_col="url", mode="files",
-        config=EncoderConfig.speed(encryption_key=bytes(range(32))),
-        write_metrics=False, **split_kw,
-    )
-    queries["encode_webpages_encrypted"] = time.perf_counter() - t0
+    #    quantifies the security tax (AES-NI runs GB/s/core; expect ~noise).
+    #    best-of-2 like every other mode: single draws on this VM vary 2-4x --
+    def run_encrypted(r):
+        import shutil
+
+        d = os.path.join(work, "wp_enc")
+        if r:
+            shutil.rmtree(d, ignore_errors=True)
+        encode_table(
+            df, d, url_col="url", mode="files",
+            config=EncoderConfig.speed(encryption_key=bytes(range(32))),
+            write_metrics=False, **split_kw,
+        )
+
+    queries["encode_webpages_encrypted"] = best_of(run_encrypted, 2)
     extras["encode_encrypted_gbps"] = (
         raw_bytes / queries["encode_webpages_encrypted"] / 1e9
     )
 
     # -- archive profile: FSST where the sampled trial wins — the size play
-    #    (~0.48x the reference writer's bytes at ~5x its wall) --
-    t0 = time.perf_counter()
-    encode_table(
-        df, os.path.join(work, "wp_archive"), url_col="url", mode="files",
-        config=EncoderConfig.archive(), write_metrics=False, **split_kw,
-    )
-    queries["encode_webpages_archive"] = time.perf_counter() - t0
+    #    (~0.48x the reference writer's bytes) --
+    def run_archive(r):
+        import shutil
+
+        d = os.path.join(work, "wp_archive")
+        if r:
+            shutil.rmtree(d, ignore_errors=True)
+        encode_table(
+            df, d, url_col="url", mode="files",
+            config=EncoderConfig.archive(), write_metrics=False, **split_kw,
+        )
+
+    queries["encode_webpages_archive"] = best_of(run_archive, 2)
     extras["encode_archive_gbps"] = raw_bytes / queries["encode_webpages_archive"] / 1e9
     snap_arch = SnapshotTable(os.path.join(work, "wp_archive")).read_snapshot()
     extras["archive_compressed_bytes"] = snap_arch["total_compressed_bytes"]
