@@ -423,6 +423,38 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _canary_worker(_i: int) -> None:
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(0)
+    buf = rng.integers(0, 64, 96 << 20, dtype=np.uint8).tobytes()
+    pa.Codec("zstd", compression_level=1).compress(buf, asbytes=True)
+
+
+def host_canary_secs() -> float:
+    """Fixed 8-process parallel workload (zstd of a deterministic 96MB
+    buffer per process, best of 2) measured inside each scaling child. A
+    SINGLE-thread canary misses the real failure mode on this VM: noisy
+    hypervisor neighbors steal shared DRAM bandwidth, which barely moves
+    one streaming thread (measured 1.03x) while multi-core walls swing 2x.
+    Eight concurrent compressors saturate the same bandwidth the encode
+    workers use, so canary_4N / canary_N is the drift factor the 4N walls
+    actually carry."""
+    import multiprocessing as mp
+
+    best = None
+    ctx = mp.get_context("spawn")
+    for _ in range(2):
+        with ctx.Pool(8) as pool:
+            pool.map(_canary_worker, range(8))  # warm the pool + page cache
+            t0 = time.perf_counter()
+            pool.map(_canary_worker, range(8))
+            dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return best
+
+
 def run_scaling_child(cpus: int, rows: int, repeats: int, out_json: str) -> None:
     """One measured config in a fresh JVM (invoked as a subprocess)."""
     from pyspark.sql import functions as F  # noqa: F401
@@ -459,6 +491,8 @@ def run_scaling_child(cpus: int, rows: int, repeats: int, out_json: str) -> None
         res[f"wall_{mode}_s"] = best
         res[f"throughput_{mode}_gbps"] = raw_bytes / best / 1e9
         log(f"scaling child local[{cpus}] {mode}: best {best:.1f}s, {res[f'throughput_{mode}_gbps']:.3f} GB/s")
+    res["canary_secs"] = host_canary_secs()
+    log(f"scaling child local[{cpus}] host canary: {res['canary_secs']:.2f}s")
     shutil.rmtree(work, ignore_errors=True)
     with open(out_json, "w") as f:
         json.dump(res, f)
@@ -467,20 +501,42 @@ def run_scaling_child(cpus: int, rows: int, repeats: int, out_json: str) -> None
 def run_scaling(n_cores: int, rows: int, repeats: int) -> dict:
     os.makedirs(CACHE_DIR, exist_ok=True)
     materialize_webpages(rows)  # build cache once, outside both measurements
-    results = {}
-    for cpus in (n_cores, 4 * n_cores):
-        out = os.path.join(CACHE_DIR, f"scale_{cpus}.json")
-        cmd = [
-            sys.executable, os.path.abspath(__file__), "--scaling-child",
-            "--cpus", str(cpus), "--rows", str(rows), "--repeats", str(repeats),
-            "--out-json", out,
-        ]
-        log(f"launching {' '.join(cmd[1:])}")
-        subprocess.run(cmd, check=True, cwd=_REPO)
-        with open(out) as f:
-            results[cpus] = json.load(f)
+    results: dict = {}
+    # interleave the children N, 4N, N, 4N and keep each config's best walls
+    # (and its matching canary): host bandwidth drifts on minute timescales,
+    # so a single N/4N pair can straddle a drift edge and report a pipeline
+    # regression that is really a hypervisor neighbor
+    for round_i in (0, 1):
+        for cpus in (n_cores, 4 * n_cores):
+            out = os.path.join(CACHE_DIR, f"scale_{cpus}_{round_i}.json")
+            cmd = [
+                sys.executable, os.path.abspath(__file__), "--scaling-child",
+                "--cpus", str(cpus), "--rows", str(rows), "--repeats", str(repeats),
+                "--out-json", out,
+            ]
+            log(f"launching {' '.join(cmd[1:])}")
+            subprocess.run(cmd, check=True, cwd=_REPO)
+            with open(out) as f:
+                r = json.load(f)
+            prev = results.get(cpus)
+            if prev is None:
+                results[cpus] = r
+            else:
+                for mode in ("files", "clustered"):
+                    if r[f"wall_{mode}_s"] < prev[f"wall_{mode}_s"]:
+                        prev[f"wall_{mode}_s"] = r[f"wall_{mode}_s"]
+                        prev[f"throughput_{mode}_gbps"] = r[f"throughput_{mode}_gbps"]
+                prev["canary_secs"] = min(prev["canary_secs"], r["canary_secs"])
     n, n4 = results[n_cores], results[4 * n_cores]
     summary = {"n_cores": n_cores, "rows": rows, "repeats": repeats, "raw_gb": n["raw_bytes"] / 1e9}
+    # host-drift correction: the children run minutes apart on a VM whose
+    # effective speed drifts with hypervisor neighbors; the canary is the
+    # SAME single-thread workload in each child, so canary_4N / canary_N is
+    # the drift factor the 4N walls carry through no fault of the pipeline
+    drift = n4.get("canary_secs", 0) / n["canary_secs"] if n.get("canary_secs") else 1.0
+    summary["host_canary_N_s"] = n.get("canary_secs")
+    summary["host_canary_4N_s"] = n4.get("canary_secs")
+    summary["host_drift_4N_over_N"] = drift
     for mode in ("files", "clustered"):
         speedup = n4[f"throughput_{mode}_gbps"] / n[f"throughput_{mode}_gbps"]
         summary[f"{mode}_throughput_N_gbps"] = n[f"throughput_{mode}_gbps"]
@@ -489,6 +545,7 @@ def run_scaling(n_cores: int, rows: int, repeats: int) -> dict:
         summary[f"{mode}_wall_4N_s"] = n4[f"wall_{mode}_s"]
         summary[f"{mode}_speedup"] = speedup
         summary[f"{mode}_scaling_efficiency"] = speedup / 4.0
+        summary[f"{mode}_scaling_efficiency_drift_normalized"] = speedup * drift / 4.0
     return summary
 
 
@@ -525,10 +582,23 @@ warm-up pass (every python worker runs the UDF once before timing).
   all — Spark distributes only (file, row-group-list) splits; each python
   worker reads its split directly via pyarrow C++ and encodes. Work units
   are identical at both sizes (256 splits), so 4N just means 4x the slots.
+- Host-drift canary (the SAME fixed 8-process parallel zstd workload timed
+  inside each child — sized to saturate the shared DRAM bandwidth the
+  encode workers use, which a single-thread probe cannot see): N child
+  {s.get('host_canary_N_s') or 0:.2f}s vs 4N child
+  {s.get('host_canary_4N_s') or 0:.2f}s -> the host ran
+  **{s.get('host_drift_4N_over_N') or 1:.2f}x** slower during the 4N measurement
+  (hypervisor neighbors; this VM drifts 1.0-1.5x on minute timescales,
+  which is also why the N/4N children run INTERLEAVED twice with
+  best-wall merging). Drift-normalized efficiency: files
+  **{s.get('files_scaling_efficiency_drift_normalized') or 0:.2f}**,
+  clustered **{s.get('clustered_scaling_efficiency_drift_normalized') or 0:.2f}** —
+  the raw numbers above are reported unmodified; the canary makes them
+  interpretable.
 
-Run-to-run variance on this VM is ~±0.05 efficiency (short 4N walls); the
-input size above is chosen so both walls exceed 20s and the N wall exceeds
-60s per repeat.
+Run-to-run variance on this VM is ~±0.05 efficiency (short 4N walls) plus
+the host drift the canary quantifies; the input size above is chosen so
+both walls exceed 20s and the N wall exceeds 60s per repeat.
 
 ## Single-box caveat (measured honestly)
 
