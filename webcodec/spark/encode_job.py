@@ -510,27 +510,53 @@ def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str
                     hot_urls = urls.filter(pa.array(hot_rows))
                     salt[hot_rows] = md5_u64le_arrow(hot_urls) % k[inv][hot_rows]
                 bucket = ((base[inv] + salt) % np.uint64(n_buckets)).astype(np.int64)
-                for bk in np.unique(bucket):
-                    if int(bk) in done:
-                        continue
-                    sub = table.filter(pa.array(bucket == bk))
-                    bdir = os.path.join(shuffle_dir, f"b{int(bk):05d}")
-                    os.makedirs(bdir, exist_ok=True)
-                    path = os.path.join(bdir, f"t{task}-{uuid.uuid4().hex[:8]}.arrow")
-                    with ipc.new_stream(
-                        path, sub.schema,
-                        # spills are transient: favor compress SPEED over
-                        # ratio (lz4 frame ~5x faster than zstd for ~1.2x
-                        # the bytes; None = raw for RAM-backed spill dirs)
-                        options=ipc.IpcWriteOptions(compression=spill_compression),
-                    ) as w:
-                        w.write_table(sub)
-                    yield pa.RecordBatch.from_pydict(
-                        {
-                            "bucket": pa.array([int(bk)], pa.int32()),
-                            "rows": pa.array([sub.num_rows], pa.int64()),
-                        }
-                    )
+                # ONE consolidated spill per task (Spark sort-shuffle file
+                # layout): per-bucket IPC stream segments back-to-back in a
+                # single .arrow file plus a tiny .idx (bucket -> offset/len/
+                # rows). Per-(task, bucket) files would be tasks x buckets —
+                # ~10^9 files at 100 TB, an inode/DFS-metadata explosion;
+                # this is 2 files per task. The .idx renames into place
+                # LAST, so a crashed task never leaves a discoverable spill
+                # (stale .tmp/.arrow leftovers are removed by the rerun's
+                # shuffle-dir cleanup anyway).
+                import json as _json
+
+                fname = f"t{task}-{uuid.uuid4().hex[:8]}"
+                dpath = os.path.join(shuffle_dir, fname + ".arrow")
+                index: dict[str, list[int]] = {}
+                wrote = []
+                with open(dpath + ".tmp", "wb") as f:
+                    for bk in np.unique(bucket):
+                        if int(bk) in done:
+                            continue
+                        sub = table.filter(pa.array(bucket == bk))
+                        sink = pa.BufferOutputStream()
+                        with ipc.new_stream(
+                            sink, sub.schema,
+                            # spills are transient: favor compress SPEED
+                            # over ratio (lz4 frame ~5x faster than zstd
+                            # for ~1.2x the bytes; None = raw)
+                            options=ipc.IpcWriteOptions(
+                                compression=spill_compression),
+                        ) as w:
+                            w.write_table(sub)
+                        seg = sink.getvalue()
+                        index[str(int(bk))] = [f.tell(), len(seg), sub.num_rows]
+                        f.write(seg)
+                        wrote.append((int(bk), sub.num_rows))
+                if not wrote:
+                    os.remove(dpath + ".tmp")
+                    continue
+                os.rename(dpath + ".tmp", dpath)
+                with open(dpath + ".idx.tmp", "w") as f:
+                    _json.dump(index, f)
+                os.rename(dpath + ".idx.tmp", dpath + ".idx")
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "bucket": pa.array([b for b, _ in wrote], pa.int32()),
+                        "rows": pa.array([r for _, r in wrote], pa.int64()),
+                    }
+                )
 
     return spill_split
 
@@ -540,15 +566,29 @@ def _make_bucket_encode_fn(data_dir: str, shuffle_dir: str, config: EncoderConfi
     """Phase B: one task per bucket — read its spill files, sort, encode."""
 
     def encode_bucket(batches):
+        import json as _json
+
         import pyarrow.ipc as ipc
 
         order = order_bc.value
+        # parse every task's spill index ONCE per phase-B task (all indexes
+        # are complete before phase B is scheduled): bucket -> segment list
+        segs: dict[int, list[tuple[str, int, int]]] = {}
+        for fn in sorted(os.listdir(shuffle_dir)):
+            if not fn.endswith(".idx"):
+                continue
+            dpath = os.path.join(shuffle_dir, fn[: -len(".idx")])
+            with open(os.path.join(shuffle_dir, fn)) as f:
+                for bks, (off, ln, _rows) in _json.load(f).items():
+                    segs.setdefault(int(bks), []).append((dpath, off, ln))
         for b in batches:
             for bk in (order[i] for i in b.column("id").to_pylist()):
-                bdir = os.path.join(shuffle_dir, f"b{bk:05d}")
                 parts = []
-                for fn in sorted(os.listdir(bdir)):
-                    with ipc.open_stream(os.path.join(bdir, fn)) as r:
+                for dpath, off, ln in segs.get(bk, ()):
+                    with open(dpath, "rb") as f:
+                        f.seek(off)
+                        buf = f.read(ln)
+                    with ipc.open_stream(pa.BufferReader(buf)) as r:
                         parts.append(r.read_all())
                 table = pa.concat_tables(parts)
                 desc = f"spill:b{bk:05d}({len(parts)} spills)"
