@@ -98,3 +98,50 @@ def test_clustered_resume(spark, src, tmp_path):
     assert {f["path"] for f in s2["files"]} == set(mtimes)
     for p, m in mtimes.items():
         assert os.path.getmtime(os.path.join(out, p)) == m  # nothing re-encoded
+
+
+def test_spill_retry_overwrites_idempotently(spark, tmp_path):
+    """A task retried after a post-write crash (or a speculative duplicate)
+    must OVERWRITE its split's spill, not add a second one phase B would
+    double-read: spills are named by SPLIT id and renamed into place from
+    attempt-unique temps. Simulated by running the spill closure twice over
+    the same split ("two attempts")."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webcodec.fixtures import webpages
+    from webcodec.spark.encode_job import _make_spill_fn, plan_file_splits
+
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(webpages(2_000), src)
+    splits = plan_file_splits([src], 1 << 20)
+    shuffle_dir = str(tmp_path / "shuf")
+    os.makedirs(shuffle_dir)
+
+    class _BC:  # stand-in for the Spark broadcast
+        value = splits
+
+    fn = _make_spill_fn(shuffle_dir, "url", 7, {}, frozenset(), _BC())
+    batch = pa.RecordBatch.from_pydict({"id": pa.array([0], pa.int64())})
+    rows1 = list(fn(iter([batch])))
+    rows2 = list(fn(iter([batch])))  # the "retry"
+    idx_files = [f for f in os.listdir(shuffle_dir) if f.endswith(".idx")]
+    arrow_files = [f for f in os.listdir(shuffle_dir) if f.endswith(".arrow")]
+    assert len(idx_files) == 1 and len(arrow_files) == 1  # overwrote, not doubled
+    assert not [f for f in os.listdir(shuffle_dir) if ".tmp" in f]
+    # both attempts produced identical indexes (deterministic content)
+    with open(os.path.join(shuffle_dir, idx_files[0])) as f:
+        idx = json.load(f)
+    total = sum(v[2] for v in idx.values())
+    assert total == 2_000
+    # side-channel rows identical across attempts
+    def flat(rows):
+        return sorted(
+            (int(b), int(r))
+            for rb in rows
+            for b, r in zip(rb.column("bucket").to_pylist(),
+                            rb.column("rows").to_pylist())
+        )
+    assert flat(rows1) == flat(rows2)

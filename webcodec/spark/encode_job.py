@@ -477,7 +477,8 @@ def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str
         from pyspark import TaskContext
         from webcodec.kernels.md5v import md5_u64le_arrow
 
-        task = TaskContext.get().taskAttemptId()
+        ctx = TaskContext.get()
+        task = ctx.taskAttemptId() if ctx else 0  # None only in unit tests
         splits = splits_bc.value
         for b in batches:
             for i in b.column("id").to_pylist():
@@ -510,22 +511,25 @@ def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str
                     hot_urls = urls.filter(pa.array(hot_rows))
                     salt[hot_rows] = md5_u64le_arrow(hot_urls) % k[inv][hot_rows]
                 bucket = ((base[inv] + salt) % np.uint64(n_buckets)).astype(np.int64)
-                # ONE consolidated spill per task (Spark sort-shuffle file
+                # ONE consolidated spill per SPLIT (Spark sort-shuffle file
                 # layout): per-bucket IPC stream segments back-to-back in a
                 # single .arrow file plus a tiny .idx (bucket -> offset/len/
                 # rows). Per-(task, bucket) files would be tasks x buckets —
                 # ~10^9 files at 100 TB, an inode/DFS-metadata explosion;
-                # this is 2 files per task. The .idx renames into place
-                # LAST, so a crashed task never leaves a discoverable spill
-                # (stale .tmp/.arrow leftovers are removed by the rerun's
-                # shuffle-dir cleanup anyway).
+                # this is 2 files per split. Files are named by SPLIT id,
+                # written via attempt-unique temps and renamed into place
+                # (.idx LAST): a task retried after a post-write crash — or
+                # a speculative duplicate attempt — OVERWRITES with
+                # byte-identical content instead of leaving a second
+                # discoverable spill that phase B would double-read.
                 import json as _json
 
-                fname = f"t{task}-{uuid.uuid4().hex[:8]}"
+                fname = f"s{int(i):07d}"
                 dpath = os.path.join(shuffle_dir, fname + ".arrow")
+                tmp_sfx = f".{task}-{uuid.uuid4().hex[:8]}.tmp"  # attempt-unique
                 index: dict[str, list[int]] = {}
                 wrote = []
-                with open(dpath + ".tmp", "wb") as f:
+                with open(dpath + tmp_sfx, "wb") as f:
                     for bk in np.unique(bucket):
                         if int(bk) in done:
                             continue
@@ -545,12 +549,12 @@ def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str
                         f.write(seg)
                         wrote.append((int(bk), sub.num_rows))
                 if not wrote:
-                    os.remove(dpath + ".tmp")
+                    os.remove(dpath + tmp_sfx)
                     continue
-                os.rename(dpath + ".tmp", dpath)
-                with open(dpath + ".idx.tmp", "w") as f:
+                os.rename(dpath + tmp_sfx, dpath)
+                with open(dpath + ".idx" + tmp_sfx, "w") as f:
                     _json.dump(index, f)
-                os.rename(dpath + ".idx.tmp", dpath + ".idx")
+                os.rename(dpath + ".idx" + tmp_sfx, dpath + ".idx")
                 yield pa.RecordBatch.from_pydict(
                     {
                         "bucket": pa.array([b for b, _ in wrote], pa.int32()),
