@@ -587,8 +587,14 @@ def _make_bucket_encode_fn(data_dir: str, shuffle_dir: str, config: EncoderConfi
                     segs.setdefault(int(bks), []).append((dpath, off, ln))
         for b in batches:
             for bk in (order[i] for i in b.column("id").to_pylist()):
+                if bk not in segs:
+                    # the side channel said this bucket has rows, so a
+                    # missing index is a lost/unreadable spill — fail loud,
+                    # never commit a silently-empty bucket
+                    raise FileNotFoundError(
+                        f"no spill segments for bucket {bk} in {shuffle_dir}")
                 parts = []
-                for dpath, off, ln in segs.get(bk, ()):
+                for dpath, off, ln in segs[bk]:
                     with open(dpath, "rb") as f:
                         f.seek(off)
                         buf = f.read(ln)
