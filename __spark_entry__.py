@@ -1142,6 +1142,68 @@ def _simsearch_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simsearch_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-query LSH ANN (the hyperplane twin of _simsearch_ivf_batch):
+    both the corpus and the query TABLE bucketize through the same
+    vectorized hyperplane kernel; the bucket join replaces any cross join
+    and the (tiny) query side broadcasts. Planted copies share each query's
+    bucket by construction, so per-query top-3 is exact and oracle-checked
+    by the same analytic SQL as the IVF batch."""
+    import numpy as np
+    import pyarrow as _pa
+
+    from pyspark.sql import Window
+
+    _prep(spark)
+    base = _src(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = base.filter(F.col("vec_id") < 3)
+    planted = (
+        qs.select(F.col("vec_id").alias("q"), "embedding")
+        .crossJoin(spark.range(1, 4).select(F.col("id").alias("r")))
+        .select(((F.col("q") + 1) * 1000000 + F.col("r")).alias("vec_id"),
+                "embedding")
+    )
+    df = base.unionByName(planted)
+
+    def bucketize(batches):
+        from webcodec.spark.text import embedding_matrix
+
+        planes = np.random.default_rng(7).standard_normal((64, 6))
+        for b in batches:
+            emb = embedding_matrix(b.column("embedding"))
+            sig = (emb @ planes) > 0
+            bucket = np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(np.int32)
+            yield _pa.RecordBatch.from_pydict(
+                {"vec_id": b.column("vec_id"),
+                 "bucket": _pa.array(bucket, _pa.int32())}
+            )
+
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
+    )
+    buckets = df.mapInArrow(bucketize, "vec_id long, bucket int")
+    withb = df.join(buckets, "vec_id")
+    cand = (withb.filter(F.col("vec_id") >= 3)
+            .select("vec_id", "bucket", quant.alias("cvec")))
+    qside = (withb.filter(F.col("vec_id") < 3)
+             .select(F.col("vec_id").alias("qid"),
+                     F.col("bucket").alias("qb"), quant.alias("qvec")))
+    joined = cand.join(F.broadcast(qside), cand.bucket == qside.qb)
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return (
+        joined.select("qid", "vec_id", dot.alias("dot"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", "dot")
+    )
+
+
 def _metrics_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition lineage -> metrics table (north_rule): encode with
     metrics on, then aggregate the metrics parquet — row totals must match
@@ -1760,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_lsh": _simsearch_lsh,
         "simsearch_ivf": _simsearch_ivf,
         "simsearch_ivf_batch": _simsearch_ivf_batch,
+        "simsearch_lsh_batch": _simsearch_lsh_batch,
         "metrics_lineage": _metrics_lineage,
         "lang_id_stopwords": _lang_id_stopwords,
         "text_fingerprint": _text_fingerprint,
@@ -1917,6 +1980,31 @@ def _dedup_clusters_oracle() -> str:
         "SELECT doc AS doc_id, CAST(MIN(x) AS BIGINT) AS cluster_id, "
         "CAST(doc = MIN(x) AS INT) AS is_canonical FROM reach GROUP BY doc"
     )
+
+
+# Batch twin: per-query brute-force top-3 over embeddings + 3 planted
+# copies of EACH query vec_id<3 (vec_id 1000000*(q+1)+r) — the ground truth
+# the batch LSH/IVF queries must reproduce (copies share every cell/bucket
+# with their query by construction).
+_ANN_BATCH_ORACLE = (
+    "WITH qs AS (SELECT vec_id AS qid, embedding FROM embeddings "
+    "WHERE vec_id < 3), "
+    "allv AS (SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL SELECT (q.qid + 1) * 1000000 + t.r AS vec_id, "
+    "q.embedding FROM qs q CROSS JOIN range(1, 4) t(r)), "
+    "qq AS (SELECT qid, list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qvec "
+    "FROM qs), "
+    "c AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS cvec "
+    "FROM allv WHERE vec_id >= 3), "
+    "d AS (SELECT qid, vec_id, "
+    "CAST(list_sum(list_transform(range(1, len(qvec)+1), "
+    "i -> qvec[i] * cvec[i])) AS BIGINT) AS dot FROM c, qq), "
+    "r AS (SELECT qid, vec_id, dot, row_number() OVER "
+    "(PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn FROM d) "
+    "SELECT qid, vec_id, dot FROM r WHERE rn <= 3"
+)
 
 
 # Brute-force top-5 over embeddings + 5 planted exact copies of the probe
@@ -2185,26 +2273,10 @@ def oracle_sql() -> dict[str, str]:
         # batch shape: per-query brute-force top-3 over embeddings + 3
         # planted copies of EACH query (vec_id 1000000*(q+1)+r) — any
         # correct batch ANN must reproduce it (copies share the query's
-        # cell by construction)
-        "simsearch_ivf_batch": (
-            "WITH qs AS (SELECT vec_id AS qid, embedding FROM embeddings "
-            "WHERE vec_id < 3), "
-            "allv AS (SELECT vec_id, embedding FROM embeddings "
-            "UNION ALL SELECT (q.qid + 1) * 1000000 + t.r AS vec_id, "
-            "q.embedding FROM qs q CROSS JOIN range(1, 4) t(r)), "
-            "qq AS (SELECT qid, list_transform(embedding, "
-            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qvec "
-            "FROM qs), "
-            "c AS (SELECT vec_id, list_transform(embedding, "
-            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS cvec "
-            "FROM allv WHERE vec_id >= 3), "
-            "d AS (SELECT qid, vec_id, "
-            "CAST(list_sum(list_transform(range(1, len(qvec)+1), "
-            "i -> qvec[i] * cvec[i])) AS BIGINT) AS dot FROM c, qq), "
-            "r AS (SELECT qid, vec_id, dot, row_number() OVER "
-            "(PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn FROM d) "
-            "SELECT qid, vec_id, dot FROM r WHERE rn <= 3"
-        ),
+        # cell/bucket by construction); the LSH twin checks against the
+        # identical ground truth
+        "simsearch_lsh_batch": _ANN_BATCH_ORACLE,
+        "simsearch_ivf_batch": _ANN_BATCH_ORACLE,
         "sample_stratified": (
             "WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h "
             "FROM documents), "
