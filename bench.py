@@ -218,6 +218,26 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
         .agg(F.sum("encode_secs")).collect()[0][0]
     )
     extras["encode_kernel_mbps_per_core"] = raw_bytes / msecs / 1e6
+    # contention-FREE single-core kernel rate (in-process, no Spark, no
+    # concurrent workers): the per-core figure above runs 32 workers into
+    # this box's DRAM-bandwidth knee, so it moves with hypervisor neighbors;
+    # this one is the clean number comparable to the reference's
+    # single-thread 285 MB/s zstd figure
+    from webcodec import filefmt as _ff
+
+    _slice = pq.read_table(wp_path).slice(0, 40_000)
+    _sraw = _slice.nbytes
+    _sd = os.path.join(work, "single")
+    os.makedirs(_sd, exist_ok=True)
+    _ff.write_table(_slice, os.path.join(_sd, "w.wcd"), EncoderConfig.speed())
+    _best = None
+    for _r in range(3):
+        _t0 = time.perf_counter()
+        _ff.write_table(_slice, os.path.join(_sd, f"s{_r}.wcd"),
+                        EncoderConfig.speed())
+        _dt = time.perf_counter() - _t0
+        _best = _dt if _best is None or _dt < _best else _best
+    extras["encode_kernel_mbps_single_core"] = _sraw / _best / 1e6
     snap = SnapshotTable(os.path.join(work, "wp_0")).read_snapshot()
     extras["webpages_raw_bytes"] = snap["total_raw_bytes"]
     extras["webpages_compressed_bytes"] = snap["total_compressed_bytes"]

@@ -392,3 +392,34 @@ def test_remove_orphan_files(spark, tmp_path):
     # a second pass after the window clears the young orphan too
     os.utime(young, (time.time() - 7200, time.time() - 7200))
     assert remove_orphan_files(out, older_than_seconds=3600)["removed_data_files"] == 1
+
+
+def test_rewrite_mask_columns_nullifies(spark, tmp_path):
+    """C11 MaskMode parity: rewrite with mask_columns destroys the listed
+    columns' VALUES while keeping them in the schema (column-level takedown);
+    unknown names fail loud."""
+    import pyarrow.parquet as pq2
+
+    from webcodec.fixtures import webpages
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import rewrite_encoded
+
+    t = webpages(1_000)
+    src = str(tmp_path / "src.parquet")
+    pq2.write_table(t, src)
+    tdir = str(tmp_path / "t")
+    encode_table(spark.read.parquet(src), tdir, num_partitions=2,
+                 write_metrics=False)
+    dst = str(tmp_path / "masked")
+    rewrite_encoded(spark, tdir, dst, mask_columns=["html", "text"])
+    got = read_encoded(spark, dst)
+    assert got.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert got.count() == 1_000
+    assert got.filter(got.html.isNotNull() | got.text.isNotNull()).count() == 0
+    # untouched columns survive exactly
+    urls = sorted(r["url"] for r in got.select("url").collect())
+    assert urls == sorted(t.column("url").to_pylist())
+    with pytest.raises(ValueError, match="mask_columns not in table schema"):
+        rewrite_encoded(spark, tdir, str(tmp_path / "x"),
+                        mask_columns=["nope"])

@@ -548,6 +548,7 @@ def rewrite_encoded(
     columns: list[str] | None = None,
     predicate=None,
     source_encryption_key: bytes | None = None,
+    mask_columns: list[str] | None = None,
 ) -> dict:
     """Transcode a webcodec table (decode -> re-encode with new options, e.g.
     different compression, column subset/masking). One Spark task per source
@@ -560,7 +561,14 @@ def rewrite_encoded(
     the filtered-rewrite path a training-data pipeline uses for targeted
     deletion (e.g. takedowns): files whose stats prove no match are copied
     logically untouched via pruning, everything else re-encodes minus the
-    dropped rows."""
+    dropped rows.
+
+    ``mask_columns`` NULLIFIES the listed columns in the rewrite (reference
+    parity: ParquetRewriter MaskMode — SURVEY §2 C11): the column stays in
+    the schema, its values are destroyed — the column-level takedown
+    (PII scrubbing) counterpart of the row-level predicate path. The masked
+    chunks carry no page payloads beyond validity, so the rewrite also
+    shrinks the table."""
     import pyarrow as pa
 
     config = config or EncoderConfig()
@@ -582,6 +590,10 @@ def rewrite_encoded(
     cols = columns if columns is not None else [f["name"] for f in snap["schema"]]
     aliases = _aliases_of(snap)
     types = {f["name"]: f["type"] for f in snap["schema"]}
+    mask = frozenset(mask_columns or ())
+    unknown_mask = [m for m in mask if m not in {f["name"] for f in snap["schema"]}]
+    if unknown_mask:
+        raise ValueError(f"mask_columns not in table schema: {unknown_mask}")
     from webcodec import predicate as _predmod
 
     conj = _predmod.normalize(predicate)
@@ -637,10 +649,17 @@ def rewrite_encoded(
                     encryption_key=source_encryption_key)
                 if table.num_rows == 0:
                     continue
-                if cols_here != cols:
+                if cols_here != cols or mask:
                     arrays = []
                     for name in cols:
-                        if name in lmap:
+                        if name in mask:
+                            # MaskMode.NULLIFY: schema keeps the column,
+                            # values are destroyed
+                            at = (table.column(lmap[name]).type
+                                  if name in lmap
+                                  else _arrow_type_of_spark(types.get(name, "string")))
+                            arrays.append(pa.nulls(table.num_rows, type=at))
+                        elif name in lmap:
                             arrays.append(table.column(lmap[name]))
                         else:
                             at = _arrow_type_of_spark(types.get(name, "string"))
