@@ -112,6 +112,8 @@ def decode_ppm(blob: bytes | memoryview) -> np.ndarray:
     if len(b) < 9 or bytes(b[:2]) != b"P6":
         raise ValueError("not a P6 PPM")
     (w, h, maxval), off = _ppm_tokens(b, 3)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PPM dimensions {w}x{h}")
     if maxval <= 0 or maxval > 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
     need = w * h * 3
