@@ -265,10 +265,14 @@ def _encode_segment(data: bytes, table: SymbolTable) -> bytes:
     # jump table with sentinel at n (escape advances 1)
     j1 = np.full(n + 1, n, dtype=np.int32)
     np.minimum(pos + np.maximum(best_len, 1), n, out=j1[:n], casting="unsafe")
-    js = j1
+    # pointer doubling with np.take(out=) ping-pong buffers: the naive
+    # js = js[js] allocates a fresh n-array per round (~9% of segment wall)
+    js = j1.copy()  # j1 itself feeds the chain advance below
+    tmp = np.empty_like(js)
     s = 1
     while s < _CHASE_STRIDE:
-        js = js[js]
+        np.take(js, js, out=tmp)
+        js, tmp = tmp, js
         s *= 2
     anchors = [0]
     a = 0
