@@ -238,6 +238,13 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
         _dt = time.perf_counter() - _t0
         _best = _dt if _best is None or _dt < _best else _best
     extras["encode_kernel_mbps_single_core"] = _sraw / _best / 1e6
+    _best = None
+    for _r in range(3):
+        _t0 = time.perf_counter()
+        _ff.read_table(os.path.join(_sd, "s0.wcd"))
+        _dt = time.perf_counter() - _t0
+        _best = _dt if _best is None or _dt < _best else _best
+    extras["decode_kernel_mbps_single_core"] = _sraw / _best / 1e6
     snap = SnapshotTable(os.path.join(work, "wp_0")).read_snapshot()
     extras["webpages_raw_bytes"] = snap["total_raw_bytes"]
     extras["webpages_compressed_bytes"] = snap["total_compressed_bytes"]

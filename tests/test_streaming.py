@@ -417,3 +417,38 @@ def test_stream_rate_limit_max_bytes_per_trigger(spark, tmp_path):
         assert batches < 20
     assert len(seen) == len(set(seen)) == 6
     assert batches >= 3  # the bound actually split the backlog
+
+
+def test_stream_read_encrypted_footer_table(spark, tmp_path):
+    """Streaming SOURCE over a C12 ENCRYPTED-FOOTER table: the reader needs
+    the key to even parse footers (planning included); with the key the
+    stream flows exactly like plaintext."""
+    import pyarrow.parquet as pq2
+
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    spark.dataSource.register(WebcodecDataSource)
+    key = bytes(range(32))
+    t = webpages(600)
+    src = str(tmp_path / "s.parquet")
+    pq2.write_table(t, src)
+    out = str(tmp_path / "t")
+    (spark.read.parquet(src).write.format("webcodec").mode("append")
+     .option("path", out)
+     .option("encryption_key_hex", key.hex())
+     .option("encryption_footer_mode", "encrypted").save())
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("webcodec").option("path", out)
+        .option("encryption_key_hex", key.hex()).load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == 600
+    src_df = spark.read.parquet(src)
+    assert src_df.exceptAll(got).count() == 0 and got.exceptAll(src_df).count() == 0
