@@ -1047,6 +1047,46 @@ def _simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embeddings_planted_batch(spark: SparkSession, sf_dir: str):
+    """(corpus+planted table, query table) for the BATCH ANN queries:
+    3 queries (vec_id 0,1,2), 3 exact planted copies each at
+    vec_id 1000000*(q+1)+r — see _ANN_BATCH_ORACLE."""
+    base = _src(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = base.filter(F.col("vec_id") < 3)
+    planted = (
+        qs.select(F.col("vec_id").alias("q"), "embedding")
+        .crossJoin(spark.range(1, 4).select(F.col("id").alias("r")))
+        .select(((F.col("q") + 1) * 1000000 + F.col("r")).alias("vec_id"),
+                "embedding")
+    )
+    return base.unionByName(planted), qs
+
+
+def _quantized_vec():
+    """Exact integer quantization shared by every ANN query/oracle."""
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
+    )
+
+
+def _per_query_top3(joined: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return (
+        joined.select("qid", "vec_id", dot.alias("dot"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", "dot")
+    )
+
+
 def _simsearch_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-query IVF ANN — queries as a TABLE, not a driver-collected
     vector (the dedup-against-index shape: at 10^12 rows both sides are
@@ -1062,18 +1102,8 @@ def _simsearch_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as _pa
 
-    from pyspark.sql import Window
-
     _prep(spark)
-    base = _src(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qs = base.filter(F.col("vec_id") < 3)
-    planted = (
-        qs.select(F.col("vec_id").alias("q"), "embedding")
-        .crossJoin(spark.range(1, 4).select(F.col("id").alias("r")))
-        .select(((F.col("q") + 1) * 1000000 + F.col("r")).alias("vec_id"),
-                "embedding")
-    )
-    df = base.unionByName(planted)
+    df, qs = _embeddings_planted_batch(spark, sf_dir)
 
     # bounded driver-side sample -> deterministic k-means (same quantizer
     # stance as _simsearch_ivf: the sample is bounded, assignment distributed)
@@ -1117,10 +1147,7 @@ def _simsearch_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cell": _pa.array(order.ravel().astype(np.int32), _pa.int32()),
             })
 
-    quant = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
-    )
+    quant = _quantized_vec()
     cells = df.mapInArrow(assign, "vec_id long, cell int")
     cand = (df.join(cells, "vec_id").filter(F.col("vec_id") >= 3)
             .select("vec_id", "cell", quant.alias("cvec")))
@@ -1128,18 +1155,7 @@ def _simsearch_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs = qs.select(F.col("vec_id").alias("qid"), quant.alias("qvec"))
     # (queries x nprobe) is the tiny side -> broadcast both query tables
     joined = cand.join(F.broadcast(probes), "cell").join(F.broadcast(qvecs), "qid")
-    dot = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id"))
-    return (
-        joined.select("qid", "vec_id", dot.alias("dot"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("qid", "vec_id", "dot")
-    )
+    return _per_query_top3(joined)
 
 
 def _simsearch_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1152,18 +1168,8 @@ def _simsearch_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as _pa
 
-    from pyspark.sql import Window
-
     _prep(spark)
-    base = _src(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qs = base.filter(F.col("vec_id") < 3)
-    planted = (
-        qs.select(F.col("vec_id").alias("q"), "embedding")
-        .crossJoin(spark.range(1, 4).select(F.col("id").alias("r")))
-        .select(((F.col("q") + 1) * 1000000 + F.col("r")).alias("vec_id"),
-                "embedding")
-    )
-    df = base.unionByName(planted)
+    df, _qs = _embeddings_planted_batch(spark, sf_dir)
 
     def bucketize(batches):
         from webcodec.spark.text import embedding_matrix
@@ -1178,10 +1184,7 @@ def _simsearch_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "bucket": _pa.array(bucket, _pa.int32())}
             )
 
-    quant = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
-    )
+    quant = _quantized_vec()
     buckets = df.mapInArrow(bucketize, "vec_id long, bucket int")
     withb = df.join(buckets, "vec_id")
     cand = (withb.filter(F.col("vec_id") >= 3)
@@ -1190,18 +1193,7 @@ def _simsearch_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("vec_id").alias("qid"),
                      F.col("bucket").alias("qb"), quant.alias("qvec")))
     joined = cand.join(F.broadcast(qside), cand.bucket == qside.qb)
-    dot = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id"))
-    return (
-        joined.select("qid", "vec_id", dot.alias("dot"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("qid", "vec_id", "dot")
-    )
+    return _per_query_top3(joined)
 
 
 def _metrics_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
