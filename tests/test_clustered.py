@@ -127,21 +127,18 @@ def test_spill_retry_overwrites_idempotently(spark, tmp_path):
     batch = pa.RecordBatch.from_pydict({"id": pa.array([0], pa.int64())})
     rows1 = list(fn(iter([batch])))
     rows2 = list(fn(iter([batch])))  # the "retry"
-    idx_files = [f for f in os.listdir(shuffle_dir) if f.endswith(".idx")]
     arrow_files = [f for f in os.listdir(shuffle_dir) if f.endswith(".arrow")]
-    assert len(idx_files) == 1 and len(arrow_files) == 1  # overwrote, not doubled
+    assert len(arrow_files) == 1  # overwrote, not doubled
     assert not [f for f in os.listdir(shuffle_dir) if ".tmp" in f]
-    # both attempts produced identical indexes (deterministic content)
-    with open(os.path.join(shuffle_dir, idx_files[0])) as f:
-        idx = json.load(f)
-    total = sum(v[2] for v in idx.values())
-    assert total == 2_000
-    # side-channel rows identical across attempts
+    # side-channel segment rows (bucket, split, off, len, rows) identical
+    # across attempts — the per-bucket index shards built from them are
+    # therefore deterministic too
     def flat(rows):
         return sorted(
-            (int(b), int(r))
+            tuple(int(rb.column(c)[j].as_py())
+                  for c in ("bucket", "split", "off", "len", "rows"))
             for rb in rows
-            for b, r in zip(rb.column("bucket").to_pylist(),
-                            rb.column("rows").to_pylist())
+            for j in range(rb.num_rows)
         )
     assert flat(rows1) == flat(rows2)
+    assert sum(t[4] for t in flat(rows1)) == 2_000

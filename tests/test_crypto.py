@@ -42,7 +42,7 @@ def enc_file(tmp_path):
 def test_roundtrip_and_footer_metadata(enc_file):
     path, t, footer = enc_file
     enc = footer["encryption"]
-    assert enc["algorithm"] == "AES_GCM_V1" and enc["key_id"] == "k1"
+    assert enc["algorithm"] == "AES_GCM_V2" and enc["key_id"] == "k1"
     got = filefmt.read_table(path, encryption_key=KEY)
     assert got.equals(t)
 
@@ -365,7 +365,7 @@ def test_encrypted_footer_keyless_read_reveals_only_key_id(tmp_path):
                    b'"min"', b'"bloom"'):
         assert secret not in raw, secret
     # only the bootstrap fields are plaintext
-    assert b"AES_GCM_V1" in raw and b"k-ef" in raw
+    assert b"AES_GCM_V2" in raw and b"k-ef" in raw
 
 
 def test_encrypted_footer_wrong_key_and_tamper(tmp_path):

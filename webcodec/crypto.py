@@ -46,7 +46,12 @@ import json
 import os
 import struct
 
-ALGORITHM = "AES_GCM_V1"
+# V2 = the full-page-header AAD layout (encoding/codec/n_nulls/usize + group
+# ordinal in the chain). V1 files (pre-layout-change) carry a different AAD
+# and MUST be rejected with a format-version error, not a generic
+# wrong-key/tampered GCM failure.
+ALGORITHM = "AES_GCM_V2"
+_SUPERSEDED_ALGORITHMS = {"AES_GCM_V1"}
 NONCE_LEN = 12
 TAG_LEN = 16
 PAGE_OVERHEAD = NONCE_LEN + TAG_LEN
@@ -209,6 +214,12 @@ def reader_context(footer: dict, key: bytes | None) -> FileCrypto | None:
             f"key_id={enc.get('key_id')!r}); pass encryption_key"
         )
     if enc.get("algorithm") != ALGORITHM:
+        if enc.get("algorithm") in _SUPERSEDED_ALGORITHMS:
+            raise ValueError(
+                f"file was written with superseded AAD layout "
+                f"{enc.get('algorithm')!r} (current {ALGORITHM!r}); re-encode "
+                f"it with rewrite_encoded/transcode under the current writer"
+            )
         raise ValueError(f"unsupported encryption algorithm {enc.get('algorithm')!r}")
     dek = derive_dek(bytes(key), base64.b64decode(enc["dek_salt"]))
     if enc.get("footer_mode") != FOOTER_MODE_ENCRYPTED:

@@ -1074,6 +1074,12 @@ def _unwrap_footer(footer: dict, encryption_key: bytes | None) -> dict:
     from webcodec import crypto as wcrypto
 
     if enc.get("algorithm") != wcrypto.ALGORITHM:
+        if enc.get("algorithm") in wcrypto._SUPERSEDED_ALGORITHMS:
+            raise ValueError(
+                f"file was written with superseded AAD layout "
+                f"{enc.get('algorithm')!r} (current {wcrypto.ALGORITHM!r}); "
+                f"re-encode it under the current writer"
+            )
         raise ValueError(
             f"unsupported encryption algorithm {enc.get('algorithm')!r}")
     dek = wcrypto.derive_dek(

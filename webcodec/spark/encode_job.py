@@ -391,11 +391,12 @@ def _domains_of(urls) -> "pa.Array":
     return pc.list_element(pc.split_pattern(no_scheme, "/", max_splits=1), 0)
 
 
-def sample_hot_domains_from_files(
-    paths: list[str], url_col: str, rows_per_partition: int,
+def sample_domain_histogram(
+    paths: list[str], url_col: str, min_est_rows: int,
     max_row_groups: int | None = None,
 ) -> dict[str, int]:
-    """Hot-domain salt counts from a BOUNDED driver-side sample: read the url
+    """HEAD of the domain histogram (estimated rows per domain, domains with
+    ``>= min_est_rows``) from a BOUNDED driver-side sample: read the url
     column of up to ``max_row_groups`` evenly-spaced row groups directly via
     pyarrow C++ (threaded) and scale the histogram by the sampled fraction.
     Replaces a whole Spark sampling job (fixed ~1.7s) with a sub-second read
@@ -428,13 +429,63 @@ def sample_hot_domains_from_files(
     dom = _domains_of(pa.concat_arrays([c.combine_chunks() for c in parts]))
     vc = pc.value_counts(dom)
     frac = sampled_rows / total_rows
-    denom = max(rows_per_partition * frac, 1.0)
     out: dict[str, int] = {}
     for row in vc.to_pylist():
-        k = -(-row["counts"] // denom)  # ceil
-        if k > 1:
-            out[row["values"]] = int(k)
+        est = int(row["counts"] / frac)
+        if est >= min_est_rows:
+            out[row["values"]] = est
     return out
+
+
+def sample_hot_domains_from_files(
+    paths: list[str], url_col: str, rows_per_partition: int,
+    max_row_groups: int | None = None,
+) -> dict[str, int]:
+    """Hot-domain salt counts (domain -> k buckets) from the sampled
+    histogram head: k = ceil(est_rows / rows_per_partition), reported only
+    when k > 1."""
+    hist = sample_domain_histogram(
+        paths, url_col, rows_per_partition + 1, max_row_groups)
+    return {
+        d: int(-(-est // max(rows_per_partition, 1))) for d, est in hist.items()
+    }
+
+
+def plan_domain_placement(
+    hist: dict[str, int], n_buckets: int, rows_per_partition: int,
+    max_head: int | None = None,
+) -> dict[str, list[int]]:
+    """EXPLICIT bucket placement for the sampled head domains: independent
+    hashing places each big cold domain uniformly at random, so two domains
+    just under the salting threshold routinely collide into one straggler
+    bucket (the phase-B wall IS the biggest bucket). Instead: split each
+    head domain into k = ceil(est / rpp) pieces and greedily assign pieces
+    largest-first to the least-loaded bucket (LPT — deterministic, ties by
+    bucket id). The un-sampled tail still hashes; it is many small domains,
+    whose sum concentrates uniformly. Head is capped at ``max_head``
+    (default 8 x n_buckets) to bound the broadcast."""
+    import heapq
+
+    if not hist or n_buckets <= 0:
+        return {}
+    if max_head is None:
+        max_head = 8 * n_buckets
+    head = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[:max_head]
+    rpp = max(rows_per_partition, 1)
+    pieces: list[tuple[float, str, int, int]] = []  # (-size, domain, piece, k)
+    for d, est in head:
+        k = max(int(-(-est // rpp)), 1)
+        for j in range(k):
+            pieces.append((est / k, d, j, k))
+    pieces.sort(key=lambda t: (-t[0], t[1], t[2]))
+    loads = [(0.0, b) for b in range(n_buckets)]
+    heapq.heapify(loads)
+    placement: dict[str, list[int]] = {}
+    for size, d, j, k in pieces:
+        load, b = heapq.heappop(loads)
+        placement.setdefault(d, [0] * k)[j] = b
+        heapq.heappush(loads, (load + size, b))
+    return placement
 
 
 def sample_hot_domains(
@@ -460,13 +511,17 @@ def sample_hot_domains(
     return {r["d"]: int(r["k"]) for r in rows}
 
 
-def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str, int],
+def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int,
+                   placement: dict[str, list[int]],
                    done: frozenset[int], splits_bc, seed: int = 42,
                    spill_compression: str | None = "lz4"):
     """Phase A of the Arrow-native shuffle: each task reads its parquet split
     directly and scatters rows into per-bucket Arrow IPC spill files on shared
-    storage. Salted: hot domains spread over k buckets, cold domains map to
-    exactly one bucket (clustering preserved). Zero JVM transfer."""
+    storage. ``placement`` (from :func:`plan_domain_placement`) pins each
+    sampled head domain to explicit bucket(s) — hot domains spread over k
+    buckets, big cold domains avoid collision stragglers; unlisted tail
+    domains hash to exactly one bucket (clustering preserved). Zero JVM
+    transfer."""
 
     def spill_split(batches):
         import numpy as np
@@ -502,32 +557,43 @@ def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str
                 base = md5_u64le_arrow(
                     pc.binary_join_element_wise(uniq, pa.scalar(f"#{seed}"), "")
                 )
-                k = np.array([hot.get(d, 1) for d in uniq.to_pylist()], dtype=np.uint64)
-                # salt within [0,k): derived from url hash so rows of a hot
-                # domain spread; k==1 keeps the domain in one bucket
-                salt = np.zeros(len(table), dtype=np.uint64)
-                hot_rows = k[inv] > 1
-                if hot_rows.any():
-                    hot_urls = urls.filter(pa.array(hot_rows))
-                    salt[hot_rows] = md5_u64le_arrow(hot_urls) % k[inv][hot_rows]
-                bucket = ((base[inv] + salt) % np.uint64(n_buckets)).astype(np.int64)
+                # tail domains (not in the sampled head) hash uniformly;
+                # head domains take their EXPLICIT LPT-planned buckets
+                # (plan_domain_placement) — multi-piece (hot) domains pick
+                # the piece by url hash, so one url always lands in one
+                # bucket (dedup/prefix locality preserved)
+                bucket = (base[inv] % np.uint64(n_buckets)).astype(np.int64)
+                place = [placement.get(d) for d in uniq.to_pylist()]
+                for ui, p in enumerate(place):
+                    if p is None:
+                        continue
+                    mask = inv == ui
+                    if len(p) == 1:
+                        bucket[mask] = p[0]
+                    else:
+                        pu = urls.filter(pa.array(mask))
+                        piece = md5_u64le_arrow(pu) % np.uint64(len(p))
+                        bucket[mask] = np.asarray(p, np.int64)[
+                            piece.astype(np.int64)]
                 # ONE consolidated spill per SPLIT (Spark sort-shuffle file
                 # layout): per-bucket IPC stream segments back-to-back in a
-                # single .arrow file plus a tiny .idx (bucket -> offset/len/
-                # rows). Per-(task, bucket) files would be tasks x buckets —
-                # ~10^9 files at 100 TB, an inode/DFS-metadata explosion;
-                # this is 2 files per split. Files are named by SPLIT id,
-                # written via attempt-unique temps and renamed into place
-                # (.idx LAST): a task retried after a post-write crash — or
-                # a speculative duplicate attempt — OVERWRITES with
-                # byte-identical content instead of leaving a second
+                # single .arrow file. Per-(task, bucket) files would be
+                # tasks x buckets — ~10^9 files at 100 TB, an inode/DFS-
+                # metadata explosion; this is 1 file per split. Files are
+                # named by SPLIT id, written via attempt-unique temps and
+                # renamed into place: a task retried after a post-write
+                # crash — or a speculative duplicate attempt — OVERWRITES
+                # with byte-identical content instead of leaving a second
                 # discoverable spill that phase B would double-read.
-                import json as _json
-
+                # Segment locations travel through the SIDE CHANNEL (one
+                # metadata row per (split, bucket) segment) and are
+                # consolidated into per-BUCKET index shards by a tiny Spark
+                # metadata shuffle — phase B never lists the spill dir or
+                # opens O(splits) index files (at ~800k splits that would be
+                # hundreds of millions of small reads cluster-wide).
                 fname = f"s{int(i):07d}"
                 dpath = os.path.join(shuffle_dir, fname + ".arrow")
                 tmp_sfx = f".{task}-{uuid.uuid4().hex[:8]}.tmp"  # attempt-unique
-                index: dict[str, list[int]] = {}
                 wrote = []
                 with open(dpath + tmp_sfx, "wb") as f:
                     for bk in np.unique(bucket):
@@ -545,24 +611,71 @@ def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int, hot: dict[str
                         ) as w:
                             w.write_table(sub)
                         seg = sink.getvalue()
-                        index[str(int(bk))] = [f.tell(), len(seg), sub.num_rows]
+                        wrote.append((int(bk), f.tell(), len(seg), sub.num_rows))
                         f.write(seg)
-                        wrote.append((int(bk), sub.num_rows))
                 if not wrote:
                     os.remove(dpath + tmp_sfx)
                     continue
                 os.rename(dpath + tmp_sfx, dpath)
-                with open(dpath + ".idx" + tmp_sfx, "w") as f:
-                    _json.dump(index, f)
-                os.rename(dpath + ".idx" + tmp_sfx, dpath + ".idx")
                 yield pa.RecordBatch.from_pydict(
                     {
-                        "bucket": pa.array([b for b, _ in wrote], pa.int32()),
-                        "rows": pa.array([r for _, r in wrote], pa.int64()),
+                        "bucket": pa.array([b for b, _, _, _ in wrote], pa.int32()),
+                        "split": pa.array([int(i)] * len(wrote), pa.int64()),
+                        "off": pa.array([o for _, o, _, _ in wrote], pa.int64()),
+                        "len": pa.array([ln for _, _, ln, _ in wrote], pa.int64()),
+                        "rows": pa.array([r for _, _, _, r in wrote], pa.int64()),
                     }
                 )
 
     return spill_split
+
+
+SPILL_SEGMENT_SCHEMA = "bucket int, split long, off long, len long, rows long"
+
+
+def _make_bucket_index_fn(shuffle_dir: str):
+    """Consolidate the phase-A segment side channel into ONE index shard per
+    BUCKET (b{bucket:05d}.idx, JSON list of [split, off, len]): runs as a
+    mapInArrow over the side channel repartitioned by bucket, so the driver
+    never materializes the O(splits x buckets) segment map — it only collects
+    the O(buckets) (bucket, rows) output. Shards are deterministic (segments
+    sorted by split id) and written temp+rename, so a retried/speculative
+    task overwrites byte-identical content."""
+
+    def write_indexes(batches):
+        import json as _json
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        task = ctx.taskAttemptId() if ctx else 0
+        segs: dict[int, list[tuple[int, int, int]]] = {}
+        rows: dict[int, int] = {}
+        for b in batches:
+            bk = b.column("bucket").to_numpy(zero_copy_only=False)
+            sp = b.column("split").to_numpy(zero_copy_only=False)
+            off = b.column("off").to_numpy(zero_copy_only=False)
+            ln = b.column("len").to_numpy(zero_copy_only=False)
+            nr = b.column("rows").to_numpy(zero_copy_only=False)
+            for j in range(len(bk)):
+                k = int(bk[j])
+                segs.setdefault(k, []).append((int(sp[j]), int(off[j]), int(ln[j])))
+                rows[k] = rows.get(k, 0) + int(nr[j])
+        for k, lst in segs.items():
+            lst.sort()
+            path = os.path.join(shuffle_dir, f"b{k:05d}.idx")
+            tmp = f"{path}.{task}-{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                _json.dump(lst, f)
+            os.rename(tmp, path)
+        if segs:
+            ks = sorted(segs)
+            yield pa.RecordBatch.from_pydict({
+                "bucket": pa.array(ks, pa.int32()),
+                "rows": pa.array([rows[k] for k in ks], pa.int64()),
+            })
+
+    return write_indexes
 
 
 def _make_bucket_encode_fn(data_dir: str, shuffle_dir: str, config: EncoderConfig,
@@ -575,26 +688,24 @@ def _make_bucket_encode_fn(data_dir: str, shuffle_dir: str, config: EncoderConfi
         import pyarrow.ipc as ipc
 
         order = order_bc.value
-        # parse every task's spill index ONCE per phase-B task (all indexes
-        # are complete before phase B is scheduled): bucket -> segment list
-        segs: dict[int, list[tuple[str, int, int]]] = {}
-        for fn in sorted(os.listdir(shuffle_dir)):
-            if not fn.endswith(".idx"):
-                continue
-            dpath = os.path.join(shuffle_dir, fn[: -len(".idx")])
-            with open(os.path.join(shuffle_dir, fn)) as f:
-                for bks, (off, ln, _rows) in _json.load(f).items():
-                    segs.setdefault(int(bks), []).append((dpath, off, ln))
         for b in batches:
             for bk in (order[i] for i in b.column("id").to_pylist()):
-                if bk not in segs:
+                # exactly ONE metadata read per task: this bucket's
+                # consolidated index shard (built by the phase-A.5 metadata
+                # shuffle) — never an O(splits) listing of the spill dir
+                ipath = os.path.join(shuffle_dir, f"b{bk:05d}.idx")
+                try:
+                    with open(ipath) as f:
+                        seglist = _json.load(f)
+                except FileNotFoundError:
                     # the side channel said this bucket has rows, so a
                     # missing index is a lost/unreadable spill — fail loud,
                     # never commit a silently-empty bucket
                     raise FileNotFoundError(
-                        f"no spill segments for bucket {bk} in {shuffle_dir}")
+                        f"no spill index for bucket {bk} in {shuffle_dir}")
                 parts = []
-                for dpath, off, ln in segs[bk]:
+                for split, off, ln in seglist:
+                    dpath = os.path.join(shuffle_dir, f"s{int(split):07d}.arrow")
                     with open(dpath, "rb") as f:
                         f.seek(off)
                         buf = f.read(ln)
@@ -768,13 +879,26 @@ def encode_table(
             raise ValueError("mode='clustered' requires a parquet-backed DataFrame")
         splits = plan_file_splits(paths, target_partition_bytes)
         if num_partitions is None:
-            # bucket count targets ~128MB OUTPUT files (C4 parity) regardless
-            # of scan-split granularity: fewer, larger spills and buckets
+            # bucket count = max(size target, 2x cluster parallelism). The
+            # size target (~128MB OUTPUT files, C4 parity) dominates at
+            # cluster scale; the parallelism floor matters when the table is
+            # small relative to the cluster — without it, cold-domain
+            # placement skew (a domain just under the salting threshold is
+            # a full rpp of rows in ONE bucket) makes the phase-B wall the
+            # single biggest bucket. More buckets shrink rpp (finer
+            # placement pieces) and give the LPT ordering enough pieces to
+            # pack the waves evenly; 4x measured best at local[32] (1x->2
+            # uneven waves; 8x pays per-segment spill overhead in phase A).
             total_bytes = sum(s["num_bytes"] for s in splits)
-            num_partitions = max(total_bytes // (128 << 20) + 1, 2)
+            num_partitions = max(total_bytes // (128 << 20) + 1, 2,
+                                 4 * spark.sparkContext.defaultParallelism)
         total_rows = sum(s["num_rows"] for s in splits)
         rpp = max(total_rows // num_partitions, 1)
-        hot = sample_hot_domains_from_files(paths, url_col, rpp)
+        # head = every domain bigger than a quarter-bucket: placed explicitly
+        # (LPT), so near-threshold cold domains can't collide into a
+        # straggler; sub-quarter domains hash (collisions add <= ~25% there)
+        hist = sample_domain_histogram(paths, url_col, max(rpp // 4, 2))
+        placement = plan_domain_placement(hist, num_partitions, rpp)
         done = _completed_ids(tbl, False) if resume else frozenset()
         shuffle_dir = os.path.join(table_dir, "_shuffle")
         # stale spills from a killed run are BOTH a leak (commit-time cleanup
@@ -786,15 +910,21 @@ def encode_table(
         os.makedirs(shuffle_dir, exist_ok=True)
 
         sdf, bc = _range_tasks(spark, splits)
-        spill = _make_spill_fn(shuffle_dir, url_col, num_partitions, hot, done, bc,
-                               spill_compression=spill_compression)
-        # pre-aggregate the (tasks x touched-buckets) side channel per bucket
-        # IN SPARK before collecting: at 100 TB (~800k splits x thousands of
-        # buckets) a raw collect is millions of driver rows; the groupBy is a
-        # tiny shuffle and the collect becomes O(buckets)
+        spill = _make_spill_fn(shuffle_dir, url_col, num_partitions, placement,
+                               done, bc, spill_compression=spill_compression)
+        # the (split, bucket, off, len) segment map is pure metadata but
+        # O(splits x touched-buckets) — at 100 TB (~800k splits x thousands
+        # of buckets) that is millions of entries, too many for a driver
+        # collect. Repartition it by bucket IN SPARK and write one
+        # consolidated index shard per bucket (phase B reads exactly its own
+        # shard); only the O(buckets) (bucket, rows) totals reach the driver.
+        side = sdf.mapInArrow(spill, SPILL_SEGMENT_SCHEMA)
+        idx_fn = _make_bucket_index_fn(shuffle_dir)
+        # one output row per bucket (a bucket lives wholly in one partition
+        # after the repartition), so the collect is O(buckets)
         spill_rows = (
-            sdf.mapInArrow(spill, "bucket int, rows long")
-            .groupBy("bucket").agg(F.sum("rows").alias("rows")).collect()
+            side.repartition(F.col("bucket"))
+            .mapInArrow(idx_fn, "bucket int, rows long").collect()
         )
         sizes: dict[int, int] = {
             int(r["bucket"]): int(r["rows"]) for r in spill_rows

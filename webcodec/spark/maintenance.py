@@ -638,7 +638,16 @@ def rewrite_encoded(
                     if skip_file:
                         continue
                     pred_here = terms or None
-                cols_here = [lmap[c] for c in cols if c in lmap]
+                # masked columns are NEVER read/decrypted/decoded — their
+                # values are destroyed anyway, so a blob-column takedown
+                # costs zero decode (nulls are synthesized from the schema
+                # type below); predicate columns still reach read_table via
+                # pred_here regardless of projection
+                cols_here = [lmap[c] for c in cols if c in lmap and c not in mask]
+                if not cols_here:
+                    # all-masked projection: read one narrow column purely as
+                    # the row-count carrier
+                    cols_here = [lmap[c] for c in cols if c in lmap][:1]
                 # merge-on-read deletes MATERIALIZE here: the rewritten file
                 # contains only live rows and carries no sidecars
                 table = filefmt.read_table(
@@ -654,10 +663,10 @@ def rewrite_encoded(
                     for name in cols:
                         if name in mask:
                             # MaskMode.NULLIFY: schema keeps the column,
-                            # values are destroyed
-                            at = (table.column(lmap[name]).type
-                                  if name in lmap
-                                  else _arrow_type_of_spark(types.get(name, "string")))
+                            # values are destroyed; the type comes from the
+                            # CURRENT table schema (the column was excluded
+                            # from the read set, so no decode was paid)
+                            at = _arrow_type_of_spark(types.get(name, "string"))
                             arrays.append(pa.nulls(table.num_rows, type=at))
                         elif name in lmap:
                             arrays.append(table.column(lmap[name]))

@@ -99,7 +99,14 @@ def decode_image_stats(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
             decoded = np.zeros(n, bool)
             for i, raw in enumerate(blobs):
                 raw = bytes(raw)
-                px = decode_image(raw)
+                try:
+                    px = decode_image(raw)
+                except ValueError:
+                    # right magic, corrupt body (truncated/inconsistent
+                    # header) — routine in scraped media; pass through as
+                    # undecoded instead of failing the whole Spark task
+                    fmt[i] = "corrupt"
+                    continue
                 if px is None:
                     continue
                 fmt[i] = "bmp" if raw[:2] == b"BM" else "ppm"

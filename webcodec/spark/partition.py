@@ -294,11 +294,26 @@ def spark_partition_exprs(spec: list[dict]):
 # ------------------------------- pruning --------------------------------------
 
 
+# months-since-epoch values whose [start, end] month interval is exactly
+# representable as datetime64[us] int64 without wraparound; beyond these the
+# M->us cast silently overflows and would hand the pruner an inverted/garbage
+# interval that MIS-PRUNES files (wrong answers, not an error)
+_MONTH_US_SAFE_LO = -3_400_000   # ~year -281k; us-epoch min is ~year -290k
+_MONTH_US_SAFE_HI = 3_400_000    # ~year +285k; us-epoch max is ~year +294k
+
+
 def _month_bounds_us(months_since_epoch: int) -> tuple[int, int]:
     # numpy datetime64 arithmetic (like transform_array): datetime.datetime
     # raises outside years 1..9999, so a single extreme sentinel timestamp in
-    # the data would break every subsequent predicate scan at plan time
-    start = np.datetime64(0, "M") + int(months_since_epoch)
+    # the data would break every subsequent predicate scan at plan time.
+    # Outside the us-representable window the cast wraps on int64 overflow —
+    # return the conservative full int64 range there (keeps the file; a
+    # sentinel month far past year 294k can never be pruned, only kept).
+    m = int(months_since_epoch)
+    if not (_MONTH_US_SAFE_LO <= m <= _MONTH_US_SAFE_HI):
+        i64 = np.iinfo(np.int64)
+        return (int(i64.min) + 1, int(i64.max) - 1)
+    start = np.datetime64(0, "M") + m
     end = start + 1
     return (int(start.astype("datetime64[us]").astype(np.int64)),
             int(end.astype("datetime64[us]").astype(np.int64)) - 1)
