@@ -320,10 +320,93 @@ def test_nested_and_decimal_export_roundtrip(tmp_path):
     assert back.equals(t)
 
 
-def test_nested_export_rejects_deep_nesting(tmp_path):
-    t = pa.table({"ll": pa.array([[[1]]], pa.list_(pa.list_(pa.int64())))})
-    with pytest.raises(TypeError, match="one nesting level"):
-        write_parquet(t, str(tmp_path / "x.parquet"))
+def test_deep_nesting_shapes(tmp_path):
+    """Arbitrary-depth shredding (r5): map, list<struct>, list<list>,
+    struct<list>, map<string, list>, and a depth-4 mix all read back
+    value-identical through the reference reader, including null/empty
+    containers at every level."""
+    cases = {
+        "m": pa.array([[("k1", 1), ("k2", None)], None, [], [("z", 9)]],
+                      pa.map_(pa.string(), pa.int64())),
+        "ls": pa.array([[{"a": 1}, None, {"a": None}], None, [], [{"a": 7}]],
+                       pa.list_(pa.struct([("a", pa.int64())]))),
+        "ll": pa.array([[[1, 2], None, []], None, [[3]], []],
+                       pa.list_(pa.list_(pa.int64()))),
+        "sl": pa.array(
+            [{"v": [1, 2], "w": "x"}, None, {"v": None, "w": None},
+             {"v": [], "w": "y"}],
+            pa.struct([("v", pa.list_(pa.int64())), ("w", pa.string())])),
+        "ml": pa.array([[("a", [1, None]), ("b", [])], None, [("c", None)], []],
+                       pa.map_(pa.string(), pa.list_(pa.int64()))),
+        "deep": pa.array(
+            [[{"q": [{"r": 1}]}], None, [{"q": None}, None], []],
+            pa.list_(pa.struct([("q", pa.list_(pa.struct([("r", pa.int64())])))]))),
+    }
+    for name, arr in cases.items():
+        t = pa.table({name: arr})
+        p = str(tmp_path / f"{name}.parquet")
+        write_parquet(t, p, codec="zstd")
+        back = pq.read_table(p)
+        assert back.cast(t.schema).equals(t), name
+
+
+def _rand_nested_type(py, depth):
+    prims = [pa.int64(), pa.string(), pa.float64(), pa.bool_()]
+    if depth <= 0:
+        return py.choice(prims)
+    k = py.random()
+    if k < 0.30:
+        return pa.list_(_rand_nested_type(py, depth - 1))
+    if k < 0.55:
+        return pa.struct([(f"f{i}", _rand_nested_type(py, depth - 1))
+                          for i in range(py.randint(1, 3))])
+    if k < 0.75:
+        return pa.map_(pa.string(), _rand_nested_type(py, depth - 1))
+    return py.choice(prims)
+
+
+def _rand_nested_value(py, rng, t, nullable=True):
+    if nullable and py.random() < 0.2:
+        return None
+    if pa.types.is_list(t):
+        return [_rand_nested_value(py, rng, t.value_type)
+                for _ in range(py.randint(0, 4))]
+    if pa.types.is_struct(t):
+        return {f.name: _rand_nested_value(py, rng, f.type) for f in t}
+    if pa.types.is_map(t):
+        ks = sorted({f"k{rng.integers(0, 20)}" for _ in range(py.randint(0, 4))})
+        return [(k, _rand_nested_value(py, rng, t.item_type)) for k in ks]
+    if pa.types.is_int64(t):
+        return int(rng.integers(-100, 100))
+    if pa.types.is_string(t):
+        return f"s{rng.integers(0, 50)}"
+    if pa.types.is_float64(t):
+        return float(rng.integers(-1000, 1000)) / 8.0
+    return bool(rng.integers(0, 2))
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_deep_nested_export_fuzz(tmp_path, seed):
+    """Random-SCHEMA differential fuzz: random compositions of
+    list/struct/map to depth 3 with random nulls/empties at every level
+    must read back value-identical through the reference reader."""
+    import random
+
+    py = random.Random(1000 + seed)
+    rng = np.random.default_rng(1000 + seed)
+    n = py.choice([0, 1, 3, 50, 200])
+    cols = {}
+    for ci in range(py.randint(1, 3)):
+        t = _rand_nested_type(py, py.randint(1, 3))
+        cols[f"c{ci}"] = pa.array(
+            [_rand_nested_value(py, rng, t) for _ in range(n)], t)
+    t = pa.table(cols)
+    p = str(tmp_path / "t.parquet")
+    write_parquet(t, p, codec=["zstd", "none", "snappy"][seed % 3],
+                  row_group_rows=[None, 64, 7][seed % 3])
+    back = pq.read_table(p)
+    assert back.num_rows == t.num_rows
+    assert back.cast(t.schema).equals(t), seed
 
 
 def test_decimal_export_extremes(tmp_path):

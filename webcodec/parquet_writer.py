@@ -13,14 +13,15 @@ parquet.thrift: SchemaElement/ColumnMetaData/RowGroup/FileMetaData/
 PageHeader field ids; Encodings.md RLE hybrid; the PAR1 magic + footer-length
 tail layout) and the thrift compact protocol spec.
 
-Scope: flat schemas plus ONE level of nesting — list<primitive> (3-level
-LIST groups, Dremel rep/def levels), struct<primitive...> (per-leaf def
-levels), decimal128(p, s) as FIXED_LEN_BYTE_ARRAY(16) big-endian two's
-complement — one or more row groups (``row_group_rows``), PLAIN or
-PLAIN_DICTIONARY data pages, all columns written as OPTIONAL with RLE def
-levels; types bool/int32/int64/float/double/string/binary/timestamp[us]/
-date32/decimal128; codecs none/snappy/gzip/zstd/lz4 (raw). Deliberately
-small — the point is byte-format parity, not a second engine.
+Scope: flat schemas plus ARBITRARY-depth nesting — any composition of
+list / struct / map (3-level LIST and MAP key_value groups, full Dremel
+rep/def shredding via the vectorized entry-state walker ``_shred_column``),
+decimal128(p, s) as FIXED_LEN_BYTE_ARRAY(16) big-endian two's complement —
+one or more row groups (``row_group_rows``), PLAIN or PLAIN_DICTIONARY data
+pages, all columns written as OPTIONAL (map keys REQUIRED, per spec) with
+RLE def levels; types bool/int32/int64/float/double/string/binary/
+timestamp[us]/date32/decimal128; codecs none/snappy/gzip/zstd/lz4 (raw).
+Deliberately small — the point is byte-format parity, not a second engine.
 """
 
 from __future__ import annotations
@@ -43,6 +44,7 @@ _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
 _ENC_DELTA_BP, _ENC_BSS = 5, 9
 _REP_REQUIRED, _REP_OPTIONAL, _REP_REPEATED = 0, 1, 2
 _CT_UTF8, _CT_DECIMAL, _CT_DATE, _CT_TS_MICROS, _CT_LIST = 0, 5, 6, 10, 3
+_CT_MAP = 1
 _CODEC = {"none": 0, "uncompressed": 0, "snappy": 1, "gzip": 2, "zstd": 6, "lz4": 7}
 _DECIMAL_FLBA_LEN = 16  # decimal128 exports as 16-byte big-endian FLBA
 
@@ -438,6 +440,161 @@ def _write_shredded_chunk(out, offset: int, path_names: list[str],
     )
 
 
+class _Nst:
+    """Dremel shredding state over the column's ENTRY list: one slot per
+    output (rep, def) entry. Terminated entries (null/empty somewhere up the
+    path) carry their final def in ``dfn``; live entries continue into the
+    subtree and their values sit, in entry order, in ``values`` (length =
+    live.sum())."""
+
+    __slots__ = ("rep", "dfn", "live", "values")
+
+    def __init__(self, rep, dfn, live, values):
+        self.rep, self.dfn, self.live, self.values = rep, dfn, live, values
+
+
+def _nst_optional(st: _Nst, d: int) -> _Nst:
+    """Nullability step: null values terminate at def ``d``; valid values
+    continue (having earned def d+1)."""
+    n = len(st.live)
+    if len(st.values) == 0:
+        return st
+    v = pc.is_valid(st.values).to_numpy(zero_copy_only=False).astype(bool)
+    full = np.zeros(n, bool)
+    full[st.live] = v
+    dfn = st.dfn.copy()
+    dfn[st.live & ~full] = d
+    return _Nst(st.rep, dfn, st.live & full, st.values.drop_null())
+
+
+def _nst_repeated(st: _Nst, d: int, r: int) -> _Nst:
+    """List-expansion step (values must be a valid-only ListArray): each
+    live entry becomes its element entries (first keeps the entry's rep,
+    the rest get rep ``r``); empty lists terminate at def ``d`` (the
+    defined-but-empty level)."""
+    arr = st.values
+    n = len(st.live)
+    lens = (pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+            .astype(np.int64) if len(arr) else np.zeros(0, np.int64))
+    lens_full = np.zeros(n, np.int64)
+    lens_full[st.live] = lens
+    counts = np.maximum(lens_full, 1)  # terminated/empty entries keep 1 slot
+    idx = np.repeat(np.arange(n), counts)
+    total = int(counts.sum())
+    new_rep = st.rep[idx].copy()
+    starts = np.cumsum(counts) - counts
+    first = np.zeros(total, bool)
+    first[starts] = True
+    new_rep[~first] = r
+    new_dfn = st.dfn[idx].copy()
+    empty = st.live & (lens_full == 0)
+    new_dfn[starts[empty]] = d
+    new_live = st.live[idx] & (lens_full[idx] > 0)
+    return _Nst(new_rep, new_dfn, new_live, arr.flatten())
+
+
+def _map_as_list(t: pa.DataType) -> pa.DataType:
+    """map<K, V> viewed as its physical list<struct<key (required), value>>."""
+    return pa.list_(pa.struct([
+        pa.field("key", t.key_type, nullable=False),
+        pa.field("value", t.item_type),
+    ]))
+
+
+def _shred_column(name: str, arr: pa.Array) -> list[dict]:
+    """Arbitrary-depth Dremel shredding of one nested column: returns one
+    dict per LEAF — {path, leaf (valid values only), rep, defs, max_rep,
+    max_def, required} — entry arrays ready for :func:`_write_shredded_chunk`.
+    Traversal order mirrors :func:`_nested_elems` exactly (parquet requires
+    row-group chunks in depth-first schema order). All nodes are written
+    OPTIONAL except map keys (spec: required)."""
+    n = len(arr)
+    leaves: list[dict] = []
+
+    def leaf(st: _Nst, t, path, d, r, required):
+        if required:
+            dfn = st.dfn.copy()
+            dfn[st.live] = d
+            vals, rep = st.values, st.rep
+            max_def = d
+        else:
+            st2 = _nst_optional(st, d)
+            dfn = st2.dfn.copy()
+            dfn[st2.live] = d + 1
+            vals, rep = st2.values, st2.rep
+            max_def = d + 1
+        leaves.append({
+            "path": path, "leaf": vals, "rep": rep if r > 0 else None,
+            "defs": dfn, "max_rep": r, "max_def": max_def, "type": t,
+        })
+
+    def walk(st: _Nst, t, name, prefix, d, r, required=False):
+        path = prefix + [name]
+        if pa.types.is_map(t):
+            if pa.types.is_nested(t.key_type):
+                raise TypeError("parquet_writer: nested map keys unsupported")
+            st1 = _nst_optional(st, d)
+            st1 = _Nst(st1.rep, st1.dfn, st1.live,
+                       st1.values.cast(_map_as_list(t)))
+            st2 = _nst_repeated(st1, d + 1, r + 1)
+            kv = st2.values  # struct<key, value>, entries never null
+            walk(_Nst(st2.rep, st2.dfn, st2.live, kv.field(0)), t.key_type,
+                 "key", path + ["key_value"], d + 2, r + 1, required=True)
+            walk(_Nst(st2.rep, st2.dfn, st2.live, kv.field(1)), t.item_type,
+                 "value", path + ["key_value"], d + 2, r + 1)
+        elif pa.types.is_list(t):
+            st1 = _nst_optional(st, d)
+            st2 = _nst_repeated(st1, d + 1, r + 1)
+            walk(st2, t.value_type, "element", path + ["list"], d + 2, r + 1)
+        elif pa.types.is_struct(t):
+            st1 = _nst_optional(st, d)
+            for i in range(t.num_fields):
+                walk(_Nst(st1.rep, st1.dfn, st1.live, st1.values.field(i)),
+                     t.field(i).type, t.field(i).name, path, d + 1, r)
+        elif pa.types.is_nested(t):
+            raise TypeError(f"parquet_writer: unsupported nested type {t}")
+        else:
+            leaf(st, t, path, d, r, required)
+
+    st0 = _Nst(np.zeros(n, np.uint32), np.zeros(n, np.uint32),
+               np.ones(n, bool), arr)
+    walk(st0, arr.type, name, [], 0, 0)
+    return leaves
+
+
+def _nested_elems(name: str, t: pa.DataType) -> list[bytes]:
+    """SchemaElement subtree for one (possibly nested) field — depth-first,
+    case order mirroring :func:`_shred_column`."""
+    if pa.types.is_map(t):
+        return (
+            [_schema_element(name, conv=_CT_MAP, num_children=1),
+             _schema_element("key_value", repetition=_REP_REPEATED,
+                             num_children=2)]
+            + _nested_elems_child("key", t.key_type, required=True)
+            + _nested_elems_child("value", t.item_type)
+        )
+    if pa.types.is_list(t):
+        return (
+            [_schema_element(name, conv=_CT_LIST, num_children=1),
+             _schema_element("list", repetition=_REP_REPEATED,
+                             num_children=1)]
+            + _nested_elems_child("element", t.value_type)
+        )
+    if pa.types.is_struct(t):
+        out = [_schema_element(name, num_children=t.num_fields)]
+        for i in range(t.num_fields):
+            out += _nested_elems_child(t.field(i).name, t.field(i).type)
+        return out
+    return [_leaf_element(name, t)]
+
+
+def _nested_elems_child(name: str, t: pa.DataType, required=False) -> list[bytes]:
+    if pa.types.is_nested(t):
+        return _nested_elems(name, t)
+    return [_leaf_element(
+        name, t, repetition=_REP_REQUIRED if required else _REP_OPTIONAL)]
+
+
 def _list_levels(arr: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     """(leaf values where def==3, rep, def) for an optional list<optional
     primitive> column under the 3-level LIST encoding: def 0 = null list,
@@ -504,32 +661,13 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
                 t = arr.type
-                if pa.types.is_list(t):
-                    if pa.types.is_nested(t.value_type):
-                        raise TypeError(
-                            f"parquet_writer: list<{t.value_type}> export is "
-                            "limited to one nesting level")
-                    leaf, rep, defs = _list_levels(arr)
-                    cm, offset = _write_shredded_chunk(
-                        out, offset, [name, "list", "element"], leaf, rep,
-                        defs, 1, 3, codec)
-                    col_meta.append(cm)
-                elif pa.types.is_struct(t):
-                    smask = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
-                    for i in range(t.num_fields):
-                        if pa.types.is_nested(t.field(i).type):
-                            raise TypeError(
-                                "parquet_writer: struct-of-nested export is "
-                                "limited to one nesting level")
-                        child = arr.field(i)
-                        cmask = (pc.is_valid(child)
-                                 .to_numpy(zero_copy_only=False).astype(bool)
-                                 & smask)
-                        defs = smask.astype(np.uint64) + cmask.astype(np.uint64)
-                        leaf = child.filter(pa.array(cmask))
+                if pa.types.is_nested(t):
+                    # arbitrary-depth Dremel shredding (list/struct/map,
+                    # any composition): one chunk per leaf, depth-first
+                    for ls in _shred_column(name, arr):
                         cm, offset = _write_shredded_chunk(
-                            out, offset, [name, t.field(i).name], leaf, None,
-                            defs, 0, 2, codec)
+                            out, offset, ls["path"], ls["leaf"], ls["rep"],
+                            ls["defs"], ls["max_rep"], ls["max_def"], codec)
                         col_meta.append(cm)
                 else:
                     cm, offset = _write_column_chunk(
@@ -590,20 +728,7 @@ def _schema_elements(schema: pa.Schema) -> list[bytes]:
     elems = [_schema_element("schema", repetition=_REP_REQUIRED,
                              num_children=len(schema))]
     for field in schema:
-        t = field.type
-        if pa.types.is_list(t):
-            elems.append(_schema_element(field.name, conv=_CT_LIST,
-                                         num_children=1))
-            elems.append(_schema_element("list", repetition=_REP_REPEATED,
-                                         num_children=1))
-            elems.append(_leaf_element("element", t.value_type))
-        elif pa.types.is_struct(t):
-            elems.append(_schema_element(field.name,
-                                         num_children=t.num_fields))
-            for i in range(t.num_fields):
-                elems.append(_leaf_element(t.field(i).name, t.field(i).type))
-        else:
-            elems.append(_leaf_element(field.name, t))
+        elems.extend(_nested_elems_child(field.name, field.type))
     return elems
 
 

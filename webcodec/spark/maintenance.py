@@ -728,9 +728,10 @@ def export_parquet(
     (thrift headers, v1 pages, spec RLE levels; webcodec.parquet_writer) —
     so any reference reader can consume the result. One Spark task per
     source file, bytes never cross the JVM. Scope: flat primitive columns
-    plus one nesting level — list<primitive> (Dremel rep/def levels),
-    struct<primitive...>, decimal128 as FLBA(16) (SURVEY §2.E1, C5; the
-    writer raises on deeper nesting). With ``carry_encodings`` (default),
+    plus ARBITRARY-depth nesting — any composition of list/struct/map
+    (full Dremel rep/def shredding, webcodec.parquet_writer._shred_column),
+    decimal128 as FLBA(16) (SURVEY §2.E1, C5). With ``carry_encodings``
+    (default),
     columns the .wcd selector
     encoded as DELTA_BINARY_PACKED / BYTE_STREAM_SPLIT export as the SAME
     spec encoding (the selector's evidence transfers: what delta-packed well
