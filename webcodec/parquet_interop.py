@@ -18,11 +18,14 @@ for RLE runs; data page v1 = def levels [u32 length + hybrid] then values)
 and the thrift compact protocol spec (field delta/type nibbles, zigzag
 varints).
 
-Scope: flat schemas, v1 AND v2 data pages (v2: levels stored uncompressed
-outside the compressed values region, lengths in the page header), codecs
-none/snappy/zstd/gzip/lz4, physical types INT32/INT64/FLOAT/DOUBLE/
-BYTE_ARRAY. Enough to differential-test every kernel family the engine
-relies on.
+Scope: flat AND arbitrarily-nested schemas (list / struct / map in any
+composition — full Dremel assembly from rep/def levels in
+``read_column_arrow``, honoring required/optional per the arrow schema),
+v1 AND v2 data pages (v2: levels stored uncompressed outside the compressed
+values region, lengths in the page header), codecs none/snappy/zstd/gzip/
+lz4, physical types BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY. Enough to
+differential-test every kernel family the engine relies on, plus the
+read-side inverse of parquet_writer's nested export (SURVEY §2 E2).
 """
 
 from __future__ import annotations
@@ -152,6 +155,9 @@ def _plain_values(body: memoryview, n: int, phys: str):
             out.append(bytes(body[pos : pos + ln]))
             pos += ln
         return out
+    if phys == "BOOLEAN":  # PLAIN booleans: LSB-first bit-packed
+        bits = np.frombuffer(body, dtype=np.uint8, count=(n + 7) // 8)
+        return np.unpackbits(bits, bitorder="little")[:n].astype(bool)
     raise NotImplementedError(f"physical type {phys}")
 
 
@@ -167,31 +173,28 @@ def _delta_length_byte_array(body: memoryview, n: int) -> list:
     return [bytes(blob[s:e]) for s, e in zip(starts, ends)]
 
 
-def read_column_chunk(path: str, row_group: int, column: int) -> list:
-    """Decode one column chunk of a real parquet file to a python list
-    (None for nulls) using only webcodec kernels for levels/RLE/bit-pack."""
-    import pyarrow.parquet as pq
-
-    pf = pq.ParquetFile(path)
-    meta = pf.metadata.row_group(row_group).column(column)
-    phys = meta.physical_type
+def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
+                       max_def: int):
+    """Decode one LEAF column chunk to Dremel entry streams using only
+    webcodec kernels: (values, rep, def) where ``values`` holds the present
+    values only (np array or python list of bytes), ``rep``/``def`` are
+    int64 per-ENTRY level arrays (``rep`` is None when max_rep == 0;
+    ``def`` is None when max_def == 0)."""
     codec = meta.compression
-    col_schema = pf.schema_arrow.field(column)
-    max_def = 1 if col_schema.nullable else 0
-
-    with open(path, "rb") as f:
-        data = f.read()
-    buf = memoryview(data)
     start = meta.dictionary_page_offset
     if start is None:
         start = meta.data_page_offset
     end = start + meta.total_compressed_size
+    w_def = max(max_def.bit_length(), 1)
+    w_rep = max(max_rep.bit_length(), 1)
 
     dict_values = None
-    out: list = []
+    vals_parts: list = []
+    rep_parts: list = []
+    def_parts: list = []
     pos = start
-    rows = 0
-    while pos < end and rows < meta.num_values:
+    entries = 0
+    while pos < end and entries < meta.num_values:
         header, pos = _read_struct(buf, pos)
         ptype = header[1]
         usize, csize = header[2], header[3]
@@ -202,33 +205,36 @@ def read_column_chunk(path: str, row_group: int, column: int) -> list:
             body = memoryview(_decompress(bytes(raw_page), codec, usize))
             dict_values = _plain_values(body, dph[1], phys)
             continue
-        mask = None
+        reps = defs = None
         if ptype == _PAGE_DATA:
             dph = header[5]
             n_values = dph[1]
             enc = dph[2]
             lvl_enc = dph.get(3, _ENC_RLE)  # definition_level_encoding
             body = memoryview(_decompress(bytes(raw_page), codec, usize))
+            if max_rep:
+                (rl,) = struct.unpack_from("<I", body, 0)
+                reps = rle.decode_spec(body[4 : 4 + rl], w_rep, n_values)
+                body = body[4 + rl :]
             if max_def:
                 if lvl_enc == _ENC_RLE:  # u32 length + hybrid stream
                     (lvl_len,) = struct.unpack_from("<I", body, 0)
-                    levels = rle.decode_spec(body[4 : 4 + lvl_len], 1, n_values)
+                    defs = rle.decode_spec(body[4 : 4 + lvl_len], w_def, n_values)
                     body = body[4 + lvl_len :]
                 elif lvl_enc == 4:  # deprecated BIT_PACKED: MSB-first, no prefix
                     from webcodec.kernels import bitpack
 
-                    nb = (n_values + 7) // 8
-                    levels = bitpack.unpack_legacy(body[:nb], 1, n_values)
+                    nb = (n_values * w_def + 7) // 8
+                    defs = bitpack.unpack_legacy(body[:nb], w_def, n_values)
                     body = body[nb:]
                 else:
                     raise NotImplementedError(f"level encoding {lvl_enc}")
-                mask = levels.astype(bool)
-                n_nonnull = int(mask.sum())
+                n_nonnull = int((defs == max_def).sum())
             else:
                 n_nonnull = n_values
         elif ptype == _PAGE_DATA_V2:
             # v2: levels live UNCOMPRESSED ahead of the (optionally)
-            # compressed values; lengths come from the header, def level
+            # compressed values; lengths come from the header, level
             # streams carry no u32 prefix
             dph = header[8]
             n_values = dph[1]
@@ -242,11 +248,13 @@ def read_column_chunk(path: str, row_group: int, column: int) -> list:
             if compressed:
                 vals_bytes = _decompress(vals_bytes, codec, usize - rep_len - def_len)
             body = memoryview(vals_bytes)
+            if max_rep:
+                reps = rle.decode_spec(lvl_bytes[:rep_len], w_rep, n_values)
             if max_def:
-                levels = rle.decode_spec(lvl_bytes[rep_len:], 1, n_values)
-                mask = levels.astype(bool)
-                n_nonnull = int(mask.sum())
-                assert n_values - n_nonnull == n_nulls
+                defs = rle.decode_spec(lvl_bytes[rep_len:], w_def, n_values)
+                n_nonnull = int((defs == max_def).sum())
+                if not max_rep:
+                    assert n_values - n_nonnull == n_nulls
             else:
                 n_nonnull = n_values
         else:
@@ -283,17 +291,212 @@ def read_column_chunk(path: str, row_group: int, column: int) -> list:
             from webcodec.kernels import bss
 
             vals = bss.decode(body, _BSS_DTYPES[phys], n_nonnull)
+        elif enc == _ENC_RLE and phys == "BOOLEAN":
+            # v2 boolean value stream: u32-prefixed RLE hybrid, width 1
+            (ln,) = struct.unpack_from("<I", body, 0)
+            vals = rle.decode_spec(body[4 : 4 + ln], 1, n_nonnull).astype(bool)
         else:
             raise NotImplementedError(f"encoding {enc}")
-        if mask is None:
-            out.extend(v.item() if isinstance(v, np.generic) else v for v in vals)
+        vals_parts.append(vals)
+        if reps is not None:
+            rep_parts.append(np.asarray(reps, np.int64))
+        if defs is not None:
+            def_parts.append(np.asarray(defs, np.int64))
+        entries += n_values
+
+    if vals_parts and isinstance(vals_parts[0], list):
+        values: object = [v for part in vals_parts for v in part]
+    elif vals_parts:
+        values = np.concatenate(vals_parts)
+    else:
+        values = np.zeros(0, np.int64)
+    reps_all = np.concatenate(rep_parts) if rep_parts else None
+    defs_all = np.concatenate(def_parts) if def_parts else None
+    return values, reps_all, defs_all
+
+
+def read_column_chunk(path: str, row_group: int, column: int) -> list:
+    """Decode one FLAT column chunk of a real parquet file to a python list
+    (None for nulls) using only webcodec kernels for levels/RLE/bit-pack."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    meta = pf.metadata.row_group(row_group).column(column)
+    col_schema = pf.schema_arrow.field(column)
+    max_def = 1 if col_schema.nullable else 0
+    with open(path, "rb") as f:
+        buf = memoryview(f.read())
+    vals, _, defs = _read_leaf_entries(
+        buf, meta, meta.physical_type, 0, max_def)
+    if defs is None:
+        return [v.item() if isinstance(v, np.generic) else v for v in vals]
+    out: list = []
+    it = iter(vals)
+    for ok in defs == max_def:
+        if ok:
+            v = next(it)
+            out.append(v.item() if isinstance(v, np.generic) else v)
+        else:
+            out.append(None)
+    return out
+
+
+# --------------------------- nested assembly ----------------------------------
+
+
+def _n_leaves(t) -> int:
+    import pyarrow as pa
+
+    if pa.types.is_list(t):
+        return _n_leaves(t.value_type)
+    if pa.types.is_struct(t):
+        return sum(_n_leaves(t.field(i).type) for i in range(t.num_fields))
+    if pa.types.is_map(t):
+        return 1 + _n_leaves(t.item_type)
+    return 1
+
+
+def _validity_buf(validity: np.ndarray):
+    import pyarrow as pa
+
+    if validity.all():
+        return None
+    return pa.py_buffer(np.packbits(validity, bitorder="little").tobytes())
+
+
+def _leaf_arrow(vals, defs, max_def, target_type):
+    """Leaf entry stream -> arrow array (one slot per entry; null when
+    def < max_def), cast to the schema's leaf type."""
+    import pyarrow as pa
+
+    present = (defs == max_def) if defs is not None else None
+    if isinstance(vals, list):  # BYTE_ARRAY
+        if present is None:
+            arr = pa.array(vals, pa.binary())
         else:
             it = iter(vals)
-            for ok in mask:
-                if ok:
-                    v = next(it)
-                    out.append(v.item() if isinstance(v, np.generic) else v)
-                else:
-                    out.append(None)
-        rows += n_values
-    return out
+            arr = pa.array([next(it) if p else None for p in present],
+                           pa.binary())
+        if pa.types.is_string(target_type) or pa.types.is_large_string(target_type):
+            return arr.cast(target_type)
+        return arr.cast(target_type) if target_type != arr.type else arr
+    vals = np.asarray(vals)
+    if present is None:
+        arr = pa.array(vals)
+    else:
+        full = np.zeros(len(present), dtype=vals.dtype)
+        full[present] = vals
+        arr = pa.array(full, mask=~present)
+    return arr.cast(target_type) if arr.type != target_type else arr
+
+
+def _assemble(t, d: int, r: int, streams: list[dict], nullable: bool = True):
+    """Recursive Dremel record assembly: returns an arrow array of type
+    ``t`` with ONE slot per level-``r`` item in the entry streams (items =
+    entries with rep <= r); slots whose first-entry def < the node's defined
+    level come out null (covers both null-at-this-node and terminated
+    ancestors — the parent's offsets/validity slice them correctly).
+    ``d`` is the def level EARNED entering the node; the node itself adds
+    one when ``nullable``."""
+    import pyarrow as pa
+
+    d1 = d + (1 if nullable else 0)
+    s0 = streams[0]
+    rep0 = (s0["rep"] if s0["rep"] is not None
+            else np.zeros(len(s0["def"]), np.int64))
+
+    if pa.types.is_list(t) or pa.types.is_map(t):
+        dfn0 = s0["def"]
+        starts = np.flatnonzero(rep0 <= r)
+        n_items = len(starts)
+        first_def = dfn0[starts] if n_items else np.zeros(0, np.int64)
+        validity = first_def >= d1
+        thresh = d1 + 1  # element occurrence level
+        em = ((rep0 <= r + 1) & (dfn0 >= thresh)).astype(np.int64)
+        counts = (np.add.reduceat(em, starts) if n_items
+                  else np.zeros(0, np.int64))
+        # reduceat quirk: a start at the last index reduces a single slot —
+        # correct here since spans are [start_i, start_{i+1})
+        offsets = np.zeros(n_items + 1, np.int32)
+        np.cumsum(counts, out=offsets[1:])
+
+        def filt(s):
+            keep = s["def"] >= thresh
+            return {
+                "vals": s["vals"],
+                "rep": s["rep"][keep] if s["rep"] is not None else None,
+                "def": s["def"][keep],
+            }
+
+        sub = [filt(s) for s in streams]
+        if pa.types.is_list(t):
+            child = _assemble(t.value_type, d1 + 1, r + 1, sub,
+                              t.value_field.nullable)
+            return pa.Array.from_buffers(
+                t, n_items,
+                [_validity_buf(validity), pa.py_buffer(offsets.tobytes())],
+                children=[child])
+        # map: key (required leaf) + value subtree
+        keys = _assemble(t.key_type, d1 + 1, r + 1, sub[:1], nullable=False)
+        items = _assemble(t.item_type, d1 + 1, r + 1, sub[1:],
+                          t.item_field.nullable)
+        kv = pa.StructArray.from_arrays(
+            [keys, items],
+            fields=[pa.field("key", t.key_type, nullable=False),
+                    pa.field("value", t.item_type)])
+        return pa.Array.from_buffers(
+            t, n_items,
+            [_validity_buf(validity), pa.py_buffer(offsets.tobytes())],
+            children=[kv])
+
+    if pa.types.is_struct(t):
+        dfn0 = s0["def"]
+        starts = np.flatnonzero(rep0 <= r)
+        n_items = len(starts)
+        first_def = dfn0[starts] if n_items else np.zeros(0, np.int64)
+        validity = first_def >= d1
+        children = []
+        li = 0
+        for i in range(t.num_fields):
+            f = t.field(i)
+            nl = _n_leaves(f.type)
+            children.append(
+                _assemble(f.type, d1, r, streams[li : li + nl], f.nullable))
+            li += nl
+        return pa.Array.from_buffers(
+            t, n_items, [_validity_buf(validity)], children=children)
+
+    if pa.types.is_nested(t):
+        raise NotImplementedError(f"assembly of {t}")
+    # primitive leaf: every entry is an item; present iff def == d1
+    return _leaf_arrow(s0["vals"], s0["def"], d1, t)
+
+
+def read_column_arrow(path: str, row_group: int, column_name: str):
+    """Decode one (possibly NESTED) top-level column of a real parquet file
+    to an arrow array using only webcodec kernels — pages, levels and values
+    decoded by our RLE/bit-pack/delta/BSS machinery, containers reassembled
+    from rep/def levels (the read-side inverse of parquet_writer's Dremel
+    shredding). Works on pyarrow/parquet-java-written files."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    field = pf.schema_arrow.field(column_name)
+    rg = pf.metadata.row_group(row_group)
+    with open(path, "rb") as f:
+        buf = memoryview(f.read())
+    streams = []
+    for i in range(rg.num_columns):
+        meta = rg.column(i)
+        if meta.path_in_schema.split(".")[0] != column_name:
+            continue
+        col = pf.schema.column(i)
+        vals, reps, defs = _read_leaf_entries(
+            buf, meta, meta.physical_type,
+            col.max_repetition_level, col.max_definition_level)
+        if defs is None:  # required flat leaf: synthesize def 0s
+            defs = np.zeros(meta.num_values, np.int64)
+        streams.append({"vals": vals, "rep": reps, "def": defs})
+    if not streams:
+        raise KeyError(f"column {column_name!r} not in {path}")
+    return _assemble(field.type, 0, 0, streams, field.nullable)
