@@ -1537,17 +1537,50 @@ def _events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode/feature-extract plumbing (stubbed decoder — no image
-    libs in this container; schema/batch shape/partitioning are real).
-    The feature vector is folded to a scalar checksum so the output is fully
-    oracle-checkable (the stub dims/features are md5-derived, and md5 exists
-    in DuckDB too — the testdata text is pure ASCII so char/byte prefixes
-    coincide)."""
+    """Multimodal feature extraction, REAL decoder wired in (r5): every
+    doc_id % 3 == 0 row carries a synthetic two-band BMP/PPM blob (same
+    doc_id-arithmetic generator as media_decode_pixels) that the
+    dependency-free numpy codecs decode to exact integer pixel-stat
+    features; the other rows carry text bytes and take the clearly-marked
+    stub path (md5-derived dims/features — no jpeg/png libs here). Both
+    branches are analytically oracle-checkable: the real branch from the
+    two-band color arithmetic, the stub from DuckDB's md5. The feature
+    vector is folded to a scalar checksum (floor(x*1000) sum — every dim is
+    k/128 with k an exact integer, so float32/double agree bit-for-bit)."""
     from webcodec.spark.media import extract_media_features
 
     _prep(spark)
-    df = _src(spark, sf_dir, "documents")
-    media = df.select(F.col("doc_id"), F.encode(F.col("text"), "utf-8").alias("blob"))
+    df = _src(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from webcodec.imaging import encode_bmp, encode_ppm
+
+        for b in batches:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = b.column("text").to_pylist()
+            blobs = []
+            for d, txt in zip(ids, texts):
+                d = int(d)
+                if d % 3 != 0:
+                    blobs.append((txt or "").encode())
+                    continue
+                w, h = 8 + d % 13, 8 + d % 7
+                ca = np.array([d * 7 % 256, d * 11 % 256, d * 13 % 256], np.uint8)
+                cb = np.array([d * 17 % 256, d * 19 % 256, d * 23 % 256], np.uint8)
+                px = np.empty((h, w, 3), np.uint8)
+                hh = (h + 1) // 2
+                px[:hh] = ca
+                px[hh:] = cb
+                blobs.append(encode_bmp(px) if d % 2 == 0 else encode_ppm(px))
+            yield pa.RecordBatch.from_pydict({
+                "doc_id": pa.array(ids, pa.int64()),
+                "blob": pa.array(blobs, pa.binary()),
+            })
+
+    media = df.mapInArrow(gen, "doc_id long, blob binary")
     feats = extract_media_features(media, "doc_id", "blob")
     feat_chk = F.aggregate(
         F.transform(F.col("feature"), lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long")),
@@ -1884,26 +1917,49 @@ def _dedup_simhash_oracle() -> str:
 
 
 def _media_features_oracle() -> str:
-    """Mirror of webcodec.spark.media._decode_stub + feature seed in SQL.
-    Stub: h = md5(blob[:256]); width = 64 + h[0] % 192; height = 64 + h[1] % 192;
-    feature[i] = (h[i] - 128) / 128.0 (float32-exact: /128 keeps <=7 fraction
-    bits, so double and float32 agree bit-for-bit)."""
-    feat_terms = " + ".join(
+    """Two analytic branches mirroring the r5 media path. REAL branch
+    (doc_id % 3 == 0): two-band image arithmetic — w = 8 + d%13,
+    h = 8 + d%7, top band hh = (h+1)//2 rows of color A, rest color B, so
+    sum_c = w*(hh*ca_c + (h-hh)*cb_c); n_bytes from the exact BMP
+    (54 + 4-padded stride * h) / PPM (header text + w*h*3) layouts;
+    feature dims k = [sum_r%256, sum_g%256, sum_b%256, w, h, ca_r, (w*h)%256,
+    n_bytes%256], each mapped (k-128)/128 (float32/double-exact). STUB
+    branch: h = md5(blob[:256]); width = 64 + h[0]%192; height = 64+h[1]%192;
+    feature[i] = (h[i]-128)/128."""
+    stub_terms = " + ".join(
         f"floor((({_hexbyte('h', i)}) - 128) / 128.0 * 1000.0)" for i in range(8)
     )
+    # real-branch integer dims as SQL expressions over d (doc_id)
+    w, h = "(8 + d % 13)", "(8 + d % 7)"
+    hh = f"(({h} + 1) // 2)"
+    ca = [f"(d * {m} % 256)" for m in (7, 11, 13)]
+    cb = [f"(d * {m} % 256)" for m in (17, 19, 23)]
+    sums = [f"({w} * ({hh} * {a} + ({h} - {hh}) * {b}))" for a, b in zip(ca, cb)]
+    nb = (f"(CASE WHEN d % 2 = 0 THEN 54 + (({w} * 3 + 3) // 4) * 4 * {h} "
+          f"ELSE octet_length(encode('P6' || chr(10) || CAST({w} AS VARCHAR) "
+          f"|| ' ' || CAST({h} AS VARCHAR) || chr(10) || '255' || chr(10))) "
+          f"+ {w} * {h} * 3 END)")
+    ks = [f"({s} % 256)" for s in sums] + [w, h, ca[0], f"({w} * {h} % 256)",
+                                           f"({nb} % 256)"]
+    real_terms = " + ".join(f"floor(({k} - 128) / 128.0 * 1000.0)" for k in ks)
     return (
-        "WITH m AS (SELECT doc_id AS media_id, text, "
+        "WITH m AS (SELECT doc_id AS media_id, doc_id AS d, text, "
         "md5(substring(text, 1, 256)) AS h FROM documents) "
         "SELECT media_id, "
-        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
-        "CASE WHEN substring(text, 1, 4) = 'GIF8' THEN 'gif' "
+        f"CAST(CASE WHEN d % 3 = 0 THEN {nb} "
+        "ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes, "
+        "CASE WHEN d % 3 = 0 THEN (CASE WHEN d % 2 = 0 THEN 'bmp' ELSE 'ppm' END) "
+        "WHEN substring(text, 1, 4) = 'GIF8' THEN 'gif' "
         "WHEN substring(text, 1, 4) = 'RIFF' THEN 'riff' "
         "WHEN substring(text, 1, 4) IN ('<htm', '<!DO') THEN 'html' "
         "ELSE 'unknown' END AS format, "
-        f"CAST(64 + ({_hexbyte('h', 0)}) % 192 AS INT) AS width, "
-        f"CAST(64 + ({_hexbyte('h', 1)}) % 192 AS INT) AS height, "
-        "FALSE AS decoded, "
-        f"CAST({feat_terms} AS BIGINT) AS feat_chk "
+        f"CAST(CASE WHEN d % 3 = 0 THEN {w} "
+        f"ELSE 64 + ({_hexbyte('h', 0)}) % 192 END AS INT) AS width, "
+        f"CAST(CASE WHEN d % 3 = 0 THEN {h} "
+        f"ELSE 64 + ({_hexbyte('h', 1)}) % 192 END AS INT) AS height, "
+        "(d % 3 = 0) AS decoded, "
+        f"CAST(CASE WHEN d % 3 = 0 THEN {real_terms} "
+        f"ELSE {stub_terms} END AS BIGINT) AS feat_chk "
         "FROM m"
     )
 

@@ -157,3 +157,68 @@ def test_decode_image_stats_spark(spark):
     assert rows[2]["format"] == "ppm" and rows[2]["sum_g"] == 200 * 3 * 4
     assert rows[3]["format"] == "unknown" and not rows[3]["decoded"]
     assert rows[3]["width"] == -1
+
+
+def test_media_features_real_decoder_wired(spark):
+    """r5: extract_media_features routes BMP/PPM blobs through the REAL
+    numpy decoders — real dims, decoded=true, features = exact integer
+    pixel stats (k-128)/128 — while opaque blobs keep the stub embedding
+    with decoded=false."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webcodec.imaging import encode_bmp, encode_ppm
+    from webcodec.spark.media import extract_media_features
+
+    px = np.zeros((3, 5, 3), np.uint8)
+    px[:, :, 0] = 9          # sum_r = 135
+    px[0, 0] = (20, 1, 2)    # top-left
+    bmp = encode_bmp(px)
+    ppm = encode_ppm(px)
+    t = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "blob": pa.array([bmp, ppm, b"plain text, no magic"], pa.binary()),
+    })
+    df = spark.createDataFrame(t.to_pandas())
+    rows = {r["media_id"]: r
+            for r in extract_media_features(df, "media_id", "blob").collect()}
+    for mid, blob, fmt in ((1, bmp, "bmp"), (2, ppm, "ppm")):
+        r = rows[mid]
+        assert r["format"] == fmt and r["decoded"]
+        assert (r["width"], r["height"]) == (5, 3)
+        sum_r = 9 * 15 + (20 - 9)
+        want_k = [sum_r % 256, (1 + 2) % 256, (2 + 1) % 256, 5, 3, 20,
+                  15 % 256, len(blob) % 256]
+        want_k[1] = (0 * 15 + 1) % 256  # sum_g: one pixel overridden to 1
+        want_k[2] = (0 * 15 + 2) % 256
+        got = [round(f * 128 + 128) for f in r["feature"]]
+        assert got == want_k, (fmt, got, want_k)
+    r3 = rows[3]
+    assert r3["format"] == "unknown" and not r3["decoded"]
+    assert len(r3["feature"]) == 8  # stub embedding, same shape
+
+
+def test_decode_image_stats_corrupt_blob_passthrough(spark):
+    """ADVICE r4: a blob with the right magic but corrupt body must pass
+    through as decoded=false/format='corrupt' instead of failing the Spark
+    task."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webcodec.imaging import encode_bmp
+    from webcodec.spark.media import decode_image_stats
+
+    good = encode_bmp(np.full((2, 2, 3), 7, np.uint8))
+    t = pa.table({
+        "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "blob": pa.array([good, good[:30], b"P6\n999999999 2\n255\nxx", b""],
+                         pa.binary()),
+    })
+    df = spark.createDataFrame(t.to_pandas())
+    rows = {r["media_id"]: r
+            for r in decode_image_stats(df, "media_id", "blob").collect()}
+    assert rows[1]["decoded"] and rows[1]["sum_r"] == 7 * 4
+    for mid in (2, 3):
+        assert not rows[mid]["decoded"] and rows[mid]["format"] == "corrupt"
+        assert rows[mid]["width"] == -1
+    assert not rows[4]["decoded"] and rows[4]["format"] == "unknown"

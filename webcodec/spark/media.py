@@ -33,7 +33,10 @@ _MAGIC = {
     b"RIFF": "riff",
     b"<htm": "html",
     b"<!DO": "html",
+    b"BM": "bmp",
+    b"P6": "ppm",
 }
+_REAL_FORMATS = ("bmp", "ppm")  # dependency-free numpy decoders exist
 
 
 def _sniff_format(prefix: bytes) -> str:
@@ -133,14 +136,20 @@ def extract_media_features(df: DataFrame, id_col: str, blob_col: str,
                            n_features: int = 8) -> DataFrame:
     """media table -> typed feature rows (one per media item), vectorized.
 
-    Feature vector = stub embedding (content-hash-seeded, deterministic);
-    with a real decoder it would be the model/pixel features at the same
-    schema and batch shape. Without PIL the whole batch path is vectorized:
-    format sniff from a gathered 4-byte prefix matrix, dims/features from the
-    lane-parallel MD5 kernel over 256-byte prefixes (the stub's seed bytes
-    are exactly the kernel's 8 little-endian digest bytes)."""
+    REAL decode for BMP/PPM blobs (the dependency-free numpy codecs in
+    webcodec/imaging.py): real dims, decoded=true, and a feature vector of
+    exact integer pixel statistics (per-channel sums mod 256, dims,
+    top-left red, pixel count, byte count — each mapped (k-128)/128, so the
+    values are float32/double-EXACT and oracle-checkable). Formats whose
+    decoders aren't in this container (jpeg/png/...) fall back to a
+    clearly-marked deterministic stub embedding — content-hash-seeded dims
+    and features at the same schema/batch shape (with PIL present the real
+    decoder would run; only reachable in a full environment). The stub path
+    is fully vectorized: format sniff from a gathered 4-byte prefix matrix,
+    dims/features from the lane-parallel MD5 kernel over 256-byte prefixes
+    (the stub's seed bytes are exactly the kernel's 8 LE digest bytes)."""
     if n_features > 8:
-        raise ValueError("stub features derive from 8 digest bytes (n_features <= 8)")
+        raise ValueError("features derive from 8 stat/digest bytes (n_features <= 8)")
     sel = df.select(df[id_col].alias("media_id"), df[blob_col].alias("blob"))
 
     def feature_batches(batches):
@@ -192,11 +201,40 @@ def extract_media_features(df: DataFrame, id_col: str, blob_col: str,
             heights = (64 + hb[:, 1] % 192).astype(np.int32)
             feats = (hb[:, :n_features].astype(np.float32) - 128.0) / 128.0
 
-            if have_pil:  # real decoder path (absent in this container)
+            decoded = np.zeros(n, bool)
+            # REAL decode for the formats our numpy codecs cover: exact
+            # integer pixel statistics as the feature vector, (k-128)/128
+            # keeps every dim float32/double-exact (k in 0..255)
+            real_codes = [i for i, nm in enumerate(names) if nm in _REAL_FORMATS]
+            real_rows = np.flatnonzero(np.isin(fmt_codes, real_codes))
+            if real_rows.size:
+                from webcodec.imaging import decode_image
+
+                raws = blob.take(pa.array(real_rows)).to_pylist()
+                for j, raw in zip(real_rows, raws):
+                    try:
+                        px = decode_image(bytes(raw))
+                    except ValueError:
+                        continue  # corrupt body: keep stub dims, decoded=false
+                    if px is None:
+                        continue
+                    h_, w_ = int(px.shape[0]), int(px.shape[1])
+                    s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    widths[j], heights[j] = w_, h_
+                    k8 = np.array(
+                        [s[0] % 256, s[1] % 256, s[2] % 256, w_ % 256,
+                         h_ % 256, int(px[0, 0, 0]), (w_ * h_) % 256,
+                         int(n_bytes[j]) % 256], np.float32)
+                    feats[j, :] = (k8[:n_features] - 128.0) / 128.0
+                    decoded[j] = True
+            if have_pil:  # general decoder path (absent in this container)
                 blobs = blob.to_pylist()
                 for i, raw in enumerate(blobs):
+                    if decoded[i]:
+                        continue
                     try:
                         widths[i], heights[i] = _decode_real(bytes(raw))
+                        decoded[i] = True
                     except Exception:  # noqa: BLE001 — keep the stub dims
                         pass
             yield pa.RecordBatch.from_pydict(
@@ -206,7 +244,7 @@ def extract_media_features(df: DataFrame, id_col: str, blob_col: str,
                     "format": fmts,
                     "width": pa.array(widths, pa.int32()),
                     "height": pa.array(heights, pa.int32()),
-                    "decoded": pa.array([have_pil] * n, pa.bool_()),
+                    "decoded": pa.array(decoded, pa.bool_()),
                     "feature": pa.array(list(feats), pa.list_(pa.float32())),
                 }
             )
