@@ -317,6 +317,123 @@ def _rt_export_parquet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_export_parquet_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep/map nested interop loop (r5): map<string,string> and
+    list<struct<w,p>> columns round-trip webcodec -> export_parquet (the
+    arbitrary-depth Dremel shredder: MAP key_value groups with required
+    keys, rep/def levels through list-of-struct) -> Spark's reference
+    parquet reader. Output projects to scalars for the oracle hash."""
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import export_parquet
+
+    _prep(spark)
+    df = _src(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 != 4,
+               F.create_map(F.lit("lang"), F.col("lang"),
+                            F.lit("len"), F.col("n_chars").cast("string"))
+               ).alias("kv"),
+        F.when(F.col("doc_id") % 5 != 2, F.expr(
+            "transform(slice(split(text, ' '), 1, 2), w -> struct(w AS w, length(w) AS p))"
+        )).alias("ls"),
+    )
+    out = tempfile.mkdtemp(prefix="wcq_expd_")
+    encode_table(df, os.path.join(out, "t"), sort_key="doc_id",
+                 write_metrics=False)
+    export_parquet(spark, os.path.join(out, "t"), os.path.join(out, "pq"))
+    back = spark.read.parquet(os.path.join(out, "pq"))
+    return back.select(
+        "doc_id",
+        F.col("kv").getItem("lang").alias("kv_lang"),
+        F.col("kv").getItem("len").cast("long").alias("kv_len"),
+        F.col("kv").isNull().cast("int").alias("kv_null"),
+        F.when(F.col("ls").isNull(), F.lit(-1))
+         .otherwise(F.size(F.col("ls"))).cast("long").alias("n_ls"),
+        F.when(F.col("ls").isNull(), F.lit(None).cast("string"))
+         .otherwise(F.expr("array_join(transform(ls, s -> s.w), '|')"))
+         .alias("ws_joined"),
+        F.when(F.col("ls").isNull(), F.lit(None).cast("long"))
+         .otherwise(F.expr("aggregate(transform(ls, s -> CAST(s.p AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+         .alias("p_sum"),
+    )
+
+
+def _rt_import_parquet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference -> webcodec nested interop (r5, the inverse of
+    rt_export_parquet_nested/_deep): each task builds nested arrow columns
+    (list<string>, struct, map<string,string>) from its document rows,
+    writes them with the REFERENCE writer (pyarrow, v2 pages), then
+    reassembles every column with webcodec's own Dremel assembly
+    (parquet_interop.read_column_arrow — our RLE/bit-pack/level kernels,
+    no pyarrow decode) and emits oracle-checkable scalars. Per-task
+    temp files, zero JVM transfer of the nested payload."""
+    _prep(spark)
+    df = _src(spark, sf_dir, "documents").select("doc_id", "text", "lang",
+                                                 "n_chars")
+
+    def rt(batches):
+        import os as _os
+        import tempfile as _tf
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from webcodec.parquet_interop import read_column_arrow
+
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            langs = b.column("lang").to_pylist()
+            ncs = b.column("n_chars").to_pylist()
+            words = [None if d % 5 == 2 else (t or "").split(" ")[:3]
+                     for d, t in zip(ids, texts)]
+            meta = [None if d % 7 == 3 else {"l": lg, "n": int(nc)}
+                    for d, lg, nc in zip(ids, langs, ncs)]
+            kv = [None if d % 11 == 4 else
+                  [("lang", lg), ("len", str(int(nc)))]
+                  for d, lg, nc in zip(ids, langs, ncs)]
+            t = pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "words": pa.array(words, pa.list_(pa.string())),
+                "meta": pa.array(meta, pa.struct([("l", pa.string()),
+                                                  ("n", pa.int64())])),
+                "kv": pa.array(kv, pa.map_(pa.string(), pa.string())),
+            })
+            fd, path = _tf.mkstemp(suffix=".parquet")
+            _os.close(fd)
+            try:
+                pq.write_table(t, path, data_page_version="2.0",
+                               compression="zstd")
+                got = {c: read_column_arrow(path, 0, c)
+                       for c in t.column_names}
+            finally:
+                _os.remove(path)
+            w = got["words"]
+            kvl = got["kv"].cast(pa.list_(pa.struct(
+                [pa.field("key", pa.string(), nullable=False),
+                 ("value", pa.string())])))
+            kv_lang = [None if m is None else dict(m).get("lang")
+                       for m in got["kv"].to_pylist()]
+            yield pa.RecordBatch.from_pydict({
+                "doc_id": got["doc_id"],
+                "words_joined": pa.array(
+                    [None if x is None else "|".join(x)
+                     for x in w.to_pylist()], pa.string()),
+                "n_words": pc.fill_null(
+                    pc.list_value_length(w).cast(pa.int64()), -1),
+                "lang": pc.struct_field(got["meta"], "l"),
+                "n": pc.struct_field(got["meta"], "n"),
+                "kv_lang": pa.array(kv_lang, pa.string()),
+                "n_kv": pc.fill_null(
+                    pc.list_value_length(kvl).cast(pa.int64()), -1),
+            })
+
+    return df.mapInArrow(
+        rt, "doc_id long, words_joined string, n_words long, lang string, "
+            "n long, kv_lang string, n_kv long")
+
+
 def _scan_prune_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + predicate pushdown through the engine's read path: only
     (doc_id, lang) pages are decoded, files pruned via manifest min/max (D2/D6)."""
@@ -1015,12 +1132,15 @@ def _simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             emb = embedding_matrix(b.column("embedding"))
             cells = np.argmax(emb @ bc.value.T, axis=1).astype(np.int32)
+            # carry the embedding through: re-joining the corpus on vec_id
+            # afterwards would be a full self-join shuffle for nothing
             yield _pa.RecordBatch.from_pydict(
-                {"vec_id": b.column("vec_id"), "cell": _pa.array(cells, _pa.int32())}
+                {"vec_id": b.column("vec_id"),
+                 "cell": _pa.array(cells, _pa.int32()),
+                 "embedding": b.column("embedding")}
             )
 
-    cells = df.mapInArrow(assign, "vec_id long, cell int")
-    withc = df.join(cells, "vec_id")
+    withc = df.mapInArrow(assign, "vec_id long, cell int, embedding array<float>")
     # multi-probe (nprobe=4): nearest centroids to the query, driver-side —
     # measured recall@20 0.45 while scanning ~22% of the corpus (vs 0.05 at
     # nprobe=1 on these near-random vectors); nprobe is the recall/cost knob
@@ -1129,8 +1249,11 @@ def _simsearch_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             emb = embedding_matrix(b.column("embedding"))
             cells = np.argmax(emb @ bc.value.T, axis=1).astype(np.int32)
+            # carry the embedding through — no corpus self-join afterwards
             yield _pa.RecordBatch.from_pydict(
-                {"vec_id": b.column("vec_id"), "cell": _pa.array(cells, _pa.int32())}
+                {"vec_id": b.column("vec_id"),
+                 "cell": _pa.array(cells, _pa.int32()),
+                 "embedding": b.column("embedding")}
             )
 
     def probe_cells(batches):
@@ -1148,8 +1271,8 @@ def _simsearch_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     quant = _quantized_vec()
-    cells = df.mapInArrow(assign, "vec_id long, cell int")
-    cand = (df.join(cells, "vec_id").filter(F.col("vec_id") >= 3)
+    withc = df.mapInArrow(assign, "vec_id long, cell int, embedding array<float>")
+    cand = (withc.filter(F.col("vec_id") >= 3)
             .select("vec_id", "cell", quant.alias("cvec")))
     probes = qs.mapInArrow(probe_cells, "qid long, cell int")
     qvecs = qs.select(F.col("vec_id").alias("qid"), quant.alias("qvec"))
@@ -1815,14 +1938,33 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """61 queries; the driver records oracle rows for the FIRST 50, so the
+    dict is ordered by verification need and ROTATED each round: never/least
+    -recently-verified and this-round-changed queries first, then the rest;
+    the tail holds queries green in every previous round (r1-r4) whose code
+    paths did not change this round."""
     return {
-        "rt_documents": _rt_documents,
+        # never driver-verified before r5 (Iceberg-v2 features) + r3-only
+        "rt_deleted_rows": _rt_deleted_rows,
+        "rt_upserted_rows": _rt_upserted_rows,
+        "rt_renamed_col": _rt_renamed_col,
+        "rt_time_travel": _rt_time_travel,
+        "url_canonical_domains": _url_canonical_domains,
+        "token_budget_per_lang": _token_budget_per_lang,
+        "decontaminate_ngrams": _decontaminate_ngrams,
+        "pack_sequences": _pack_sequences,
+        "rt_narrow_types": _rt_narrow_types,
+        # new/changed in r5 (nested interop both ways, real media features)
+        "rt_export_parquet_deep": _rt_export_parquet_deep,
+        "rt_import_parquet_nested": _rt_import_parquet_nested,
+        "rt_export_parquet": _rt_export_parquet,
+        "rt_export_parquet_nested": _rt_export_parquet_nested,
+        "media_features": _media_features,
+        "media_decode_pixels": _media_decode_pixels,
+        "media_binary_meta": _media_binary_meta,
+        # core engine surfaces
         "rt_encrypted": _rt_encrypted,
         "rt_encrypted_footer": _rt_encrypted_footer,
-        "rt_events": _rt_events,
-        "rt_lineitem_q1": _rt_lineitem_q1,
-        "rt_join_orders": _rt_join_orders,
-        "rt_embeddings": _rt_embeddings,
         "scan_prune_en": _scan_prune_en,
         "rt_documents_compacted": _rt_documents_compacted,
         "scan_bloom_miss": _scan_bloom_miss,
@@ -1835,46 +1977,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_nested_deep": _rt_nested_deep,
         "rt_decimal_date": _rt_decimal_date,
         "rt_list_words": _rt_list_words,
-        "rt_export_parquet": _rt_export_parquet,
-        "rt_export_parquet_nested": _rt_export_parquet_nested,
-        "stats_minmax": _stats_minmax,
-        "agg_lang_counts": _agg_lang_counts,
-        "dedup_exact": _dedup_exact,
-        "text_tokens": _text_tokens,
-        "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
-        "simsearch_top10": _simsearch_top10,
         "simsearch_lsh": _simsearch_lsh,
         "simsearch_ivf": _simsearch_ivf,
         "simsearch_ivf_batch": _simsearch_ivf_batch,
         "simsearch_lsh_batch": _simsearch_lsh_batch,
-        "metrics_lineage": _metrics_lineage,
-        "lang_id_stopwords": _lang_id_stopwords,
-        "text_fingerprint": _text_fingerprint,
-        "media_binary_meta": _media_binary_meta,
-        "media_features": _media_features,
-        "media_decode_pixels": _media_decode_pixels,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_lsh_pairs": _dedup_lsh_pairs,
         "dedup_clusters": _dedup_clusters,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "text_tokens_bpe": _text_tokens_bpe,
-        "events_window": _events_window,
         "events_json_extract": _events_json_extract,
         "text_quality": _text_quality,
         "events_asof_view": _events_asof_view,
         "sample_stratified": _sample_stratified,
         "pii_redact": _pii_redact,
         "text_repetition": _text_repetition,
-        "url_canonical_domains": _url_canonical_domains,
-        "token_budget_per_lang": _token_budget_per_lang,
-        "decontaminate_ngrams": _decontaminate_ngrams,
-        "pack_sequences": _pack_sequences,
-        "rt_narrow_types": _rt_narrow_types,
-        "rt_deleted_rows": _rt_deleted_rows,
-        "rt_upserted_rows": _rt_upserted_rows,
-        "rt_renamed_col": _rt_renamed_col,
-        "rt_time_travel": _rt_time_travel,
+        "rt_documents": _rt_documents,
+        "rt_events": _rt_events,
+        "rt_lineitem_q1": _rt_lineitem_q1,
+        "rt_join_orders": _rt_join_orders,
+        "rt_embeddings": _rt_embeddings,
+        # ---- driver-row cutoff (50) — tail: green r1-r4, unchanged in r5 ----
+        "stats_minmax": _stats_minmax,
+        "agg_lang_counts": _agg_lang_counts,
+        "dedup_exact": _dedup_exact,
+        "text_tokens": _text_tokens,
+        "dedup_minhash": _dedup_minhash,
+        "simsearch_top10": _simsearch_top10,
+        "metrics_lineage": _metrics_lineage,
+        "lang_id_stopwords": _lang_id_stopwords,
+        "text_fingerprint": _text_fingerprint,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "events_window": _events_window,
     }
 
 
@@ -2439,6 +2573,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id % 7 = 3 AS INT) AS meta_null, "
             "CAST(CAST(n_chars + 0.25 AS DECIMAL(20,2)) * 100 AS BIGINT) "
             "AS dec_c FROM documents"
+        ),
+        "rt_export_parquet_deep": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 11 = 4 THEN NULL ELSE lang END AS kv_lang, "
+            "CAST(CASE WHEN doc_id % 11 = 4 THEN NULL ELSE n_chars END "
+            "AS BIGINT) AS kv_len, "
+            "CAST(doc_id % 11 = 4 AS INT) AS kv_null, "
+            "CAST(CASE WHEN doc_id % 5 = 2 THEN -1 "
+            "ELSE least(len(string_split(text, ' ')), 2) END AS BIGINT) "
+            "AS n_ls, "
+            "CASE WHEN doc_id % 5 = 2 THEN NULL "
+            "ELSE array_to_string(string_split(text, ' ')[1:2], '|') END "
+            "AS ws_joined, "
+            "CAST(CASE WHEN doc_id % 5 = 2 THEN NULL "
+            "ELSE list_aggregate(list_transform(string_split(text, ' ')[1:2], "
+            "w -> length(w)), 'sum') END AS BIGINT) AS p_sum "
+            "FROM documents"
+        ),
+        "rt_import_parquet_nested": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 5 = 2 THEN NULL "
+            "ELSE array_to_string(string_split(text, ' ')[1:3], '|') END "
+            "AS words_joined, "
+            "CAST(CASE WHEN doc_id % 5 = 2 THEN -1 "
+            "ELSE least(len(string_split(text, ' ')), 3) END AS BIGINT) "
+            "AS n_words, "
+            "CASE WHEN doc_id % 7 = 3 THEN NULL ELSE lang END AS lang, "
+            "CAST(CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n_chars END "
+            "AS BIGINT) AS n, "
+            "CASE WHEN doc_id % 11 = 4 THEN NULL ELSE lang END AS kv_lang, "
+            "CAST(CASE WHEN doc_id % 11 = 4 THEN -1 ELSE 2 END AS BIGINT) "
+            "AS n_kv FROM documents"
         ),
         "rt_renamed_col": (
             "SELECT doc_id, lang AS language, CAST(n_chars AS BIGINT) "

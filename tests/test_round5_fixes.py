@@ -1,0 +1,176 @@
+"""Round-5 review fixes (ADVICE.md r4 + VERDICT r4 'what's wrong'):
+
+1. superseded AAD layouts rejected with a FORMAT-VERSION message — the
+   algorithm tag is now AES_GCM_V2 (the r4 full-header AAD change), and a
+   footer claiming AES_GCM_V1 raises "superseded AAD layout", never the
+   misleading "wrong key or tampered data";
+2. rewrite_encoded mask_columns never reads/decodes the masked columns —
+   a PII takedown of a large blob column pays zero decode for the data it
+   destroys (probed via a corrupted masked-column page: the rewrite must
+   succeed because those pages are never touched);
+3. _month_bounds_us clamps at the datetime64[us] representable range —
+   months far past year 294k yield the conservative full-int64 interval
+   (keep the file) instead of a wrapped/inverted one (silent mis-prune);
+4. clustered-mode phase B reads exactly ONE per-bucket index shard (built
+   by the phase-A.5 metadata shuffle) — never an O(splits) listing;
+5. explicit LPT head-domain placement keeps bucket loads balanced when big
+   cold domains would collide under independent hashing.
+
+(The corrupt-BMP/PPM passthrough fix is tested in test_media.py; the
+media_features real-decoder wiring in test_media.py too.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from webcodec import filefmt
+from webcodec.config import EncoderConfig
+from webcodec.fixtures import webpages
+
+KEY = bytes(range(32))
+
+
+def test_superseded_aad_layout_rejected_with_version_error(tmp_path):
+    """A footer tagged with the old AES_GCM_V1 layout must fail with an
+    actionable format-version message, not a generic GCM failure."""
+    p = str(tmp_path / "t.wcd")
+    filefmt.write_table(webpages(50), p, EncoderConfig(encryption_key=KEY))
+    footer = filefmt.read_footer_path(p, encryption_key=KEY)
+    assert footer["encryption"]["algorithm"] == "AES_GCM_V2"
+    from webcodec import crypto
+
+    fake = dict(footer)
+    fake["encryption"] = dict(footer["encryption"], algorithm="AES_GCM_V1")
+    with pytest.raises(ValueError, match="superseded AAD layout"):
+        crypto.reader_context(fake, KEY)
+    with pytest.raises(ValueError, match="unsupported encryption algorithm"):
+        crypto.reader_context(
+            dict(fake, encryption=dict(fake["encryption"],
+                                       algorithm="AES_GCM_V9")), KEY)
+
+
+def test_mask_columns_never_decode_masked_pages(spark, tmp_path):
+    """The masked column's pages are physically corrupted on disk; the
+    rewrite must still succeed — proof the mask path never reads, let alone
+    decodes, the column it destroys."""
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import rewrite_encoded
+    from webcodec.spark.table import SnapshotTable
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(webpages(300), src)
+    tdir = str(tmp_path / "t")
+    encode_table(spark.read.parquet(src), tdir, write_metrics=False)
+    snap = SnapshotTable(tdir).read_snapshot()
+    # corrupt every page of the html chunk in every file
+    for f in snap["files"]:
+        path = os.path.join(tdir, f["path"])
+        footer = filefmt.read_footer_path(path)
+        groups = footer.get("groups") or [footer]
+        with open(path, "r+b") as fh:
+            for g in groups:
+                for c in g["chunks"]:
+                    if c["name"] != "html":
+                        continue
+                    for pg in c["pages"]:
+                        fh.seek(pg["offset"])
+                        fh.write(b"\xde\xad" * 8)
+    # sanity: a normal read of html now fails (the corruption is real)
+    with pytest.raises(Exception):
+        filefmt.read_table(os.path.join(tdir, snap["files"][0]["path"]),
+                           columns=["html"])
+    dst = str(tmp_path / "masked")
+    rewrite_encoded(spark, tdir, dst, mask_columns=["html"])
+    back = filefmt.read_table(
+        os.path.join(dst, SnapshotTable(dst).read_snapshot()["files"][0]["path"]))
+    assert back.column("html").null_count == back.num_rows  # nullified
+    assert back.column("url").null_count == 0  # others intact
+
+
+def test_month_bounds_overflow_clamps_conservative():
+    from webcodec.spark.partition import _month_bounds_us
+
+    lo, hi = _month_bounds_us(0)
+    assert lo == 0 and hi > 0
+    # normal far-future month still exact
+    lo1, hi1 = _month_bounds_us(12 * 8030)  # year 10000
+    assert lo1 < hi1
+    # beyond the datetime64[us] range: conservative full-int64 interval,
+    # NEVER inverted (the old cast wrapped and could mis-prune)
+    for m in (10**7, -(10**7), 2**40, -(2**40)):
+        lo2, hi2 = _month_bounds_us(m)
+        assert lo2 < hi2
+        assert lo2 <= lo1 and hi2 >= hi1  # contains every real interval
+
+
+def test_phase_b_reads_single_bucket_index_shard(spark, tmp_path):
+    """Clustered encode writes one b{bucket}.idx shard per bucket; phase B
+    fails loud when the shard is missing and never lists the spill dir."""
+    import pyarrow.ipc as ipc
+
+    from webcodec.spark.encode_job import (
+        _make_bucket_encode_fn, _make_bucket_index_fn, _make_spill_fn,
+        plan_file_splits)
+
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(webpages(2_000), src)
+    splits = plan_file_splits([src], 1 << 20)
+    shuffle_dir = str(tmp_path / "shuf")
+    os.makedirs(shuffle_dir)
+
+    class _BC:
+        def __init__(self, v):
+            self.value = v
+
+    spill = _make_spill_fn(shuffle_dir, "url", 5, {}, frozenset(), _BC(splits))
+    seg_rows = []
+    for i in range(len(splits)):
+        batch = pa.RecordBatch.from_pydict({"id": pa.array([i], pa.int64())})
+        seg_rows.extend(spill(iter([batch])))
+    # consolidate via the index fn (simulating the repartition-by-bucket)
+    idx_fn = _make_bucket_index_fn(shuffle_dir)
+    out = list(idx_fn(iter(seg_rows)))
+    buckets = sorted(b for rb in out for b in rb.column("bucket").to_pylist())
+    shards = sorted(int(f[1:6]) for f in os.listdir(shuffle_dir)
+                    if f.endswith(".idx"))
+    assert shards == buckets and len(shards) >= 2
+    # shard content: [split, off, len] triples sorted by split
+    with open(os.path.join(shuffle_dir, f"b{shards[0]:05d}.idx")) as f:
+        segs = json.load(f)
+    assert all(len(s) == 3 for s in segs)
+    assert segs == sorted(segs)
+    # phase B on a bucket with a MISSING shard fails loud
+    enc = _make_bucket_encode_fn(str(tmp_path / "data"), shuffle_dir,
+                                 EncoderConfig(), "url", _BC([99_999]))
+    os.makedirs(str(tmp_path / "data"), exist_ok=True)
+    with pytest.raises(FileNotFoundError, match="no spill index"):
+        list(enc(iter([pa.RecordBatch.from_pydict(
+            {"id": pa.array([0], pa.int64())})])))
+
+
+def test_lpt_placement_balances_cold_domains():
+    """plan_domain_placement: near-threshold cold domains that independent
+    hashing routinely collides are spread by LPT so the max projected
+    bucket load stays near the mean; hot domains get k pieces."""
+    from webcodec.spark.encode_job import plan_domain_placement
+
+    rpp = 10_000
+    hist = {f"cold{i}.example": 9_000 for i in range(12)}
+    hist["hot.example"] = 35_000  # k = 4 pieces
+    placement = plan_domain_placement(hist, 8, rpp)
+    assert len(placement["hot.example"]) == 4
+    assert all(len(v) == 1 for d, v in placement.items() if d != "hot.example")
+    loads = np.zeros(8)
+    for d, buckets in placement.items():
+        for b in buckets:
+            loads[b] += hist[d] / len(buckets)
+    assert loads.max() <= loads.mean() * 1.5  # no collision straggler
+    # determinism
+    assert placement == plan_domain_placement(hist, 8, rpp)
