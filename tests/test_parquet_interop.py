@@ -280,3 +280,38 @@ def test_own_writer_to_own_reader_nested(tmp_path, seed):
     if got.type != want.type:
         got = got.cast(want.type)
     assert got.equals(want), seed
+
+
+@pytest.mark.parametrize("page_version", ["1.0", "2.0"])
+def test_decimal_flba_assembly(tmp_path, page_version):
+    """FLBA decimals (pyarrow's precision-sized FLBA AND our own FLBA(16)
+    export) decode through read_column_arrow bit-exact, flat and nested."""
+    import decimal
+
+    from webcodec.parquet_interop import read_column_arrow
+    from webcodec.parquet_writer import write_parquet
+
+    t = pa.table({
+        "d": pa.array([decimal.Decimal("1.23"), None,
+                       decimal.Decimal("-99.99")], pa.decimal128(20, 2)),
+        "ld": pa.array([[decimal.Decimal("5.00"), None], None, []],
+                       pa.list_(pa.decimal128(10, 2))),
+        "ts": pa.array([1, 2, None], pa.timestamp("us")),
+        "dt": pa.array([1, 2, None], pa.date32()),
+    })
+    p = str(tmp_path / "ref.parquet")
+    pq.write_table(t, p, data_page_version=page_version)
+    for c in t.column_names:
+        got = read_column_arrow(p, 0, c)
+        want = t.column(c).combine_chunks()
+        if got.type != want.type:
+            got = got.cast(want.type)
+        assert got.equals(want), c
+    p2 = str(tmp_path / "own.parquet")
+    write_parquet(t.select(["d", "ld"]), p2, codec="zstd")
+    for c in ("d", "ld"):
+        got = read_column_arrow(p2, 0, c)
+        want = t.column(c).combine_chunks()
+        if got.type != want.type:
+            got = got.cast(want.type)
+        assert got.equals(want), ("own", c)

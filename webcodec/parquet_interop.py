@@ -23,7 +23,8 @@ composition — full Dremel assembly from rep/def levels in
 ``read_column_arrow``, honoring required/optional per the arrow schema),
 v1 AND v2 data pages (v2: levels stored uncompressed outside the compressed
 values region, lengths in the page header), codecs none/snappy/zstd/gzip/
-lz4, physical types BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY. Enough to
+lz4, physical types BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY/
+FIXED_LEN_BYTE_ARRAY (decimal unscaled big-endian ints per spec). Enough to
 differential-test every kernel family the engine relies on, plus the
 read-side inverse of parquet_writer's nested export (SURVEY §2 E2).
 """
@@ -137,7 +138,7 @@ def _decompress(payload: bytes, codec: str, usize: int) -> bytes:
     return pa.decompress(payload, decompressed_size=usize, codec=codec, asbytes=True)
 
 
-def _plain_values(body: memoryview, n: int, phys: str):
+def _plain_values(body: memoryview, n: int, phys: str, tlen: int = 0):
     if phys == "INT32":
         return np.frombuffer(body, dtype=np.int32, count=n)
     if phys == "INT64":
@@ -158,6 +159,8 @@ def _plain_values(body: memoryview, n: int, phys: str):
     if phys == "BOOLEAN":  # PLAIN booleans: LSB-first bit-packed
         bits = np.frombuffer(body, dtype=np.uint8, count=(n + 7) // 8)
         return np.unpackbits(bits, bitorder="little")[:n].astype(bool)
+    if phys == "FIXED_LEN_BYTE_ARRAY" and tlen > 0:
+        return [bytes(body[i * tlen : (i + 1) * tlen]) for i in range(n)]
     raise NotImplementedError(f"physical type {phys}")
 
 
@@ -174,7 +177,7 @@ def _delta_length_byte_array(body: memoryview, n: int) -> list:
 
 
 def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
-                       max_def: int):
+                       max_def: int, type_length: int = 0):
     """Decode one LEAF column chunk to Dremel entry streams using only
     webcodec kernels: (values, rep, def) where ``values`` holds the present
     values only (np array or python list of bytes), ``rep``/``def`` are
@@ -203,7 +206,7 @@ def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
         if ptype == _PAGE_DICT:
             dph = header[7]
             body = memoryview(_decompress(bytes(raw_page), codec, usize))
-            dict_values = _plain_values(body, dph[1], phys)
+            dict_values = _plain_values(body, dph[1], phys, type_length)
             continue
         reps = defs = None
         if ptype == _PAGE_DATA:
@@ -268,7 +271,7 @@ def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
                 else dict_values[idx.astype(np.int64)]
             )
         elif enc == _ENC_PLAIN:
-            vals = _plain_values(body, n_nonnull, phys)
+            vals = _plain_values(body, n_nonnull, phys, type_length)
         elif enc == _ENC_DELTA_BP:
             from webcodec.kernels import delta
 
@@ -327,7 +330,8 @@ def read_column_chunk(path: str, row_group: int, column: int) -> list:
     with open(path, "rb") as f:
         buf = memoryview(f.read())
     vals, _, defs = _read_leaf_entries(
-        buf, meta, meta.physical_type, 0, max_def)
+        buf, meta, meta.physical_type, 0, max_def,
+        type_length=(pf.schema.column(column).length or 0))
     if defs is None:
         return [v.item() if isinstance(v, np.generic) else v for v in vals]
     out: list = []
@@ -370,7 +374,23 @@ def _leaf_arrow(vals, defs, max_def, target_type):
     import pyarrow as pa
 
     present = (defs == max_def) if defs is not None else None
-    if isinstance(vals, list):  # BYTE_ARRAY
+    if isinstance(vals, list):  # BYTE_ARRAY / FLBA
+        if pa.types.is_decimal(target_type):
+            # FLBA big-endian two's-complement unscaled int (parquet spec)
+            import decimal as _dec
+
+            sc = target_type.scale
+
+            def conv(b):
+                return _dec.Decimal(
+                    int.from_bytes(b, "big", signed=True)).scaleb(-sc)
+
+            if present is None:
+                py = [conv(v) for v in vals]
+            else:
+                it = iter(vals)
+                py = [conv(next(it)) if p else None for p in present]
+            return pa.array(py, target_type)
         if present is None:
             arr = pa.array(vals, pa.binary())
         else:
@@ -493,7 +513,8 @@ def read_column_arrow(path: str, row_group: int, column_name: str):
         col = pf.schema.column(i)
         vals, reps, defs = _read_leaf_entries(
             buf, meta, meta.physical_type,
-            col.max_repetition_level, col.max_definition_level)
+            col.max_repetition_level, col.max_definition_level,
+            type_length=(col.length or 0))
         if defs is None:  # required flat leaf: synthesize def 0s
             defs = np.zeros(meta.num_values, np.int64)
         streams.append({"vals": vals, "rep": reps, "def": defs})
