@@ -315,3 +315,23 @@ def test_decimal_flba_assembly(tmp_path, page_version):
         if got.type != want.type:
             got = got.cast(want.type)
         assert got.equals(want), ("own", c)
+
+
+def test_int96_timestamps_and_read_table_arrow(tmp_path):
+    """Legacy INT96 timestamps (parquet-java's historical layout: 8B LE
+    nanos-in-day + 4B LE julian day) decode to epoch nanoseconds, and
+    read_table_arrow assembles whole multi-row-group files."""
+    from webcodec.parquet_interop import read_table_arrow
+
+    t = pa.table({
+        "ts": pa.array([1_700_000_000_000_000, 2, None, 0], pa.timestamp("us")),
+        "l": pa.array([[1], None, [2, 3], []], pa.list_(pa.int64())),
+    })
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p, use_deprecated_int96_timestamps=True, row_group_size=2)
+    got = read_table_arrow(p)
+    want = pq.read_table(p)  # reference reader, same file
+    assert pq.ParquetFile(p).metadata.num_row_groups == 2
+    for c in t.column_names:
+        g = got.column(c).combine_chunks().cast(want.column(c).type)
+        assert g.equals(want.column(c).combine_chunks()), c

@@ -161,6 +161,13 @@ def _plain_values(body: memoryview, n: int, phys: str, tlen: int = 0):
         return np.unpackbits(bits, bitorder="little")[:n].astype(bool)
     if phys == "FIXED_LEN_BYTE_ARRAY" and tlen > 0:
         return [bytes(body[i * tlen : (i + 1) * tlen]) for i in range(n)]
+    if phys == "INT96":
+        # legacy parquet-java timestamps: 8B LE nanos-in-day + 4B LE julian
+        # day; converted to epoch nanoseconds (julian epoch day = 2440588)
+        raw = np.frombuffer(body, dtype=np.uint8, count=n * 12).reshape(n, 12)
+        nanos = raw[:, :8].copy().view("<i8").ravel()
+        jday = raw[:, 8:].copy().view("<i4").ravel().astype(np.int64)
+        return (jday - 2440588) * 86_400_000_000_000 + nanos
     raise NotImplementedError(f"physical type {phys}")
 
 
@@ -521,3 +528,22 @@ def read_column_arrow(path: str, row_group: int, column_name: str):
     if not streams:
         raise KeyError(f"column {column_name!r} not in {path}")
     return _assemble(field.type, 0, 0, streams, field.nullable)
+
+
+def read_table_arrow(path: str, columns: list[str] | None = None):
+    """Whole-file convenience: every (possibly nested) column of every row
+    group assembled by webcodec kernels into one arrow Table — the
+    interop-reader counterpart of filefmt.read_table for REFERENCE files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    names = columns or [f.name for f in pf.schema_arrow]
+    cols = {}
+    for name in names:
+        parts = [read_column_arrow(path, g, name)
+                 for g in range(pf.metadata.num_row_groups)]
+        field = pf.schema_arrow.field(name)
+        cols[name] = (pa.concat_arrays(parts) if parts
+                      else pa.array([], field.type))
+    return pa.table(cols)
