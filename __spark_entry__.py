@@ -1066,12 +1066,14 @@ def _simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb = embedding_matrix(b.column("embedding"))  # buffer reshape, no per-row
             sig = (emb @ planes) > 0
             bucket = np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(np.int32)
+            # carry the embedding through — re-joining the corpus on vec_id
+            # afterwards would be a full self-join shuffle for nothing
             yield _pa.RecordBatch.from_pydict(
-                {"vec_id": ids, "bucket": _pa.array(bucket, _pa.int32())}
+                {"vec_id": ids, "bucket": _pa.array(bucket, _pa.int32()),
+                 "embedding": b.column("embedding")}
             )
 
-    buckets = df.mapInArrow(bucketize, "vec_id long, bucket int")
-    withb = df.join(buckets, "vec_id")
+    withb = df.mapInArrow(bucketize, "vec_id long, bucket int, embedding array<float>")
     q = withb.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qb"),
         F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long")).alias("qvec"),
@@ -1302,14 +1304,15 @@ def _simsearch_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb = embedding_matrix(b.column("embedding"))
             sig = (emb @ planes) > 0
             bucket = np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(np.int32)
+            # carry the embedding through — no corpus self-join afterwards
             yield _pa.RecordBatch.from_pydict(
                 {"vec_id": b.column("vec_id"),
-                 "bucket": _pa.array(bucket, _pa.int32())}
+                 "bucket": _pa.array(bucket, _pa.int32()),
+                 "embedding": b.column("embedding")}
             )
 
     quant = _quantized_vec()
-    buckets = df.mapInArrow(bucketize, "vec_id long, bucket int")
-    withb = df.join(buckets, "vec_id")
+    withb = df.mapInArrow(bucketize, "vec_id long, bucket int, embedding array<float>")
     cand = (withb.filter(F.col("vec_id") >= 3)
             .select("vec_id", "bucket", quant.alias("cvec")))
     qside = (withb.filter(F.col("vec_id") < 3)
