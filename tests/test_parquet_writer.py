@@ -456,6 +456,12 @@ def test_nested_export_fuzz(tmp_path, seed):
             [None if py.random() < .25 else
              decimal.Decimal(int(rng.integers(-10**12, 10**12))).scaleb(-3)
              for _ in range(n)], pa.decimal128(30, 3)),
+        "ld": pa.array(
+            [None if py.random() < .2 else
+             [None if py.random() < .3 else
+              decimal.Decimal(int(rng.integers(-10**9, 10**9))).scaleb(-2)
+              for _ in range(py.randint(0, 3))]
+             for _ in range(n)], pa.list_(pa.decimal128(12, 2))),
     })
     p = str(tmp_path / "t.parquet")
     write_parquet(t, p, codec=["zstd", "none", "snappy"][seed % 3],

@@ -181,14 +181,17 @@ def test_archive_profile_with_levelless_codecs(tmp_path):
         assert filefmt.read_table(path).equals(t), codec
 
 
-def test_decimal_in_list_clear_error(tmp_path):
+def test_decimal_in_list_roundtrips(tmp_path):
+    """Formerly a dispatch-time TypeError; list<decimal> now shreds via the
+    lo/hi lane split shared with top-level decimals."""
     from decimal import Decimal
 
     from webcodec import filefmt
 
     t = pa.table({"d": pa.array([[Decimal("1.5")]], pa.list_(pa.decimal128(20, 3)))})
-    with pytest.raises(TypeError, match="nested inside list/map"):
-        filefmt.write_table(t, str(tmp_path / "x.wcd"))
+    path = str(tmp_path / "x.wcd")
+    filefmt.write_table(t, path)
+    assert filefmt.read_table(path).equals(t)
 
 
 # ---------------- fourth review pass (core files) ----------------

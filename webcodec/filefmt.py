@@ -399,18 +399,6 @@ def _encode_chunk(
 _STRUCT_SEP = "\x1f"  # footer-internal child-chunk name separator
 
 
-def _contains_decimal(t: pa.DataType) -> bool:
-    if pa.types.is_decimal(t):
-        return True
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return _contains_decimal(t.value_type)
-    if pa.types.is_map(t):
-        return _contains_decimal(t.key_type) or _contains_decimal(t.item_type)
-    if pa.types.is_struct(t):
-        return any(_contains_decimal(f.type) for f in t)
-    return False
-
-
 def _encode_any_chunks(
     name: str, arr: pa.Array, config: EncoderConfig, out: io.BufferedIOBase, offset0: int
 ) -> tuple[list[dict], int]:
@@ -436,15 +424,12 @@ def _encode_any_chunks(
     t = arr.type
     if pa.types.is_decimal(t):
         return _encode_decimal_chunks(name, arr, config, out, offset0)
-    if (pa.types.is_list(t) or pa.types.is_map(t)) and _contains_decimal(t):
-        # decimals shred via a lo/hi int64 split that the generic-LIST child
-        # machinery doesn't carry — fail at DISPATCH with the actual scope
-        # instead of a deep phys_type_of error mid-job
-        raise TypeError(
-            f"column {name!r}: decimal128 nested inside list/map is not "
-            "supported (top-level and struct-field decimals are) — cast to "
-            "double/string or restructure"
-        )
+    if pa.types.is_list(t) and pa.types.is_decimal(t.value_type):
+        # list<decimal128> gets its own lo/hi-lane shredding; every other
+        # nested-decimal composition reduces to it through the recursive
+        # handlers below (map items/keys and list<list> #flat values are
+        # re-wrapped as lists and re-dispatched here)
+        return _encode_list_decimal_chunks(name, arr, config, out, offset0)
     if pa.types.is_struct(t):
         return _encode_struct_chunks(name, arr, config, out, offset0)
     if pa.types.is_map(t):
@@ -473,6 +458,8 @@ def _decode_any_chunks(
         return _decode_list_struct_chunks(buf, group, chunk, verify_crc, keep)
     if chunk.get("listlist"):
         return _decode_list_list_chunks(buf, group, chunk, verify_crc, keep)
+    if chunk.get("listdecimal"):
+        return _decode_list_decimal_chunks(buf, group, chunk, verify_crc, keep)
     return _decode_chunk(buf, chunk, verify_crc, keep=keep)
 
 
@@ -529,6 +516,85 @@ def _decode_decimal_chunks(
     return pa.Array.from_buffers(
         pa.decimal128(meta["precision"], meta["scale"]), n,
         [vbuf, pa.py_buffer(data.tobytes())],
+    )
+
+
+def _encode_list_decimal_chunks(
+    name: str, arr: pa.Array, config: EncoderConfig, out: io.BufferedIOBase, offset0: int
+) -> tuple[list[dict], int]:
+    """list<decimal128(p,s)> shredding: outer validity as BOOL parent; the
+    values' lo/hi int64 lanes (same split as :func:`_encode_decimal_chunks`)
+    wrapped as generic-LIST chunks SHARING the outer offsets, so FOR+delta
+    and RLE apply per lane exactly as at top level; value validity travels
+    as an aligned list<bool> when present. map<_, decimal> and
+    list<list<decimal>> reduce to this through the map/list-list handlers'
+    recursion. The #lo list's own offsets restore the outer offsets on
+    decode (same trick as list<list>'s #lens chunk)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    values = arr.values  # DecimalArray, absolute w.r.t. arr.offsets
+    validity = arr.is_valid()
+    parent, offset = _encode_chunk(name, validity, config, out, offset0)
+    parent["listdecimal"] = {
+        "elem_name": arr.type.value_field.name,
+        "elem_nullable": arr.type.value_field.nullable,
+        "precision": values.type.precision,
+        "scale": values.type.scale,
+        "null_count": int(arr.null_count),
+        "value_null_count": int(values.null_count),
+    }
+    parent["raw_bytes"] = 16 * len(values)
+    lanes = np.frombuffer(
+        values.buffers()[1], dtype="<i8", count=2 * (values.offset + len(values))
+    )[2 * values.offset :]
+    off = arr.offsets
+    chunks = [parent]
+    if values.null_count:
+        vv = pa.ListArray.from_arrays(off, values.is_valid())
+        c, offset = _encode_chunk(f"{name}{_STRUCT_SEP}#valid", vv, config, out, offset)
+        chunks.append(c)
+    for suffix, lane in (("#lo", lanes[0::2]), ("#hi", lanes[1::2])):
+        ll = pa.ListArray.from_arrays(
+            off, pa.array(np.ascontiguousarray(lane), pa.int64())
+        )
+        c, offset = _encode_chunk(f"{name}{_STRUCT_SEP}{suffix}", ll, config, out, offset)
+        c["raw_bytes"] = 0  # raw accounted on the parent (16B/value)
+        chunks.append(c)
+    return chunks, offset
+
+
+def _decode_list_decimal_chunks(
+    buf: memoryview, group: dict, parent: dict, verify_crc: bool, keep: np.ndarray | None
+) -> pa.Array:
+    meta = parent["listdecimal"]
+    name = parent["name"]
+    lo_l = _decode_chunk(buf, _child_chunk(group, name, "#lo"), verify_crc, keep=keep)
+    hi_l = _decode_chunk(buf, _child_chunk(group, name, "#hi"), verify_crc, keep=keep)
+    lo = np.asarray(lo_l.flatten(), dtype=np.int64)
+    hi = np.asarray(hi_l.flatten(), dtype=np.int64)
+    n = len(lo)
+    data = np.empty(2 * n, dtype="<i8")
+    data[0::2] = lo
+    data[1::2] = hi
+    vbuf = None
+    if meta["value_null_count"]:
+        vv = _decode_chunk(buf, _child_chunk(group, name, "#valid"), verify_crc, keep=keep)
+        m = np.asarray(vv.flatten(), dtype=bool)
+        vbuf = pa.py_buffer(np.packbits(m, bitorder="little").tobytes())
+    values = pa.Array.from_buffers(
+        pa.decimal128(meta["precision"], meta["scale"]), n,
+        [vbuf, pa.py_buffer(data.tobytes())],
+    )
+    validity_buf = None
+    if meta["null_count"]:
+        valid = _decode_chunk(buf, parent, verify_crc, keep=keep)
+        m = np.asarray(valid, dtype=bool)
+        validity_buf = pa.py_buffer(np.packbits(m, bitorder="little").tobytes())
+    ltype = pa.list_(
+        pa.field(meta["elem_name"], values.type, nullable=meta["elem_nullable"])
+    )
+    return pa.Array.from_buffers(
+        ltype, len(lo_l), [validity_buf, lo_l.buffers()[1]], children=[values]
     )
 
 

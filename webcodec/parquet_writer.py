@@ -16,7 +16,8 @@ tail layout) and the thrift compact protocol spec.
 Scope: flat schemas plus ARBITRARY-depth nesting — any composition of
 list / struct / map (3-level LIST and MAP key_value groups, full Dremel
 rep/def shredding via the vectorized entry-state walker ``_shred_column``),
-decimal128(p, s) as FIXED_LEN_BYTE_ARRAY(16) big-endian two's complement —
+decimal128(p, s) as FIXED_LEN_BYTE_ARRAY (minimal length for the precision,
+parquet-java's sizing) big-endian two's complement —
 one or more row groups (``row_group_rows``), PLAIN or PLAIN_DICTIONARY data
 pages, all columns written as OPTIONAL (map keys REQUIRED, per spec) with
 RLE def levels; types bool/int32/int64/float/double/string/binary/
@@ -46,7 +47,15 @@ _REP_REQUIRED, _REP_OPTIONAL, _REP_REPEATED = 0, 1, 2
 _CT_UTF8, _CT_DECIMAL, _CT_DATE, _CT_TS_MICROS, _CT_LIST = 0, 5, 6, 10, 3
 _CT_MAP = 1
 _CODEC = {"none": 0, "uncompressed": 0, "snappy": 1, "gzip": 2, "zstd": 6, "lz4": 7}
-_DECIMAL_FLBA_LEN = 16  # decimal128 exports as 16-byte big-endian FLBA
+def _decimal_flba_len(precision: int) -> int:
+    """Minimal FLBA byte length for a decimal precision — what parquet-java
+    (TypeUtil.decimalRequiredBytes) and arrow's writer emit. Always emitting
+    16 is spec-legal but DuckDB's nested-list reader rejects FLBA wider than
+    the storage int it picked from the precision, so match the reference."""
+    n = 1
+    while 10 ** precision - 1 > (1 << (8 * n - 1)) - 1:
+        n += 1
+    return n
 
 
 # ---------------------------- thrift compact writer ---------------------------
@@ -169,15 +178,18 @@ def _plain_bytes(valid: pa.Array) -> bytes:
             out_view[np.repeat(starts + 4, lens) + within] = payload
         return out.tobytes()
     if pa.types.is_decimal(t):
-        # decimal128 -> FLBA(16): arrow stores 16-byte LITTLE-endian two's
-        # complement; parquet DECIMAL FLBA is BIG-endian — reverse per value
+        # decimal128 -> FLBA(minimal-for-precision): arrow stores 16-byte
+        # LITTLE-endian two's complement; parquet DECIMAL FLBA is BIG-endian
+        # — reverse per value, then keep the low (last) tlen bytes; the
+        # value fits by precision so the truncation preserves sign
         # (the buffer slice honors the array offset)
         n = len(valid)
+        tl = _decimal_flba_len(t.precision)
         b = np.frombuffer(valid.buffers()[1], dtype=np.uint8,
-                          count=(valid.offset + n) * _DECIMAL_FLBA_LEN)
-        b = b[valid.offset * _DECIMAL_FLBA_LEN:]
+                          count=(valid.offset + n) * 16)
+        b = b[valid.offset * 16:]
         return np.ascontiguousarray(
-            b.reshape(n, _DECIMAL_FLBA_LEN)[:, ::-1]
+            b.reshape(n, 16)[:, ::-1][:, 16 - tl:]
         ).tobytes()
     if pa.types.is_timestamp(t):
         valid = valid.cast(pa.int64())
@@ -303,8 +315,8 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
     ptype, conv = _phys_of(arr.type)
     extra: dict = {"path": [name], "max_def": 1, "max_rep": 0}
     if pa.types.is_decimal(arr.type):
-        extra.update(tlen=_DECIMAL_FLBA_LEN, prec=arr.type.precision,
-                     scale=arr.type.scale)
+        extra.update(tlen=_decimal_flba_len(arr.type.precision),
+                     prec=arr.type.precision, scale=arr.type.scale)
     mask = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
     valid = arr.drop_null()
     levels = _rle_def_levels(mask)
@@ -408,8 +420,8 @@ def _write_shredded_chunk(out, offset: int, path_names: list[str],
     ptype, conv = _phys_of(leaf.type)
     extra: dict = {"path": path_names, "max_def": max_def, "max_rep": max_rep}
     if pa.types.is_decimal(leaf.type):
-        extra.update(tlen=_DECIMAL_FLBA_LEN, prec=leaf.type.precision,
-                     scale=leaf.type.scale)
+        extra.update(tlen=_decimal_flba_len(leaf.type.precision),
+                     prec=leaf.type.precision, scale=leaf.type.scale)
     parts = []
     if max_rep > 0:
         r = _rle_spec_encode(rep, max(max_rep.bit_length(), 1))
@@ -717,7 +729,7 @@ def _leaf_element(name: str, t: pa.DataType,
     ptype, conv = _phys_of(t)
     kw: dict = {}
     if pa.types.is_decimal(t):
-        kw = {"tlen": _DECIMAL_FLBA_LEN, "scale": t.scale, "prec": t.precision}
+        kw = {"tlen": _decimal_flba_len(t.precision), "scale": t.scale, "prec": t.precision}
     return _schema_element(name, ptype=ptype, repetition=repetition,
                            conv=conv, **kw)
 
