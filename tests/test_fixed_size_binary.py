@@ -1,0 +1,89 @@
+"""fixed_size_binary(n) columns — parquet's FIXED_LEN_BYTE_ARRAY / UUID
+storage type (SURVEY.md §1.2). Stored widened to variable BINARY (the
+DELTA_LENGTH length stream RLEs away since every length equals n); the
+footer-preserved arrow type restores fixed_size_binary[n] on decode —
+the same stance as int8-over-INT32 widening (webcodec/types.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from webcodec import filefmt
+from webcodec.config import EncoderConfig
+
+
+def _uuids(n, seed=7):
+    rng = np.random.default_rng(seed)
+    return [bytes(rng.integers(0, 256, 16, dtype=np.uint8)) for _ in range(n)]
+
+
+@pytest.mark.parametrize("profile", ["speed", "archive"])
+def test_fsb_roundtrip_profiles(tmp_path, profile):
+    t = pa.table({"u": pa.array(_uuids(500) + [None], pa.binary(16))})
+    p = str(tmp_path / "u.wcd")
+    filefmt.write_table(t, p, getattr(EncoderConfig, profile)())
+    back = filefmt.read_table(p)
+    assert back.schema.field("u").type == pa.binary(16)
+    assert back.equals(t)
+
+
+def test_fsb_nested_and_dictable(tmp_path):
+    us = _uuids(8)
+    t = pa.table({
+        # low-cardinality fsb4 so the dictionary path triggers
+        "f4": pa.array([us[i % 3][:4] for i in range(300)], pa.binary(4)),
+        "lu": pa.array([[us[0], None], None, []] * 100, pa.list_(pa.binary(16))),
+        "su": pa.array([{"id": us[1]}] * 300,
+                       pa.struct([pa.field("id", pa.binary(16))])),
+    })
+    p = str(tmp_path / "n.wcd")
+    filefmt.write_table(t, p)
+    assert filefmt.read_table(p).equals(t)
+
+
+def test_fsb_predicate_projection_and_rowops(tmp_path):
+    us = _uuids(100)
+    t = pa.table({"id": pa.array(range(100), pa.int64()),
+                  "u": pa.array(us, pa.binary(16))})
+    p = str(tmp_path / "p.wcd")
+    filefmt.write_table(t, p, EncoderConfig.speed())
+    got = filefmt.read_table(p, predicate=("u", "==", us[5]))
+    assert got.num_rows == 1 and got.column("u")[0].as_py() == us[5]
+    assert filefmt.read_table(p, columns=["u"]).equals(t.select(["u"]))
+    assert filefmt.read_table(p, row_range=(10, 20)).equals(t.slice(10, 10))
+    assert filefmt.read_table(p, drop_rows=np.array([0])).equals(t.slice(1, 99))
+
+
+def test_fsb_parquet_export_flba(tmp_path):
+    """Export emits true FLBA(n) leaves the reference reader types back as
+    fixed_size_binary[n] — not variable BYTE_ARRAY."""
+    from webcodec.parquet_writer import write_parquet
+
+    us = _uuids(40)
+    t = pa.table({"u": pa.array(us + [None], pa.binary(16)),
+                  "lu": pa.array([[us[0][:8], None], None] + [[]] * 39,
+                                 pa.list_(pa.binary(8)))})
+    p = str(tmp_path / "x.parquet")
+    write_parquet(t, p)
+    back = pq.read_table(p)
+    assert back.equals(t)
+    md = pq.ParquetFile(p).metadata.schema.column(0)
+    assert md.physical_type == "FIXED_LEN_BYTE_ARRAY" and md.length == 16
+
+
+def test_fsb_interop_reader(tmp_path):
+    from webcodec import parquet_interop as pi
+
+    t = pa.table({"u": pa.array(_uuids(20) + [None], pa.binary(16))})
+    p = str(tmp_path / "ref.parquet")
+    pq.write_table(t, p)
+    assert pi.read_table_arrow(p).equals(t)
+
+
+def test_fsb_encrypted(tmp_path):
+    key = bytes(range(32))
+    t = pa.table({"u": pa.array(_uuids(50), pa.binary(16))})
+    p = str(tmp_path / "e.wcd")
+    filefmt.write_table(t, p, EncoderConfig(encryption_key=key))
+    assert filefmt.read_table(p, encryption_key=key).equals(t)

@@ -21,7 +21,8 @@ parquet-java's sizing) big-endian two's complement —
 one or more row groups (``row_group_rows``), PLAIN or PLAIN_DICTIONARY data
 pages, all columns written as OPTIONAL (map keys REQUIRED, per spec) with
 RLE def levels; types bool/int32/int64/float/double/string/binary/
-timestamp[us]/date32/decimal128; codecs none/snappy/gzip/zstd/lz4 (raw).
+timestamp[us]/date32/decimal128/fixed_size_binary (true FLBA(n) leaves);
+codecs none/snappy/gzip/zstd/lz4 (raw).
 Deliberately small — the point is byte-format parity, not a second engine.
 """
 
@@ -149,6 +150,8 @@ def _phys_of(t: pa.DataType):
         return _T_INT32, _CT_DATE
     if pa.types.is_decimal(t):
         return _T_FLBA, _CT_DECIMAL
+    if pa.types.is_fixed_size_binary(t):
+        return _T_FLBA, None
     raise TypeError(f"parquet_writer: unsupported type {t}")
 
 
@@ -177,6 +180,11 @@ def _plain_bytes(valid: pa.Array) -> bytes:
             )
             out_view[np.repeat(starts + 4, lens) + within] = payload
         return out.tobytes()
+    if pa.types.is_fixed_size_binary(t):
+        w = t.byte_width
+        b = np.frombuffer(valid.buffers()[1], dtype=np.uint8,
+                          count=(valid.offset + len(valid)) * w)
+        return b[valid.offset * w:].tobytes()
     if pa.types.is_decimal(t):
         # decimal128 -> FLBA(minimal-for-precision): arrow stores 16-byte
         # LITTLE-endian two's complement; parquet DECIMAL FLBA is BIG-endian
@@ -317,6 +325,8 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
     if pa.types.is_decimal(arr.type):
         extra.update(tlen=_decimal_flba_len(arr.type.precision),
                      prec=arr.type.precision, scale=arr.type.scale)
+    elif pa.types.is_fixed_size_binary(arr.type):
+        extra.update(tlen=arr.type.byte_width)
     mask = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
     valid = arr.drop_null()
     levels = _rle_def_levels(mask)
@@ -358,10 +368,11 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
 
     # dictionary-encode low-cardinality non-bool columns
     # (PLAIN_DICTIONARY: PLAIN dict page + bit-width-prefixed RLE
-    # indices — the reference v1 writer's default); FLBA decimals stay PLAIN
+    # indices — the reference v1 writer's default); FLBA (decimal/fixed-size-binary) stays PLAIN
     dict_bytes = None
     if (use_dictionary and not pa.types.is_boolean(arr.type)
-            and not pa.types.is_decimal(arr.type) and len(valid)):
+            and not pa.types.is_decimal(arr.type)
+            and not pa.types.is_fixed_size_binary(arr.type) and len(valid)):
         de = valid.dictionary_encode()
         ndv = len(de.dictionary)
         if ndv <= 65536 and ndv <= max(len(valid) // 2, 1):
@@ -422,6 +433,8 @@ def _write_shredded_chunk(out, offset: int, path_names: list[str],
     if pa.types.is_decimal(leaf.type):
         extra.update(tlen=_decimal_flba_len(leaf.type.precision),
                      prec=leaf.type.precision, scale=leaf.type.scale)
+    elif pa.types.is_fixed_size_binary(leaf.type):
+        extra.update(tlen=leaf.type.byte_width)
     parts = []
     if max_rep > 0:
         r = _rle_spec_encode(rep, max(max_rep.bit_length(), 1))
@@ -730,6 +743,8 @@ def _leaf_element(name: str, t: pa.DataType,
     kw: dict = {}
     if pa.types.is_decimal(t):
         kw = {"tlen": _decimal_flba_len(t.precision), "scale": t.scale, "prec": t.precision}
+    elif pa.types.is_fixed_size_binary(t):
+        kw = {"tlen": t.byte_width}
     return _schema_element(name, ptype=ptype, repetition=repetition,
                            conv=conv, **kw)
 

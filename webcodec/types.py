@@ -85,6 +85,11 @@ def widened(t: pa.DataType) -> pa.DataType | None:
     for nt, wt in _WIDEN_TO:
         if t.equals(nt):
             return wt
+    if pa.types.is_fixed_size_binary(t):
+        # parquet's UUID/FLBA stance inverted: FIXED_LEN_BYTE_ARRAY(n) stores
+        # as variable BINARY (all lengths equal n, so DELTA_LENGTH's length
+        # stream RLEs to nothing); footer type restores fixed_size_binary[n]
+        return pa.binary()
     return None
 
 
@@ -177,6 +182,8 @@ def arrow_type_from_json(s: str) -> pa.DataType:
     if s.startswith("decimal128(") and s.endswith(")"):
         p, sc = s[len("decimal128(") : -1].split(",")
         return pa.decimal128(int(p), int(sc))
+    if s.startswith("fixed_size_binary[") and s.endswith("]"):
+        return pa.binary(int(s[len("fixed_size_binary[") : -1]))
     # list child field name varies by producer ("item", "element", ...) —
     # preserve BOTH the name and the nullability so list schemas round-trip
     # (list<element: int64 not null> must not come back as list<item: int64>)
