@@ -422,6 +422,16 @@ def _encode_any_chunks(
                 if not (pa.types.is_binary(arr.type) or pa.types.is_string(arr.type)):
                     raise
     t = arr.type
+    if (pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t)) and (
+        pa.types.is_struct(t.value_type) or pa.types.is_map(t.value_type)
+        or pa.types.is_list(t.value_type) or pa.types.is_decimal(t.value_type)
+    ):
+        # offset-width/fixed-length variants of NESTED lists normalize to
+        # plain list<> so the recursive handlers below engage; they decode
+        # as list<> (the flat-primitive variants restore exactly via the
+        # chunk type — types.widened)
+        arr = arr.cast(pa.list_(t.value_field))
+        t = arr.type
     if pa.types.is_decimal(t):
         return _encode_decimal_chunks(name, arr, config, out, offset0)
     if pa.types.is_list(t) and pa.types.is_decimal(t.value_type):

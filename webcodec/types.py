@@ -90,6 +90,13 @@ def widened(t: pa.DataType) -> pa.DataType | None:
         # as variable BINARY (all lengths equal n, so DELTA_LENGTH's length
         # stream RLEs to nothing); footer type restores fixed_size_binary[n]
         return pa.binary()
+    if pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        # offset-width / fixed-length list variants store as plain list<>
+        # (fixed_size_list<float,d> embeddings thereby take the BSS fast
+        # path); the footer type restores the exact variant on decode.
+        # A >2^31-value large_list chunk would overflow the cast — at that
+        # point the column must be split across row groups anyway.
+        return pa.list_(t.value_field)
     return None
 
 
@@ -184,6 +191,15 @@ def arrow_type_from_json(s: str) -> pa.DataType:
         return pa.decimal128(int(p), int(sc))
     if s.startswith("fixed_size_binary[") and s.endswith("]"):
         return pa.binary(int(s[len("fixed_size_binary[") : -1]))
+    if s.startswith("fixed_size_list<") and s.endswith("]"):
+        inner, _, size = s[len("fixed_size_list<") :].rpartition(">[")
+        cname, child = ("item", inner) if ": " not in inner else inner.split(": ", 1)
+        nullable = True
+        if child.endswith(" not null"):
+            nullable = False
+            child = child.removesuffix(" not null")
+        field = pa.field(cname, arrow_type_from_json(child), nullable=nullable)
+        return pa.list_(field, int(size[:-1]))
     # list child field name varies by producer ("item", "element", ...) —
     # preserve BOTH the name and the nullability so list schemas round-trip
     # (list<element: int64 not null> must not come back as list<item: int64>)
@@ -199,5 +215,5 @@ def arrow_type_from_json(s: str) -> pa.DataType:
                 nullable = False
                 child = child.removesuffix(" not null")
             field = pa.field(cname, arrow_type_from_json(child), nullable=nullable)
-            return pa.list_(field)
+            return pa.large_list(field) if prefix == "large_list<" else pa.list_(field)
     raise TypeError(f"cannot parse arrow type {s!r}")
