@@ -81,6 +81,27 @@ def test_fsb_interop_reader(tmp_path):
     assert pi.read_table_arrow(p).equals(t)
 
 
+def test_fsb_sliced_batches_no_segfault(tmp_path):
+    """pyarrow 16.1.0's FSB->binary cast kernel segfaults on ANY non-zero
+    array offset (record-batch boundaries produce exactly those slices);
+    types.widen_array builds the binary array manually instead. This test
+    crashed the interpreter before the workaround."""
+    t = pa.table({"u": pa.array(_uuids(2500) + [None], pa.binary(16))})
+    p = str(tmp_path / "b.wcd")
+    filefmt.write_batches(
+        iter(t.to_batches(max_chunksize=500)), p, EncoderConfig.speed(),
+        group_target_bytes=1 << 12,
+    )
+    back = filefmt.read_table(p)
+    assert back.column("u").combine_chunks().equals(t.column("u").combine_chunks())
+    # direct slice through the helper, nulls included
+    from webcodec.types import widen_array
+
+    sl = t.column("u").combine_chunks().slice(501, 1000)
+    out = widen_array(sl, pa.binary())
+    assert out.type == pa.binary() and out.to_pylist() == sl.to_pylist()
+
+
 def test_fsb_encrypted(tmp_path):
     key = bytes(range(32))
     t = pa.table({"u": pa.array(_uuids(50), pa.binary(16))})

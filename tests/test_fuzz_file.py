@@ -62,11 +62,30 @@ def _rand_column(pyrng, rng, n, kind):
         return pa.array(
             mask([{"a": int(i), "b": f"s{i % 11}"} for i in range(n)]),
             pa.struct([("a", pa.int64()), ("b", pa.string())]))
+    if kind == "fsb":
+        return pa.array(
+            mask([bytes(rng.integers(0, 256, 16, dtype=np.uint8)) for _ in range(n)]),
+            pa.binary(16))
+    if kind == "large_list":
+        return pa.array(mask([rng.integers(0, 99, i % 4).tolist() for i in range(n)]),
+                        pa.large_list(pa.int64()))
+    if kind == "fsl":
+        return pa.array(mask([rng.standard_normal(3).astype(np.float32).tolist()
+                              for _ in range(n)]),
+                        pa.list_(pa.float32(), 3))
+    if kind == "list_decimal":
+        import decimal as _d
+        return pa.array(
+            mask([[None if pyrng.random() < 0.2 else
+                   _d.Decimal(int(rng.integers(-10**10, 10**10))).scaleb(-2)
+                   for _ in range(i % 4)] for i in range(n)]),
+            pa.list_(pa.decimal128(14, 2)))
     raise AssertionError(kind)
 
 
 _KINDS = ["int", "small_int", "monotone", "float", "string", "url", "binary",
-          "ts", "bool", "list_int", "struct"]
+          "ts", "bool", "list_int", "struct", "fsb", "large_list", "fsl",
+          "list_decimal"]
 
 
 def _rand_config(pyrng) -> EncoderConfig:
@@ -118,7 +137,7 @@ def test_file_roundtrip_fuzz(tmp_path, trial):
 
     # random predicate over a flat comparable column -> exact filter parity
     flat = [c for c in t.column_names
-            if not ("list" in c or "struct" in c or "bool" in c)]
+            if not ("list" in c or "struct" in c or "bool" in c or "fsl" in c)]
     if not flat:
         return
     col = pyrng.choice(flat)

@@ -11,7 +11,7 @@ import pyarrow as pa
 
 from webcodec.kernels import alp, bitpack, bss, delta, deltalength, dictionary, fsst, plain, prefix, rle
 from webcodec.kernels.varint import read_uvarint, write_uvarint
-from webcodec.types import IS_VARLEN, NUMPY_OF, Encoding, PhysType, widened
+from webcodec.types import IS_VARLEN, NUMPY_OF, Encoding, PhysType, widen_array, widened
 
 
 def varlen_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
@@ -159,7 +159,7 @@ def encode_values(
         child_phys = phys_type_of(child.type)
         cw = widened(child.type)  # narrow child stores widened, like flat cols
         if cw is not None:
-            child = child.cast(cw)
+            child = widen_array(child, cw)
         lens_enc = delta.encode(np.diff(offsets))
         if child.null_count:
             import pyarrow.compute as pc

@@ -46,6 +46,7 @@ from webcodec.types import (
     arrow_type_from_json,
     arrow_type_json,
     phys_type_of,
+    widen_array,
     widened,
 )
 
@@ -234,7 +235,7 @@ def _encode_chunk(
     orig_json = arrow_type_json(orig_t)
     _w = widened(arr.type)
     if _w is not None:
-        arr = arr.cast(_w)
+        arr = widen_array(arr, _w)
     codec = CODEC_NAMES[config.compression_for(name).lower()]
     level = config.compression_level
     if phys == PhysType.BINARY and config.binary_compression_level is not None:

@@ -100,6 +100,32 @@ def widened(t: pa.DataType) -> pa.DataType | None:
     return None
 
 
+def widen_array(arr: pa.Array, target: pa.DataType) -> pa.Array:
+    """``arr.cast(target)`` with a manual path for fixed_size_binary:
+    pyarrow 16.1.0's FSB->binary cast kernel SEGFAULTS on arrays with a
+    non-zero offset (any slice — e.g. a record-batch boundary), so build
+    the variable-width array directly from the FSB buffer instead."""
+    if not pa.types.is_fixed_size_binary(arr.type):
+        return arr.cast(target)
+    w = arr.type.byte_width
+    n = len(arr)
+    offsets = (np.arange(n + 1, dtype=np.int64) * w).astype(np.int32)
+    dbuf = arr.buffers()[1]
+    data = (
+        pa.py_buffer(bytes(memoryview(dbuf)[arr.offset * w : (arr.offset + n) * w]))
+        if dbuf is not None and n
+        else pa.py_buffer(b"")
+    )
+    vbuf = None
+    if arr.null_count:
+        m = np.zeros(n, dtype=bool)
+        m[:] = arr.is_valid().to_numpy(zero_copy_only=False)
+        vbuf = pa.py_buffer(np.packbits(m, bitorder="little").tobytes())
+    return pa.Array.from_buffers(
+        pa.binary(), n, [vbuf, pa.py_buffer(offsets.tobytes()), data]
+    )
+
+
 def phys_type_of(t: pa.DataType) -> PhysType:
     w = widened(t)
     if w is not None:
