@@ -128,6 +128,7 @@ def encode_values(
     encoding: Encoding,
     fsst_sample: int = 1 << 14,
     fsst_table=None,
+    alp_hint: tuple | None = None,
 ) -> bytes:
     """Encode a null-free array slice. DICT is handled at chunk level, not here."""
     n = len(arr)
@@ -197,7 +198,7 @@ def encode_values(
     if encoding == Encoding.BYTE_STREAM_SPLIT:
         return bss.encode(v)
     if encoding == Encoding.ALP:
-        return alp.encode(v)
+        return alp.encode(v, alp_hint)
     if encoding == Encoding.RLE:
         u = v.astype(np.int64).view(np.uint64)
         width = bitpack.max_bit_width(u)

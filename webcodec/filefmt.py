@@ -321,6 +321,7 @@ def _encode_chunk(
     encoded_total = 0
     tried_fallback = encoding == fb
     fsst_table = trial_fsst_table  # one symbol table per chunk, shared by all pages
+    alp_hint = None  # one (mode, e, f) plan per chunk, shared by all pages
     pages_out: list[_PageOut] = []
     i = 0
     while i < len(ranges):
@@ -341,8 +342,14 @@ def _encode_chunk(
                 fsst_table = _fsst.build_table(
                     colcodec.sample_payload(nonnull, 2048, config.fsst_sample_bytes)
                 )
+            if encoding == Encoding.ALP and alp_hint is None:
+                from webcodec.kernels import alp as _alp
+
+                whole = arr.drop_null() if arr.null_count else arr
+                alp_hint = _alp.plan(colcodec.fixed_values(whole, phys))
             values = colcodec.encode_values(
-                nonnull, phys, encoding, config.fsst_sample_bytes, fsst_table
+                nonnull, phys, encoding, config.fsst_sample_bytes, fsst_table,
+                alp_hint,
             )
         # A7 guard on the FIRST page: encoded (+dict) must beat raw, else fall back
         if i == 0 and not tried_fallback:

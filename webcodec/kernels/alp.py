@@ -166,8 +166,30 @@ def _encode_rd(x: np.ndarray) -> bytes:
     return b"".join(out)
 
 
-def encode(values: np.ndarray) -> bytes:
-    """Encode a float32/float64 vector; exact for every input."""
+def plan(values: np.ndarray) -> tuple:
+    """Chunk-level mode/(e,f) selection (the paper's first-level rowgroup
+    sampling): callers encode many pages of one column chunk, and the
+    all-pairs `_find_ef` sweep is ~half the ALP encode cost — running it
+    once per CHUNK instead of once per page nearly doubles throughput.
+    The per-page exception-rate guard in :func:`encode` still demotes any
+    page the chunk-level choice fits badly."""
+    x = np.ascontiguousarray(values)
+    if len(x) == 0 or x.dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+        return ("rd",)
+    e, f, sample_exc, bpv = _find_ef(x, x.dtype)
+    # a "decimal" win must be genuine: random mantissas round-trip through
+    # e=18 by double-rounding luck but at ~63 digit bits/value, which is
+    # WORSE than the RD bit-split — require a clear margin under RD's
+    # ~(r + code_width) bits/value before taking mode 0
+    if sample_exc <= 0.2 and bpv <= 0.8 * x.dtype.itemsize * 8:
+        return ("decimal", e, f)
+    return ("rd",)
+
+
+def encode(values: np.ndarray, hint: tuple | None = None) -> bytes:
+    """Encode a float32/float64 vector; exact for every input. ``hint`` is a
+    :func:`plan` result computed over the whole chunk; without one the plan
+    runs on this vector alone."""
     x = np.ascontiguousarray(values)
     if x.dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
         raise ValueError(f"ALP encodes float32/float64, got {x.dtype}")
@@ -175,13 +197,10 @@ def encode(values: np.ndarray) -> bytes:
         return bytes([0, 0, 0]) + write_uvarint(0) + delta.encode(
             np.zeros(0, np.int64)
         )
-    e, f, sample_exc, bpv = _find_ef(x, x.dtype)
-    # a "decimal" win must be genuine: random mantissas round-trip through
-    # e=18 by double-rounding luck but at ~63 digit bits/value, which is
-    # WORSE than the RD bit-split — require a clear margin under RD's
-    # ~(r + code_width) bits/value before taking mode 0
-    if sample_exc <= 0.2 and bpv <= 0.8 * x.dtype.itemsize * 8:
-        payload, n_exc = _encode_decimal(x, e, f)
+    if hint is None:
+        hint = plan(x)
+    if hint[0] == "decimal":
+        payload, n_exc = _encode_decimal(x, hint[1], hint[2])
         if n_exc <= 0.2 * len(x):
             return payload
     return _encode_rd(x)
