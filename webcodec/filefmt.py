@@ -270,23 +270,6 @@ def _encode_chunk(
     avg_bytes = raw / max(n, 1)
     ranges = _page_ranges(n, avg_bytes, config)
 
-    # split-block bloom for short varlen columns (C8; bloom-level pruning D2)
-    if (
-        config.bloom_filter_enabled
-        and phys in IS_VARLEN
-        and n > 0
-        and stats.avg_len <= config.bloom_filter_max_avg_len
-    ):
-        import base64
-
-        from webcodec.kernels import bloom
-
-        offs, data_mv = colcodec.varlen_parts(arr.drop_null() if arr.null_count else arr)
-        raw_np = np.frombuffer(data_mv, dtype=np.uint8, count=int(offs[-1])) if len(offs) > 1 else np.zeros(0, np.uint8)
-        hashes = np.unique(bloom.hash_values(offs, raw_np)) if len(offs) > 1 else np.zeros(0, np.uint64)
-        fb_bytes = bloom.build(hashes, config.bloom_filter_fpp, config.bloom_filter_max_bytes)
-        chunk["bloom"] = {"ndv": int(len(hashes)), "b64": base64.b64encode(fb_bytes).decode()}
-
     dict_values = None
     indices = None
     dp: _PageOut | None = None
@@ -317,6 +300,31 @@ def _encode_chunk(
                 "inner_encoding": int(dict_inner),
                 **{k: dp.meta[k] for k in ("uncompressed_size", "compressed_size")},
             }
+
+    # split-block bloom for short varlen columns (C8; bloom-level pruning D2).
+    # Runs AFTER the dictionary build: the bloom depends only on the value
+    # SET, so when a dictionary exists we hash |dict| distinct values instead
+    # of all n rows — O(ndv) vs O(rows), and dict columns are exactly the
+    # ones where ndv << rows. (Correct even if the A7 guard later falls the
+    # chunk back from DICT: the distinct set is encoding-independent.)
+    if (
+        config.bloom_filter_enabled
+        and phys in IS_VARLEN
+        and n > 0
+        and stats.avg_len <= config.bloom_filter_max_avg_len
+    ):
+        import base64
+
+        from webcodec.kernels import bloom
+
+        bsrc = dict_values if dict_values is not None else (
+            arr.drop_null() if arr.null_count else arr
+        )
+        offs, data_mv = colcodec.varlen_parts(bsrc)
+        raw_np = np.frombuffer(data_mv, dtype=np.uint8, count=int(offs[-1])) if len(offs) > 1 else np.zeros(0, np.uint8)
+        hashes = np.unique(bloom.hash_values(offs, raw_np)) if len(offs) > 1 else np.zeros(0, np.uint64)
+        fb_bytes = bloom.build(hashes, config.bloom_filter_fpp, config.bloom_filter_max_bytes)
+        chunk["bloom"] = {"ndv": int(len(hashes)), "b64": base64.b64encode(fb_bytes).decode()}
 
     encoded_total = 0
     tried_fallback = encoding == fb
