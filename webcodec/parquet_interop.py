@@ -398,6 +398,16 @@ def _leaf_arrow(vals, defs, max_def, target_type):
                 it = iter(vals)
                 py = [conv(next(it)) if p else None for p in present]
             return pa.array(py, target_type)
+        if pa.types.is_float16(target_type):
+            # Float16 logical annotation: FLBA(2), IEEE 754 half,
+            # little-endian (parquet-format LogicalTypes.md) — binary->
+            # halffloat has no arrow cast, so reinterpret the raw bytes
+            half = np.frombuffer(b"".join(vals), dtype="<f2")
+            if present is None:
+                return pa.array(half)
+            full = np.zeros(len(present), dtype=np.float16)
+            full[present] = half
+            return pa.array(full, mask=~present)
         if present is None:
             arr = pa.array(vals, pa.binary())
         else:

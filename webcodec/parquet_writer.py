@@ -152,6 +152,10 @@ def _phys_of(t: pa.DataType):
         return _T_FLBA, _CT_DECIMAL
     if pa.types.is_fixed_size_binary(t):
         return _T_FLBA, None
+    if pa.types.is_float16(t):
+        # Float16 logical annotation (no converted_type exists for it):
+        # FLBA(2) little-endian IEEE half (parquet-format LogicalTypes.md)
+        return _T_FLBA, None
     raise TypeError(f"parquet_writer: unsupported type {t}")
 
 
@@ -185,6 +189,8 @@ def _plain_bytes(valid: pa.Array) -> bytes:
         b = np.frombuffer(valid.buffers()[1], dtype=np.uint8,
                           count=(valid.offset + len(valid)) * w)
         return b[valid.offset * w:].tobytes()
+    if pa.types.is_float16(t):
+        return valid.to_numpy(zero_copy_only=False).astype("<f2").tobytes()
     if pa.types.is_decimal(t):
         # decimal128 -> FLBA(minimal-for-precision): arrow stores 16-byte
         # LITTLE-endian two's complement; parquet DECIMAL FLBA is BIG-endian
@@ -372,7 +378,8 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
     dict_bytes = None
     if (use_dictionary and not pa.types.is_boolean(arr.type)
             and not pa.types.is_decimal(arr.type)
-            and not pa.types.is_fixed_size_binary(arr.type) and len(valid)):
+            and not pa.types.is_fixed_size_binary(arr.type)
+            and not pa.types.is_float16(arr.type) and len(valid)):
         de = valid.dictionary_encode()
         ndv = len(de.dictionary)
         if ndv <= 65536 and ndv <= max(len(valid) // 2, 1):
@@ -713,10 +720,13 @@ def _schema_element(name: str, *, ptype: int | None = None,
                     repetition: int = _REP_OPTIONAL,
                     num_children: int | None = None, conv: int | None = None,
                     tlen: int | None = None, scale: int | None = None,
-                    prec: int | None = None) -> bytes:
+                    prec: int | None = None,
+                    logical: int | None = None) -> bytes:
     """One thrift SchemaElement (parquet.thrift field ids: 1 type,
     2 type_length, 3 repetition_type, 4 name, 5 num_children,
-    6 converted_type, 7 scale, 8 precision)."""
+    6 converted_type, 7 scale, 8 precision, 10 logicalType).
+    ``logical`` is the LogicalType union field id for the EMPTY-struct
+    variants that have no converted_type fallback (14 UUID, 15 FLOAT16)."""
     e = _TOut()
     last = 0
     if ptype is not None:
@@ -733,6 +743,11 @@ def _schema_element(name: str, *, ptype: int | None = None,
         last = _f_i32(e, last, 7, scale)
     if prec is not None:
         last = _f_i32(e, last, 8, prec)
+    if logical is not None:
+        u = _TOut()
+        _f_struct(u, 0, logical, b"\x00")  # empty variant struct + stop
+        _stop(u)
+        last = _f_struct(e, last, 10, bytes(u.buf))
     _stop(e)
     return bytes(e.buf)
 
@@ -745,6 +760,8 @@ def _leaf_element(name: str, t: pa.DataType,
         kw = {"tlen": _decimal_flba_len(t.precision), "scale": t.scale, "prec": t.precision}
     elif pa.types.is_fixed_size_binary(t):
         kw = {"tlen": t.byte_width}
+    elif pa.types.is_float16(t):
+        kw = {"tlen": 2, "logical": 15}  # LogicalType.FLOAT16
     return _schema_element(name, ptype=ptype, repetition=repetition,
                            conv=conv, **kw)
 
