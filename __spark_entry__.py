@@ -820,6 +820,31 @@ def _rt_narrow_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType end-to-end (SURVEY §1.2 Variant logical
+    annotation): events.props parsed to VARIANT, written through the
+    DataSource — Spark hands the engine variant as
+    struct<value: binary, metadata: binary> over Arrow, the snapshot schema
+    records the Spark type string 'variant', and the read path restores the
+    true variant type (asserted) — then fields are extracted AFTER the
+    round-trip with variant_get. export_parquet additionally emits these
+    columns as VARIANT(1)-annotated groups Spark's own parquet reader
+    restores (tests/test_variant.py). Oracle: DuckDB json_extract over the
+    raw props strings."""
+    from webcodec.spark.datasource import WebcodecDataSource
+
+    _prep(spark)
+    spark.dataSource.register(WebcodecDataSource)
+    df = _src(spark, sf_dir, "events").select(
+        "event_id", F.parse_json(F.col("props")).alias("v"))
+    out = os.path.join(tempfile.mkdtemp(prefix="wcq_variant_"), "t")
+    df.write.format("webcodec").mode("append").option("path", out).save()
+    back = spark.read.format("webcodec").option("path", out).load()
+    assert dict(back.dtypes)["v"] == "variant"
+    return back.select(
+        "event_id", F.variant_get(F.col("v"), "$.k", "long").alias("k"))
+
+
 def _rt_deleted_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read positional deletes (r3, Iceberg v2 delete-file
     analogue): encode documents, `delete_where(lang == 'de')` writes
@@ -1979,7 +2004,7 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """62 queries; the driver records oracle rows for the FIRST 50, so the
+    """63 queries; the driver records oracle rows for the FIRST 50, so the
     dict is ordered by verification need and ROTATED each round: never/least
     -recently-verified and this-round-changed queries first, then the rest;
     the tail holds queries green in every previous round (r1-r4) whose code
@@ -1997,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_narrow_types": _rt_narrow_types,
         "rt_list_decimal": _rt_list_decimal,
         # new/changed in r5 (nested interop both ways, real media features)
+        "rt_variant": _rt_variant,
         "rt_export_parquet_deep": _rt_export_parquet_deep,
         "rt_import_parquet_nested": _rt_import_parquet_nested,
         "rt_export_parquet": _rt_export_parquet,
@@ -2655,6 +2681,11 @@ def oracle_sql() -> dict[str, str]:
         "rt_time_travel": (
             "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars "
             "FROM documents"
+        ),
+        "rt_variant": (
+            "SELECT event_id, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events"
         ),
         "rt_narrow_types": (
             "SELECT doc_id, "

@@ -99,6 +99,12 @@ def _f_i64(out, last, fid, v):
     return last
 
 
+def _f_i8(out, last, fid, v):
+    last = _field(out, last, fid, 3)
+    out.u8(v & 0xFF)
+    return last
+
+
 def _f_binary(out, last, fid, b: bytes):
     last = _field(out, last, fid, 8)
     out.uvarint(len(b))
@@ -627,6 +633,29 @@ def _nested_elems_child(name: str, t: pa.DataType, required=False) -> list[bytes
         name, t, repetition=_REP_REQUIRED if required else _REP_OPTIONAL)]
 
 
+def _variant_elems(name: str, t: pa.DataType) -> list[bytes]:
+    """VARIANT(1)-annotated group (parquet-format VariantEncoding.md,
+    LogicalType union field 16 carrying specification_version=1): the
+    UNSHREDDED shape — binary ``metadata`` + binary ``value`` children.
+    The arrow storage type (Spark 4's VariantType over Arrow) must be
+    struct<value: binary, metadata: binary>; children keep the shredder's
+    optional repetition so the existing struct def-level streams apply."""
+    if not (pa.types.is_struct(t) and t.num_fields == 2
+            and {t.field(i).name for i in range(2)} == {"value", "metadata"}
+            and all(pa.types.is_binary(t.field(i).type) for i in range(2))):
+        raise TypeError(
+            f"variant column {name!r} must be struct<value: binary, "
+            f"metadata: binary>, got {t}")
+    ver = _TOut()
+    _f_i8(ver, 0, 1, 1)  # VariantType.specification_version = 1
+    _stop(ver)
+    out = [_schema_element(name, num_children=2, logical=16,
+                           logical_payload=bytes(ver.buf))]
+    for i in range(t.num_fields):
+        out += _nested_elems_child(t.field(i).name, t.field(i).type)
+    return out
+
+
 def _list_levels(arr: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     """(leaf values where def==3, rep, def) for an optional list<optional
     primitive> column under the 3-level LIST encoding: def 0 = null list,
@@ -662,7 +691,8 @@ def _list_levels(arr: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
 def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                   use_dictionary: bool = True,
                   row_group_rows: int | None = None,
-                  column_encoding: dict[str, str] | None = None) -> None:
+                  column_encoding: dict[str, str] | None = None,
+                  variant_columns: set[str] | frozenset[str] | None = None) -> None:
     """Write ``table`` as a standard parquet file (PLAIN or PLAIN_DICTIONARY
     per column chunk, optional columns with RLE def levels) using only
     webcodec kernels + the thrift serialization written here.
@@ -710,7 +740,8 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
             for cm in col_meta:
                 cm["rows"] = sl.num_rows
             groups_meta.append(col_meta)
-        footer = _file_metadata(table, groups_meta, codec, n_rows)
+        footer = _file_metadata(table, groups_meta, codec, n_rows,
+                                frozenset(variant_columns or ()))
         out.write(footer)
         out.write(struct.pack("<I", len(footer)))
         out.write(MAGIC)
@@ -721,12 +752,15 @@ def _schema_element(name: str, *, ptype: int | None = None,
                     num_children: int | None = None, conv: int | None = None,
                     tlen: int | None = None, scale: int | None = None,
                     prec: int | None = None,
-                    logical: int | None = None) -> bytes:
+                    logical: int | None = None,
+                    logical_payload: bytes = b"\x00") -> bytes:
     """One thrift SchemaElement (parquet.thrift field ids: 1 type,
     2 type_length, 3 repetition_type, 4 name, 5 num_children,
     6 converted_type, 7 scale, 8 precision, 10 logicalType).
-    ``logical`` is the LogicalType union field id for the EMPTY-struct
-    variants that have no converted_type fallback (14 UUID, 15 FLOAT16)."""
+    ``logical`` is the LogicalType union field id for annotations that have
+    no converted_type fallback (14 UUID, 15 FLOAT16, 16 VARIANT);
+    ``logical_payload`` overrides the default EMPTY variant struct with a
+    serialized struct body (e.g. VariantType.specification_version)."""
     e = _TOut()
     last = 0
     if ptype is not None:
@@ -745,7 +779,7 @@ def _schema_element(name: str, *, ptype: int | None = None,
         last = _f_i32(e, last, 8, prec)
     if logical is not None:
         u = _TOut()
-        _f_struct(u, 0, logical, b"\x00")  # empty variant struct + stop
+        _f_struct(u, 0, logical, logical_payload)
         _stop(u)
         last = _f_struct(e, last, 10, bytes(u.buf))
     _stop(e)
@@ -766,19 +800,24 @@ def _leaf_element(name: str, t: pa.DataType,
                            conv=conv, **kw)
 
 
-def _schema_elements(schema: pa.Schema) -> list[bytes]:
+def _schema_elements(schema: pa.Schema,
+                     variant_columns: frozenset[str] = frozenset()) -> list[bytes]:
     """Flattened SchemaElement tree (depth-first, as the spec requires):
     root -> per-column leaf, or LIST 3-level group, or struct group."""
     elems = [_schema_element("schema", repetition=_REP_REQUIRED,
                              num_children=len(schema))]
     for field in schema:
-        elems.extend(_nested_elems_child(field.name, field.type))
+        if field.name in variant_columns:
+            elems.extend(_variant_elems(field.name, field.type))
+        else:
+            elems.extend(_nested_elems_child(field.name, field.type))
     return elems
 
 
 def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
-                   n_rows: int) -> bytes:
-    elems = _schema_elements(table.schema)
+                   n_rows: int,
+                   variant_columns: frozenset[str] = frozenset()) -> bytes:
+    elems = _schema_elements(table.schema, variant_columns)
 
     rgs = []
     for col_meta in groups_meta:

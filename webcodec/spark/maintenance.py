@@ -747,6 +747,11 @@ def export_parquet(
     ]
 
     bc = spark.sparkContext.broadcast(paths)
+    # Spark VariantType columns (snapshot schema type string "variant",
+    # stored as struct<value,metadata>) export as VARIANT(1)-annotated
+    # groups so Spark's parquet reader restores the variant type
+    variant_cols = frozenset(
+        f["name"] for f in snap["schema"] if f["type"] == "variant")
 
     def export_fn(batches):
         import pyarrow as pa
@@ -797,7 +802,8 @@ def export_parquet(
                     t.num_rows * (64 << 20) // max(t.nbytes, 1), 4096
                 )
                 write_parquet(t, out, codec=codec, row_group_rows=int(rg_rows),
-                              column_encoding=col_enc)
+                              column_encoding=col_enc,
+                              variant_columns=variant_cols)
                 yield pa.RecordBatch.from_pydict(
                     {"pid": pa.array([pid], pa.int32()),
                      "rows": pa.array([t.num_rows], pa.int64())}
