@@ -108,3 +108,34 @@ def test_fsb_encrypted(tmp_path):
     p = str(tmp_path / "e.wcd")
     filefmt.write_table(t, p, EncoderConfig(encryption_key=key))
     assert filefmt.read_table(p, encryption_key=key).equals(t)
+
+
+def test_uuid_logical_annotation(tmp_path):
+    """UUID logical type (parquet-format LogicalTypes.md; LogicalType union
+    field 14) over FLBA(16): write_parquet(uuid_columns=...) annotates the
+    leaf; pyarrow reads FSB(16), DuckDB reads real UUID values, and the
+    interop reader round-trips. Non-FSB(16) columns are rejected."""
+    import uuid as U
+
+    import duckdb
+
+    from webcodec import parquet_interop, parquet_writer
+
+    vals = [U.uuid5(U.NAMESPACE_URL, f"u{i}").bytes for i in range(6)] + [None]
+    t = pa.table({"u": pa.array(vals, pa.binary(16)),
+                  "x": pa.array(range(7), pa.int64())})
+    p = str(tmp_path / "u.parquet")
+    parquet_writer.write_parquet(t, p, uuid_columns={"u"})
+    back = pq.read_table(p)
+    assert back.column("u").to_pylist() == vals
+    assert "(UUID)" in str(pq.ParquetFile(p).schema) or "UUID" in str(
+        pq.ParquetFile(p).schema)
+    got = duckdb.sql(
+        f"SELECT u FROM '{p}' WHERE u IS NOT NULL ORDER BY x").fetchall()
+    assert [r[0].bytes for r in got] == vals[:6]
+    ours = parquet_interop.read_table_arrow(p)
+    assert ours.column("u").to_pylist() == vals
+    with pytest.raises(TypeError, match="uuid column"):
+        parquet_writer.write_parquet(
+            pa.table({"u": pa.array([1], pa.int64())}),
+            str(tmp_path / "bad.parquet"), uuid_columns={"u"})

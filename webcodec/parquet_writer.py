@@ -21,7 +21,10 @@ parquet-java's sizing) big-endian two's complement —
 one or more row groups (``row_group_rows``), PLAIN or PLAIN_DICTIONARY data
 pages, all columns written as OPTIONAL (map keys REQUIRED, per spec) with
 RLE def levels; types bool/int32/int64/float/double/string/binary/
-timestamp[us]/date32/decimal128/fixed_size_binary (true FLBA(n) leaves);
+timestamp[us]/date32/decimal128/fixed_size_binary (true FLBA(n) leaves)/
+float16 (FLBA(2) + FLOAT16 annotation); opt-in logical annotations for
+UUID (FLBA(16), ``uuid_columns``) and Spark VariantType
+(VARIANT(1)-annotated metadata/value group, ``variant_columns``);
 codecs none/snappy/gzip/zstd/lz4 (raw).
 Deliberately small — the point is byte-format parity, not a second engine.
 """
@@ -692,7 +695,8 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                   use_dictionary: bool = True,
                   row_group_rows: int | None = None,
                   column_encoding: dict[str, str] | None = None,
-                  variant_columns: set[str] | frozenset[str] | None = None) -> None:
+                  variant_columns: set[str] | frozenset[str] | None = None,
+                  uuid_columns: set[str] | frozenset[str] | None = None) -> None:
     """Write ``table`` as a standard parquet file (PLAIN or PLAIN_DICTIONARY
     per column chunk, optional columns with RLE def levels) using only
     webcodec kernels + the thrift serialization written here.
@@ -741,7 +745,8 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                 cm["rows"] = sl.num_rows
             groups_meta.append(col_meta)
         footer = _file_metadata(table, groups_meta, codec, n_rows,
-                                frozenset(variant_columns or ()))
+                                frozenset(variant_columns or ()),
+                                frozenset(uuid_columns or ()))
         out.write(footer)
         out.write(struct.pack("<I", len(footer)))
         out.write(MAGIC)
@@ -801,7 +806,8 @@ def _leaf_element(name: str, t: pa.DataType,
 
 
 def _schema_elements(schema: pa.Schema,
-                     variant_columns: frozenset[str] = frozenset()) -> list[bytes]:
+                     variant_columns: frozenset[str] = frozenset(),
+                     uuid_columns: frozenset[str] = frozenset()) -> list[bytes]:
     """Flattened SchemaElement tree (depth-first, as the spec requires):
     root -> per-column leaf, or LIST 3-level group, or struct group."""
     elems = [_schema_element("schema", repetition=_REP_REQUIRED,
@@ -809,6 +815,16 @@ def _schema_elements(schema: pa.Schema,
     for field in schema:
         if field.name in variant_columns:
             elems.extend(_variant_elems(field.name, field.type))
+        elif field.name in uuid_columns:
+            # UUID logical annotation (LogicalType union field 14, empty
+            # struct) over FLBA(16) — parquet-format LogicalTypes.md
+            if not (pa.types.is_fixed_size_binary(field.type)
+                    and field.type.byte_width == 16):
+                raise TypeError(
+                    f"uuid column {field.name!r} must be "
+                    f"fixed_size_binary(16), got {field.type}")
+            elems.append(_schema_element(field.name, ptype=_T_FLBA,
+                                         tlen=16, logical=14))
         else:
             elems.extend(_nested_elems_child(field.name, field.type))
     return elems
@@ -816,8 +832,9 @@ def _schema_elements(schema: pa.Schema,
 
 def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
                    n_rows: int,
-                   variant_columns: frozenset[str] = frozenset()) -> bytes:
-    elems = _schema_elements(table.schema, variant_columns)
+                   variant_columns: frozenset[str] = frozenset(),
+                   uuid_columns: frozenset[str] = frozenset()) -> bytes:
+    elems = _schema_elements(table.schema, variant_columns, uuid_columns)
 
     rgs = []
     for col_meta in groups_meta:
