@@ -2064,8 +2064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_events": _rt_events,
         "rt_lineitem_q1": _rt_lineitem_q1,
         "rt_join_orders": _rt_join_orders,
-        "rt_embeddings": _rt_embeddings,
         # ---- driver-row cutoff (50) — tail: green r1-r4, unchanged in r5 ----
+        "rt_embeddings": _rt_embeddings,
         "stats_minmax": _stats_minmax,
         "agg_lang_counts": _agg_lang_counts,
         "dedup_exact": _dedup_exact,

@@ -170,6 +170,10 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     queries: dict[str, float] = {}
     extras: dict = {}
+    # bracket the run with the drift canary (pre + post): a reader comparing
+    # BENCH_r{N} files can tell "the host was busy" from "the code regressed"
+    # only if drift during the window is visible, not just after it
+    extras["canary_secs_pre"] = host_canary_secs()
 
     wp_path = materialize_webpages(rows)
     raw_bytes = table_raw_bytes(wp_path)
