@@ -103,3 +103,26 @@ def test_write_parquet_rejects_wrong_shape(tmp_path):
     with pytest.raises(TypeError, match="variant column"):
         parquet_writer.write_parquet(
             t, str(tmp_path / "x.parquet"), variant_columns={"v"})
+
+
+def test_native_interop_reads_variant_export(tmp_path):
+    """The native-footer interop reader decodes VARIANT-annotated files
+    that pyarrow's thrift layer rejects outright — variant columns come
+    back as their storage struct<value, metadata>."""
+    import pyarrow.parquet as pq
+
+    from webcodec import parquet_interop
+
+    t = pa.table({
+        "id": pa.array(range(4), pa.int64()),
+        "v": pa.array(
+            [{"value": b"\x0c\x01", "metadata": b"\x01\x00\x00"}, None] * 2,
+            pa.struct([("value", pa.binary()), ("metadata", pa.binary())])),
+    })
+    p = str(tmp_path / "v.parquet")
+    parquet_writer.write_parquet(t, p, variant_columns={"v"})
+    with pytest.raises(Exception, match="Thrift|thrift"):
+        pq.read_table(p)  # the reference reader cannot even parse the footer
+    ours = parquet_interop.read_table_arrow(p)
+    assert ours.column("id").to_pylist() == [0, 1, 2, 3]
+    assert ours.column("v").to_pylist() == t.column("v").to_pylist()

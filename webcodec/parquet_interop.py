@@ -21,6 +21,10 @@ varints).
 Scope: flat AND arbitrarily-nested schemas (list / struct / map in any
 composition — full Dremel assembly from rep/def levels in
 ``read_column_arrow``, honoring required/optional per the arrow schema),
+footers parsed by the SAME thrift compact reader as the page headers
+(``read_footer_native`` — schema tree, logical/converted annotations,
+leaf rep/def levels, chunk offsets; no pyarrow metadata machinery, so
+VARIANT-annotated exports pyarrow rejects still decode),
 v1 AND v2 data pages (v2: levels stored uncompressed outside the compressed
 values region, lengths in the page header), codecs none/snappy/zstd/gzip/
 lz4, physical types BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY/
@@ -328,17 +332,13 @@ def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
 def read_column_chunk(path: str, row_group: int, column: int) -> list:
     """Decode one FLAT column chunk of a real parquet file to a python list
     (None for nulls) using only webcodec kernels for levels/RLE/bit-pack."""
-    import pyarrow.parquet as pq
-
-    pf = pq.ParquetFile(path)
-    meta = pf.metadata.row_group(row_group).column(column)
-    col_schema = pf.schema_arrow.field(column)
-    max_def = 1 if col_schema.nullable else 0
-    with open(path, "rb") as f:
-        buf = memoryview(f.read())
+    ft = read_footer_native(path)
+    buf = ft["buf"]
+    lf = ft["leaves"][column]
+    meta = ft["row_groups"][row_group][column]
+    max_def = lf["max_def"]
     vals, _, defs = _read_leaf_entries(
-        buf, meta, meta.physical_type, 0, max_def,
-        type_length=(pf.schema.column(column).length or 0))
+        buf, meta, lf["phys"], 0, max_def, type_length=lf["tlen"])
     if defs is None:
         return [v.item() if isinstance(v, np.generic) else v for v in vals]
     out: list = []
@@ -515,45 +515,271 @@ def read_column_arrow(path: str, row_group: int, column_name: str):
     decoded by our RLE/bit-pack/delta/BSS machinery, containers reassembled
     from rep/def levels (the read-side inverse of parquet_writer's Dremel
     shredding). Works on pyarrow/parquet-java-written files."""
-    import pyarrow.parquet as pq
-
-    pf = pq.ParquetFile(path)
-    field = pf.schema_arrow.field(column_name)
-    rg = pf.metadata.row_group(row_group)
-    with open(path, "rb") as f:
-        buf = memoryview(f.read())
+    ft = read_footer_native(path)
+    buf = ft["buf"]
+    field = next((f for f in ft["fields"] if f.name == column_name), None)
+    if field is None:
+        raise KeyError(f"column {column_name!r} not in {path}")
+    leaf_info = {lf["path"]: lf for lf in ft["leaves"]}
     streams = []
-    for i in range(rg.num_columns):
-        meta = rg.column(i)
-        if meta.path_in_schema.split(".")[0] != column_name:
+    for meta in ft["row_groups"][row_group]:
+        if meta.path.split(".")[0] != column_name:
             continue
-        col = pf.schema.column(i)
+        lf = leaf_info[meta.path]
         vals, reps, defs = _read_leaf_entries(
-            buf, meta, meta.physical_type,
-            col.max_repetition_level, col.max_definition_level,
-            type_length=(col.length or 0))
+            buf, meta, lf["phys"], lf["max_rep"], lf["max_def"],
+            type_length=lf["tlen"])
         if defs is None:  # required flat leaf: synthesize def 0s
             defs = np.zeros(meta.num_values, np.int64)
         streams.append({"vals": vals, "rep": reps, "def": defs})
-    if not streams:
-        raise KeyError(f"column {column_name!r} not in {path}")
     return _assemble(field.type, 0, 0, streams, field.nullable)
 
 
 def read_table_arrow(path: str, columns: list[str] | None = None):
     """Whole-file convenience: every (possibly nested) column of every row
     group assembled by webcodec kernels into one arrow Table — the
-    interop-reader counterpart of filefmt.read_table for REFERENCE files."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    interop-reader counterpart of filefmt.read_table for REFERENCE files.
+    Since r5 this is fully self-contained: the footer is parsed by the same
+    thrift compact reader as the page headers (``read_footer_native``), so
+    no pyarrow metadata machinery is involved and files pyarrow's thrift
+    layer rejects (VARIANT-annotated exports) still decode."""
+    return read_table_arrow_native(path, columns)
 
-    pf = pq.ParquetFile(path)
-    names = columns or [f.name for f in pf.schema_arrow]
+
+# ---------------------------- native footer -----------------------------------
+# FileMetaData parsed with the SAME compact-protocol reader the page headers
+# use — no pyarrow metadata dependency, so files pyarrow's thrift layer
+# rejects (e.g. VARIANT-annotated exports) still decode. Field ids from the
+# public parquet.thrift: FileMetaData(2 schema, 4 row_groups),
+# SchemaElement(1 type, 2 type_length, 3 repetition, 4 name, 5 num_children,
+# 6 converted_type, 7 scale, 8 precision, 10 logicalType),
+# RowGroup(1 columns), ColumnChunk(3 meta_data), ColumnMetaData(1 type,
+# 3 path_in_schema, 4 codec, 5 num_values, 7 total_compressed_size,
+# 9 data_page_offset, 11 dictionary_page_offset).
+
+_PHYS_NAMES = {0: "BOOLEAN", 1: "INT32", 2: "INT64", 3: "INT96", 4: "FLOAT",
+               5: "DOUBLE", 6: "BYTE_ARRAY", 7: "FIXED_LEN_BYTE_ARRAY"}
+_CODEC_NAMES = {0: "uncompressed", 1: "snappy", 2: "gzip", 4: "brotli",
+                5: "lz4", 6: "zstd", 7: "lz4_raw"}
+
+
+class _ChunkMeta:
+    """Duck-typed stand-in for pyarrow's ColumnChunkMetaData — exactly the
+    attributes ``_read_leaf_entries`` touches."""
+
+    __slots__ = ("compression", "dictionary_page_offset", "data_page_offset",
+                 "total_compressed_size", "num_values", "path")
+
+    def __init__(self, md: dict):
+        self.compression = _CODEC_NAMES.get(md.get(4, 0), "uncompressed")
+        self.dictionary_page_offset = md.get(11)
+        self.data_page_offset = md[9]
+        self.total_compressed_size = md[7]
+        self.num_values = md[5]
+        self.path = ".".join(
+            p.decode() if isinstance(p, bytes) else p for p in md[3])
+
+
+def _leaf_arrow_type(e: dict):
+    """Arrow type of one leaf SchemaElement from physical + converted +
+    logical annotations (mirrors pyarrow's ParquetToArrow mapping for the
+    types in scope)."""
+    import pyarrow as pa
+
+    phys = e.get(1)
+    conv = e.get(6)
+    logical = e.get(10) or {}
+    tlen = e.get(2, 0)
+    if 5 in logical:  # DECIMAL via LogicalType(scale, precision)
+        dec = logical[5]
+        return pa.decimal128(dec.get(2, e.get(8)), dec.get(1, e.get(7, 0)))
+    if conv == 5:  # DECIMAL via ConvertedType + scale/precision fields
+        return pa.decimal128(e[8], e.get(7, 0))
+    if phys == 0:
+        return pa.bool_()
+    if phys == 1:  # INT32
+        if conv == 6 or 6 in logical:
+            return pa.date32()
+        if 10 in logical:
+            it = logical[10]
+            w, signed = it.get(1, 32), it.get(2, True)
+            return getattr(pa, f"int{w}" if signed else f"uint{w}")()
+        if conv in (15, 16, 17, 11, 12, 13):
+            return {15: pa.int8, 16: pa.int16, 17: pa.int32, 11: pa.uint8,
+                    12: pa.uint16, 13: pa.uint32}[conv]()
+        if conv == 7 or (7 in logical and logical[7].get(2, {}).get(1) is not None):
+            return pa.time32("ms")
+        if 7 in logical:
+            return pa.time32("ms")
+        return pa.int32()
+    if phys == 2:  # INT64
+        if 8 in logical:  # TIMESTAMP{isAdjustedToUTC, unit}
+            ts = logical[8]
+            unit = {1: "ms", 2: "us", 3: "ns"}[
+                next(iter(ts.get(2, {2: {}})))]
+            return pa.timestamp(unit, tz="UTC" if ts.get(1) else None)
+        if conv == 9:
+            return pa.timestamp("ms")
+        if conv == 10:
+            return pa.timestamp("us")
+        if 7 in logical:
+            t = logical[7]
+            unit = {1: "ms", 2: "us", 3: "ns"}[next(iter(t.get(2, {2: {}})))]
+            return pa.time64(unit) if unit != "ms" else pa.time32("ms")
+        if conv == 8:
+            return pa.time64("us")
+        if 10 in logical:
+            it = logical[10]
+            return pa.int64() if it.get(2, True) else pa.uint64()
+        if conv == 14:
+            return pa.uint64()
+        return pa.int64()
+    if phys == 3:
+        return pa.timestamp("ns")
+    if phys == 4:
+        return pa.float32()
+    if phys == 5:
+        return pa.float64()
+    if phys == 6:  # BYTE_ARRAY
+        if conv == 0 or 1 in logical or 12 in logical or conv == 19:
+            return pa.string()
+        return pa.binary()
+    if phys == 7:  # FLBA
+        if 15 in logical:
+            return pa.float16()
+        return pa.binary(tlen)
+    raise NotImplementedError(f"physical type enum {phys}")
+
+
+def _parse_schema_tree(elems: list[dict]):
+    """Flattened SchemaElement list -> (top-level arrow fields, leaf infos).
+
+    Returns ``(fields, leaves)`` where ``fields`` is a list of
+    ``pa.field(name, type, nullable)`` for each top-level column and
+    ``leaves`` is the flat per-leaf list in file order:
+    ``{"path", "phys", "tlen", "max_rep", "max_def"}``. Standard 3-level
+    LIST and MAP groups, arbitrary struct nesting, UNSHREDDED VARIANT
+    groups (exposed as their storage struct); legacy 2-level lists and
+    shredded variant raise NotImplementedError."""
+    import pyarrow as pa
+
+    leaves: list[dict] = []
+
+    def name_of(e):
+        n = e.get(4, b"")
+        return n.decode() if isinstance(n, bytes) else n
+
+    def node(i: int, r: int, d: int, path: tuple):
+        e = elems[i]
+        rep = e.get(3, 0)
+        nullable = rep == 1
+        r2 = r + (1 if rep == 2 else 0)
+        d2 = d + (1 if rep in (1, 2) else 0)
+        n_children = e.get(5)
+        nm = name_of(e)
+        p2 = path + (nm,)
+        if not n_children:  # leaf
+            leaves.append({
+                "path": ".".join(p2), "phys": _PHYS_NAMES[e.get(1)],
+                "tlen": e.get(2, 0), "max_rep": r2, "max_def": d2,
+            })
+            return _leaf_arrow_type(e), nullable, i + 1
+        conv = e.get(6)
+        logical = e.get(10) or {}
+        if conv == 3 or 3 in logical:  # LIST: <group> -> repeated -> element
+            mid = elems[i + 1]
+            if mid.get(3) != 2:
+                raise NotImplementedError("non-standard LIST layout")
+            mr, md_ = r2 + 1, d2 + 1
+            mc = mid.get(5) or 0
+            if mc == 1:
+                et, en, ni = node(i + 2, mr, md_, p2 + (name_of(mid),))
+            else:  # legacy: repeated group holds the element struct inline
+                raise NotImplementedError("legacy 2-level LIST")
+            return pa.list_(pa.field("element", et, en)), nullable, ni
+        if conv in (1, 2) or 2 in logical:  # MAP -> repeated key_value(k, v)
+            mid = elems[i + 1]
+            if mid.get(3) != 2 or (mid.get(5) or 0) != 2:
+                raise NotImplementedError("non-standard MAP layout")
+            mr, md_ = r2 + 1, d2 + 1
+            mp = p2 + (name_of(mid),)
+            kt, _kn, vi = node(i + 2, mr, md_, mp)
+            vt, vn, ni = node(vi, mr, md_, mp)
+            return (pa.map_(kt, pa.field("value", vt, vn)), nullable, ni)
+        if 16 in logical:  # VARIANT group: unshredded metadata/value only
+            names = [name_of(elems[i + 1 + k]) for k in range(n_children)]
+            if "typed_value" in names:
+                raise NotImplementedError("shredded VARIANT")
+        # plain struct group (or unshredded variant's storage struct)
+        if rep == 2:
+            raise NotImplementedError("legacy repeated group")
+        fields = []
+        j = i + 1
+        for _ in range(n_children):
+            ct, cn, j2 = node(j, r2, d2, p2)
+            fields.append(pa.field(name_of(elems[j]), ct, cn))
+            j = j2
+        return pa.struct(fields), nullable, j
+
+    root = elems[0]
+    n_top = root.get(5) or 0
+    fields = []
+    i = 1
+    for _ in range(n_top):
+        t, nullable, i2 = node(i, 0, 0, ())
+        fields.append(pa.field(name_of(elems[i]), t, nullable))
+        i = i2
+    return fields, leaves
+
+
+def read_footer_native(path: str):
+    """Parse a parquet footer with webcodec's own thrift compact reader.
+    Returns ``{"fields": [pa.field...], "leaves": [...],
+    "row_groups": [[_ChunkMeta...]]}`` — everything the nested assembly
+    needs, with no pyarrow metadata involvement."""
+    with open(path, "rb") as f:
+        buf = memoryview(f.read())
+    if bytes(buf[:4]) != b"PAR1" or bytes(buf[-4:]) != b"PAR1":
+        raise ValueError(f"not a parquet file: {path}")
+    (flen,) = struct.unpack("<I", buf[-8:-4])
+    fmd, _ = _read_struct(buf, len(buf) - 8 - flen)
+    fields, leaves = _parse_schema_tree(fmd[2])
+    row_groups = [[_ChunkMeta(cc[3]) for cc in rg[1]] for rg in fmd[4]]
+    return {"fields": fields, "leaves": leaves, "row_groups": row_groups,
+            "buf": buf}
+
+
+def read_table_arrow_native(path: str, columns: list[str] | None = None):
+    """Whole-file read with ZERO pyarrow-metadata involvement: footer thrift,
+    page headers, levels and values all decoded by webcodec code; pyarrow is
+    used only to hold the output arrays. Reads VARIANT-annotated exports
+    (webcodec.parquet_writer ``variant_columns``) that pyarrow's own thrift
+    layer rejects — variant columns come back as their storage struct
+    <value, metadata>."""
+    import pyarrow as pa
+
+    ft = read_footer_native(path)
+    buf = ft["buf"]
+    by_name = {f.name: f for f in ft["fields"]}
+    leaf_info = {lf["path"]: lf for lf in ft["leaves"]}
+    names = columns or [f.name for f in ft["fields"]]
     cols = {}
     for name in names:
-        parts = [read_column_arrow(path, g, name)
-                 for g in range(pf.metadata.num_row_groups)]
-        field = pf.schema_arrow.field(name)
+        field = by_name[name]
+        parts = []
+        for rg in ft["row_groups"]:
+            streams = []
+            for meta in rg:
+                if meta.path.split(".")[0] != name:
+                    continue
+                lf = leaf_info[meta.path]
+                vals, reps, defs = _read_leaf_entries(
+                    buf, meta, lf["phys"], lf["max_rep"], lf["max_def"],
+                    type_length=lf["tlen"])
+                if defs is None:
+                    defs = np.zeros(meta.num_values, np.int64)
+                streams.append({"vals": vals, "rep": reps, "def": defs})
+            parts.append(_assemble(field.type, 0, 0, streams, field.nullable))
         cols[name] = (pa.concat_arrays(parts) if parts
                       else pa.array([], field.type))
     return pa.table(cols)
