@@ -351,7 +351,9 @@ def test_deep_nesting_shapes(tmp_path):
 
 
 def _rand_nested_type(py, depth):
-    prims = [pa.int64(), pa.string(), pa.float64(), pa.bool_()]
+    prims = [pa.int64(), pa.string(), pa.float64(), pa.bool_(),
+             pa.float16(), pa.decimal128(9, 2), pa.date32(),
+             pa.timestamp("us")]
     if depth <= 0:
         return py.choice(prims)
     k = py.random()
@@ -382,6 +384,22 @@ def _rand_nested_value(py, rng, t, nullable=True):
         return f"s{rng.integers(0, 50)}"
     if pa.types.is_float64(t):
         return float(rng.integers(-1000, 1000)) / 8.0
+    if pa.types.is_float16(t):
+        return np.float16(int(rng.integers(-1000, 1000)) / 8.0)
+    if pa.types.is_decimal(t):
+        import decimal
+
+        return decimal.Decimal(int(rng.integers(-10**7, 10**7))).scaleb(-2)
+    if pa.types.is_date32(t):
+        import datetime
+
+        return datetime.date(2000, 1, 1) + datetime.timedelta(
+            days=int(rng.integers(0, 20_000)))
+    if pa.types.is_timestamp(t):
+        import datetime
+
+        return datetime.datetime(2000, 1, 1) + datetime.timedelta(
+            seconds=int(rng.integers(0, 10**9)))
     return bool(rng.integers(0, 2))
 
 

@@ -418,6 +418,11 @@ def _leaf_arrow(vals, defs, max_def, target_type):
             return arr.cast(target_type)
         return arr.cast(target_type) if target_type != arr.type else arr
     vals = np.asarray(vals)
+    if (pa.types.is_date32(target_type) or pa.types.is_time32(target_type)) \
+            and vals.dtype != np.int32:
+        # v2 pages delta-decode INT32 leaves to int64; arrow has no
+        # int64->date32/time32 cast, so narrow first (values fit by format)
+        vals = vals.astype(np.int32)
     if present is None:
         arr = pa.array(vals)
     else:
