@@ -1,0 +1,54 @@
+"""spark-submit entry point: transcode a webcodec table into STANDARD
+parquet files (webcodec kernels decode, webcodec's own parquet writer
+re-serializes — any reference reader consumes the result; Spark VariantType
+columns come out as VARIANT(1)-annotated groups).
+
+    spark-submit --py-files webcodec.zip jobs/export_table.py \
+        --table /tmp/wc_documents --out /tmp/documents_parquet \
+        [--codec zstd] [--no-carry-encodings] [--encryption-key-hex ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# allow plain `python jobs/<job>.py` too (spark-submit ships the zip)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True, help="webcodec table dir")
+    ap.add_argument("--out", required=True, help="output parquet dir")
+    ap.add_argument("--codec", default="zstd",
+                    help="parquet page codec (none|snappy|gzip|zstd|lz4)")
+    ap.add_argument("--no-carry-encodings", action="store_true",
+                    help="emit dict/PLAIN instead of carrying the .wcd "
+                         "selector's DELTA/BSS picks into the parquet pages")
+    ap.add_argument("--encryption-key-hex", default=None,
+                    help="AES key (hex) for C12-encrypted source tables")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from webcodec.spark.maintenance import export_parquet
+
+    spark = SparkSession.builder.appName("webcodec-export").getOrCreate()
+    ekey = bytes.fromhex(args.encryption_key_hex) if args.encryption_key_hex else None
+    t0 = time.time()
+    res = export_parquet(
+        spark, args.table, args.out, codec=args.codec,
+        carry_encodings=not args.no_carry_encodings, encryption_key=ekey)
+    res["wall_s"] = round(time.time() - t0, 2)
+    print(json.dumps(res))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -335,3 +335,30 @@ def test_int96_timestamps_and_read_table_arrow(tmp_path):
     for c in t.column_names:
         g = got.column(c).combine_chunks().cast(want.column(c).type)
         assert g.equals(want.column(c).combine_chunks()), c
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_native_footer_corruption_raises_cleanly(tmp_path, seed):
+    """Bit-flipped footers must either parse (flip landed in padding or an
+    ignored field) or raise a normal exception — never hang, segfault, or
+    loop (the native thrift parser is the attack surface for malformed
+    reference files)."""
+    from webcodec.parquet_interop import read_table_arrow
+
+    t = pa.table({"a": pa.array(range(100), pa.int64()),
+                  "s": pa.array([f"v{i}" for i in range(100)])})
+    p = str(tmp_path / "base.parquet")
+    pq.write_table(t, p)
+    base = bytearray(open(p, "rb").read())
+    rng = np.random.default_rng(seed)
+    for _ in range(50):
+        b = bytearray(base)
+        for _f in range(int(rng.integers(1, 5))):
+            i = len(b) - 1 - int(rng.integers(0, min(200, len(b))))
+            b[i] ^= int(rng.integers(1, 256))
+        p2 = str(tmp_path / "c.parquet")
+        open(p2, "wb").write(bytes(b))
+        try:
+            read_table_arrow(p2)
+        except Exception:
+            pass  # clean raise is the contract
