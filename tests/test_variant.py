@@ -126,3 +126,34 @@ def test_native_interop_reads_variant_export(tmp_path):
     ours = parquet_interop.read_table_arrow(p)
     assert ours.column("id").to_pylist() == [0, 1, 2, 3]
     assert ours.column("v").to_pylist() == t.column("v").to_pylist()
+
+
+@pytest.mark.spark
+def test_streaming_sink_variant(spark, tmp_path):
+    """Variant columns flow through the streaming SINK: parse_json inside a
+    file-stream pipeline, one snapshot per microbatch, variant restored on
+    batch read."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    _register(spark)
+    src_dir = str(tmp_path / "incoming")
+    os.makedirs(src_dir)
+    t = pa.table({"id": pa.array(range(400), pa.int64()),
+                  "props": pa.array(['{"k": %d}' % i for i in range(400)])})
+    pq.write_table(t.slice(0, 200), os.path.join(src_dir, "a.parquet"))
+    pq.write_table(t.slice(200, 200), os.path.join(src_dir, "b.parquet"))
+    out = str(tmp_path / "t")
+    sdf = (spark.readStream.schema(spark.read.parquet(src_dir).schema)
+           .option("maxFilesPerTrigger", 1).parquet(src_dir)
+           .select("id", F.parse_json("props").alias("v")))
+    q = (sdf.writeStream.format("webcodec").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    back = spark.read.format("webcodec").option("path", out).load()
+    assert dict(back.dtypes)["v"] == "variant"
+    got = {r.id: r.k for r in back.select(
+        "id", F.variant_get("v", "$.k", "long").alias("k")).collect()}
+    assert got == {i: i for i in range(400)}
