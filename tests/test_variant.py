@@ -157,3 +157,30 @@ def test_streaming_sink_variant(spark, tmp_path):
     got = {r.id: r.k for r in back.select(
         "id", F.variant_get("v", "$.k", "long").alias("k")).collect()}
     assert got == {i: i for i in range(400)}
+
+
+@pytest.mark.spark
+def test_maintenance_on_variant_table(spark, tmp_path):
+    """compact() and delete_where() work on tables holding variant columns
+    (byte-level merge and predicate deletes never decode the variant
+    struct)."""
+    from pyspark.sql import functions as F
+
+    from webcodec.spark.maintenance import compact, delete_where
+
+    _register(spark)
+    df = _variant_df(spark, n=30, null_every=1000)  # no nulls
+    out = str(tmp_path / "t")
+    # two appends -> two files -> compaction has something to merge
+    df.filter("id < 15").write.format("webcodec").mode("append").option(
+        "path", out).save()
+    df.filter("id >= 15").write.format("webcodec").mode("append").option(
+        "path", out).save()
+    compact(out)
+    back = spark.read.format("webcodec").option("path", out).load()
+    assert back.count() == 30
+    delete_where(spark, out, ("id", "<", 10))
+    back = spark.read.format("webcodec").option("path", out).load()
+    got = {r.id: r.k for r in back.select(
+        "id", F.variant_get("v", "$.k", "long").alias("k")).collect()}
+    assert got == {i: i for i in range(10, 30)}
