@@ -334,7 +334,10 @@ def run_bench(sf_dir: str, cpus: int, rows: int, repeats: int) -> dict:
 
     # shuffle-bound and noisy run-to-run: report the best of 2 like the
     # other encode paths instead of a single draw
-    queries["encode_webpages_salted"] = best_of(run_salted, 2)
+    # best-of-3: the JVM-bridge shuffle path swings 7-21s draw-to-draw on
+    # this VM (documented non-scale reference point; extra repeat keeps the
+    # recorded number from landing on a hypervisor-noise outlier)
+    queries["encode_webpages_salted"] = best_of(run_salted, 3)
     extras["encode_salted_gbps"] = raw_bytes / queries["encode_webpages_salted"] / 1e9
 
     # -- decode webpages (full-materialization agg) --
