@@ -25,6 +25,10 @@ footers parsed by the SAME thrift compact reader as the page headers
 (``read_footer_native`` — schema tree, logical/converted annotations,
 leaf rep/def levels, chunk offsets; no pyarrow metadata machinery, so
 VARIANT-annotated exports pyarrow rejects still decode),
+reference MODULAR ENCRYPTION read-side (Encryption.md AES_GCM_V1, both
+footer modes: FileCryptoMetaData + encrypted footer/ColumnMetaData/page
+modules, key-tools PKMT1 DEK resolution via a caller KMS unwrap —
+differential vs pyarrow's own decryption),
 v1 AND v2 data pages (v2: levels stored uncompressed outside the compressed
 values region, lengths in the page header), codecs none/snappy/zstd/gzip/
 lz4, physical types BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY/
@@ -208,12 +212,43 @@ def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
     def_parts: list = []
     pos = start
     entries = 0
+    crypto = getattr(meta, "crypto", None)
+    page_ord = 0  # DATA page ordinal for module AADs (dict pages excluded)
+    expect_dict = crypto is not None and meta.dictionary_page_offset is not None
     while pos < end and entries < meta.num_values:
-        header, pos = _read_struct(buf, pos)
-        ptype = header[1]
-        usize, csize = header[2], header[3]
-        raw_page = buf[pos : pos + csize]
-        pos += csize
+        if crypto is not None:
+            # every page is TWO length-prefixed AES-GCM modules: the thrift
+            # PageHeader, then the (compressed-then-encrypted) page payload;
+            # dict modules carry (rg, col) AADs, data modules add the page
+            # ordinal (parquet-format Encryption.md, verified differentially)
+            base = crypto["aad_unique"]
+            rgc = struct.pack("<hh", crypto["rg"], crypto["col"])
+            if expect_dict:
+                hdr_aad = base + bytes([_MOD_DICT_PAGE_HDR]) + rgc
+                pg_aad = base + bytes([_MOD_DICT_PAGE]) + rgc
+            else:
+                pp = struct.pack("<h", page_ord)
+                hdr_aad = base + bytes([_MOD_DATA_PAGE_HDR]) + rgc + pp
+                pg_aad = base + bytes([_MOD_DATA_PAGE]) + rgc + pp
+                page_ord += 1
+            expect_dict = False
+            (hlen,) = struct.unpack_from("<I", buf, pos)
+            hdr_plain = _gcm_decrypt(
+                crypto["gcm"], buf[pos + 4 : pos + 4 + hlen], hdr_aad)
+            pos += 4 + hlen
+            header, _ = _read_struct(memoryview(hdr_plain), 0)
+            ptype = header[1]
+            usize, csize = header[2], header[3]
+            (plen,) = struct.unpack_from("<I", buf, pos)
+            raw_page = memoryview(_gcm_decrypt(
+                crypto["gcm"], buf[pos + 4 : pos + 4 + plen], pg_aad))
+            pos += 4 + plen
+        else:
+            header, pos = _read_struct(buf, pos)
+            ptype = header[1]
+            usize, csize = header[2], header[3]
+            raw_page = buf[pos : pos + csize]
+            pos += csize
         if ptype == _PAGE_DICT:
             dph = header[7]
             body = memoryview(_decompress(bytes(raw_page), codec, usize))
@@ -540,7 +575,8 @@ def read_column_arrow(path: str, row_group: int, column_name: str):
     return _assemble(field.type, 0, 0, streams, field.nullable)
 
 
-def read_table_arrow(path: str, columns: list[str] | None = None):
+def read_table_arrow(path: str, columns: list[str] | None = None,
+                     kms_unwrap=None):
     """Whole-file convenience: every (possibly nested) column of every row
     group assembled by webcodec kernels into one arrow Table — the
     interop-reader counterpart of filefmt.read_table for REFERENCE files.
@@ -548,7 +584,7 @@ def read_table_arrow(path: str, columns: list[str] | None = None):
     thrift compact reader as the page headers (``read_footer_native``), so
     no pyarrow metadata machinery is involved and files pyarrow's thrift
     layer rejects (VARIANT-annotated exports) still decode."""
-    return read_table_arrow_native(path, columns)
+    return read_table_arrow_native(path, columns, kms_unwrap=kms_unwrap)
 
 
 # ---------------------------- native footer -----------------------------------
@@ -570,12 +606,14 @@ _CODEC_NAMES = {0: "uncompressed", 1: "snappy", 2: "gzip", 4: "brotli",
 
 class _ChunkMeta:
     """Duck-typed stand-in for pyarrow's ColumnChunkMetaData — exactly the
-    attributes ``_read_leaf_entries`` touches."""
+    attributes ``_read_leaf_entries`` touches, plus the modular-encryption
+    context (``crypto``: {"gcm", "aad_unique", "rg", "col"}) when the chunk's
+    pages are AES-GCM modules."""
 
     __slots__ = ("compression", "dictionary_page_offset", "data_page_offset",
-                 "total_compressed_size", "num_values", "path")
+                 "total_compressed_size", "num_values", "path", "crypto")
 
-    def __init__(self, md: dict):
+    def __init__(self, md: dict, crypto: dict | None = None):
         self.compression = _CODEC_NAMES.get(md.get(4, 0), "uncompressed")
         self.dictionary_page_offset = md.get(11)
         self.data_page_offset = md[9]
@@ -583,6 +621,68 @@ class _ChunkMeta:
         self.num_values = md[5]
         self.path = ".".join(
             p.decode() if isinstance(p, bytes) else p for p in md[3])
+        self.crypto = crypto
+
+
+# parquet-format Encryption.md module types, verified against files the
+# reference writer (arrow-C++ FileEncryptionProperties) produced: GCM AAD =
+# aad_file_unique || module_type(1B) || row_group(i16 LE) || column(i16 LE)
+# [|| page(i16 LE) for DATA page header/page modules]; every encrypted
+# module buffer is length(u32 LE)-prefixed nonce(12) || ciphertext || tag(16)
+_MOD_FOOTER, _MOD_COLMD = 0, 1
+_MOD_DATA_PAGE, _MOD_DICT_PAGE = 2, 3
+_MOD_DATA_PAGE_HDR, _MOD_DICT_PAGE_HDR = 4, 5
+
+
+def _gcm_decrypt(gcm, module: bytes | memoryview, aad: bytes) -> bytes:
+    module = bytes(module)
+    return gcm.decrypt(module[:12], module[12:], aad)
+
+
+def _keytools_dek(key_metadata: bytes, kms_unwrap) -> "bytes":
+    """Resolve a DEK from parquet key-tools key metadata (the PKMT1 JSON the
+    reference CryptoFactory writes). ``kms_unwrap(wrapped_b64: str,
+    master_key_id: str) -> bytes`` mirrors KmsClient.unwrap_key. Single
+    wrapping only (double wrapping adds a KEK layer we don't need for
+    interop parity)."""
+    import base64 as _b64
+    import json as _json
+
+    if kms_unwrap is None:
+        raise ValueError("encrypted parquet file: pass kms_unwrap to "
+                         "resolve keys from key metadata")
+    km = _json.loads(bytes(key_metadata))
+    if km.get("doubleWrapping"):
+        raise NotImplementedError("double-wrapped key material")
+    if km.get("keyMaterialType") not in (None, "PKMT1"):
+        raise NotImplementedError(
+            f"key material type {km.get('keyMaterialType')!r}")
+    dek = kms_unwrap(km["wrappedDEK"], km.get("masterKeyID", ""))
+    return dek if isinstance(dek, bytes) else _b64.b64decode(dek)
+
+
+def _chunk_crypto(cc: dict, footer_gcm, aad_unique: bytes, rg: int, col: int,
+                  kms_unwrap, footer_encrypted: bool = False):
+    """(ColumnMetaData dict, crypto ctx) for one ColumnChunk that may carry
+    ColumnCryptoMetaData (field 8) + encrypted_column_metadata (field 9).
+    A chunk without crypto_metadata is a PLAINTEXT column (the reference
+    writer leaves unlisted columns unencrypted even in encrypted-footer
+    mode; footer-key encryption is always signaled explicitly via the
+    ENCRYPTION_WITH_FOOTER_KEY union arm)."""
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    crypto_md = cc.get(8)
+    if crypto_md is None:
+        return cc[3], None
+    if 1 in crypto_md:  # ENCRYPTION_WITH_FOOTER_KEY: metadata plaintext here
+        return cc[3], {"gcm": footer_gcm, "aad_unique": aad_unique,
+                       "rg": rg, "col": col}
+    colkey = crypto_md[2]  # ENCRYPTION_WITH_COLUMN_KEY {1: path, 2: key_md}
+    gcm = AESGCM(_keytools_dek(colkey[2], kms_unwrap))
+    enc_md = cc[9]
+    aad = aad_unique + bytes([_MOD_COLMD]) + struct.pack("<hh", rg, col)
+    md, _ = _read_struct(memoryview(_gcm_decrypt(gcm, enc_md[4:], aad)), 0)
+    return md, {"gcm": gcm, "aad_unique": aad_unique, "rg": rg, "col": col}
 
 
 def _leaf_arrow_type(e: dict):
@@ -737,24 +837,70 @@ def _parse_schema_tree(elems: list[dict]):
     return fields, leaves
 
 
-def read_footer_native(path: str):
+def read_footer_native(path: str, kms_unwrap=None):
     """Parse a parquet footer with webcodec's own thrift compact reader.
     Returns ``{"fields": [pa.field...], "leaves": [...],
     "row_groups": [[_ChunkMeta...]]}`` — everything the nested assembly
-    needs, with no pyarrow metadata involvement."""
+    needs, with no pyarrow metadata involvement.
+
+    Handles the reference's MODULAR ENCRYPTION (parquet-format
+    Encryption.md) in both footer modes: PARE files carry
+    FileCryptoMetaData + the AES-GCM footer module (decrypted with the
+    footer DEK resolved through ``kms_unwrap``); PAR1 files with
+    column-encrypted chunks resolve per-column DEKs from
+    ColumnCryptoMetaData and decrypt the redacted ColumnMetaData modules.
+    Page modules decrypt lazily in the chunk walk."""
     with open(path, "rb") as f:
         buf = memoryview(f.read())
-    if bytes(buf[:4]) != b"PAR1" or bytes(buf[-4:]) != b"PAR1":
+    head, tail = bytes(buf[:4]), bytes(buf[-4:])
+    footer_gcm = aad_unique = None
+    if head == b"PARE" and tail == b"PARE":
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        (flen,) = struct.unpack("<I", buf[-8:-4])
+        region = len(buf) - 8 - flen
+        fcmd, after = _read_struct(buf, region)
+        alg = fcmd[1]
+        if 1 not in alg:  # AesGcmV1 only (CTR variant not implemented)
+            raise NotImplementedError("AES_GCM_CTR_V1 encrypted file")
+        aad_unique = alg[1].get(2, b"")
+        if alg[1].get(3):
+            raise NotImplementedError("caller-supplied aad_prefix")
+        footer_gcm = AESGCM(_keytools_dek(fcmd[2], kms_unwrap))
+        (mlen,) = struct.unpack_from("<I", buf, after)
+        module = bytes(buf[after + 4 : after + 4 + mlen])
+        plain = _gcm_decrypt(footer_gcm, module,
+                             aad_unique + bytes([_MOD_FOOTER]))
+        fmd, _ = _read_struct(memoryview(plain), 0)
+    elif head == b"PAR1" and tail == b"PAR1":
+        (flen,) = struct.unpack("<I", buf[-8:-4])
+        fmd, _ = _read_struct(buf, len(buf) - 8 - flen)
+        enc = fmd.get(8)  # plaintext-footer mode: encryption_algorithm set
+        if enc is not None:
+            from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+            if 1 not in enc:
+                raise NotImplementedError("AES_GCM_CTR_V1 encrypted file")
+            aad_unique = enc[1].get(2, b"")
+            fk_md = fmd.get(9)  # footer_signing_key_metadata
+            if fk_md is not None and kms_unwrap is not None:
+                footer_gcm = AESGCM(_keytools_dek(fk_md, kms_unwrap))
+    else:
         raise ValueError(f"not a parquet file: {path}")
-    (flen,) = struct.unpack("<I", buf[-8:-4])
-    fmd, _ = _read_struct(buf, len(buf) - 8 - flen)
     fields, leaves = _parse_schema_tree(fmd[2])
-    row_groups = [[_ChunkMeta(cc[3]) for cc in rg[1]] for rg in fmd[4]]
+    row_groups = [
+        [_ChunkMeta(*_chunk_crypto(cc, footer_gcm, aad_unique, rg_i, col_i,
+                                   kms_unwrap,
+                                   footer_encrypted=head == b"PARE"))
+         for col_i, cc in enumerate(rg[1])]
+        for rg_i, rg in enumerate(fmd[4])
+    ]  # noqa: footer_encrypted kept in _chunk_crypto's signature for clarity
     return {"fields": fields, "leaves": leaves, "row_groups": row_groups,
             "buf": buf}
 
 
-def read_table_arrow_native(path: str, columns: list[str] | None = None):
+def read_table_arrow_native(path: str, columns: list[str] | None = None,
+                            kms_unwrap=None):
     """Whole-file read with ZERO pyarrow-metadata involvement: footer thrift,
     page headers, levels and values all decoded by webcodec code; pyarrow is
     used only to hold the output arrays. Reads VARIANT-annotated exports
@@ -763,7 +909,7 @@ def read_table_arrow_native(path: str, columns: list[str] | None = None):
     <value, metadata>."""
     import pyarrow as pa
 
-    ft = read_footer_native(path)
+    ft = read_footer_native(path, kms_unwrap=kms_unwrap)
     buf = ft["buf"]
     by_name = {f.name: f for f in ft["fields"]}
     leaf_info = {lf["path"]: lf for lf in ft["leaves"]}
