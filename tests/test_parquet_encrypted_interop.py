@@ -110,3 +110,59 @@ def test_wrong_key_fails_gcm(tmp_path):
     with pytest.raises(InvalidTag):
         parquet_interop.read_table_arrow(
             p, kms_unwrap=lambda w, m: b"\x00" * 16)
+
+
+# ------------------------------ write side ------------------------------
+
+
+def _own_encrypted(tmp_path, t, key, row_group_rows=None):
+    km = (b'{"keyMaterialType":"PKMT1","internalStorage":true,'
+          b'"isFooterKey":true,"kmsInstanceID":"DEFAULT",'
+          b'"kmsInstanceURL":"DEFAULT","masterKeyID":"fk","wrappedDEK":"'
+          + base64.b64encode(key) + b'","doubleWrapping":false}')
+    from webcodec import parquet_writer
+
+    p = str(tmp_path / "own_enc.parquet")
+    parquet_writer.write_parquet(t, p, encryption_key=key,
+                                 encryption_key_metadata=km,
+                                 row_group_rows=row_group_rows)
+    return p
+
+
+def test_own_encrypted_export_reference_decrypts(tmp_path):
+    """The WRITE direction of C12 interop: our encrypted-footer export
+    (PARE, per-column random DEKs, redacted ColumnMetaData modules,
+    RowGroup.ordinal-keyed page AADs) decrypts in the REFERENCE reader —
+    threaded full reads, multi row group, nested column included."""
+    key = bytes(range(16))
+    t = _table()
+    p = _own_encrypted(tmp_path, t, key, row_group_rows=77)
+    factory = pe.CryptoFactory(lambda config: _Kms(config))
+    dprops = factory.file_decryption_properties(pe.KmsConnectionConfig())
+    for _ in range(3):
+        ref = pq.ParquetFile(p, decryption_properties=dprops).read()
+        for c in t.column_names:
+            assert ref.column(c).to_pylist() == t.column(c).to_pylist(), c
+    # keyless reference read must fail, and no plaintext PAR1 masquerade
+    with pytest.raises(Exception):
+        pq.read_table(p)
+    raw = open(p, "rb").read()
+    assert raw[:4] == b"PARE" and raw[-4:] == b"PARE"
+
+
+def test_own_encrypted_roundtrip_own_reader(tmp_path):
+    """Own encrypted writer -> own encrypted reader (no reference code in
+    the loop), plus wrong-key failure."""
+    from cryptography.exceptions import InvalidTag
+
+    from webcodec import parquet_interop
+
+    key = b"\x07" * 16
+    t = _table(120)
+    p = _own_encrypted(tmp_path, t, key, row_group_rows=50)
+    ours = parquet_interop.read_table_arrow(p, kms_unwrap=_unwrap)
+    for c in t.column_names:
+        assert ours.column(c).to_pylist() == t.column(c).to_pylist(), c
+    with pytest.raises(InvalidTag):
+        parquet_interop.read_table_arrow(
+            p, kms_unwrap=lambda w, m: b"\x01" * 16)

@@ -889,12 +889,15 @@ def read_footer_native(path: str, kms_unwrap=None):
         raise ValueError(f"not a parquet file: {path}")
     fields, leaves = _parse_schema_tree(fmd[2])
     row_groups = [
-        [_ChunkMeta(*_chunk_crypto(cc, footer_gcm, aad_unique, rg_i, col_i,
-                                   kms_unwrap,
+        # AAD row-group ordinal comes from RowGroup.ordinal (field 7) when
+        # written, falling back to the list position (they always agree in
+        # practice; the reference reader trusts the field)
+        [_ChunkMeta(*_chunk_crypto(cc, footer_gcm, aad_unique,
+                                   rg.get(7, rg_i), col_i, kms_unwrap,
                                    footer_encrypted=head == b"PARE"))
          for col_i, cc in enumerate(rg[1])]
         for rg_i, rg in enumerate(fmd[4])
-    ]  # noqa: footer_encrypted kept in _chunk_crypto's signature for clarity
+    ]
     return {"fields": fields, "leaves": leaves, "row_groups": row_groups,
             "buf": buf}
 

@@ -25,7 +25,13 @@ timestamp[us]/date32/decimal128/fixed_size_binary (true FLBA(n) leaves)/
 float16 (FLBA(2) + FLOAT16 annotation); opt-in logical annotations for
 UUID (FLBA(16), ``uuid_columns``) and Spark VariantType
 (VARIANT(1)-annotated metadata/value group, ``variant_columns``);
-codecs none/snappy/gzip/zstd/lz4 (raw).
+MODULAR ENCRYPTION write-side (Encryption.md): ``encryption_key`` emits
+an encrypted-footer (PARE) file — per-column random DEKs wrapped through
+``encryption_kms_wrap`` into key-tools PKMT1 metadata, redacted
+ColumnMetaData modules, page header/payload module pairs with spec AADs,
+RowGroup.ordinal stamped (the reference reader keys page AADs off it) —
+that pyarrow's own decryption opens; codecs none/snappy/gzip/zstd/lz4
+(raw).
 Deliberately small — the point is byte-format parity, not a second engine.
 """
 
@@ -41,6 +47,7 @@ from webcodec.kernels import bitpack
 from webcodec.kernels.varint import write_uvarint
 
 MAGIC = b"PAR1"
+MAGIC_ENCRYPTED = b"PARE"
 
 # parquet.thrift enums
 _T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY = 0, 1, 2, 4, 5, 6
@@ -328,9 +335,50 @@ def _bss_bytes(valid: pa.Array) -> bytes:
     return bss.encode(valid.to_numpy(zero_copy_only=False))
 
 
+# parquet-format Encryption.md module types (shared with parquet_interop)
+_MOD_FOOTER, _MOD_COLMD = 0, 1
+_MOD_DATA_PAGE, _MOD_DICT_PAGE = 2, 3
+_MOD_DATA_PAGE_HDR, _MOD_DICT_PAGE_HDR = 4, 5
+
+
+def _gcm_module(ectx: dict, plain: bytes, mtype: int,
+                page_ord: int | None = None) -> bytes:
+    """One length-prefixed AES-GCM module: u32 len | nonce(12) | ct | tag."""
+    import os as _os
+
+    aad = ectx["aad_unique"] + bytes([mtype]) + struct.pack(
+        "<hh", ectx["rg"], ectx["col"])
+    if page_ord is not None:
+        aad += struct.pack("<h", page_ord)
+    nonce = _os.urandom(12)
+    ct = ectx["gcm"].encrypt(nonce, plain, aad)
+    mod = nonce + ct
+    return struct.pack("<I", len(mod)) + mod
+
+
+def _emit_page(out, offset: int, header: bytes, payload: bytes,
+               ectx: dict | None, is_dict: bool) -> int:
+    """Write one page (plaintext, or as an encrypted header+payload module
+    pair per Encryption.md); returns the new offset. One data page per
+    chunk per row group in this writer, so the data-page ordinal is 0."""
+    if ectx is None:
+        out.write(header)
+        out.write(payload)
+        return offset + len(header) + len(payload)
+    if is_dict:
+        hm = _gcm_module(ectx, header, _MOD_DICT_PAGE_HDR)
+        pm = _gcm_module(ectx, payload, _MOD_DICT_PAGE)
+    else:
+        hm = _gcm_module(ectx, header, _MOD_DATA_PAGE_HDR, 0)
+        pm = _gcm_module(ectx, payload, _MOD_DATA_PAGE, 0)
+    out.write(hm)
+    out.write(pm)
+    return offset + len(hm) + len(pm)
+
+
 def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
-                        use_dictionary: bool, encoding: str | None = None
-                        ) -> tuple[dict, int]:
+                        use_dictionary: bool, encoding: str | None = None,
+                        ectx: dict | None = None) -> tuple[dict, int]:
     """One column chunk of one row group: optional dict page + one v1 data
     page; returns (col_meta, new_offset). ``encoding`` forces
     delta_binary_packed / byte_stream_split instead of dict/PLAIN."""
@@ -362,20 +410,20 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
             raise ValueError(f"unsupported parquet export encoding {encoding!r}")
         body = struct.pack("<I", len(levels)) + levels + values_bytes
         comp = _compress(body, codec)
-        header = _page_header(n_rows, len(body), len(comp), enc)
+        header = _page_header(n_rows, len(body),
+                              len(comp) + (32 if ectx else 0), enc)
         data_page_offset = offset
-        out.write(header)
-        out.write(comp)
-        offset += len(header) + len(comp)
+        offset = _emit_page(out, offset, header, comp, ectx, is_dict=False)
         return (
             {
                 "name": name, "type": ptype, "conv": conv,
                 "num_values": n_rows,
                 "usize": len(header) + len(body),
-                "csize": len(header) + len(comp),
+                "csize": offset - data_page_offset,
                 "offset": data_page_offset,
                 "dict_offset": None,
                 "enc": enc,
+                "_ectx": ectx,
                 **extra,
             },
             offset,
@@ -399,36 +447,35 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
             n_dict = ndv
 
     dict_page_offset = None
+    chunk_start = offset
     if dict_bytes is not None:
         dcomp = _compress(dict_bytes, codec)
-        dheader = _dict_page_header(n_dict, len(dict_bytes), len(dcomp))
+        dheader = _dict_page_header(n_dict, len(dict_bytes),
+                                    len(dcomp) + (32 if ectx else 0))
         dict_page_offset = offset
-        out.write(dheader)
-        out.write(dcomp)
-        offset += len(dheader) + len(dcomp)
+        offset = _emit_page(out, offset, dheader, dcomp, ectx, is_dict=True)
         body = struct.pack("<I", len(levels)) + levels + values_bytes
         enc = _ENC_PLAIN_DICT
         extra_u = len(dheader) + len(dict_bytes)
-        extra_c = len(dheader) + len(dcomp)
     else:
         body = struct.pack("<I", len(levels)) + levels + _plain_bytes(valid)
         enc = _ENC_PLAIN
-        extra_u = extra_c = 0
+        extra_u = 0
     comp = _compress(body, codec)
-    header = _page_header(n_rows, len(body), len(comp), enc)
+    header = _page_header(n_rows, len(body),
+                          len(comp) + (32 if ectx else 0), enc)
     data_page_offset = offset
-    out.write(header)
-    out.write(comp)
-    offset += len(header) + len(comp)
+    offset = _emit_page(out, offset, header, comp, ectx, is_dict=False)
     return (
         {
             "name": name, "type": ptype, "conv": conv,
             "num_values": n_rows,
             "usize": len(header) + len(body) + extra_u,
-            "csize": len(header) + len(comp) + extra_c,
+            "csize": offset - chunk_start,
             "offset": data_page_offset,
             "dict_offset": dict_page_offset,
             "enc": enc,
+            "_ectx": ectx,
             **extra,
         },
         offset,
@@ -438,7 +485,8 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
 def _write_shredded_chunk(out, offset: int, path_names: list[str],
                           leaf: pa.Array, rep: np.ndarray | None,
                           defs: np.ndarray, max_rep: int, max_def: int,
-                          codec: str) -> tuple[dict, int]:
+                          codec: str, ectx: dict | None = None
+                          ) -> tuple[dict, int]:
     """One leaf column chunk with EXPLICIT Dremel levels (nested columns):
     ``leaf`` holds only the present values (def == max_def), ``defs``/``rep``
     are per-ENTRY level arrays. v1 page body = [4-byte-prefixed RLE rep
@@ -461,20 +509,20 @@ def _write_shredded_chunk(out, offset: int, path_names: list[str],
     body = b"".join(parts)
     comp = _compress(body, codec)
     n_values = len(defs)
-    header = _page_header(n_values, len(body), len(comp), _ENC_PLAIN)
+    header = _page_header(n_values, len(body),
+                          len(comp) + (32 if ectx else 0), _ENC_PLAIN)
     data_page_offset = offset
-    out.write(header)
-    out.write(comp)
-    offset += len(header) + len(comp)
+    offset = _emit_page(out, offset, header, comp, ectx, is_dict=False)
     return (
         {
             "name": path_names[0], "type": ptype, "conv": conv,
             "num_values": n_values,
             "usize": len(header) + len(body),
-            "csize": len(header) + len(comp),
+            "csize": offset - data_page_offset,
             "offset": data_page_offset,
             "dict_offset": None,
             "enc": _ENC_PLAIN,
+            "_ectx": ectx,
             **extra,
         },
         offset,
@@ -696,7 +744,11 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                   row_group_rows: int | None = None,
                   column_encoding: dict[str, str] | None = None,
                   variant_columns: set[str] | frozenset[str] | None = None,
-                  uuid_columns: set[str] | frozenset[str] | None = None) -> None:
+                  uuid_columns: set[str] | frozenset[str] | None = None,
+                  encryption_key: bytes | None = None,
+                  encryption_key_metadata: bytes | None = None,
+                  encryption_kms_wrap=None,
+                  encryption_master_id: str = "webcodec") -> None:
     """Write ``table`` as a standard parquet file (PLAIN or PLAIN_DICTIONARY
     per column chunk, optional columns with RLE def levels) using only
     webcodec kernels + the thrift serialization written here.
@@ -716,29 +768,68 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
         slices = [
             table.slice(i, row_group_rows) for i in range(0, n_rows, row_group_rows)
         ]
+    gcm = aad_unique = None
+    col_keys: dict[str, tuple] = {}  # column name -> (AESGCM, key_metadata)
+    if encryption_key is not None:
+        import base64 as _b64
+        import json as _json
+        import os as _os
+
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        gcm = AESGCM(encryption_key)
+        aad_unique = _os.urandom(8)
+        if encryption_kms_wrap is None:
+            encryption_kms_wrap = lambda dek, mid: _b64.b64encode(dek).decode()  # noqa: E731
+        for name in table.column_names:
+            dek = _os.urandom(16)
+            wrapped = encryption_kms_wrap(dek, encryption_master_id)
+            if isinstance(wrapped, bytes):
+                wrapped = wrapped.decode()
+            km = _json.dumps({
+                "keyMaterialType": "PKMT1", "internalStorage": True,
+                "isFooterKey": False, "kmsInstanceID": "DEFAULT",
+                "kmsInstanceURL": "DEFAULT",
+                "masterKeyID": encryption_master_id,
+                "wrappedDEK": wrapped, "doubleWrapping": False,
+            }).encode()
+            col_keys[name] = (AESGCM(dek), km)
+    magic = MAGIC_ENCRYPTED if gcm is not None else MAGIC
     groups_meta: list[list[dict]] = []
     with open(path, "wb") as out:
-        out.write(MAGIC)
-        offset = len(MAGIC)
-        for sl in slices:
+        out.write(magic)
+        offset = len(magic)
+        for rg_i, sl in enumerate(slices):
             col_meta = []
             for name in sl.column_names:
                 arr = sl.column(name)
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
                 t = arr.type
+                ck = col_keys.get(name)
+
+                def _ectx():
+                    # per-COLUMN key (the reference writer's shape: a
+                    # shared footer-key decryptor races under the C++
+                    # reader's threaded path, per-column decryptors don't)
+                    if ck is None:
+                        return None
+                    return {"gcm": ck[0], "aad_unique": aad_unique,
+                            "rg": rg_i, "col": len(col_meta),
+                            "key_md": ck[1]}
                 if pa.types.is_nested(t):
                     # arbitrary-depth Dremel shredding (list/struct/map,
                     # any composition): one chunk per leaf, depth-first
                     for ls in _shred_column(name, arr):
                         cm, offset = _write_shredded_chunk(
                             out, offset, ls["path"], ls["leaf"], ls["rep"],
-                            ls["defs"], ls["max_rep"], ls["max_def"], codec)
+                            ls["defs"], ls["max_rep"], ls["max_def"], codec,
+                            ectx=_ectx())
                         col_meta.append(cm)
                 else:
                     cm, offset = _write_column_chunk(
                         out, offset, name, arr, codec, use_dictionary,
-                        (column_encoding or {}).get(name),
+                        (column_encoding or {}).get(name), ectx=_ectx(),
                     )
                     col_meta.append(cm)
             for cm in col_meta:
@@ -746,10 +837,36 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
             groups_meta.append(col_meta)
         footer = _file_metadata(table, groups_meta, codec, n_rows,
                                 frozenset(variant_columns or ()),
-                                frozenset(uuid_columns or ()))
-        out.write(footer)
-        out.write(struct.pack("<I", len(footer)))
-        out.write(MAGIC)
+                                frozenset(uuid_columns or ()),
+                                encrypted=gcm is not None)
+        if gcm is None:
+            out.write(footer)
+            out.write(struct.pack("<I", len(footer)))
+        else:
+            # encrypted-footer mode (Encryption.md): FileCryptoMetaData +
+            # length-prefixed AES-GCM footer module; the trailing u32 is
+            # their COMBINED length. Every column uses the footer key
+            # (ENCRYPTION_WITH_FOOTER_KEY), pages wrapped by _emit_page.
+            fc = _TOut()
+            alg = _TOut()
+            last = _f_binary(alg, 0, 2, aad_unique)  # AesGcmV1.aad_file_unique
+            _stop(alg)
+            u = _TOut()
+            _f_struct(u, 0, 1, bytes(alg.buf))  # EncryptionAlgorithm.AES_GCM_V1
+            _stop(u)
+            last = _f_struct(fc, 0, 1, bytes(u.buf))
+            last = _f_binary(fc, last, 2,
+                             encryption_key_metadata or b"")
+            _stop(fc)
+            nonce = __import__("os").urandom(12)
+            module = nonce + gcm.encrypt(
+                nonce, footer, aad_unique + bytes([_MOD_FOOTER]))
+            out.write(bytes(fc.buf))
+            out.write(struct.pack("<I", len(module)))
+            out.write(module)
+            out.write(struct.pack(
+                "<I", len(fc.buf) + 4 + len(module)))
+        out.write(magic)
 
 
 def _schema_element(name: str, *, ptype: int | None = None,
@@ -833,11 +950,12 @@ def _schema_elements(schema: pa.Schema,
 def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
                    n_rows: int,
                    variant_columns: frozenset[str] = frozenset(),
-                   uuid_columns: frozenset[str] = frozenset()) -> bytes:
+                   uuid_columns: frozenset[str] = frozenset(),
+                   encrypted: bool = False) -> bytes:
     elems = _schema_elements(table.schema, variant_columns, uuid_columns)
 
     rgs = []
-    for col_meta in groups_meta:
+    for rg_i, col_meta in enumerate(groups_meta):
         chunks = []
         for c in col_meta:
             md = _TOut()
@@ -870,7 +988,28 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
             cc = _TOut()
             last = 0
             last = _f_i64(cc, last, 2, first_off)  # file_offset
-            last = _f_struct(cc, last, 3, bytes(md.buf))
+            ectx = c.get("_ectx")
+            if ectx is None:
+                last = _f_struct(cc, last, 3, bytes(md.buf))
+            else:
+                # ENCRYPTION_WITH_COLUMN_KEY: plaintext ColumnMetaData is
+                # REDACTED — it travels as an AES-GCM module in
+                # encrypted_column_metadata (field 9), keyed per column
+                # (a shared decryptor races in the reference reader's
+                # threaded path; per-column keys are its own shape)
+                ckmd = _TOut()
+                last2 = _f_list_header(ckmd, 0, 1, len(cpath), 8)
+                for seg in cpath:
+                    ckmd.uvarint(len(seg.encode()))
+                    ckmd.buf += seg.encode()
+                last2 = _f_binary(ckmd, last2, 2, ectx["key_md"])
+                _stop(ckmd)
+                u = _TOut()
+                _f_struct(u, 0, 2, bytes(ckmd.buf))
+                _stop(u)
+                last = _f_struct(cc, last, 8, bytes(u.buf))
+                last = _f_binary(cc, last, 9,
+                                 _gcm_module(ectx, bytes(md.buf), _MOD_COLMD))
             _stop(cc)
             chunks.append(bytes(cc.buf))
 
@@ -883,6 +1022,12 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
         # ROW count, not level count: nested leaves' num_values counts
         # entries, so the group must carry its own row count
         last = _f_i64(rg, last, 3, col_meta[0].get("rows", col_meta[0]["num_values"]) if col_meta else 0)
+        if encrypted:
+            # RowGroup.ordinal (field 7, i16): the reference reader takes
+            # the page-module AAD row-group ordinal from THIS field, not
+            # from the group's position in the list
+            last = _field(rg, last, 7, 4)
+            rg.zigzag(rg_i)
         _stop(rg)
         rgs.append(bytes(rg.buf))
 
