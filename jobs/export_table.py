@@ -33,6 +33,9 @@ def main() -> None:
                          "selector's DELTA/BSS picks into the parquet pages")
     ap.add_argument("--encryption-key-hex", default=None,
                     help="AES key (hex) for C12-encrypted source tables")
+    ap.add_argument("--output-encryption-key-hex", default=None,
+                    help="write MODULAR-ENCRYPTED parquet (encrypted "
+                         "footer) under this AES key (hex)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -42,9 +45,12 @@ def main() -> None:
     spark = SparkSession.builder.appName("webcodec-export").getOrCreate()
     ekey = bytes.fromhex(args.encryption_key_hex) if args.encryption_key_hex else None
     t0 = time.time()
+    okey = (bytes.fromhex(args.output_encryption_key_hex)
+            if args.output_encryption_key_hex else None)
     res = export_parquet(
         spark, args.table, args.out, codec=args.codec,
-        carry_encodings=not args.no_carry_encodings, encryption_key=ekey)
+        carry_encodings=not args.no_carry_encodings, encryption_key=ekey,
+        output_encryption_key=okey)
     res["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(res))
     spark.stop()

@@ -166,3 +166,51 @@ def test_own_encrypted_roundtrip_own_reader(tmp_path):
     with pytest.raises(InvalidTag):
         parquet_interop.read_table_arrow(
             p, kms_unwrap=lambda w, m: b"\x01" * 16)
+
+
+@pytest.mark.spark
+def test_export_parquet_encrypted_output(spark, tmp_path):
+    """Job-level story: an ENCRYPTED .wcd lakehouse exports to
+    MODULAR-ENCRYPTED standard parquet (never plaintext on disk), and the
+    reference reader decrypts the result."""
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from webcodec.config import EncoderConfig
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import export_parquet
+
+    src_key = bytes(range(32))
+    out_key = bytes(range(16))
+    t = _table(400)
+    src = str(tmp_path / "src.parquet")
+    pq2.write_table(t, src)
+    df = spark.read.parquet(src)
+    tdir = str(tmp_path / "t")
+    encode_table(df, tdir, mode="salted", num_partitions=2,
+                 write_metrics=False,
+                 config=EncoderConfig(encryption_key=src_key))
+    exp = str(tmp_path / "exp")
+    km = (b'{"keyMaterialType":"PKMT1","internalStorage":true,'
+          b'"isFooterKey":true,"kmsInstanceID":"DEFAULT",'
+          b'"kmsInstanceURL":"DEFAULT","masterKeyID":"fk","wrappedDEK":"'
+          + base64.b64encode(out_key) + b'","doubleWrapping":false}')
+    res = export_parquet(spark, tdir, exp, encryption_key=src_key,
+                         output_encryption_key=out_key,
+                         output_key_metadata=km)
+    assert res["rows"] == 400
+    files = [os.path.join(exp, f) for f in os.listdir(exp)
+             if f.endswith(".parquet")]
+    factory = pe.CryptoFactory(lambda config: _Kms(config))
+    dprops = factory.file_decryption_properties(pe.KmsConnectionConfig())
+    got = pa.concat_tables(
+        [pq.ParquetFile(f, decryption_properties=dprops).read()
+         for f in files])
+    assert got.num_rows == 400
+    assert sorted(got.column("a").to_pylist()) == list(range(400))
+    for f in files:  # keyless reads fail on every output file
+        raw = open(f, "rb").read()
+        assert raw[:4] == b"PARE"
+        with pytest.raises(Exception):
+            pq.read_table(f)

@@ -722,6 +722,8 @@ def rewrite_encoded(
 def export_parquet(
     spark: SparkSession, table_dir: str, out_dir: str, codec: str = "zstd",
     carry_encodings: bool = True, encryption_key: bytes | None = None,
+    output_encryption_key: bytes | None = None,
+    output_key_metadata: bytes | None = None,
 ) -> dict:
     """Transcode a webcodec table into STANDARD parquet files — decoded with
     webcodec kernels AND re-serialized with webcodec's own parquet writer
@@ -736,7 +738,10 @@ def export_parquet(
     encoded as DELTA_BINARY_PACKED / BYTE_STREAM_SPLIT export as the SAME
     spec encoding (the selector's evidence transfers: what delta-packed well
     in .wcd delta-packs well in parquet); everything else stays
-    dict/PLAIN."""
+    dict/PLAIN. ``output_encryption_key`` writes MODULAR-ENCRYPTED parquet
+    (encrypted-footer mode; the reference reader decrypts it) — an
+    encrypted .wcd lakehouse exports to encrypted standard parquet without
+    the data ever landing plaintext on disk."""
     src = SnapshotTable(table_dir)
     snap = src.read_snapshot()
     if snap is None:
@@ -803,7 +808,9 @@ def export_parquet(
                 )
                 write_parquet(t, out, codec=codec, row_group_rows=int(rg_rows),
                               column_encoding=col_enc,
-                              variant_columns=variant_cols)
+                              variant_columns=variant_cols,
+                              encryption_key=output_encryption_key,
+                              encryption_key_metadata=output_key_metadata)
                 yield pa.RecordBatch.from_pydict(
                     {"pid": pa.array([pid], pa.int32()),
                      "rows": pa.array([t.num_rows], pa.int64())}
