@@ -214,3 +214,21 @@ def test_export_parquet_encrypted_output(spark, tmp_path):
         assert raw[:4] == b"PARE"
         with pytest.raises(Exception):
             pq.read_table(f)
+
+
+def test_double_wrapped_default_config(tmp_path):
+    """The reference CryptoFactory's DEFAULT double-wrapping (KEK layer):
+    KEK = kms_unwrap(wrappedKEK); DEK = AES-GCM(wrappedDEK) under the KEK
+    with AAD = raw kekID bytes. Our reader resolves it end-to-end."""
+    factory = pe.CryptoFactory(lambda config: _Kms(config))
+    cfg = pe.EncryptionConfiguration(
+        footer_key="fk", column_keys={"ck": ["a", "l.list.element"]},
+        double_wrapping=True)
+    props = factory.file_encryption_properties(pe.KmsConnectionConfig(), cfg)
+    t = _table(150)
+    p = str(tmp_path / "dw.parquet")
+    with pq.ParquetWriter(p, t.schema, encryption_properties=props) as w:
+        w.write_table(t)
+    ours = parquet_interop.read_table_arrow(p, kms_unwrap=_unwrap)
+    for c in t.column_names:
+        assert ours.column(c).to_pylist() == t.column(c).to_pylist(), c

@@ -652,11 +652,21 @@ def _keytools_dek(key_metadata: bytes, kms_unwrap) -> "bytes":
         raise ValueError("encrypted parquet file: pass kms_unwrap to "
                          "resolve keys from key metadata")
     km = _json.loads(bytes(key_metadata))
-    if km.get("doubleWrapping"):
-        raise NotImplementedError("double-wrapped key material")
     if km.get("keyMaterialType") not in (None, "PKMT1"):
         raise NotImplementedError(
             f"key material type {km.get('keyMaterialType')!r}")
+    if km.get("doubleWrapping"):
+        # key-tools double wrapping (the reference CryptoFactory DEFAULT):
+        # KEK = kms_unwrap(wrappedKEK); DEK = AES-GCM(wrappedDEK) under the
+        # KEK with AAD = the RAW kek id bytes (verified differentially
+        # against reference-written files)
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM as _G
+
+        kek = kms_unwrap(km["wrappedKEK"], km.get("masterKeyID", ""))
+        kek = kek if isinstance(kek, bytes) else _b64.b64decode(kek)
+        wdek = _b64.b64decode(km["wrappedDEK"])
+        aad = _b64.b64decode(km["keyEncryptionKeyID"])
+        return _G(kek).decrypt(wdek[:12], wdek[12:], aad)
     dek = kms_unwrap(km["wrappedDEK"], km.get("masterKeyID", ""))
     return dek if isinstance(dek, bytes) else _b64.b64decode(dek)
 
