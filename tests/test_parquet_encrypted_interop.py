@@ -115,17 +115,25 @@ def test_wrong_key_fails_gcm(tmp_path):
 # ------------------------------ write side ------------------------------
 
 
-def _own_encrypted(tmp_path, t, key, row_group_rows=None):
-    km = (b'{"keyMaterialType":"PKMT1","internalStorage":true,'
-          b'"isFooterKey":true,"kmsInstanceID":"DEFAULT",'
-          b'"kmsInstanceURL":"DEFAULT","masterKeyID":"fk","wrappedDEK":"'
-          + base64.b64encode(key) + b'","doubleWrapping":false}')
+def _own_encrypted(tmp_path, t, key, row_group_rows=None,
+                   reference_compatible=False):
+    """reference_compatible=True wraps keys with the identity-base64 KMS
+    the test _Kms implements (so pyarrow's CryptoFactory can unwrap);
+    the DEFAULT wraps column DEKs under the footer key (no key material
+    recoverable from the file alone)."""
     from webcodec import parquet_writer
 
+    kw = {}
+    if reference_compatible:
+        kw["encryption_kms_wrap"] = lambda dek, mid: base64.b64encode(dek)
+        kw["encryption_key_metadata"] = (
+            b'{"keyMaterialType":"PKMT1","internalStorage":true,'
+            b'"isFooterKey":true,"kmsInstanceID":"DEFAULT",'
+            b'"kmsInstanceURL":"DEFAULT","masterKeyID":"fk","wrappedDEK":"'
+            + base64.b64encode(key) + b'","doubleWrapping":false}')
     p = str(tmp_path / "own_enc.parquet")
     parquet_writer.write_parquet(t, p, encryption_key=key,
-                                 encryption_key_metadata=km,
-                                 row_group_rows=row_group_rows)
+                                 row_group_rows=row_group_rows, **kw)
     return p
 
 
@@ -136,7 +144,8 @@ def test_own_encrypted_export_reference_decrypts(tmp_path):
     threaded full reads, multi row group, nested column included."""
     key = bytes(range(16))
     t = _table()
-    p = _own_encrypted(tmp_path, t, key, row_group_rows=77)
+    p = _own_encrypted(tmp_path, t, key, row_group_rows=77,
+                       reference_compatible=True)
     factory = pe.CryptoFactory(lambda config: _Kms(config))
     dprops = factory.file_decryption_properties(pe.KmsConnectionConfig())
     for _ in range(3):
@@ -160,12 +169,15 @@ def test_own_encrypted_roundtrip_own_reader(tmp_path):
     key = b"\x07" * 16
     t = _table(120)
     p = _own_encrypted(tmp_path, t, key, row_group_rows=50)
-    ours = parquet_interop.read_table_arrow(p, kms_unwrap=_unwrap)
+    # SECURE DEFAULT: column DEKs wrapped under the footer key — no key
+    # material recoverable from the file; reader takes the raw key bytes
+    raw = open(p, "rb").read()
+    assert key not in raw and base64.b64encode(key) not in raw
+    ours = parquet_interop.read_table_arrow(p, kms_unwrap=key)
     for c in t.column_names:
         assert ours.column(c).to_pylist() == t.column(c).to_pylist(), c
     with pytest.raises(InvalidTag):
-        parquet_interop.read_table_arrow(
-            p, kms_unwrap=lambda w, m: b"\x01" * 16)
+        parquet_interop.read_table_arrow(p, kms_unwrap=b"\x01" * 16)
 
 
 @pytest.mark.spark
@@ -192,20 +204,13 @@ def test_export_parquet_encrypted_output(spark, tmp_path):
                  write_metrics=False,
                  config=EncoderConfig(encryption_key=src_key))
     exp = str(tmp_path / "exp")
-    km = (b'{"keyMaterialType":"PKMT1","internalStorage":true,'
-          b'"isFooterKey":true,"kmsInstanceID":"DEFAULT",'
-          b'"kmsInstanceURL":"DEFAULT","masterKeyID":"fk","wrappedDEK":"'
-          + base64.b64encode(out_key) + b'","doubleWrapping":false}')
     res = export_parquet(spark, tdir, exp, encryption_key=src_key,
-                         output_encryption_key=out_key,
-                         output_key_metadata=km)
+                         output_encryption_key=out_key)
     assert res["rows"] == 400
     files = [os.path.join(exp, f) for f in os.listdir(exp)
              if f.endswith(".parquet")]
-    factory = pe.CryptoFactory(lambda config: _Kms(config))
-    dprops = factory.file_decryption_properties(pe.KmsConnectionConfig())
     got = pa.concat_tables(
-        [pq.ParquetFile(f, decryption_properties=dprops).read()
+        [parquet_interop.read_table_arrow(f, kms_unwrap=out_key)
          for f in files])
     assert got.num_rows == 400
     assert sorted(got.column("a").to_pylist()) == list(range(400))

@@ -651,6 +651,21 @@ def _keytools_dek(key_metadata: bytes, kms_unwrap) -> "bytes":
     if kms_unwrap is None:
         raise ValueError("encrypted parquet file: pass kms_unwrap to "
                          "resolve keys from key metadata")
+    if isinstance(kms_unwrap, (bytes, bytearray)):
+        # convenience: the caller hands the FOOTER KEY directly; empty
+        # key metadata means "the footer key itself", WEBCODEC-FW-marked
+        # column metadata unwraps under it (the writer's secure default)
+        footer_key = bytes(kms_unwrap)
+        if not bytes(key_metadata):
+            return footer_key
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM as _G
+
+        km = _json.loads(bytes(key_metadata))
+        if km.get("kmsInstanceID") == "WEBCODEC-FW":
+            w = _b64.b64decode(km["wrappedDEK"])
+            return _G(footer_key).decrypt(w[:12], w[12:], b"webcodec-fw")
+        raise ValueError(
+            "key metadata needs a KMS: pass kms_unwrap as a callable")
     km = _json.loads(bytes(key_metadata))
     if km.get("keyMaterialType") not in (None, "PKMT1"):
         raise NotImplementedError(

@@ -779,8 +779,19 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
 
         gcm = AESGCM(encryption_key)
         aad_unique = _os.urandom(8)
+        kms_instance = "DEFAULT"
         if encryption_kms_wrap is None:
-            encryption_kms_wrap = lambda dek, mid: _b64.b64encode(dek).decode()  # noqa: E731
+            # SECURE DEFAULT: wrap each per-column DEK under the FOOTER key
+            # (AES-GCM) — only the footer-key holder can unwrap. A plain
+            # base64 wrap here would put recoverable column keys inside the
+            # file. Marked WEBCODEC-FW so the reader auto-unwraps when
+            # handed the footer key bytes as kms_unwrap.
+            kms_instance = "WEBCODEC-FW"
+
+            def encryption_kms_wrap(dek, mid):
+                nonce = _os.urandom(12)
+                return _b64.b64encode(
+                    nonce + gcm.encrypt(nonce, dek, b"webcodec-fw")).decode()
         for name in table.column_names:
             dek = _os.urandom(16)
             wrapped = encryption_kms_wrap(dek, encryption_master_id)
@@ -788,7 +799,7 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                 wrapped = wrapped.decode()
             km = _json.dumps({
                 "keyMaterialType": "PKMT1", "internalStorage": True,
-                "isFooterKey": False, "kmsInstanceID": "DEFAULT",
+                "isFooterKey": False, "kmsInstanceID": kms_instance,
                 "kmsInstanceURL": "DEFAULT",
                 "masterKeyID": encryption_master_id,
                 "wrappedDEK": wrapped, "doubleWrapping": False,
