@@ -237,3 +237,32 @@ def test_double_wrapped_default_config(tmp_path):
     ours = parquet_interop.read_table_arrow(p, kms_unwrap=_unwrap)
     for c in t.column_names:
         assert ours.column(c).to_pylist() == t.column(c).to_pylist(), c
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_tampered_encrypted_file_never_wrong_data(tmp_path, seed):
+    """Bit-flips anywhere in an encrypted file must either leave the read
+    result IDENTICAL (flip landed in dead padding — GCM covers every
+    module, so in practice it raises) or raise cleanly. Silently wrong
+    data is the one forbidden outcome; GCM authentication enforces it."""
+    import numpy as np
+
+    key = bytes(range(16))
+    t = _table(80)
+    p = _own_encrypted(tmp_path, t, key, row_group_rows=40)
+    base = bytearray(open(p, "rb").read())
+    want = {c: t.column(c).to_pylist() for c in t.column_names}
+    rng = np.random.default_rng(seed)
+    for _ in range(40):
+        b = bytearray(base)
+        i = int(rng.integers(4, len(b) - 4))
+        b[i] ^= int(rng.integers(1, 256))
+        p2 = str(tmp_path / "t.parquet")
+        open(p2, "wb").write(bytes(b))
+        try:
+            got = parquet_interop.read_table_arrow(p2, kms_unwrap=key)
+        except Exception:
+            continue  # clean failure — the expected outcome
+        for c in t.column_names:
+            assert got.column(c).to_pylist() == want[c], (
+                f"tampered byte {i} produced WRONG DATA in {c}")
