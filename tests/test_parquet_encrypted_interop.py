@@ -266,3 +266,29 @@ def test_tampered_encrypted_file_never_wrong_data(tmp_path, seed):
         for c in t.column_names:
             assert got.column(c).to_pylist() == want[c], (
                 f"tampered byte {i} produced WRONG DATA in {c}")
+
+
+@pytest.mark.parametrize("page_version,use_dictionary",
+                         [("1.0", True), ("2.0", False), ("2.0", True)])
+def test_encrypted_multipage_variants(tmp_path, page_version, use_dictionary):
+    """Encrypted chunks with MANY pages (page ordinals > 0), dictionary
+    pages, v1 AND v2 data pages, nulls — the page-module AAD ordinal math
+    across every page shape the reference writer produces."""
+    factory = pe.CryptoFactory(lambda config: _Kms(config))
+    cfg = pe.EncryptionConfiguration(
+        footer_key="fk", column_keys={"ck": ["a", "s"]},
+        double_wrapping=False)
+    props = factory.file_encryption_properties(pe.KmsConnectionConfig(), cfg)
+    t = pa.table({
+        "a": pa.array([None if i % 7 == 0 else i for i in range(20_000)],
+                      pa.int64()),
+        "s": pa.array([f"v{i % 31}" for i in range(20_000)]),
+    })
+    p = str(tmp_path / "mp.parquet")
+    with pq.ParquetWriter(p, t.schema, encryption_properties=props,
+                          data_page_size=4096, use_dictionary=use_dictionary,
+                          data_page_version=page_version) as w:
+        w.write_table(t)
+    ours = parquet_interop.read_table_arrow(p, kms_unwrap=_unwrap)
+    for c in t.column_names:
+        assert ours.column(c).to_pylist() == t.column(c).to_pylist(), c
