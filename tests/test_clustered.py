@@ -123,7 +123,7 @@ def test_spill_retry_overwrites_idempotently(spark, tmp_path):
     class _BC:  # stand-in for the Spark broadcast
         value = splits
 
-    fn = _make_spill_fn(shuffle_dir, "url", 7, {}, frozenset(), _BC())
+    fn = _make_spill_fn(shuffle_dir, "url", 7, ([], {}), frozenset(), _BC())
     batch = pa.RecordBatch.from_pydict({"id": pa.array([0], pa.int64())})
     rows1 = list(fn(iter([batch])))
     rows2 = list(fn(iter([batch])))  # the "retry"

@@ -13,8 +13,11 @@
    (keep the file) instead of a wrapped/inverted one (silent mis-prune);
 4. clustered-mode phase B reads exactly ONE per-bucket index shard (built
    by the phase-A.5 metadata shuffle) — never an O(splits) listing;
-5. explicit LPT head-domain placement keeps bucket loads balanced when big
-   cold domains would collide under independent hashing.
+5. range domain placement (plan_domain_ranges) keeps bucket loads balanced
+   AND gives buckets contiguous lexicographic domain intervals — committed
+   files carry disjoint url ranges, so the manifest prunes url-range scans
+   (independent hashing balanced but spanned every file across the whole
+   url space, defeating file-level pruning).
 
 (The corrupt-BMP/PPM passthrough fix is tested in test_media.py; the
 media_features real-decoder wiring in test_media.py too.)
@@ -129,7 +132,7 @@ def test_phase_b_reads_single_bucket_index_shard(spark, tmp_path):
         def __init__(self, v):
             self.value = v
 
-    spill = _make_spill_fn(shuffle_dir, "url", 5, {}, frozenset(), _BC(splits))
+    spill = _make_spill_fn(shuffle_dir, "url", 5, ([], {}), frozenset(), _BC(splits))
     seg_rows = []
     for i in range(len(splits)):
         batch = pa.RecordBatch.from_pydict({"id": pa.array([i], pa.int64())})
@@ -155,22 +158,40 @@ def test_phase_b_reads_single_bucket_index_shard(spark, tmp_path):
             {"id": pa.array([0], pa.int64())})])))
 
 
-def test_lpt_placement_balances_cold_domains():
-    """plan_domain_placement: near-threshold cold domains that independent
-    hashing routinely collides are spread by LPT so the max projected
-    bucket load stays near the mean; hot domains get k pieces."""
-    from webcodec.spark.encode_job import plan_domain_placement
+def test_range_placement_balances_and_orders_domains():
+    """plan_domain_ranges: buckets hold contiguous lexicographic domain
+    intervals (disjoint url ranges per file -> manifest range pruning), cold
+    domains stay whole, the hot domain spans k adjacent buckets, and
+    projected loads stay near the mean (no collision stragglers)."""
+    from webcodec.spark.encode_job import plan_domain_ranges
 
-    rpp = 10_000
-    hist = {f"cold{i}.example": 9_000 for i in range(12)}
-    hist["hot.example"] = 35_000  # k = 4 pieces
-    placement = plan_domain_placement(hist, 8, rpp)
-    assert len(placement["hot.example"]) == 4
-    assert all(len(v) == 1 for d, v in placement.items() if d != "hot.example")
+    hist = {f"cold{i:02d}.example": 9_000 for i in range(12)}
+    hist["hot.example"] = 35_000  # ~2x the 17.9k bucket target at B=8
+    cuts, spans = plan_domain_ranges(hist, 8)
+    assert len(cuts) == 8 and cuts[0] == ""
+    assert cuts == sorted(cuts)  # bisect-routable: monotone boundaries
+    # hot domain spans >1 ADJACENT buckets; cold domains get no span
+    base, k = spans["hot.example"]
+    assert k >= 2 and base + k <= 8
+    assert set(spans) == {"hot.example"}
+    # project loads: cold -> bisect bucket, hot -> mass spread over its span
+    import bisect
+
     loads = np.zeros(8)
-    for d, buckets in placement.items():
-        for b in buckets:
-            loads[b] += hist[d] / len(buckets)
-    assert loads.max() <= loads.mean() * 1.5  # no collision straggler
+    for d, w in hist.items():
+        if d in spans:
+            b0, kk = spans[d]
+            loads[b0 : b0 + kk] += w / kk
+        else:
+            loads[bisect.bisect_right(cuts, d) - 1] += w
+    assert loads.max() <= loads.mean() * 1.6, loads
+    # lexicographic order: every cold domain's bucket is non-decreasing
+    bks = [bisect.bisect_right(cuts, d) - 1 for d in sorted(hist) if d not in spans]
+    assert bks == sorted(bks)
+    # an UNSAMPLED tail domain routes between its lexicographic neighbors
+    t = bisect.bisect_right(cuts, "cold055.example") - 1
+    lo = bisect.bisect_right(cuts, "cold05.example") - 1
+    hi = bisect.bisect_right(cuts, "cold06.example") - 1
+    assert lo <= t <= hi
     # determinism
-    assert placement == plan_domain_placement(hist, 8, rpp)
+    assert (cuts, spans) == plan_domain_ranges(hist, 8)

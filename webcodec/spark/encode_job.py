@@ -8,10 +8,12 @@ via committed-partition-id skip (north_rule requirements):
 - ``files``  — Spark distributes (file, row-group) splits; workers read
   parquet directly with pyarrow and encode. Zero shuffle, zero JVM->Python
   transfer (the bridge moves ~4 MB/s/core; direct reads run 100x that).
-- ``clustered`` — salted domain clustering at ~files-mode speed: phase A
-  scatters rows into per-bucket Arrow IPC spills on shared storage (hot
-  domains from a sampled JVM-only histogram get k salt buckets; cold domains
-  stay whole); phase B encodes one bucket per task, sorted by url.
+- ``clustered`` — range domain clustering at ~files-mode speed: phase A
+  scatters rows into per-bucket Arrow IPC spills on shared storage, buckets
+  holding CONTIGUOUS lexicographic domain intervals from a sampled
+  histogram (hot domains salt across k adjacent buckets; cold domains stay
+  whole); phase B encodes one bucket per task, sorted by url — so committed
+  files carry disjoint url ranges and the manifest prunes range scans.
 - ``salted`` — the same semantics as one Spark shuffle: salted
   repartition on hash(url)-domain + groupBy(_pid).applyInArrow. Reference
   implementation; bridge-bound.
@@ -451,41 +453,72 @@ def sample_hot_domains_from_files(
     }
 
 
-def plan_domain_placement(
-    hist: dict[str, int], n_buckets: int, rows_per_partition: int,
-    max_head: int | None = None,
-) -> dict[str, list[int]]:
-    """EXPLICIT bucket placement for the sampled head domains: independent
-    hashing places each big cold domain uniformly at random, so two domains
-    just under the salting threshold routinely collide into one straggler
-    bucket (the phase-B wall IS the biggest bucket). Instead: split each
-    head domain into k = ceil(est / rpp) pieces and greedily assign pieces
-    largest-first to the least-loaded bucket (LPT — deterministic, ties by
-    bucket id). The un-sampled tail still hashes; it is many small domains,
-    whose sum concentrates uniformly. Head is capped at ``max_head``
-    (default 8 x n_buckets) to bound the broadcast."""
-    import heapq
+def plan_domain_ranges(
+    hist: dict[str, int], n_buckets: int,
+) -> tuple[list[str], dict[str, tuple[int, int]]]:
+    """RANGE placement of domains over buckets (Iceberg sort-order /
+    total-order-partitioner shape): walk the sampled histogram in
+    lexicographic domain order, cutting a bucket boundary every
+    ``total_est / n_buckets`` rows. Returns ``(cuts, spans)``:
 
+    - ``cuts[b]`` is the first domain of bucket ``b`` — an executor routes
+      any domain (sampled or not) with ``bisect_right(cuts, d) - 1``.
+      O(n_buckets) strings, broadcast-sized at any table scale.
+    - ``spans[d] = (base, k)`` for HOT domains whose estimated mass spans
+      more than one bucket: their rows salt by hash(url) across the ``k``
+      ADJACENT buckets starting at ``base`` (skew handled, range order
+      preserved).
+
+    Cold domains are assigned whole to the bucket holding their range
+    MIDPOINT — never split (dedup/prefix locality), never hashed. Hashing
+    is what the previous revisions did, and it silently destroyed the
+    clustering contract: every bucket held a uniform sample of the domain
+    space, so file-level url min/max spanned the whole table and a
+    selective scan pruned nothing. Range placement makes file url ranges
+    disjoint by construction — the manifest prunes files before any page
+    work — while bucket loads stay balanced by the same histogram
+    (boundaries equalize estimated rows; a straggler needs adjacent
+    midpoints to pile up, bounded by ~1.5x target in the worst case
+    instead of the unbounded collisions of independent hashing)."""
     if not hist or n_buckets <= 0:
-        return {}
-    if max_head is None:
-        max_head = 8 * n_buckets
-    head = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[:max_head]
-    rpp = max(rows_per_partition, 1)
-    pieces: list[tuple[float, str, int, int]] = []  # (-size, domain, piece, k)
-    for d, est in head:
-        k = max(int(-(-est // rpp)), 1)
-        for j in range(k):
-            pieces.append((est / k, d, j, k))
-    pieces.sort(key=lambda t: (-t[0], t[1], t[2]))
-    loads = [(0.0, b) for b in range(n_buckets)]
-    heapq.heapify(loads)
-    placement: dict[str, list[int]] = {}
-    for size, d, j, k in pieces:
-        load, b = heapq.heappop(loads)
-        placement.setdefault(d, [0] * k)[j] = b
-        heapq.heappush(loads, (load + size, b))
-    return placement
+        return [], {}
+    doms = sorted(hist)
+    total = float(sum(hist.values()))
+    if total <= 0:
+        return [], {}
+    target = total / n_buckets
+    cuts: list[str] = [""] * n_buckets
+    spans: dict[str, tuple[int, int]] = {}
+    cum = 0.0
+    prev_end = 0  # first bucket not yet fully claimed
+    for d in doms:
+        w = float(hist[d])
+        if w > target:
+            # hot: span = the buckets its mass window covers, rows salted
+            base = max(min(int(cum // target), n_buckets - 1), prev_end)
+            end = min(int((cum + w - 1e-9) // target), n_buckets - 1)
+            end = max(end, base)
+            for b in range(base, end + 1):
+                if not cuts[b] and b > 0:
+                    cuts[b] = d
+            if end > base:
+                spans[d] = (base, end - base + 1)
+            prev_end = end
+        else:
+            # cold: whole domain to its midpoint bucket
+            b = min(int((cum + w / 2.0) // target), n_buckets - 1)
+            b = max(b, prev_end)
+            if not cuts[b] and b > 0:
+                cuts[b] = d
+            prev_end = b
+        cum += w
+    # forward-fill buckets that never got a starting domain so `cuts` stays
+    # sorted (bisect requirement); duplicates route tail queries to the
+    # rightmost duplicate, which is the bucket actually holding that range
+    for b in range(1, n_buckets):
+        if not cuts[b]:
+            cuts[b] = cuts[b - 1]
+    return cuts, spans
 
 
 def sample_hot_domains(
@@ -512,16 +545,17 @@ def sample_hot_domains(
 
 
 def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int,
-                   placement: dict[str, list[int]],
+                   ranges: tuple[list[str], dict[str, tuple[int, int]]],
                    done: frozenset[int], splits_bc, seed: int = 42,
                    spill_compression: str | None = "lz4"):
     """Phase A of the Arrow-native shuffle: each task reads its parquet split
     directly and scatters rows into per-bucket Arrow IPC spill files on shared
-    storage. ``placement`` (from :func:`plan_domain_placement`) pins each
-    sampled head domain to explicit bucket(s) — hot domains spread over k
-    buckets, big cold domains avoid collision stragglers; unlisted tail
-    domains hash to exactly one bucket (clustering preserved). Zero JVM
-    transfer."""
+    storage. ``ranges`` (from :func:`plan_domain_ranges`) routes each domain
+    by lexicographic RANGE — buckets hold contiguous domain intervals, so
+    committed files carry disjoint url min/max and the manifest prunes a
+    url-range scan to the few files that can match; hot domains salt by
+    hash(url) over their k adjacent buckets, cold domains stay whole. Zero
+    JVM transfer."""
 
     def spill_split(batches):
         import numpy as np
@@ -552,29 +586,37 @@ def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int,
                 de = dom.dictionary_encode()
                 uniq = de.dictionary
                 inv = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-                # md5 kernel: process-stable (python hash() is salted per
-                # process), vectorized over the (small) domain dictionary
-                base = md5_u64le_arrow(
-                    pc.binary_join_element_wise(uniq, pa.scalar(f"#{seed}"), "")
-                )
-                # tail domains (not in the sampled head) hash uniformly;
-                # head domains take their EXPLICIT LPT-planned buckets
-                # (plan_domain_placement) — multi-piece (hot) domains pick
-                # the piece by url hash, so one url always lands in one
-                # bucket (dedup/prefix locality preserved)
-                bucket = (base[inv] % np.uint64(n_buckets)).astype(np.int64)
-                place = [placement.get(d) for d in uniq.to_pylist()]
-                for ui, p in enumerate(place):
-                    if p is None:
+                # RANGE routing (plan_domain_ranges): every domain — sampled
+                # or not — lands in the bucket of its lexicographic interval
+                # via bisect on the O(n_buckets) cut list; per-UNIQUE-domain
+                # work only. Hot domains pick one of their k ADJACENT span
+                # buckets by url hash (md5 kernel: process-stable, python
+                # hash() is salted per process), so one url always lands in
+                # one bucket (dedup/prefix locality preserved).
+                import bisect
+
+                cuts, spans = ranges
+                ud = uniq.to_pylist()
+                if cuts:
+                    ubase = np.array(
+                        [max(bisect.bisect_right(cuts, d) - 1, 0) for d in ud],
+                        dtype=np.int64,
+                    ) if ud else np.zeros(0, np.int64)
+                else:
+                    # defensive fallback (empty histogram): hash domains
+                    h = md5_u64le_arrow(pc.binary_join_element_wise(
+                        uniq, pa.scalar(f"#{seed}"), ""))
+                    ubase = (h % np.uint64(n_buckets)).astype(np.int64)
+                bucket = ubase[inv] if len(ud) else np.zeros(len(urls), np.int64)
+                for ui, d in enumerate(ud):
+                    sp = spans.get(d)
+                    if sp is None:
                         continue
+                    sbase, k = sp
                     mask = inv == ui
-                    if len(p) == 1:
-                        bucket[mask] = p[0]
-                    else:
-                        pu = urls.filter(pa.array(mask))
-                        piece = md5_u64le_arrow(pu) % np.uint64(len(p))
-                        bucket[mask] = np.asarray(p, np.int64)[
-                            piece.astype(np.int64)]
+                    pu = urls.filter(pa.array(mask))
+                    piece = md5_u64le_arrow(pu) % np.uint64(k)
+                    bucket[mask] = sbase + piece.astype(np.int64)
                 # ONE consolidated spill per SPLIT (Spark sort-shuffle file
                 # layout): per-bucket IPC stream segments back-to-back in a
                 # single .arrow file. Per-(task, bucket) files would be
@@ -879,26 +921,23 @@ def encode_table(
             raise ValueError("mode='clustered' requires a parquet-backed DataFrame")
         splits = plan_file_splits(paths, target_partition_bytes)
         if num_partitions is None:
-            # bucket count = max(size target, 2x cluster parallelism). The
+            # bucket count = max(size target, 4x cluster parallelism). The
             # size target (~128MB OUTPUT files, C4 parity) dominates at
             # cluster scale; the parallelism floor matters when the table is
-            # small relative to the cluster — without it, cold-domain
-            # placement skew (a domain just under the salting threshold is
-            # a full rpp of rows in ONE bucket) makes the phase-B wall the
-            # single biggest bucket. More buckets shrink rpp (finer
-            # placement pieces) and give the LPT ordering enough pieces to
+            # small relative to the cluster — more buckets mean finer range
+            # intervals (better balance from the sampled boundaries) and
+            # enough phase-B tasks for the size-descending launch order to
             # pack the waves evenly; 4x measured best at local[32] (1x->2
             # uneven waves; 8x pays per-segment spill overhead in phase A).
             total_bytes = sum(s["num_bytes"] for s in splits)
             num_partitions = max(total_bytes // (128 << 20) + 1, 2,
                                  4 * spark.sparkContext.defaultParallelism)
-        total_rows = sum(s["num_rows"] for s in splits)
-        rpp = max(total_rows // num_partitions, 1)
-        # head = every domain bigger than a quarter-bucket: placed explicitly
-        # (LPT), so near-threshold cold domains can't collide into a
-        # straggler; sub-quarter domains hash (collisions add <= ~25% there)
-        hist = sample_domain_histogram(paths, url_col, max(rpp // 4, 2))
-        placement = plan_domain_placement(hist, num_partitions, rpp)
+        # FULL sampled histogram (min_est_rows=1): range boundaries need the
+        # whole sampled mass, not just the head. Driver memory is bounded by
+        # the sample itself (quarter of row groups, clamped [8, 64]), and
+        # what ships to executors is only O(n_buckets) cuts + hot spans.
+        hist = sample_domain_histogram(paths, url_col, 1)
+        ranges = plan_domain_ranges(hist, num_partitions)
         done = _completed_ids(tbl, False) if resume else frozenset()
         shuffle_dir = os.path.join(table_dir, "_shuffle")
         # stale spills from a killed run are BOTH a leak (commit-time cleanup
@@ -910,7 +949,7 @@ def encode_table(
         os.makedirs(shuffle_dir, exist_ok=True)
 
         sdf, bc = _range_tasks(spark, splits)
-        spill = _make_spill_fn(shuffle_dir, url_col, num_partitions, placement,
+        spill = _make_spill_fn(shuffle_dir, url_col, num_partitions, ranges,
                                done, bc, spill_compression=spill_compression)
         # the (split, bucket, off, len) segment map is pure metadata but
         # O(splits x touched-buckets) — at 100 TB (~800k splits x thousands
