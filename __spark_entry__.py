@@ -434,6 +434,78 @@ def _rt_import_parquet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n long, kv_lang string, n_kv long")
 
 
+def _rt_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRY/GEOGRAPHY logical annotations (r5, parquet-format
+    Geospatial.md): each task plants WKB points deterministically from its
+    document rows, writes a GEOMETRY(OGC:CRS84)-annotated parquet file with
+    webcodec's own writer (parquet_writer.write_parquet geometry_columns),
+    re-reads it with the native interop reader (read_table_arrow_native +
+    read_footer_native — our thrift parser surfaces the annotation), and
+    emits the coordinates parsed back OUT of the returned WKB bytes plus
+    the annotation kind/crs. The oracle recomputes the plant analytically,
+    so a hash match proves bytes AND annotation survive the file."""
+    _prep(spark)
+    df = _src(spark, sf_dir, "documents").select("doc_id")
+
+    def rt(batches):
+        import os as _os
+        import struct as _struct
+        import tempfile as _tf
+
+        import numpy as np
+        import pyarrow as pa
+
+        from webcodec.parquet_interop import (read_footer_native,
+                                              read_table_arrow_native)
+        from webcodec.parquet_writer import write_parquet
+
+        for b in batches:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            xs = (ids % 360 - 180).astype(np.float64) + 0.5
+            ys = (ids % 180 - 90).astype(np.float64) + 0.25
+            geoms = [
+                None if int(d) % 7 == 3
+                else _struct.pack("<BIdd", 1, 1, float(x), float(y))
+                for d, x, y in zip(ids, xs, ys)
+            ]
+            t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                          "geom": pa.array(geoms, pa.binary())})
+            fd, path = _tf.mkstemp(suffix=".parquet")
+            _os.close(fd)
+            try:
+                write_parquet(t, path,
+                              geometry_columns={"geom": "OGC:CRS84"})
+                back = read_table_arrow_native(path).combine_chunks()
+                ft = read_footer_native(path)
+            finally:
+                _os.remove(path)
+            geo = next(l["geo"] for l in ft["leaves"] if "geo" in l)
+            wkb = back.column("geom").to_pylist()
+            xc, yc, ln = [], [], []
+            for w in wkb:
+                if w is None:
+                    xc.append(None); yc.append(None); ln.append(-1)
+                else:
+                    _, _, x, y = _struct.unpack("<BIdd", w)
+                    xc.append(int(round(x * 100)))
+                    yc.append(int(round(y * 100)))
+                    ln.append(len(w))
+            yield pa.RecordBatch.from_pydict({
+                "doc_id": back.column("doc_id").chunk(0)
+                if back.column("doc_id").num_chunks
+                else pa.array([], pa.int64()),
+                "x_c": pa.array(xc, pa.int64()),
+                "y_c": pa.array(yc, pa.int64()),
+                "wkb_len": pa.array(ln, pa.int64()),
+                "geo_kind": pa.array([geo["kind"]] * len(wkb), pa.string()),
+                "crs": pa.array([geo["crs"]] * len(wkb), pa.string()),
+            })
+
+    return df.mapInArrow(
+        rt, "doc_id long, x_c long, y_c long, wkb_len long, "
+            "geo_kind string, crs string")
+
+
 def _scan_prune_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + predicate pushdown through the engine's read path: only
     (doc_id, lang) pages are decoded, files pruned via manifest min/max (D2/D6)."""
@@ -2004,7 +2076,7 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """63 queries; the driver records oracle rows for the FIRST 50, so the
+    """64 queries; the driver records oracle rows for the FIRST 50, so the
     dict is ordered by verification need and ROTATED each round: never/least
     -recently-verified and this-round-changed queries first, then the rest;
     the tail holds queries green in every previous round (r1-r4) whose code
@@ -2023,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_list_decimal": _rt_list_decimal,
         # new/changed in r5 (nested interop both ways, real media features)
         "rt_variant": _rt_variant,
+        "rt_geo": _rt_geo,
         "rt_export_parquet_deep": _rt_export_parquet_deep,
         "rt_import_parquet_nested": _rt_import_parquet_nested,
         "rt_export_parquet": _rt_export_parquet,
@@ -2063,8 +2136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_documents": _rt_documents,
         "rt_events": _rt_events,
         "rt_lineitem_q1": _rt_lineitem_q1,
-        "rt_join_orders": _rt_join_orders,
         # ---- driver-row cutoff (50) — tail: green r1-r4, unchanged in r5 ----
+        "rt_join_orders": _rt_join_orders,
         "rt_embeddings": _rt_embeddings,
         "stats_minmax": _stats_minmax,
         "agg_lang_counts": _agg_lang_counts,
@@ -2673,6 +2746,16 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 11 = 4 THEN NULL ELSE lang END AS kv_lang, "
             "CAST(CASE WHEN doc_id % 11 = 4 THEN -1 ELSE 2 END AS BIGINT) "
             "AS n_kv FROM documents"
+        ),
+        "rt_geo": (
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 7 = 3 THEN NULL "
+            "ELSE (doc_id % 360 - 180) * 100 + 50 END AS BIGINT) AS x_c, "
+            "CAST(CASE WHEN doc_id % 7 = 3 THEN NULL "
+            "ELSE (doc_id % 180 - 90) * 100 + 25 END AS BIGINT) AS y_c, "
+            "CAST(CASE WHEN doc_id % 7 = 3 THEN -1 ELSE 21 END AS BIGINT) "
+            "AS wkb_len, "
+            "'GEOMETRY' AS geo_kind, 'OGC:CRS84' AS crs FROM documents"
         ),
         "rt_renamed_col": (
             "SELECT doc_id, lang AS language, CAST(n_chars AS BIGINT) "

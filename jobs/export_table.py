@@ -36,7 +36,22 @@ def main() -> None:
     ap.add_argument("--output-encryption-key-hex", default=None,
                     help="write MODULAR-ENCRYPTED parquet (encrypted "
                          "footer) under this AES key (hex)")
+    ap.add_argument("--geometry-column", action="append", default=[],
+                    metavar="NAME[=CRS]",
+                    help="annotate this binary WKB column as GEOMETRY "
+                         "(repeatable; optional =CRS suffix)")
+    ap.add_argument("--geography-column", action="append", default=[],
+                    metavar="NAME[=CRS]",
+                    help="annotate this binary WKB column as GEOGRAPHY "
+                         "(repeatable; optional =CRS suffix)")
     args = ap.parse_args()
+
+    def _geo(specs: list[str]) -> dict | None:
+        out = {}
+        for s in specs:
+            name, _, crs = s.partition("=")
+            out[name] = crs or None
+        return out or None
 
     from pyspark.sql import SparkSession
 
@@ -50,7 +65,9 @@ def main() -> None:
     res = export_parquet(
         spark, args.table, args.out, codec=args.codec,
         carry_encodings=not args.no_carry_encodings, encryption_key=ekey,
-        output_encryption_key=okey)
+        output_encryption_key=okey,
+        geometry_columns=_geo(args.geometry_column),
+        geography_columns=_geo(args.geography_column))
     res["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(res))
     spark.stop()

@@ -1,0 +1,115 @@
+"""GEOMETRY / GEOGRAPHY logical annotations on parquet export
+(parquet-format Geospatial.md, LogicalType union fields 17/18; SURVEY.md
+§1.2 "exotic logical annotations"). Storage is BYTE_ARRAY holding WKB —
+this layer annotates, callers serialize. webcodec's native thrift footer
+writer emits the union member with an optional ``crs`` string; the native
+interop reader surfaces the annotation in ``leaves[i]["geo"]`` and as
+field metadata, and round-trips the bytes exactly. DuckDB (a
+geospatial-aware reference reader) reads the annotated files; pyarrow
+16.1 predates the type and rejects the footer (same stance as VARIANT)."""
+
+import struct
+
+import pyarrow as pa
+import pytest
+
+from webcodec.parquet_interop import read_footer_native, read_table_arrow_native
+from webcodec.parquet_writer import write_parquet
+
+
+def _wkb_point(x: float, y: float) -> bytes:
+    # little-endian byte order marker, type 1 (Point), x, y
+    return struct.pack("<BIdd", 1, 1, x, y)
+
+
+def _geo_table(n=50):
+    return pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "geom": pa.array(
+            [None if i % 7 == 3 else _wkb_point(i * 0.5, -i * 0.25)
+             for i in range(n)], pa.binary()),
+        "geog": pa.array(
+            [None if i % 11 == 5 else _wkb_point(i % 360 - 180.0, i % 180 - 90.0)
+             for i in range(n)], pa.binary()),
+    })
+
+
+def test_geometry_annotation_native_roundtrip(tmp_path):
+    t = _geo_table()
+    p = str(tmp_path / "g.parquet")
+    write_parquet(t, p, geometry_columns={"geom": "OGC:CRS84"},
+                  geography_columns={"geog": None})
+    ft = read_footer_native(p)
+    by_name = {f.name: f for f in ft["fields"]}
+    md = dict(by_name["geom"].metadata or {})
+    assert md[b"PARQUET:logical_type"] == b"GEOMETRY"
+    assert md[b"PARQUET:crs"] == b"OGC:CRS84"
+    md2 = dict(by_name["geog"].metadata or {})
+    assert md2[b"PARQUET:logical_type"] == b"GEOGRAPHY"
+    assert b"PARQUET:crs" not in md2
+    geo_leaves = {l["path"]: l["geo"] for l in ft["leaves"] if "geo" in l}
+    assert geo_leaves == {
+        "geom": {"kind": "GEOMETRY", "crs": "OGC:CRS84"},
+        "geog": {"kind": "GEOGRAPHY", "crs": None},
+    }
+    back = read_table_arrow_native(p)
+    assert back.column("geom").to_pylist() == t.column("geom").to_pylist()
+    assert back.column("geog").to_pylist() == t.column("geog").to_pylist()
+
+
+def test_geometry_set_spec_and_duckdb_reads(tmp_path):
+    """Set-of-names spec (no crs); DuckDB — a reader that postdates the
+    annotation — consumes the file and sees the exact WKB bytes."""
+    duckdb = pytest.importorskip("duckdb")
+    t = _geo_table(20)
+    p = str(tmp_path / "g2.parquet")
+    write_parquet(t, p, geometry_columns={"geom"}, geography_columns={"geog"})
+    rows = duckdb.sql(
+        f"select id, geom, geog from read_parquet('{p}') order by id"
+    ).fetchall()
+    assert len(rows) == 20
+    for i, (rid, geom, geog) in enumerate(rows):
+        assert rid == i
+        exp = t.column("geom")[i].as_py()
+        got = bytes(geom) if geom is not None else None
+        assert got == exp
+        exp2 = t.column("geog")[i].as_py()
+        got2 = bytes(geog) if geog is not None else None
+        assert got2 == exp2
+
+
+def test_geometry_requires_binary_storage(tmp_path):
+    t = pa.table({"g": pa.array(["not-wkb"], pa.string())})
+    with pytest.raises(TypeError, match="binary"):
+        write_parquet(t, str(tmp_path / "bad.parquet"),
+                      geometry_columns={"g"})
+
+
+def test_geometry_export_parquet_passthrough(tmp_path, spark):
+    """export_parquet threads the annotation: .wcd table with a WKB binary
+    column -> standard parquet with GEOMETRY(crs) — the lakehouse escape
+    hatch for geospatial columns."""
+    import pyarrow.parquet as pq
+
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import export_parquet
+
+    t = _geo_table(40)
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(t, src)
+    d = tmp_path / "tbl"
+    encode_table(spark.read.parquet(src), str(d), sort_key="id",
+                 write_metrics=False)
+    out = tmp_path / "pq"
+    res = export_parquet(spark, str(d), str(out),
+                         geometry_columns={"geom": "EPSG:3857"})
+    assert res["rows"] == 40
+    import glob
+
+    files = sorted(glob.glob(str(out / "*.parquet")))
+    assert files
+    ft = read_footer_native(files[0])
+    geo = {l["path"]: l.get("geo") for l in ft["leaves"] if "geo" in l}
+    assert geo == {"geom": {"kind": "GEOMETRY", "crs": "EPSG:3857"}}
+    back = read_table_arrow_native(files[0])
+    assert back.column("geom").to_pylist() == t.column("geom").to_pylist()

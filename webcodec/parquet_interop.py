@@ -809,10 +809,19 @@ def _parse_schema_tree(elems: list[dict]):
         nm = name_of(e)
         p2 = path + (nm,)
         if not n_children:  # leaf
-            leaves.append({
+            leaf = {
                 "path": ".".join(p2), "phys": _PHYS_NAMES[e.get(1)],
                 "tlen": e.get(2, 0), "max_rep": r2, "max_def": d2,
-            })
+            }
+            lg = e.get(10) or {}
+            for fid, kind in ((17, "GEOMETRY"), (18, "GEOGRAPHY")):
+                if fid in lg:  # Geospatial.md: WKB bytes + optional crs
+                    crs = lg[fid].get(1)
+                    leaf["geo"] = {
+                        "kind": kind,
+                        "crs": crs.decode() if isinstance(crs, bytes) else crs,
+                    }
+            leaves.append(leaf)
             return _leaf_arrow_type(e), nullable, i + 1
         conv = e.get(6)
         logical = e.get(10) or {}
@@ -857,8 +866,18 @@ def _parse_schema_tree(elems: list[dict]):
     i = 1
     for _ in range(n_top):
         t, nullable, i2 = node(i, 0, 0, ())
-        fields.append(pa.field(name_of(elems[i]), t, nullable))
+        f = pa.field(name_of(elems[i]), t, nullable)
         i = i2
+        # top-level geospatial leaf: carry the annotation as field metadata
+        # (pyarrow 16 has no geometry extension type; binary + metadata is
+        # the lossless surface)
+        if leaves and leaves[-1].get("geo") and leaves[-1]["path"] == f.name:
+            g = leaves[-1]["geo"]
+            md = {b"PARQUET:logical_type": g["kind"].encode()}
+            if g["crs"]:
+                md[b"PARQUET:crs"] = g["crs"].encode()
+            f = f.with_metadata(md)
+        fields.append(f)
     return fields, leaves
 
 

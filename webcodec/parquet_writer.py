@@ -23,8 +23,10 @@ pages, all columns written as OPTIONAL (map keys REQUIRED, per spec) with
 RLE def levels; types bool/int32/int64/float/double/string/binary/
 timestamp[us]/date32/decimal128/fixed_size_binary (true FLBA(n) leaves)/
 float16 (FLBA(2) + FLOAT16 annotation); opt-in logical annotations for
-UUID (FLBA(16), ``uuid_columns``) and Spark VariantType
-(VARIANT(1)-annotated metadata/value group, ``variant_columns``);
+UUID (FLBA(16), ``uuid_columns``), GEOMETRY/GEOGRAPHY over WKB bytes
+(``geometry_columns``/``geography_columns``, optional crs) and Spark
+VariantType (VARIANT(1)-annotated metadata/value group,
+``variant_columns``);
 MODULAR ENCRYPTION write-side (Encryption.md): ``encryption_key`` emits
 an encrypted-footer (PARE) file — per-column random DEKs wrapped through
 ``encryption_kms_wrap`` into key-tools PKMT1 metadata, redacted
@@ -707,6 +709,37 @@ def _variant_elems(name: str, t: pa.DataType) -> list[bytes]:
     return out
 
 
+def _geo_element(name: str, t: pa.DataType, crs: str | None,
+                 union_field: int) -> bytes:
+    """GEOMETRY(17)/GEOGRAPHY(18)-annotated BYTE_ARRAY leaf (parquet-format
+    Geospatial.md): WKB payload bytes with an optional ``crs`` string in the
+    union member struct. Geography's edge ``algorithm`` field is left unset
+    (spec default SPHERICAL). The storage column must be arrow binary —
+    callers serialize geometries to WKB themselves; this layer only
+    annotates."""
+    if not (pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        raise TypeError(
+            f"geospatial column {name!r} must be binary (WKB), got {t}")
+    payload = b"\x00"  # empty member struct: no crs
+    if crs is not None:
+        p = _TOut()
+        _f_binary(p, 0, 1, crs.encode())  # GeometryType/GeographyType.crs
+        _stop(p)
+        payload = bytes(p.buf)
+    return _schema_element(name, ptype=_T_BYTE_ARRAY, logical=union_field,
+                           logical_payload=payload)
+
+
+def _geo_crs_map(cols) -> dict[str, str | None]:
+    """Normalize a geometry/geography column spec: a set/list of names (no
+    crs) or a dict name -> crs string (None = unset)."""
+    if cols is None:
+        return {}
+    if isinstance(cols, dict):
+        return dict(cols)
+    return {c: None for c in cols}
+
+
 def _list_levels(arr: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     """(leaf values where def==3, rep, def) for an optional list<optional
     primitive> column under the 3-level LIST encoding: def 0 = null list,
@@ -745,6 +778,7 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                   column_encoding: dict[str, str] | None = None,
                   variant_columns: set[str] | frozenset[str] | None = None,
                   uuid_columns: set[str] | frozenset[str] | None = None,
+                  geometry_columns=None, geography_columns=None,
                   encryption_key: bytes | None = None,
                   encryption_key_metadata: bytes | None = None,
                   encryption_kms_wrap=None,
@@ -849,7 +883,9 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
         footer = _file_metadata(table, groups_meta, codec, n_rows,
                                 frozenset(variant_columns or ()),
                                 frozenset(uuid_columns or ()),
-                                encrypted=gcm is not None)
+                                encrypted=gcm is not None,
+                                geometry_columns=_geo_crs_map(geometry_columns),
+                                geography_columns=_geo_crs_map(geography_columns))
         if gcm is None:
             out.write(footer)
             out.write(struct.pack("<I", len(footer)))
@@ -935,7 +971,10 @@ def _leaf_element(name: str, t: pa.DataType,
 
 def _schema_elements(schema: pa.Schema,
                      variant_columns: frozenset[str] = frozenset(),
-                     uuid_columns: frozenset[str] = frozenset()) -> list[bytes]:
+                     uuid_columns: frozenset[str] = frozenset(),
+                     geometry_columns: dict[str, str | None] | None = None,
+                     geography_columns: dict[str, str | None] | None = None,
+                     ) -> list[bytes]:
     """Flattened SchemaElement tree (depth-first, as the spec requires):
     root -> per-column leaf, or LIST 3-level group, or struct group."""
     elems = [_schema_element("schema", repetition=_REP_REQUIRED,
@@ -943,6 +982,12 @@ def _schema_elements(schema: pa.Schema,
     for field in schema:
         if field.name in variant_columns:
             elems.extend(_variant_elems(field.name, field.type))
+        elif geometry_columns and field.name in geometry_columns:
+            elems.append(_geo_element(field.name, field.type,
+                                      geometry_columns[field.name], 17))
+        elif geography_columns and field.name in geography_columns:
+            elems.append(_geo_element(field.name, field.type,
+                                      geography_columns[field.name], 18))
         elif field.name in uuid_columns:
             # UUID logical annotation (LogicalType union field 14, empty
             # struct) over FLBA(16) — parquet-format LogicalTypes.md
@@ -962,8 +1007,12 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
                    n_rows: int,
                    variant_columns: frozenset[str] = frozenset(),
                    uuid_columns: frozenset[str] = frozenset(),
-                   encrypted: bool = False) -> bytes:
-    elems = _schema_elements(table.schema, variant_columns, uuid_columns)
+                   encrypted: bool = False,
+                   geometry_columns: dict[str, str | None] | None = None,
+                   geography_columns: dict[str, str | None] | None = None,
+                   ) -> bytes:
+    elems = _schema_elements(table.schema, variant_columns, uuid_columns,
+                             geometry_columns, geography_columns)
 
     rgs = []
     for rg_i, col_meta in enumerate(groups_meta):

@@ -482,6 +482,13 @@ def plan_domain_ranges(
     instead of the unbounded collisions of independent hashing)."""
     if not hist or n_buckets <= 0:
         return [], {}
+    # null urls sample as a None domain — fold into "" (sorts first, same
+    # key the executor-side router normalizes to)
+    norm: dict[str, int] = {}
+    for d, w in hist.items():
+        k = d if d is not None else ""
+        norm[k] = norm.get(k, 0) + w
+    hist = norm
     doms = sorted(hist)
     total = float(sum(hist.values()))
     if total <= 0:
@@ -598,8 +605,10 @@ def _make_spill_fn(shuffle_dir: str, url_col: str, n_buckets: int,
                 cuts, spans = ranges
                 ud = uniq.to_pylist()
                 if cuts:
+                    # None domain (null url) routes as "" — bucket 0
                     ubase = np.array(
-                        [max(bisect.bisect_right(cuts, d) - 1, 0) for d in ud],
+                        [max(bisect.bisect_right(cuts, d or "") - 1, 0)
+                         for d in ud],
                         dtype=np.int64,
                     ) if ud else np.zeros(0, np.int64)
                 else:

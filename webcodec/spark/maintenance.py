@@ -724,6 +724,8 @@ def export_parquet(
     carry_encodings: bool = True, encryption_key: bytes | None = None,
     output_encryption_key: bytes | None = None,
     output_key_metadata: bytes | None = None,
+    geometry_columns: dict | set | None = None,
+    geography_columns: dict | set | None = None,
 ) -> dict:
     """Transcode a webcodec table into STANDARD parquet files — decoded with
     webcodec kernels AND re-serialized with webcodec's own parquet writer
@@ -741,7 +743,11 @@ def export_parquet(
     dict/PLAIN. ``output_encryption_key`` writes MODULAR-ENCRYPTED parquet
     (encrypted-footer mode; the reference reader decrypts it) — an
     encrypted .wcd lakehouse exports to encrypted standard parquet without
-    the data ever landing plaintext on disk."""
+    the data ever landing plaintext on disk. ``geometry_columns`` /
+    ``geography_columns`` (set of names, or dict name -> crs) annotate
+    binary WKB columns with the GEOMETRY/GEOGRAPHY logical types
+    (parquet-format Geospatial.md; readers without geospatial support —
+    e.g. pyarrow 16 — reject the footer, DuckDB reads them as blobs)."""
     src = SnapshotTable(table_dir)
     snap = src.read_snapshot()
     if snap is None:
@@ -809,6 +815,8 @@ def export_parquet(
                 write_parquet(t, out, codec=codec, row_group_rows=int(rg_rows),
                               column_encoding=col_enc,
                               variant_columns=variant_cols,
+                              geometry_columns=geometry_columns,
+                              geography_columns=geography_columns,
                               encryption_key=output_encryption_key,
                               encryption_key_metadata=output_key_metadata)
                 yield pa.RecordBatch.from_pydict(
