@@ -619,8 +619,8 @@ warm-up pass (every python worker runs the UDF once before timing).
 |---|---|---|---|
 | files (zero-shuffle, direct pyarrow reads) | local[{s['n_cores']}]  (N)  | {s['files_wall_N_s']:.1f} | {s['files_throughput_N_gbps']:.3f} |
 | files (zero-shuffle, direct pyarrow reads) | local[{4*s['n_cores']}] (4N) | {s['files_wall_4N_s']:.1f} | {s['files_throughput_4N_gbps']:.3f} |
-| clustered (salted domains, Arrow-native 2-phase shuffle) | local[{s['n_cores']}]  (N)  | {s['clustered_wall_N_s']:.1f} | {s['clustered_throughput_N_gbps']:.3f} |
-| clustered (salted domains, Arrow-native 2-phase shuffle) | local[{4*s['n_cores']}] (4N) | {s['clustered_wall_4N_s']:.1f} | {s['clustered_throughput_4N_gbps']:.3f} |
+| clustered (range domain intervals + hot-domain salting, Arrow-native 2-phase shuffle) | local[{s['n_cores']}]  (N)  | {s['clustered_wall_N_s']:.1f} | {s['clustered_throughput_N_gbps']:.3f} |
+| clustered (range domain intervals + hot-domain salting, Arrow-native 2-phase shuffle) | local[{4*s['n_cores']}] (4N) | {s['clustered_wall_4N_s']:.1f} | {s['clustered_throughput_4N_gbps']:.3f} |
 
 - Input: {s['rows']:,} synthetic Common-Crawl-style rows, {s['raw_gb']:.2f} GB raw Arrow
   bytes (deterministic generator in bench.py, BASELINE.json input_hint shape).
@@ -628,7 +628,8 @@ warm-up pass (every python worker runs the UDF once before timing).
   **{s['files_scaling_efficiency']:.2f}** (target >=0.8).
 - Clustered-mode speedup at 4x cores: **{s['clustered_speedup']:.2f}x** -> scaling
   efficiency **{s['clustered_scaling_efficiency']:.2f}** — the full north_rule pipeline
-  (salted repartitioning on hash(url) domains). Its shuffle is embarrassingly
+  (domain clustering: range buckets, hot domains salted by hash(url)).
+  Its shuffle is embarrassingly
   parallel (map-side spill + per-bucket merge on shared storage) but moves
   ~2.3x the bytes of files mode through this box's shared disk/DRAM, which
   costs a few efficiency points here; on a real cluster the spill IO scales

@@ -78,6 +78,33 @@ def test_geometry_set_spec_and_duckdb_reads(tmp_path):
         assert got2 == exp2
 
 
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_geometry_fuzz_roundtrip(tmp_path, seed):
+    """Random blob lengths (0..200 B), null runs, multiple row groups:
+    annotated bytes come back exactly through the native reader and the
+    annotation survives every footer."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 400))
+    blobs = [
+        None if rng.random() < 0.15
+        else rng.integers(0, 256, int(rng.integers(0, 200)),
+                          dtype=np.uint8).tobytes()
+        for _ in range(n)
+    ]
+    t = pa.table({"i": pa.array(range(n), pa.int64()),
+                  "geom": pa.array(blobs, pa.binary())})
+    p = str(tmp_path / "f.parquet")
+    write_parquet(t, p, row_group_rows=int(rng.integers(16, 100)),
+                  geometry_columns={"geom": "SRID:4326"})
+    back = read_table_arrow_native(p)
+    assert back.column("geom").to_pylist() == blobs
+    ft = read_footer_native(p)
+    assert [l["geo"] for l in ft["leaves"] if "geo" in l] == [
+        {"kind": "GEOMETRY", "crs": "SRID:4326"}]
+
+
 def test_geometry_requires_binary_storage(tmp_path):
     t = pa.table({"g": pa.array(["not-wkb"], pa.string())})
     with pytest.raises(TypeError, match="binary"):
