@@ -337,6 +337,84 @@ def _bss_bytes(valid: pa.Array) -> bytes:
     return bss.encode(valid.to_numpy(zero_copy_only=False))
 
 
+# ------------------------------ statistics -----------------------------------
+
+_STATS_TRUNC = 64
+
+
+def _stats_truncated_max(b: bytes) -> bytes | None:
+    """Shortest byte string >= the original max after truncating to
+    ``_STATS_TRUNC`` bytes: increment the last non-0xFF byte of the prefix
+    (unsigned-lexicographic upper bound, parquet-java's
+    BinaryTruncator.MaximumTruncator shape); None when the prefix is all
+    0xFF — no bounded upper bound exists, omit max_value."""
+    if len(b) <= _STATS_TRUNC:
+        return b
+    arr = bytearray(b[:_STATS_TRUNC])
+    for i in range(len(arr) - 1, -1, -1):
+        if arr[i] != 0xFF:
+            arr[i] += 1
+            return bytes(arr[: i + 1])
+    return None
+
+
+def _chunk_stats(valid: pa.Array, null_count: int) -> dict | None:
+    """min/max/null_count for ColumnMetaData.statistics (field 12),
+    PLAIN-value-encoded per the column's TypeDefinedOrder (parquet-format.md
+    "Statistics"): BYTE_ARRAY/FLBA compare unsigned-lexicographic (Arrow's
+    byte comparison matches), DECIMAL compares as the signed number, floats
+    exclude NaN and widen zero bounds to (-0.0, +0.0) per the spec note.
+    Returns None for types with no defined order here (float16); the footer
+    writer additionally skips GEOMETRY/GEOGRAPHY columns (their Statistics
+    are undefined — GeospatialStatistics is a different struct)."""
+    t = valid.type
+    st = {"null_count": null_count, "min": None, "max": None}
+    if len(valid) == 0:
+        return st
+    if pa.types.is_float16(t):
+        return None
+    if pa.types.is_floating(t):
+        v = valid.to_numpy(zero_copy_only=False)
+        finite = v[~np.isnan(v)]
+        if not len(finite):
+            return st
+        mn, mx = float(finite.min()), float(finite.max())
+        if mn == 0.0:
+            mn = -0.0
+        if mx == 0.0:
+            mx = 0.0
+        fmt = "<f" if pa.types.is_float32(t) else "<d"
+        st["min"], st["max"] = struct.pack(fmt, mn), struct.pack(fmt, mx)
+        return st
+    try:
+        mm = pc.min_max(valid)
+    except (pa.lib.ArrowNotImplementedError, pa.lib.ArrowInvalid):
+        # no min_max kernel (e.g. decimal128 on some Arrow builds): bounded
+        # python fallback — one pass over this chunk's values, export-only
+        vals = [x for x in valid.to_pylist() if x is not None]
+        if not vals:
+            return st
+        lo, hi = min(vals), max(vals)
+        one = lambda x: _plain_bytes(pa.array([x], type=t))  # noqa: E731
+        st["min"], st["max"] = one(lo), one(hi)
+        return st
+    mn, mx = mm["min"], mm["max"]
+    if not mn.is_valid or not mx.is_valid:
+        return st
+    if pa.types.is_string(t):
+        st["min"] = mn.as_py().encode()[:_STATS_TRUNC]
+        st["max"] = _stats_truncated_max(mx.as_py().encode())
+    elif pa.types.is_binary(t) or pa.types.is_fixed_size_binary(t):
+        st["min"] = mn.as_py()[:_STATS_TRUNC]
+        st["max"] = _stats_truncated_max(mx.as_py())
+    else:
+        # fixed-width scalar (bool/int/ts/date/decimal): PLAIN bytes of the
+        # single value — exactly the encoding readers expect for min_value
+        st["min"] = _plain_bytes(pa.array([mn.as_py()], type=t))
+        st["max"] = _plain_bytes(pa.array([mx.as_py()], type=t))
+    return st
+
+
 # parquet-format Encryption.md module types (shared with parquet_interop)
 _MOD_FOOTER, _MOD_COLMD = 0, 1
 _MOD_DATA_PAGE, _MOD_DICT_PAGE = 2, 3
@@ -395,6 +473,7 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
     mask = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
     valid = arr.drop_null()
     levels = _rle_def_levels(mask)
+    extra["stats"] = _chunk_stats(valid, n_rows - len(valid))
 
     if encoding is not None:
         enc_name = encoding.lower()
@@ -495,7 +574,10 @@ def _write_shredded_chunk(out, offset: int, path_names: list[str],
     levels (when max_rep > 0)] [4-byte-prefixed RLE def levels] [PLAIN
     values]; num_values is the ENTRY count (spec: levels count, not rows)."""
     ptype, conv = _phys_of(leaf.type)
-    extra: dict = {"path": path_names, "max_def": max_def, "max_rep": max_rep}
+    extra: dict = {"path": path_names, "max_def": max_def, "max_rep": max_rep,
+                   # null_count counts entries missing at the leaf (null or
+                   # terminated above it), matching parquet-java's num_nulls
+                   "stats": _chunk_stats(leaf, len(defs) - len(leaf))}
     if pa.types.is_decimal(leaf.type):
         extra.update(tlen=_decimal_flba_len(leaf.type.precision),
                      prec=leaf.type.precision, scale=leaf.type.scale)
@@ -1013,6 +1095,9 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
                    ) -> bytes:
     elems = _schema_elements(table.schema, variant_columns, uuid_columns,
                              geometry_columns, geography_columns)
+    # GEOMETRY/GEOGRAPHY columns carry no plain Statistics (their order is
+    # undefined; the spec's GeospatialStatistics is a separate struct)
+    geo_names = set(geometry_columns or ()) | set(geography_columns or ())
 
     rgs = []
     for rg_i, col_meta in enumerate(groups_meta):
@@ -1043,6 +1128,18 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
             last = _f_i64(md, last, 9, c["offset"])
             if c.get("dict_offset") is not None:
                 last = _f_i64(md, last, 11, c["dict_offset"])
+            st = c.get("stats")
+            if st is not None and cpath[0] not in geo_names:
+                sb = _TOut()
+                l2 = _f_i64(sb, 0, 3, st["null_count"])
+                # both bounds or neither: readers (parquet-java, DuckDB)
+                # treat a lone min/max as no-stats, and an unbounded max
+                # (all-0xFF truncation) must not leave a dangling min
+                if st["max"] is not None and st["min"] is not None:
+                    l2 = _f_binary(sb, l2, 5, st["max"])
+                    l2 = _f_binary(sb, l2, 6, st["min"])
+                _stop(sb)
+                last = _f_struct(md, last, 12, bytes(sb.buf))
             _stop(md)
             first_off = c["dict_offset"] if c.get("dict_offset") is not None else c["offset"]
             cc = _TOut()
@@ -1102,5 +1199,13 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
     for rg_buf in rgs:
         fm.buf += rg_buf
     last = _f_binary(fm, last, 6, b"webcodec-interop-0.1")
+    # column_orders (field 7): one TYPE_ORDER per LEAF column — without it
+    # parquet-java ignores min_value/max_value on BYTE_ARRAY chunks (the
+    # signed-vs-unsigned legacy-stats rule, parquet-format.md ColumnOrder)
+    n_leaves = len(groups_meta[0]) if groups_meta else 0
+    if n_leaves:
+        last = _f_list_header(fm, last, 7, n_leaves, 12)
+        # each ColumnOrder: union field 1 (TYPE_ORDER, empty struct) + stop
+        fm.buf += b"\x1c\x00\x00" * n_leaves
     _stop(fm)
     return bytes(fm.buf)
