@@ -195,3 +195,23 @@ def test_spark_reads_stats_annotated_export(tmp_path, spark):
 def test_chunk_stats_helper_float16_returns_none():
     arr = pa.array(np.array([1.5, 2.5], dtype=np.float16), pa.float16())
     assert _chunk_stats(arr, 0) is None
+
+
+def test_native_footer_parser_surfaces_statistics(tmp_path):
+    import struct
+
+    from webcodec import parquet_interop as pi
+
+    t = pa.table({"k": pa.array([5, -3, None, 9], pa.int64()),
+                  "s": pa.array(["b", "a", "c", None])})
+    ours, refs = str(tmp_path / "o.parquet"), str(tmp_path / "r.parquet")
+    write_parquet(t, ours)
+    pq.write_table(t, refs)
+    for p in (ours, refs):
+        cms = pi.read_footer_native(p)["row_groups"][0]
+        sk = cms[0].statistics
+        assert struct.unpack("<q", sk["min_value"])[0] == -3
+        assert struct.unpack("<q", sk["max_value"])[0] == 9
+        assert sk["null_count"] == 1
+        ss = cms[1].statistics
+        assert (ss["min_value"], ss["max_value"]) == (b"a", b"c")

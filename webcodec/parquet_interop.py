@@ -611,7 +611,8 @@ class _ChunkMeta:
     pages are AES-GCM modules."""
 
     __slots__ = ("compression", "dictionary_page_offset", "data_page_offset",
-                 "total_compressed_size", "num_values", "path", "crypto")
+                 "total_compressed_size", "num_values", "path", "crypto",
+                 "statistics")
 
     def __init__(self, md: dict, crypto: dict | None = None):
         self.compression = _CODEC_NAMES.get(md.get(4, 0), "uncompressed")
@@ -622,6 +623,14 @@ class _ChunkMeta:
         self.path = ".".join(
             p.decode() if isinstance(p, bytes) else p for p in md[3])
         self.crypto = crypto
+        # Statistics (field 12): raw PLAIN-encoded bounds + null_count —
+        # callers interpret min/max bytes per the leaf's physical type
+        st = md.get(12)
+        self.statistics = None if st is None else {
+            "null_count": st.get(3),
+            "min_value": st.get(6),
+            "max_value": st.get(5),
+        }
 
 
 # parquet-format Encryption.md module types, verified against files the
