@@ -1,0 +1,141 @@
+"""Page-size cutting on parquet export (~1 MiB v1 data pages per chunk).
+
+The reference writer cuts data pages at DEFAULT_PAGE_SIZE (1 MiB) so
+readers stream page-at-a-time instead of buffering whole column chunks —
+for a web-text table whose html column dominates a 64 MB row group, a
+single-page chunk would force a 64 MB decompression buffer per reader
+thread. These tests pin the multi-page layout across encodings, nulls,
+dictionary chunks and modular encryption, against three readers (pyarrow,
+DuckDB, our native thrift walker).
+"""
+import base64
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from webcodec import parquet_interop as pi
+from webcodec.parquet_writer import _page_bounds, write_parquet
+
+
+def _n_pages(path, col=0, rg=0):
+    """Count pages in a chunk by walking page headers with our thrift
+    reader (works on plaintext files)."""
+    ft = pi.read_footer_native(path)
+    cm = ft["row_groups"][rg][col]
+    buf = ft["buf"]
+    pos = cm.dictionary_page_offset or cm.data_page_offset
+    end = pos + cm.total_compressed_size
+    n = 0
+    while pos < end:
+        hdr, after = pi._read_struct(buf, pos)
+        n += 1
+        pos = after + hdr[3]  # compressed_page_size
+    return n
+
+
+def _big_table(n=40_000, with_nulls=True):
+    rng = np.random.default_rng(11)
+    body = [f"<p id={i}>" + "y" * int(v)
+            for i, v in enumerate(rng.integers(300, 900, n))]
+    if with_nulls:
+        body = [None if i % 501 == 0 else b for i, b in enumerate(body)]
+    return pa.table({"html": pa.array(body),
+                     "k": pa.array(np.arange(n, dtype=np.int64))})
+
+
+def test_page_bounds_shape():
+    assert _page_bounds(0, 0) == [(0, 0)]
+    assert _page_bounds(10, 100) == [(0, 10)]  # under 1 MiB: one page
+    bs = _page_bounds(1000, 5 << 20)  # ~5 MiB: 5 pages of 200 rows
+    assert len(bs) == 5 and bs[0] == (0, 200) and bs[-1] == (800, 1000)
+    assert all(a2 == b1 for (_, b1), (a2, _) in zip(bs, bs[1:]))
+    assert len(_page_bounds(3, 50 << 20)) == 3  # never more pages than rows
+
+
+def test_multipage_plain_roundtrips_everywhere(tmp_path):
+    t = _big_table()
+    p = str(tmp_path / "m.parquet")
+    write_parquet(t, p)
+    assert _n_pages(p, 0) > 5  # ~24 MB html -> ~21 pages
+    assert pq.read_table(p).equals(t)
+    assert pi.read_table_arrow_native(p).equals(t)
+    con = duckdb.connect()
+    nulls = sum(v is None for v in t["html"].to_pylist())
+    assert con.execute(f"select count(*) filter (html is null), count(*) "
+                       f"from read_parquet('{p}')").fetchone() == \
+        (nulls, t.num_rows)
+
+
+def test_multipage_dictionary_chunk_sizes_by_index_bytes(tmp_path):
+    # low-cardinality column: pages hold bit-packed indices, so a chunk
+    # whose RAW bytes exceed many MiB still needs only ~1 index page
+    n = 200_000
+    t = pa.table({"lang": pa.array([["en", "de", "fr", "pt"][i % 4] * 20
+                                    for i in range(n)])})
+    p = str(tmp_path / "d.parquet")
+    write_parquet(t, p)
+    assert pq.read_table(p).equals(t)
+    assert _n_pages(p) <= 3  # dict page + O(1) index pages, not raw/1MiB
+
+
+def test_multipage_forced_encodings_roundtrip(tmp_path):
+    n = 1_200_000
+    rng = np.random.default_rng(5)
+    t = pa.table({"ts": pa.array(np.cumsum(rng.integers(0, 50, n))),
+                  "f": pa.array(rng.normal(size=n))})
+    p = str(tmp_path / "e.parquet")
+    write_parquet(t, p, column_encoding={"ts": "delta_binary_packed",
+                                         "f": "byte_stream_split"})
+    assert _n_pages(p, 0) > 1 and _n_pages(p, 1) > 1
+    assert pq.read_table(p).equals(t)
+    assert pi.read_table_arrow_native(p).equals(t)
+
+
+def test_multipage_boolean_bitpacking_restarts_per_page(tmp_path):
+    # 9M bools ≈ 1.1 MiB packed -> 2+ pages; per-page PLAIN booleans must
+    # restart bit packing on a fresh byte or values shift across pages
+    n = 9_000_000
+    t = pa.table({"b": pa.array((np.arange(n) % 3 == 0))})
+    p = str(tmp_path / "b.parquet")
+    write_parquet(t, p)
+    assert _n_pages(p) >= 2
+    assert pq.read_table(p).equals(t)
+
+
+def test_multipage_encrypted_pyarrow_decrypts(tmp_path):
+    """The reference reader (arrow-C++) authenticates per-page AAD
+    ordinals — a multi-page encrypted chunk proves our page_ord wiring."""
+    pe = pytest.importorskip("pyarrow.parquet.encryption")
+    from tests.test_parquet_encrypted_interop import _Kms
+
+    t = _big_table(20_000, with_nulls=False)
+    key = bytes(range(16))
+    p = str(tmp_path / "enc.parquet")
+    write_parquet(
+        t, p, encryption_key=key,
+        encryption_kms_wrap=lambda dek, mid: base64.b64encode(dek),
+        encryption_key_metadata=(
+            b'{"keyMaterialType":"PKMT1","internalStorage":true,'
+            b'"isFooterKey":true,"kmsInstanceID":"DEFAULT",'
+            b'"kmsInstanceURL":"DEFAULT","masterKeyID":"fk","wrappedDEK":"'
+            + base64.b64encode(key) + b'","doubleWrapping":false}'))
+    factory = pe.CryptoFactory(lambda config: _Kms(config))
+    dprops = factory.file_decryption_properties(pe.KmsConnectionConfig())
+    ref = pq.ParquetFile(p, decryption_properties=dprops).read()
+    assert ref.equals(t)
+    # and our own interop reader agrees
+    ours = pi.read_table_arrow(
+        p, kms_unwrap=lambda w, m: base64.b64decode(w))
+    assert ours.equals(t)
+
+
+def test_small_chunks_stay_single_page(tmp_path):
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64()),
+                  "s": pa.array(["a", None, "c"])})
+    p = str(tmp_path / "s.parquet")
+    write_parquet(t, p)
+    assert _n_pages(p, 0) == 1 and _n_pages(p, 1) == 1
+    assert pq.read_table(p).equals(t)

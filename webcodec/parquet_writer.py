@@ -437,10 +437,10 @@ def _gcm_module(ectx: dict, plain: bytes, mtype: int,
 
 
 def _emit_page(out, offset: int, header: bytes, payload: bytes,
-               ectx: dict | None, is_dict: bool) -> int:
+               ectx: dict | None, is_dict: bool, page_ord: int = 0) -> int:
     """Write one page (plaintext, or as an encrypted header+payload module
-    pair per Encryption.md); returns the new offset. One data page per
-    chunk per row group in this writer, so the data-page ordinal is 0."""
+    pair per Encryption.md); returns the new offset. ``page_ord`` is the
+    data page's ordinal within its chunk (Encryption.md page AAD suffix)."""
     if ectx is None:
         out.write(header)
         out.write(payload)
@@ -449,11 +449,27 @@ def _emit_page(out, offset: int, header: bytes, payload: bytes,
         hm = _gcm_module(ectx, header, _MOD_DICT_PAGE_HDR)
         pm = _gcm_module(ectx, payload, _MOD_DICT_PAGE)
     else:
-        hm = _gcm_module(ectx, header, _MOD_DATA_PAGE_HDR, 0)
-        pm = _gcm_module(ectx, payload, _MOD_DATA_PAGE, 0)
+        hm = _gcm_module(ectx, header, _MOD_DATA_PAGE_HDR, page_ord)
+        pm = _gcm_module(ectx, payload, _MOD_DATA_PAGE, page_ord)
     out.write(hm)
     out.write(pm)
     return offset + len(hm) + len(pm)
+
+
+_TARGET_PAGE_BYTES = 1 << 20  # parquet-java's DEFAULT_PAGE_SIZE (1 MiB)
+
+
+def _page_bounds(n_rows: int, est_bytes: int) -> list[tuple[int, int]]:
+    """Row ranges cutting a chunk into ~1 MiB (raw) v1 data pages — the
+    reference writer's page sizing (ColumnWriterBase.accountForValueWritten
+    checks against DEFAULT_PAGE_SIZE). A 64 MB html column in one page would
+    force readers to buffer 64 MB per column; page-at-a-time readers stream
+    these instead."""
+    if n_rows <= 0:
+        return [(0, 0)]
+    n_pages = min(max(1, -(-est_bytes // _TARGET_PAGE_BYTES)), n_rows)
+    rows_pp = -(-n_rows // n_pages)
+    return [(a, min(a + rows_pp, n_rows)) for a in range(0, n_rows, rows_pp)]
 
 
 def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
@@ -472,7 +488,6 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
         extra.update(tlen=arr.type.byte_width)
     mask = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
     valid = arr.drop_null()
-    levels = _rle_def_levels(mask)
     extra["stats"] = _chunk_stats(valid, n_rows - len(valid))
 
     if encoding is not None:
@@ -481,25 +496,32 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
             if ptype not in (_T_INT32, _T_INT64):
                 raise TypeError(
                     f"delta_binary_packed needs an INT32/INT64 column, not {arr.type}")
-            values_bytes, enc = _delta_bp_bytes(valid, ptype), _ENC_DELTA_BP
+            enc = _ENC_DELTA_BP
         elif enc_name == "byte_stream_split":
             if ptype not in (_T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE):
                 raise TypeError(
                     f"byte_stream_split needs a fixed-width column, not {arr.type}")
-            values_bytes, enc = _bss_bytes(valid), _ENC_BSS
+            enc = _ENC_BSS
         else:
             raise ValueError(f"unsupported parquet export encoding {encoding!r}")
-        body = struct.pack("<I", len(levels)) + levels + values_bytes
-        comp = _compress(body, codec)
-        header = _page_header(n_rows, len(body),
-                              len(comp) + (32 if ectx else 0), enc)
-        data_page_offset = offset
-        offset = _emit_page(out, offset, header, comp, ectx, is_dict=False)
+        data_page_offset, usize = offset, 0
+        for pg, (a, b) in enumerate(_page_bounds(n_rows, arr.nbytes)):
+            vs = arr.slice(a, b - a).drop_null()
+            vb = (_delta_bp_bytes(vs, ptype) if enc == _ENC_DELTA_BP
+                  else _bss_bytes(vs))
+            lv = _rle_def_levels(mask[a:b])
+            body = struct.pack("<I", len(lv)) + lv + vb
+            comp = _compress(body, codec)
+            header = _page_header(b - a, len(body),
+                                  len(comp) + (32 if ectx else 0), enc)
+            offset = _emit_page(out, offset, header, comp, ectx,
+                                is_dict=False, page_ord=pg)
+            usize += len(header) + len(body)
         return (
             {
                 "name": name, "type": ptype, "conv": conv,
                 "num_values": n_rows,
-                "usize": len(header) + len(body),
+                "usize": usize,
                 "csize": offset - data_page_offset,
                 "offset": data_page_offset,
                 "dict_offset": None,
@@ -524,34 +546,48 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
             dict_bytes = _plain_bytes(de.dictionary.cast(arr.type))
             width = max((ndv - 1).bit_length(), 1)
             idx = de.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
-            values_bytes = bytes([width]) + _rle_spec_encode(idx, width)
             n_dict = ndv
 
     dict_page_offset = None
     chunk_start = offset
+    usize = 0
     if dict_bytes is not None:
         dcomp = _compress(dict_bytes, codec)
         dheader = _dict_page_header(n_dict, len(dict_bytes),
                                     len(dcomp) + (32 if ectx else 0))
         dict_page_offset = offset
         offset = _emit_page(out, offset, dheader, dcomp, ectx, is_dict=True)
-        body = struct.pack("<I", len(levels)) + levels + values_bytes
         enc = _ENC_PLAIN_DICT
-        extra_u = len(dheader) + len(dict_bytes)
+        usize += len(dheader) + len(dict_bytes)
+        # per-page slicing of the whole-chunk index stream: valid-position
+        # prefix counts map each page's row range onto its index run
+        vpos = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(mask, out=vpos[1:])
     else:
-        body = struct.pack("<I", len(levels)) + levels + _plain_bytes(valid)
         enc = _ENC_PLAIN
-        extra_u = 0
-    comp = _compress(body, codec)
-    header = _page_header(n_rows, len(body),
-                          len(comp) + (32 if ectx else 0), enc)
     data_page_offset = offset
-    offset = _emit_page(out, offset, header, comp, ectx, is_dict=False)
+    # page sizing follows what the pages will actually hold: bit-packed
+    # dictionary indices are ~width/8 bytes per row, not the raw value bytes
+    est = (n_rows * width // 8) if dict_bytes is not None else arr.nbytes
+    for pg, (a, b) in enumerate(_page_bounds(n_rows, est)):
+        if dict_bytes is not None:
+            pidx = idx[int(vpos[a]): int(vpos[b])]
+            pvals = bytes([width]) + _rle_spec_encode(pidx, width)
+        else:
+            pvals = _plain_bytes(arr.slice(a, b - a).drop_null())
+        lv = _rle_def_levels(mask[a:b])
+        body = struct.pack("<I", len(lv)) + lv + pvals
+        comp = _compress(body, codec)
+        header = _page_header(b - a, len(body),
+                              len(comp) + (32 if ectx else 0), enc)
+        offset = _emit_page(out, offset, header, comp, ectx,
+                            is_dict=False, page_ord=pg)
+        usize += len(header) + len(body)
     return (
         {
             "name": name, "type": ptype, "conv": conv,
             "num_values": n_rows,
-            "usize": len(header) + len(body) + extra_u,
+            "usize": usize,
             "csize": offset - chunk_start,
             "offset": data_page_offset,
             "dict_offset": dict_page_offset,
