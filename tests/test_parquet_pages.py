@@ -139,3 +139,94 @@ def test_small_chunks_stay_single_page(tmp_path):
     write_parquet(t, p)
     assert _n_pages(p, 0) == 1 and _n_pages(p, 1) == 1
     assert pq.read_table(p).equals(t)
+
+
+# --------------------------- page indexes (C7 export) ------------------------
+
+
+def _parse_indexes(path, rg=0, col=0):
+    import struct as st
+    buf = memoryview(open(path, "rb").read())
+    (flen,) = st.unpack("<I", buf[-8:-4])
+    fmd, _ = pi._read_struct(buf, len(buf) - 8 - flen)
+    cc = fmd[4][rg][1][col]
+    ci = pi._read_struct(buf, cc[6])[0] if 6 in cc else None
+    oi = pi._read_struct(buf, cc[4])[0] if 4 in cc else None
+    return ci, oi
+
+
+def test_page_indexes_present_and_exact(tmp_path):
+    import struct as st
+    n = 50_000
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                  "pad": pa.array([f"q{i:09d}" * 8 for i in range(n)])})
+    p = str(tmp_path / "i.parquet")
+    write_parquet(t, p)
+    md = pq.ParquetFile(p).metadata.row_group(0)
+    assert md.column(0).has_column_index and md.column(0).has_offset_index
+    ci, oi = _parse_indexes(p, col=1)  # pad column: multiple pages
+    locs = oi[1]
+    assert len(locs) > 1
+    ci_k, oi_k = _parse_indexes(p, col=0)
+    mins = [st.unpack("<q", v)[0] for v in ci_k[2]]
+    maxs = [st.unpack("<q", v)[0] for v in ci_k[3]]
+    first = [l[3] for l in oi_k[1]] + [n]
+    # each page's bounds are exactly its row range for this sequential column
+    assert mins == first[:-1]
+    assert maxs == [b - 1 for b in first[1:]]
+    # OffsetIndex locations tile the chunk (offset+size = next offset)
+    for a, b in zip(oi_k[1], oi_k[1][1:]):
+        assert a[1] + a[2] == b[1]
+
+
+def test_page_index_null_accounting(tmp_path):
+    n = 30_000
+    vals = [None if i % 7 == 0 else i for i in range(n)]
+    t = pa.table({"v": pa.array(vals, pa.int64()),
+                  "allnull": pa.array([None] * n, pa.int64())})
+    p = str(tmp_path / "nulls.parquet")
+    write_parquet(t, p)
+    ci, oi = _parse_indexes(p, col=0)
+    assert sum(ci[5]) == sum(v is None for v in vals)
+    ci2, _ = _parse_indexes(p, col=1)
+    assert ci2[1] == [True] and ci2[2] == [b""] and ci2[3] == [b""]
+
+
+def test_page_index_omitted_when_bounds_unrepresentable(tmp_path):
+    # all-0xFF max: chunk gets an OffsetIndex but no ColumnIndex
+    t = pa.table({"b": pa.array([b"\xff" * 100, b"\x01"], pa.binary())})
+    p = str(tmp_path / "ff.parquet")
+    write_parquet(t, p)
+    md = pq.ParquetFile(p).metadata.row_group(0).column(0)
+    assert md.has_offset_index and not md.has_column_index
+
+
+def test_page_indexes_skipped_for_encrypted_files(tmp_path):
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    p = str(tmp_path / "e.parquet")
+    write_parquet(t, p, encryption_key=bytes(range(32)))
+    import struct as st
+    buf = memoryview(open(p, "rb").read())
+    # plaintext indexes would leak bounds; assert no CC fields 4/6 exist
+    ours = pi.read_table_arrow(p, kms_unwrap=bytes(range(32)))
+    assert ours.equals(t)
+
+
+def test_spark_filters_correct_over_page_indexed_file(tmp_path, spark):
+    """parquet-mr uses ColumnIndex for page-level row filtering when
+    filters push down — a wrong index silently drops rows, so filtered
+    results doubling as ground truth IS the differential."""
+    n = 400_000
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                  "s": pa.array([f"doc-{i:09d}" for i in range(n)]),
+                  "pad": pa.array(["q" * 120] * n)})
+    p = str(tmp_path / "big.parquet")
+    write_parquet(t, p)  # one row group, many pages per chunk
+    df = spark.read.parquet(p)
+    r = df.filter("k >= 150000 and k <= 150100") \
+          .selectExpr("count(*) c", "min(k) mn", "max(k) mx").collect()[0]
+    assert (r.c, r.mn, r.mx) == (101, 150000, 150100)
+    r2 = df.filter("s = 'doc-000333333'").selectExpr(
+        "count(*) c", "min(k) k").collect()[0]
+    assert (r2.c, r2.k) == (1, 333333)
+    assert df.filter("k < 0").count() == 0

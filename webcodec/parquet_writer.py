@@ -415,6 +415,64 @@ def _chunk_stats(valid: pa.Array, null_count: int) -> dict | None:
     return st
 
 
+# ----------------------------- page indexes ----------------------------------
+
+
+def _offset_index_bytes(pages: list[dict]) -> bytes:
+    """OffsetIndex (parquet.thrift): list<PageLocation {offset,
+    compressed_page_size (incl. header), first_row_index}> — written for
+    every chunk so readers can locate pages without parsing page headers."""
+    o = _TOut()
+    last = _f_list_header(o, 0, 1, len(pages), 12)
+    for p in pages:
+        pl = _TOut()
+        l2 = _f_i64(pl, 0, 1, p["off"])
+        l2 = _f_i32(pl, l2, 2, p["csize"])
+        l2 = _f_i64(pl, l2, 3, p["first_row"])
+        _stop(pl)
+        o.buf += pl.buf
+    _stop(o)
+    return bytes(o.buf)
+
+
+def _column_index_bytes(pages: list[dict]) -> bytes | None:
+    """ColumnIndex (parquet.thrift): per-page null_pages/min/max/null_counts
+    with BoundaryOrder UNORDERED (always valid; order only selects binary vs
+    linear search in readers). Returns None when any non-null page lacks a
+    representable bound (no-order type, or all-0xFF truncated max) — the
+    spec has no "missing bound" slot for a non-null page."""
+    null_pages, mins, maxs, nulls = [], [], [], []
+    for p in pages:
+        st = p.get("stats")
+        if st is None:
+            return None
+        all_null = p["n_valid"] == 0
+        if not all_null and (st["min"] is None or st["max"] is None):
+            return None
+        null_pages.append(all_null)
+        mins.append(b"" if all_null else st["min"])
+        maxs.append(b"" if all_null else st["max"])
+        nulls.append(st["null_count"])
+    o = _TOut()
+    last = _f_list_header(o, 0, 1, len(null_pages), 1)  # list<bool>
+    for b in null_pages:
+        o.u8(1 if b else 2)  # compact list bools: 1=true, 2=false
+    last = _f_list_header(o, last, 2, len(mins), 8)
+    for v in mins:
+        o.uvarint(len(v))
+        o.buf += v
+    last = _f_list_header(o, last, 3, len(maxs), 8)
+    for v in maxs:
+        o.uvarint(len(v))
+        o.buf += v
+    last = _f_i32(o, last, 4, 0)  # BoundaryOrder.UNORDERED
+    last = _f_list_header(o, last, 5, len(nulls), 6)
+    for v in nulls:
+        o.zigzag(v)
+    _stop(o)
+    return bytes(o.buf)
+
+
 # parquet-format Encryption.md module types (shared with parquet_interop)
 _MOD_FOOTER, _MOD_COLMD = 0, 1
 _MOD_DATA_PAGE, _MOD_DICT_PAGE = 2, 3
@@ -505,6 +563,7 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
         else:
             raise ValueError(f"unsupported parquet export encoding {encoding!r}")
         data_page_offset, usize = offset, 0
+        pages_meta: list[dict] = []
         for pg, (a, b) in enumerate(_page_bounds(n_rows, arr.nbytes)):
             vs = arr.slice(a, b - a).drop_null()
             vb = (_delta_bp_bytes(vs, ptype) if enc == _ENC_DELTA_BP
@@ -514,14 +573,20 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
             comp = _compress(body, codec)
             header = _page_header(b - a, len(body),
                                   len(comp) + (32 if ectx else 0), enc)
+            page_off = offset
             offset = _emit_page(out, offset, header, comp, ectx,
                                 is_dict=False, page_ord=pg)
             usize += len(header) + len(body)
+            pages_meta.append({
+                "off": page_off, "csize": offset - page_off, "first_row": a,
+                "n_valid": len(vs),
+                "stats": _chunk_stats(vs, (b - a) - len(vs))})
         return (
             {
                 "name": name, "type": ptype, "conv": conv,
                 "num_values": n_rows,
                 "usize": usize,
+                "pages": pages_meta,
                 "csize": offset - data_page_offset,
                 "offset": data_page_offset,
                 "dict_offset": None,
@@ -569,25 +634,33 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
     # page sizing follows what the pages will actually hold: bit-packed
     # dictionary indices are ~width/8 bytes per row, not the raw value bytes
     est = (n_rows * width // 8) if dict_bytes is not None else arr.nbytes
+    pages_meta: list[dict] = []
     for pg, (a, b) in enumerate(_page_bounds(n_rows, est)):
+        pvalid = arr.slice(a, b - a).drop_null()
         if dict_bytes is not None:
             pidx = idx[int(vpos[a]): int(vpos[b])]
             pvals = bytes([width]) + _rle_spec_encode(pidx, width)
         else:
-            pvals = _plain_bytes(arr.slice(a, b - a).drop_null())
+            pvals = _plain_bytes(pvalid)
         lv = _rle_def_levels(mask[a:b])
         body = struct.pack("<I", len(lv)) + lv + pvals
         comp = _compress(body, codec)
         header = _page_header(b - a, len(body),
                               len(comp) + (32 if ectx else 0), enc)
+        page_off = offset
         offset = _emit_page(out, offset, header, comp, ectx,
                             is_dict=False, page_ord=pg)
         usize += len(header) + len(body)
+        pages_meta.append({
+            "off": page_off, "csize": offset - page_off, "first_row": a,
+            "n_valid": len(pvalid),
+            "stats": _chunk_stats(pvalid, (b - a) - len(pvalid))})
     return (
         {
             "name": name, "type": ptype, "conv": conv,
             "num_values": n_rows,
             "usize": usize,
+            "pages": pages_meta,
             "csize": offset - chunk_start,
             "offset": data_page_offset,
             "dict_offset": dict_page_offset,
@@ -643,6 +716,9 @@ def _write_shredded_chunk(out, offset: int, path_names: list[str],
             "dict_offset": None,
             "enc": _ENC_PLAIN,
             "_ectx": ectx,
+            "pages": [{"off": data_page_offset,
+                       "csize": offset - data_page_offset, "first_row": 0,
+                       "n_valid": len(leaf), "stats": extra["stats"]}],
             **extra,
         },
         offset,
@@ -998,6 +1074,28 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
             for cm in col_meta:
                 cm["rows"] = sl.num_rows
             groups_meta.append(col_meta)
+        if gcm is None:
+            # page indexes (parquet-java layout: all ColumnIndexes, then all
+            # OffsetIndexes, between the last row group and the footer).
+            # Skipped for encrypted files: plaintext indexes would leak the
+            # very bounds the redacted ColumnMetaData protects.
+            geo_names = (set(_geo_crs_map(geometry_columns) or ())
+                         | set(_geo_crs_map(geography_columns) or ()))
+            for col_meta in groups_meta:
+                for c in col_meta:
+                    if (c.get("path") or [c["name"]])[0] in geo_names:
+                        continue
+                    ci = _column_index_bytes(c["pages"])
+                    if ci is not None:
+                        c["column_index"] = (offset, len(ci))
+                        out.write(ci)
+                        offset += len(ci)
+            for col_meta in groups_meta:
+                for c in col_meta:
+                    oi = _offset_index_bytes(c["pages"])
+                    c["offset_index"] = (offset, len(oi))
+                    out.write(oi)
+                    offset += len(oi)
         footer = _file_metadata(table, groups_meta, codec, n_rows,
                                 frozenset(variant_columns or ()),
                                 frozenset(uuid_columns or ()),
@@ -1184,6 +1282,13 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
             ectx = c.get("_ectx")
             if ectx is None:
                 last = _f_struct(cc, last, 3, bytes(md.buf))
+                oi, ci = c.get("offset_index"), c.get("column_index")
+                if oi is not None:
+                    last = _f_i64(cc, last, 4, oi[0])
+                    last = _f_i32(cc, last, 5, oi[1])
+                if ci is not None:
+                    last = _f_i64(cc, last, 6, ci[0])
+                    last = _f_i32(cc, last, 7, ci[1])
             else:
                 # ENCRYPTION_WITH_COLUMN_KEY: plaintext ColumnMetaData is
                 # REDACTED — it travels as an AES-GCM module in
