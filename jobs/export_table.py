@@ -40,6 +40,11 @@ def main() -> None:
                     metavar="NAME[=CRS]",
                     help="annotate this binary WKB column as GEOMETRY "
                          "(repeatable; optional =CRS suffix)")
+    ap.add_argument("--data-page-version", type=int, default=1,
+                    choices=(1, 2),
+                    help="parquet data page format: 1 (default, widest "
+                         "reader support) or 2 (uncompressed level regions, "
+                         "RLE_DICTIONARY)")
     ap.add_argument("--geography-column", action="append", default=[],
                     metavar="NAME[=CRS]",
                     help="annotate this binary WKB column as GEOGRAPHY "
@@ -67,7 +72,8 @@ def main() -> None:
         carry_encodings=not args.no_carry_encodings, encryption_key=ekey,
         output_encryption_key=okey,
         geometry_columns=_geo(args.geometry_column),
-        geography_columns=_geo(args.geography_column))
+        geography_columns=_geo(args.geography_column),
+        data_page_version=args.data_page_version)
     res["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(res))
     spark.stop()

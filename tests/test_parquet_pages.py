@@ -230,3 +230,98 @@ def test_spark_filters_correct_over_page_indexed_file(tmp_path, spark):
         "count(*) c", "min(k) k").collect()[0]
     assert (r2.c, r2.k) == (1, 333333)
     assert df.filter("k < 0").count() == 0
+
+
+# ------------------------- DATA_PAGE_V2 export option -------------------------
+
+
+def _v2_table(n=20_000):
+    rng = np.random.default_rng(13)
+    return pa.table({
+        "html": pa.array([None if i % 401 == 0 else f"<p{i}>" + "z" * int(v)
+                          for i, v in enumerate(rng.integers(300, 900, n))]),
+        "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(n)]),
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "f": pa.array(rng.normal(size=n)),
+        "bo": pa.array(np.arange(n) % 3 == 0),
+        "ls": pa.array([[i, None, i * 2] if i % 5 else None
+                        for i in range(n)], pa.list_(pa.int64())),
+    })
+
+
+def test_v2_export_roundtrips_in_three_readers(tmp_path):
+    t = _v2_table()
+    p = str(tmp_path / "v2.parquet")
+    write_parquet(t, p, data_page_version=2, row_group_rows=8_000,
+                  column_encoding={"k": "delta_binary_packed",
+                                   "f": "byte_stream_split"})
+    back = pq.read_table(p)
+    for c in t.column_names:
+        assert back[c].combine_chunks().equals(t[c].combine_chunks()), c
+    assert pi.read_table_arrow_native(p).equals(t)
+    con = duckdb.connect()
+    assert con.execute(
+        f"select count(*), min(k), max(k) from read_parquet('{p}')"
+    ).fetchone() == (t.num_rows, 0, t.num_rows - 1)
+
+
+def test_v2_export_uses_rle_dictionary_pairing(tmp_path):
+    t = pa.table({"lang": pa.array(["en", "de", "en", "fr"] * 100)})
+    p = str(tmp_path / "d.parquet")
+    write_parquet(t, p, data_page_version=2)
+    import struct as st
+    buf = memoryview(open(p, "rb").read())
+    (flen,) = st.unpack("<I", buf[-4 - 4:-4])
+    fmd, _ = pi._read_struct(buf, len(buf) - 8 - flen)
+    encs = fmd[4][0][1][0][3][2]  # rg0 chunk0 ColumnMetaData.encodings
+    assert 8 in encs and 2 not in encs  # RLE_DICTIONARY, no PLAIN_DICTIONARY
+    assert pq.read_table(p).equals(t)
+
+
+def test_v2_export_page_type_is_data_page_v2(tmp_path):
+    t = pa.table({"k": pa.array([1, None, 3], pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    write_parquet(t, p, data_page_version=2, use_dictionary=False)
+    ft = pi.read_footer_native(p)
+    cm = ft["row_groups"][0][0]
+    hdr, _ = pi._read_struct(ft["buf"], cm.data_page_offset)
+    assert hdr[1] == 3 and 8 in hdr  # PageType.DATA_PAGE_V2 + its header
+    v2 = hdr[8]
+    assert v2[1] == 3 and v2[2] == 1 and v2[3] == 3  # values/nulls/rows
+
+
+def test_v2_export_encrypted_reference_decrypts(tmp_path):
+    pe = pytest.importorskip("pyarrow.parquet.encryption")
+    from tests.test_parquet_encrypted_interop import _Kms
+
+    t = _v2_table(8_000)
+    key = bytes(range(16))
+    p = str(tmp_path / "v2e.parquet")
+    write_parquet(
+        t, p, data_page_version=2, encryption_key=key,
+        encryption_kms_wrap=lambda dek, mid: base64.b64encode(dek),
+        encryption_key_metadata=(
+            b'{"keyMaterialType":"PKMT1","internalStorage":true,'
+            b'"isFooterKey":true,"kmsInstanceID":"DEFAULT",'
+            b'"kmsInstanceURL":"DEFAULT","masterKeyID":"fk","wrappedDEK":"'
+            + base64.b64encode(key) + b'","doubleWrapping":false}'))
+    factory = pe.CryptoFactory(lambda config: _Kms(config))
+    dprops = factory.file_decryption_properties(pe.KmsConnectionConfig())
+    assert pq.ParquetFile(p, decryption_properties=dprops).read().equals(t)
+    assert pi.read_table_arrow(
+        p, kms_unwrap=lambda w, m: base64.b64decode(w)).equals(t)
+
+
+def test_v2_export_spark_reads_with_filters(tmp_path, spark):
+    t = _v2_table(12_000)
+    p = str(tmp_path / "v2s.parquet")
+    write_parquet(t, p, data_page_version=2)
+    df = spark.read.parquet(p)
+    assert df.count() == t.num_rows
+    assert df.filter("k = 777").collect()[0].lang == ["en", "de", "fr"][777 % 3]
+
+
+def test_v2_rejects_bad_version(tmp_path):
+    t = pa.table({"k": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="data_page_version"):
+        write_parquet(t, str(tmp_path / "x.parquet"), data_page_version=3)

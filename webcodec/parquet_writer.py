@@ -56,6 +56,7 @@ _T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY = 0, 1, 2, 4,
 _T_FLBA = 7
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
 _ENC_DELTA_BP, _ENC_BSS = 5, 9
+_ENC_RLE_DICT = 8  # v2 writer versions pair PLAIN dict pages with this
 _REP_REQUIRED, _REP_OPTIONAL, _REP_REPEATED = 0, 1, 2
 _CT_UTF8, _CT_DECIMAL, _CT_DATE, _CT_TS_MICROS, _CT_LIST = 0, 5, 6, 10, 3
 _CT_MAP = 1
@@ -277,11 +278,37 @@ def _page_header(n_values: int, usize: int, csize: int, enc: int = _ENC_PLAIN) -
     return bytes(ph.buf)
 
 
-def _dict_page_header(n_values: int, usize: int, csize: int) -> bytes:
+def _page_header_v2(n_values: int, n_nulls: int, n_rows: int, enc: int,
+                    def_len: int, rep_len: int, usize: int,
+                    csize: int) -> bytes:
+    """DataPageHeaderV2 (PageHeader field 8, type DATA_PAGE_V2): level
+    regions travel UNCOMPRESSED with their byte lengths in the header;
+    usize/csize still cover the whole page (levels + values)."""
+    d = _TOut()
+    last = 0
+    last = _f_i32(d, last, 1, n_values)
+    last = _f_i32(d, last, 2, n_nulls)
+    last = _f_i32(d, last, 3, n_rows)
+    last = _f_i32(d, last, 4, enc)
+    last = _f_i32(d, last, 5, def_len)
+    last = _f_i32(d, last, 6, rep_len)
+    _stop(d)
+    ph = _TOut()
+    last = 0
+    last = _f_i32(ph, last, 1, 3)  # DATA_PAGE_V2
+    last = _f_i32(ph, last, 2, usize)
+    last = _f_i32(ph, last, 3, csize)
+    last = _f_struct(ph, last, 8, bytes(d.buf))
+    _stop(ph)
+    return bytes(ph.buf)
+
+
+def _dict_page_header(n_values: int, usize: int, csize: int,
+                      enc: int = _ENC_PLAIN_DICT) -> bytes:
     dph = _TOut()
     last = 0
     last = _f_i32(dph, last, 1, n_values)
-    last = _f_i32(dph, last, 2, _ENC_PLAIN_DICT)
+    last = _f_i32(dph, last, 2, enc)
     _stop(dph)
     ph = _TOut()
     last = 0
@@ -530,9 +557,34 @@ def _page_bounds(n_rows: int, est_bytes: int) -> list[tuple[int, int]]:
     return [(a, min(a + rows_pp, n_rows)) for a in range(0, n_rows, rows_pp)]
 
 
+def _flat_page(out, offset: int, pg: int, n_page: int, n_valid: int,
+               lvl: bytes, pvals: bytes, enc: int, codec: str,
+               ectx: dict | None, page_version: int) -> tuple[int, int]:
+    """Emit one FLAT-column data page (v1 prefixed-levels body, or v2 with
+    uncompressed level region + values-only compression); returns
+    (new_offset, uncompressed bytes added)."""
+    if page_version == 2:
+        comp = _compress(pvals, codec)
+        payload = lvl + comp
+        usz = len(lvl) + len(pvals)
+        header = _page_header_v2(n_page, n_page - n_valid, n_page, enc,
+                                 len(lvl), 0, usz,
+                                 len(payload) + (32 if ectx else 0))
+    else:
+        body = struct.pack("<I", len(lvl)) + lvl + pvals
+        payload = _compress(body, codec)
+        usz = len(body)
+        header = _page_header(n_page, usz,
+                              len(payload) + (32 if ectx else 0), enc)
+    offset = _emit_page(out, offset, header, payload, ectx,
+                        is_dict=False, page_ord=pg)
+    return offset, len(header) + usz
+
+
 def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
                         use_dictionary: bool, encoding: str | None = None,
-                        ectx: dict | None = None) -> tuple[dict, int]:
+                        ectx: dict | None = None,
+                        page_version: int = 1) -> tuple[dict, int]:
     """One column chunk of one row group: optional dict page + one v1 data
     page; returns (col_meta, new_offset). ``encoding`` forces
     delta_binary_packed / byte_stream_split instead of dict/PLAIN."""
@@ -569,14 +621,10 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
             vb = (_delta_bp_bytes(vs, ptype) if enc == _ENC_DELTA_BP
                   else _bss_bytes(vs))
             lv = _rle_def_levels(mask[a:b])
-            body = struct.pack("<I", len(lv)) + lv + vb
-            comp = _compress(body, codec)
-            header = _page_header(b - a, len(body),
-                                  len(comp) + (32 if ectx else 0), enc)
             page_off = offset
-            offset = _emit_page(out, offset, header, comp, ectx,
-                                is_dict=False, page_ord=pg)
-            usize += len(header) + len(body)
+            offset, u = _flat_page(out, offset, pg, b - a, len(vs), lv, vb,
+                                   enc, codec, ectx, page_version)
+            usize += u
             pages_meta.append({
                 "off": page_off, "csize": offset - page_off, "first_row": a,
                 "n_valid": len(vs),
@@ -618,11 +666,14 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
     usize = 0
     if dict_bytes is not None:
         dcomp = _compress(dict_bytes, codec)
-        dheader = _dict_page_header(n_dict, len(dict_bytes),
-                                    len(dcomp) + (32 if ectx else 0))
+        dheader = _dict_page_header(
+            n_dict, len(dict_bytes), len(dcomp) + (32 if ectx else 0),
+            enc=_ENC_PLAIN if page_version == 2 else _ENC_PLAIN_DICT)
         dict_page_offset = offset
         offset = _emit_page(out, offset, dheader, dcomp, ectx, is_dict=True)
-        enc = _ENC_PLAIN_DICT
+        # v2 writer versions pair a PLAIN dict page with RLE_DICTIONARY
+        # data pages; v1 keeps the legacy PLAIN_DICTIONARY pair
+        enc = _ENC_RLE_DICT if page_version == 2 else _ENC_PLAIN_DICT
         usize += len(dheader) + len(dict_bytes)
         # per-page slicing of the whole-chunk index stream: valid-position
         # prefix counts map each page's row range onto its index run
@@ -643,14 +694,10 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
         else:
             pvals = _plain_bytes(pvalid)
         lv = _rle_def_levels(mask[a:b])
-        body = struct.pack("<I", len(lv)) + lv + pvals
-        comp = _compress(body, codec)
-        header = _page_header(b - a, len(body),
-                              len(comp) + (32 if ectx else 0), enc)
         page_off = offset
-        offset = _emit_page(out, offset, header, comp, ectx,
-                            is_dict=False, page_ord=pg)
-        usize += len(header) + len(body)
+        offset, u = _flat_page(out, offset, pg, b - a, len(pvalid), lv,
+                               pvals, enc, codec, ectx, page_version)
+        usize += u
         pages_meta.append({
             "off": page_off, "csize": offset - page_off, "first_row": a,
             "n_valid": len(pvalid),
@@ -675,8 +722,8 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
 def _write_shredded_chunk(out, offset: int, path_names: list[str],
                           leaf: pa.Array, rep: np.ndarray | None,
                           defs: np.ndarray, max_rep: int, max_def: int,
-                          codec: str, ectx: dict | None = None
-                          ) -> tuple[dict, int]:
+                          codec: str, ectx: dict | None = None,
+                          page_version: int = 1) -> tuple[dict, int]:
     """One leaf column chunk with EXPLICIT Dremel levels (nested columns):
     ``leaf`` holds only the present values (def == max_def), ``defs``/``rep``
     are per-ENTRY level arrays. v1 page body = [4-byte-prefixed RLE rep
@@ -692,25 +739,37 @@ def _write_shredded_chunk(out, offset: int, path_names: list[str],
                      prec=leaf.type.precision, scale=leaf.type.scale)
     elif pa.types.is_fixed_size_binary(leaf.type):
         extra.update(tlen=leaf.type.byte_width)
-    parts = []
-    if max_rep > 0:
-        r = _rle_spec_encode(rep, max(max_rep.bit_length(), 1))
-        parts.append(struct.pack("<I", len(r)) + r)
-    d = _rle_spec_encode(defs, max(max_def.bit_length(), 1))
-    parts.append(struct.pack("<I", len(d)) + d)
-    parts.append(_plain_bytes(leaf))
-    body = b"".join(parts)
-    comp = _compress(body, codec)
+    rep_b = (_rle_spec_encode(rep, max(max_rep.bit_length(), 1))
+             if max_rep > 0 else b"")
+    def_b = _rle_spec_encode(defs, max(max_def.bit_length(), 1))
+    vals = _plain_bytes(leaf)
     n_values = len(defs)
-    header = _page_header(n_values, len(body),
-                          len(comp) + (32 if ectx else 0), _ENC_PLAIN)
+    if page_version == 2:
+        comp = _compress(vals, codec)
+        payload = rep_b + def_b + comp
+        usz = len(rep_b) + len(def_b) + len(vals)
+        n_rows = int((rep == 0).sum()) if max_rep > 0 else n_values
+        header = _page_header_v2(n_values, n_values - len(leaf), n_rows,
+                                 _ENC_PLAIN, len(def_b), len(rep_b), usz,
+                                 len(payload) + (32 if ectx else 0))
+    else:
+        parts = []
+        if max_rep > 0:
+            parts.append(struct.pack("<I", len(rep_b)) + rep_b)
+        parts.append(struct.pack("<I", len(def_b)) + def_b)
+        parts.append(vals)
+        body = b"".join(parts)
+        payload = _compress(body, codec)
+        usz = len(body)
+        header = _page_header(n_values, usz,
+                              len(payload) + (32 if ectx else 0), _ENC_PLAIN)
     data_page_offset = offset
-    offset = _emit_page(out, offset, header, comp, ectx, is_dict=False)
+    offset = _emit_page(out, offset, header, payload, ectx, is_dict=False)
     return (
         {
             "name": path_names[0], "type": ptype, "conv": conv,
             "num_values": n_values,
-            "usize": len(header) + len(body),
+            "usize": len(header) + usz,
             "csize": offset - data_page_offset,
             "offset": data_page_offset,
             "dict_offset": None,
@@ -976,7 +1035,8 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                   encryption_key: bytes | None = None,
                   encryption_key_metadata: bytes | None = None,
                   encryption_kms_wrap=None,
-                  encryption_master_id: str = "webcodec") -> None:
+                  encryption_master_id: str = "webcodec",
+                  data_page_version: int = 1) -> None:
     """Write ``table`` as a standard parquet file (PLAIN or PLAIN_DICTIONARY
     per column chunk, optional columns with RLE def levels) using only
     webcodec kernels + the thrift serialization written here.
@@ -989,6 +1049,8 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
     emit those spec encodings from webcodec's own kernels — the write-side
     half of the delta/BSS differential tests (the reference reader must
     decode our bytes)."""
+    if data_page_version not in (1, 2):
+        raise ValueError(f"data_page_version must be 1 or 2, got {data_page_version!r}")
     n_rows = table.num_rows
     if row_group_rows is None or row_group_rows <= 0 or row_group_rows >= max(n_rows, 1):
         slices = [table]
@@ -1063,12 +1125,13 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                         cm, offset = _write_shredded_chunk(
                             out, offset, ls["path"], ls["leaf"], ls["rep"],
                             ls["defs"], ls["max_rep"], ls["max_def"], codec,
-                            ectx=_ectx())
+                            ectx=_ectx(), page_version=data_page_version)
                         col_meta.append(cm)
                 else:
                     cm, offset = _write_column_chunk(
                         out, offset, name, arr, codec, use_dictionary,
                         (column_encoding or {}).get(name), ectx=_ectx(),
+                        page_version=data_page_version,
                     )
                     col_meta.append(cm)
             for cm in col_meta:
@@ -1246,7 +1309,8 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
             else:
                 encs.insert(0, _ENC_PLAIN)
                 if c.get("dict_offset") is not None:
-                    encs.append(_ENC_PLAIN_DICT)
+                    encs.append(_ENC_RLE_DICT if c["enc"] == _ENC_RLE_DICT
+                                else _ENC_PLAIN_DICT)
             last = _f_list_header(md, last, 2, len(encs), 5)
             for e in encs:
                 md.zigzag(e)

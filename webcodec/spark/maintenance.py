@@ -726,6 +726,7 @@ def export_parquet(
     output_key_metadata: bytes | None = None,
     geometry_columns: dict | set | None = None,
     geography_columns: dict | set | None = None,
+    data_page_version: int = 1,
 ) -> dict:
     """Transcode a webcodec table into STANDARD parquet files — decoded with
     webcodec kernels AND re-serialized with webcodec's own parquet writer
@@ -818,7 +819,8 @@ def export_parquet(
                               geometry_columns=geometry_columns,
                               geography_columns=geography_columns,
                               encryption_key=output_encryption_key,
-                              encryption_key_metadata=output_key_metadata)
+                              encryption_key_metadata=output_key_metadata,
+                              data_page_version=data_page_version)
                 yield pa.RecordBatch.from_pydict(
                     {"pid": pa.array([pid], pa.int32()),
                      "rows": pa.array([t.num_rows], pa.int64())}
