@@ -325,3 +325,70 @@ def test_v2_rejects_bad_version(tmp_path):
     t = pa.table({"k": pa.array([1], pa.int64())})
     with pytest.raises(ValueError, match="data_page_version"):
         write_parquet(t, str(tmp_path / "x.parquet"), data_page_version=3)
+
+
+# ----------------- DELTA_BYTE_ARRAY / DELTA_LENGTH_BYTE_ARRAY export ----------
+
+
+def _url_table(n=60_000):
+    urls = sorted(f"https://site{i % 53:03d}.example/path/{i:08d}"
+                  for i in range(n))
+    return pa.table({
+        "url": pa.array([None if i % 509 == 0 else urls[i]
+                         for i in range(n)]),
+        "txt": pa.array([None if i % 401 == 0 else f"body {i * 37 % 9973} t"
+                         for i in range(n)]),
+        "b": pa.array([bytes([i % 256, (i * 7) % 256]) for i in range(n)],
+                      pa.binary()),
+    })
+
+
+@pytest.mark.parametrize("ver", [1, 2])
+def test_dba_dlba_export_roundtrips(tmp_path, ver):
+    t = _url_table()
+    p = str(tmp_path / f"d{ver}.parquet")
+    write_parquet(t, p, data_page_version=ver,
+                  column_encoding={"url": "delta_byte_array",
+                                   "txt": "delta_length_byte_array",
+                                   "b": "delta_byte_array"})
+    back = pq.read_table(p)
+    for c in t.column_names:
+        assert back[c].combine_chunks().equals(t[c].combine_chunks()), c
+    assert pi.read_table_arrow_native(p).equals(t)
+    con = duckdb.connect()
+    assert con.execute(
+        f"select count(*) from read_parquet('{p}') where url like '%/path/%'"
+    ).fetchone()[0] == sum(v is not None for v in t["url"].to_pylist())
+
+
+def test_dba_beats_plain_on_sorted_urls(tmp_path):
+    import os
+    t = _url_table().select(["url"])
+    plain, dba = str(tmp_path / "p.parquet"), str(tmp_path / "d.parquet")
+    write_parquet(t, plain, use_dictionary=False)
+    write_parquet(t, dba, column_encoding={"url": "delta_byte_array"})
+    assert os.path.getsize(dba) < 0.5 * os.path.getsize(plain)
+
+
+def test_dba_export_spark_reads(tmp_path, spark):
+    t = _url_table(20_000)
+    p = str(tmp_path / "s.parquet")
+    write_parquet(t, p, column_encoding={"url": "delta_byte_array"})
+    df = spark.read.parquet(p)
+    assert df.count() == t.num_rows
+    got = df.filter("url like '%/path/00000777'").collect()
+    assert len(got) == 1
+
+
+def test_dba_rejects_non_string_column(tmp_path):
+    t = pa.table({"k": pa.array([1], pa.int64())})
+    with pytest.raises(TypeError, match="delta_byte_array"):
+        write_parquet(t, str(tmp_path / "x.parquet"),
+                      column_encoding={"k": "delta_byte_array"})
+
+
+def test_dba_empty_and_all_null_pages(tmp_path):
+    t = pa.table({"s": pa.array([None, None], pa.string())})
+    p = str(tmp_path / "n.parquet")
+    write_parquet(t, p, column_encoding={"s": "delta_byte_array"})
+    assert pq.read_table(p).equals(t)

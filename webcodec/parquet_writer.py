@@ -56,6 +56,7 @@ _T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY = 0, 1, 2, 4,
 _T_FLBA = 7
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
 _ENC_DELTA_BP, _ENC_BSS = 5, 9
+_ENC_DLBA, _ENC_DBA = 6, 7
 _ENC_RLE_DICT = 8  # v2 writer versions pair PLAIN dict pages with this
 _REP_REQUIRED, _REP_OPTIONAL, _REP_REPEATED = 0, 1, 2
 _CT_UTF8, _CT_DECIMAL, _CT_DATE, _CT_TS_MICROS, _CT_LIST = 0, 5, 6, 10, 3
@@ -353,6 +354,57 @@ def _delta_bp_bytes(valid: pa.Array, ptype: int) -> bytes:
     return delta.encode(ints)
 
 
+def _varlen_parts(valid: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(absolute int64 offsets, uint8 data buffer) of a string/binary array,
+    honoring the array offset."""
+    offs = np.frombuffer(valid.buffers()[1], dtype=np.int32,
+                         count=len(valid) + 1 + valid.offset)
+    offs = offs[valid.offset:].astype(np.int64)
+    data = (np.frombuffer(valid.buffers()[2], dtype=np.uint8,
+                          count=int(offs[-1]))
+            if valid.buffers()[2] else np.zeros(0, np.uint8))
+    return offs, data
+
+
+def _dlba_bytes(valid: pa.Array) -> bytes:
+    """Spec DELTA_LENGTH_BYTE_ARRAY: DELTA_BINARY_PACKED lengths (self-
+    delimiting) followed directly by the concatenated value bytes — no
+    framing between the streams (unlike the .wcd container's uvarint
+    prefix, parquet-format Encodings.md)."""
+    from webcodec.kernels import delta
+
+    if len(valid) == 0:
+        return delta.encode(np.zeros(0, np.int64))
+    offs, data = _varlen_parts(valid)
+    return delta.encode(np.diff(offs)) + \
+        data[int(offs[0]): int(offs[-1])].tobytes()
+
+
+def _dba_bytes(valid: pa.Array) -> bytes:
+    """Spec DELTA_BYTE_ARRAY: DELTA_BINARY_PACKED shared-prefix lengths,
+    then the suffixes as spec DELTA_LENGTH_BYTE_ARRAY — the reference v2
+    writer's default for strings (parquet-java DeltaByteArrayWriter)."""
+    from webcodec.kernels import delta
+    from webcodec.kernels.prefix import prefix_lengths
+
+    if len(valid) == 0:
+        z = delta.encode(np.zeros(0, np.int64))
+        return z + z
+    offs, data = _varlen_parts(valid)
+    n = len(valid)
+    p = prefix_lengths(offs, data)
+    slens = np.diff(offs) - p
+    total = int(slens.sum())
+    suffix = np.empty(total, dtype=np.uint8)
+    if total:
+        owner = np.repeat(np.arange(n, dtype=np.int64), slens)
+        sstart = np.zeros(n, dtype=np.int64)
+        np.cumsum(slens[:-1], out=sstart[1:])
+        within = np.arange(total, dtype=np.int64) - sstart[owner]
+        suffix = data[offs[:-1][owner] + p[owner] + within]
+    return delta.encode(p) + delta.encode(slens) + suffix.tobytes()
+
+
 def _bss_bytes(valid: pa.Array) -> bytes:
     from webcodec.kernels import bss
 
@@ -612,14 +664,30 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
                 raise TypeError(
                     f"byte_stream_split needs a fixed-width column, not {arr.type}")
             enc = _ENC_BSS
+        elif enc_name == "delta_length_byte_array":
+            if ptype != _T_BYTE_ARRAY:
+                raise TypeError(
+                    f"delta_length_byte_array needs a string/binary column, not {arr.type}")
+            enc = _ENC_DLBA
+        elif enc_name == "delta_byte_array":
+            if ptype != _T_BYTE_ARRAY:
+                raise TypeError(
+                    f"delta_byte_array needs a string/binary column, not {arr.type}")
+            enc = _ENC_DBA
         else:
             raise ValueError(f"unsupported parquet export encoding {encoding!r}")
         data_page_offset, usize = offset, 0
         pages_meta: list[dict] = []
         for pg, (a, b) in enumerate(_page_bounds(n_rows, arr.nbytes)):
             vs = arr.slice(a, b - a).drop_null()
-            vb = (_delta_bp_bytes(vs, ptype) if enc == _ENC_DELTA_BP
-                  else _bss_bytes(vs))
+            if enc == _ENC_DELTA_BP:
+                vb = _delta_bp_bytes(vs, ptype)
+            elif enc == _ENC_BSS:
+                vb = _bss_bytes(vs)
+            elif enc == _ENC_DLBA:
+                vb = _dlba_bytes(vs)
+            else:
+                vb = _dba_bytes(vs)
             lv = _rle_def_levels(mask[a:b])
             page_off = offset
             offset, u = _flat_page(out, offset, pg, b - a, len(vs), lv, vb,
@@ -1304,7 +1372,7 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
             last = 0
             last = _f_i32(md, last, 1, c["type"])
             encs = [_ENC_RLE]
-            if c["enc"] in (_ENC_DELTA_BP, _ENC_BSS):
+            if c["enc"] in (_ENC_DELTA_BP, _ENC_BSS, _ENC_DLBA, _ENC_DBA):
                 encs.append(c["enc"])
             else:
                 encs.insert(0, _ENC_PLAIN)

@@ -776,6 +776,8 @@ def export_parquet(
         carry = {
             int(_Enc.DELTA_BINARY_PACKED): "delta_binary_packed",
             int(_Enc.BYTE_STREAM_SPLIT): "byte_stream_split",
+            int(_Enc.DELTA_LENGTH): "delta_length_byte_array",
+            int(_Enc.DELTA_BYTE_ARRAY): "delta_byte_array",
         }
         items = bc.value
         for b in batches:
@@ -800,6 +802,10 @@ def export_parquet(
                                 or _pa.types.is_date32(at))
                         if enc == "delta_binary_packed":
                             return wide
+                        if enc in ("delta_length_byte_array",
+                                   "delta_byte_array"):
+                            return (_pa.types.is_string(at)
+                                    or _pa.types.is_binary(at))
                         return wide or _pa.types.is_float32(at) or _pa.types.is_float64(at)
 
                     col_enc = {
