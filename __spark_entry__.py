@@ -279,6 +279,42 @@ def _rt_export_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def _rt_export_parquet_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA_PAGE_V2 interop loop (r5): same pipeline as rt_export_parquet
+    but the export emits v2 data pages (uncompressed level regions,
+    RLE_DICTIONARY pairing) and forces DELTA_BYTE_ARRAY on the sorted
+    doc-text column and DELTA_LENGTH_BYTE_ARRAY on source — the reference
+    v2 writer's string encodings, emitted by our prefix/delta kernels
+    (webcodec/parquet_writer.py _dba_bytes/_dlba_bytes) — then Spark's
+    reference reader decodes it all back."""
+    from webcodec.parquet_writer import write_parquet
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import export_parquet
+
+    _prep(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = tempfile.mkdtemp(prefix="wcq_exp2_")
+    encode_table(df, os.path.join(out, "t"), sort_key="doc_id", write_metrics=False)
+    export_parquet(spark, os.path.join(out, "t"), os.path.join(out, "pq"),
+                   data_page_version=2)
+    # re-export one decoded slice with forced string deltas to pin the
+    # DBA/DLBA write path inside the driver contract too
+    from webcodec import filefmt
+    data_dir = os.path.join(out, "t", "data")
+    first = sorted(f for f in os.listdir(data_dir) if f.endswith(".wcd"))[0]
+    t0 = filefmt.read_table(os.path.join(data_dir, first))
+    write_parquet(t0, os.path.join(out, "pq", "part-dba.parquet"),
+                  data_page_version=2,
+                  column_encoding={"text": "delta_byte_array",
+                                   "source": "delta_length_byte_array"})
+    back = spark.read.parquet(os.path.join(out, "pq"))
+    # the extra DBA file duplicates its slice: dedupe by doc_id for the oracle
+    return (back.groupBy("doc_id")
+            .agg(F.first("text").alias("text"), F.first("lang").alias("lang"),
+                 F.first("source").alias("source"),
+                 F.first("n_chars").alias("n_chars")))
+
+
 def _rt_export_parquet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested/decimal interop loop (r4): a table with list<string>,
     struct<string,long> and decimal(20,2) columns round-trips webcodec ->
@@ -2099,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_export_parquet_deep": _rt_export_parquet_deep,
         "rt_import_parquet_nested": _rt_import_parquet_nested,
         "rt_export_parquet": _rt_export_parquet,
+        "rt_export_parquet_v2": _rt_export_parquet_v2,
         "rt_export_parquet_nested": _rt_export_parquet_nested,
         "media_features": _media_features,
         "media_decode_pixels": _media_decode_pixels,
@@ -2436,6 +2473,7 @@ def oracle_sql() -> dict[str, str]:
             "md5(text) AS rejoined_md5 FROM documents"
         ),
         "rt_export_parquet": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "rt_export_parquet_v2": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "stats_minmax": (
             "SELECT CAST(min(n_chars) AS BIGINT) AS min_nchars, "
             "CAST(max(n_chars) AS BIGINT) AS max_nchars, count(*) AS total_rows FROM documents"
