@@ -321,6 +321,31 @@ def test_v2_export_spark_reads_with_filters(tmp_path, spark):
     assert df.filter("k = 777").collect()[0].lang == ["en", "de", "fr"][777 % 3]
 
 
+@pytest.mark.parametrize("vals", [
+    [True, False, None, True] * 1000,       # mixed with nulls, multi-page run
+    [True] * 7,                              # constant run
+    [False],                                 # single row
+    [True, None],                            # null tail
+])
+def test_v2_boolean_values_are_rle(tmp_path, vals):
+    # v2 writer-version convention (parquet-format spec: RLE is the
+    # preferred boolean encoding for DataPageV2): values ship as a
+    # u32-length-prefixed RLE/bit-pack hybrid stream, not PLAIN bits.
+    t = pa.table({"b": pa.array(vals, type=pa.bool_())})
+    p = str(tmp_path / "b.parquet")
+    write_parquet(t, p, data_page_version=2)
+    back = pq.read_table(p)
+    assert back["b"].combine_chunks().equals(t["b"].combine_chunks())
+    assert pi.read_table_arrow_native(p).equals(t)
+    md = pq.ParquetFile(p).metadata.row_group(0).column(0)
+    assert md.encodings == ("RLE",)
+    con = duckdb.connect()
+    n_true, n = con.execute(
+        f"select count(*) filter (where b), count(*) "
+        f"from read_parquet('{p}')").fetchone()
+    assert n == len(vals) and n_true == sum(1 for v in vals if v)
+
+
 def test_v2_rejects_bad_version(tmp_path):
     t = pa.table({"k": pa.array([1], pa.int64())})
     with pytest.raises(ValueError, match="data_page_version"):

@@ -747,6 +747,10 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
         # prefix counts map each page's row range onto its index run
         vpos = np.zeros(n_rows + 1, dtype=np.int64)
         np.cumsum(mask, out=vpos[1:])
+    elif page_version == 2 and pa.types.is_boolean(arr.type):
+        # v2 writer-version convention: boolean values as a u32-prefixed
+        # RLE hybrid stream (width 1) instead of PLAIN bit packing
+        enc = _ENC_RLE
     else:
         enc = _ENC_PLAIN
     data_page_offset = offset
@@ -759,6 +763,10 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
         if dict_bytes is not None:
             pidx = idx[int(vpos[a]): int(vpos[b])]
             pvals = bytes([width]) + _rle_spec_encode(pidx, width)
+        elif enc == _ENC_RLE:
+            rb = _rle_spec_encode(
+                pvalid.to_numpy(zero_copy_only=False).astype(np.uint64), 1)
+            pvals = struct.pack("<I", len(rb)) + rb
         else:
             pvals = _plain_bytes(pvalid)
         lv = _rle_def_levels(mask[a:b])
@@ -1374,6 +1382,8 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
             encs = [_ENC_RLE]
             if c["enc"] in (_ENC_DELTA_BP, _ENC_BSS, _ENC_DLBA, _ENC_DBA):
                 encs.append(c["enc"])
+            elif c["enc"] == _ENC_RLE:
+                pass  # boolean v2: RLE covers both levels and values
             else:
                 encs.insert(0, _ENC_PLAIN)
                 if c.get("dict_offset") is not None:
