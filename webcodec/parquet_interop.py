@@ -240,8 +240,14 @@ def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
             ptype = header[1]
             usize, csize = header[2], header[3]
             (plen,) = struct.unpack_from("<I", buf, pos)
-            raw_page = memoryview(_gcm_decrypt(
-                crypto["gcm"], buf[pos + 4 : pos + 4 + plen], pg_aad))
+            if crypto.get("ctr"):
+                # AES_GCM_CTR_V1: page PAYLOADS are CTR (no tag, no AAD);
+                # headers and all other modules stay GCM
+                raw_page = memoryview(_ctr_decrypt(
+                    crypto["key"], buf[pos + 4 : pos + 4 + plen]))
+            else:
+                raw_page = memoryview(_gcm_decrypt(
+                    crypto["gcm"], buf[pos + 4 : pos + 4 + plen], pg_aad))
             pos += 4 + plen
         else:
             header, pos = _read_struct(buf, pos)
@@ -648,6 +654,20 @@ def _gcm_decrypt(gcm, module: bytes | memoryview, aad: bytes) -> bytes:
     return gcm.decrypt(module[:12], module[12:], aad)
 
 
+def _ctr_decrypt(key: bytes, module: bytes | memoryview) -> bytes:
+    """AES_GCM_CTR_V1 page module: nonce(12) || ciphertext, no tag/AAD.
+    Initial counter block = nonce || big-endian 1 (parquet-format
+    Encryption.md; verified differentially against reference-written
+    GCM_CTR files)."""
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes)
+
+    module = bytes(module)
+    icb = module[:12] + b"\x00\x00\x00\x01"
+    dec = Cipher(algorithms.AES(key), modes.CTR(icb)).decryptor()
+    return dec.update(module[12:]) + dec.finalize()
+
+
 def _keytools_dek(key_metadata: bytes, kms_unwrap) -> "bytes":
     """Resolve a DEK from parquet key-tools key metadata (the PKMT1 JSON the
     reference CryptoFactory writes). ``kms_unwrap(wrapped_b64: str,
@@ -696,7 +716,8 @@ def _keytools_dek(key_metadata: bytes, kms_unwrap) -> "bytes":
 
 
 def _chunk_crypto(cc: dict, footer_gcm, aad_unique: bytes, rg: int, col: int,
-                  kms_unwrap, footer_encrypted: bool = False):
+                  kms_unwrap, footer_encrypted: bool = False,
+                  footer_key: bytes | None = None, ctr: bool = False):
     """(ColumnMetaData dict, crypto ctx) for one ColumnChunk that may carry
     ColumnCryptoMetaData (field 8) + encrypted_column_metadata (field 9).
     A chunk without crypto_metadata is a PLAINTEXT column (the reference
@@ -709,14 +730,18 @@ def _chunk_crypto(cc: dict, footer_gcm, aad_unique: bytes, rg: int, col: int,
     if crypto_md is None:
         return cc[3], None
     if 1 in crypto_md:  # ENCRYPTION_WITH_FOOTER_KEY: metadata plaintext here
-        return cc[3], {"gcm": footer_gcm, "aad_unique": aad_unique,
-                       "rg": rg, "col": col}
+        return cc[3], {"gcm": footer_gcm, "key": footer_key,
+                       "aad_unique": aad_unique, "rg": rg, "col": col,
+                       "ctr": ctr}
     colkey = crypto_md[2]  # ENCRYPTION_WITH_COLUMN_KEY {1: path, 2: key_md}
-    gcm = AESGCM(_keytools_dek(colkey[2], kms_unwrap))
+    key = _keytools_dek(colkey[2], kms_unwrap)
+    gcm = AESGCM(key)
     enc_md = cc[9]
+    # ColumnMetaData is a METADATA module: always GCM, even in GCM_CTR mode
     aad = aad_unique + bytes([_MOD_COLMD]) + struct.pack("<hh", rg, col)
     md, _ = _read_struct(memoryview(_gcm_decrypt(gcm, enc_md[4:], aad)), 0)
-    return md, {"gcm": gcm, "aad_unique": aad_unique, "rg": rg, "col": col}
+    return md, {"gcm": gcm, "key": key, "aad_unique": aad_unique,
+                "rg": rg, "col": col, "ctr": ctr}
 
 
 def _leaf_arrow_type(e: dict):
@@ -906,7 +931,8 @@ def read_footer_native(path: str, kms_unwrap=None):
     with open(path, "rb") as f:
         buf = memoryview(f.read())
     head, tail = bytes(buf[:4]), bytes(buf[-4:])
-    footer_gcm = aad_unique = None
+    footer_gcm = aad_unique = footer_key = None
+    ctr_pages = False
     if head == b"PARE" and tail == b"PARE":
         from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 
@@ -914,12 +940,17 @@ def read_footer_native(path: str, kms_unwrap=None):
         region = len(buf) - 8 - flen
         fcmd, after = _read_struct(buf, region)
         alg = fcmd[1]
-        if 1 not in alg:  # AesGcmV1 only (CTR variant not implemented)
-            raise NotImplementedError("AES_GCM_CTR_V1 encrypted file")
-        aad_unique = alg[1].get(2, b"")
-        if alg[1].get(3):
+        # EncryptionAlgorithm union: 1 = AesGcmV1, 2 = AesGcmCtrV1 (same
+        # aad fields; CTR only changes how PAGE modules are ciphered)
+        arm = 1 if 1 in alg else 2
+        if arm not in alg:
+            raise NotImplementedError(f"encryption algorithm union {alg}")
+        ctr_pages = arm == 2
+        aad_unique = alg[arm].get(2, b"")
+        if alg[arm].get(3):
             raise NotImplementedError("caller-supplied aad_prefix")
-        footer_gcm = AESGCM(_keytools_dek(fcmd[2], kms_unwrap))
+        footer_key = _keytools_dek(fcmd[2], kms_unwrap)
+        footer_gcm = AESGCM(footer_key)
         (mlen,) = struct.unpack_from("<I", buf, after)
         module = bytes(buf[after + 4 : after + 4 + mlen])
         plain = _gcm_decrypt(footer_gcm, module,
@@ -932,12 +963,17 @@ def read_footer_native(path: str, kms_unwrap=None):
         if enc is not None:
             from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 
-            if 1 not in enc:
-                raise NotImplementedError("AES_GCM_CTR_V1 encrypted file")
-            aad_unique = enc[1].get(2, b"")
+            arm = 1 if 1 in enc else 2
+            if arm not in enc:
+                raise NotImplementedError(f"encryption algorithm union {enc}")
+            ctr_pages = arm == 2
+            aad_unique = enc[arm].get(2, b"")
+            if enc[arm].get(3):
+                raise NotImplementedError("caller-supplied aad_prefix")
             fk_md = fmd.get(9)  # footer_signing_key_metadata
             if fk_md is not None and kms_unwrap is not None:
-                footer_gcm = AESGCM(_keytools_dek(fk_md, kms_unwrap))
+                footer_key = _keytools_dek(fk_md, kms_unwrap)
+                footer_gcm = AESGCM(footer_key)
     else:
         raise ValueError(f"not a parquet file: {path}")
     fields, leaves = _parse_schema_tree(fmd[2])
@@ -947,7 +983,8 @@ def read_footer_native(path: str, kms_unwrap=None):
         # practice; the reference reader trusts the field)
         [_ChunkMeta(*_chunk_crypto(cc, footer_gcm, aad_unique,
                                    rg.get(7, rg_i), col_i, kms_unwrap,
-                                   footer_encrypted=head == b"PARE"))
+                                   footer_encrypted=head == b"PARE",
+                                   footer_key=footer_key, ctr=ctr_pages))
          for col_i, cc in enumerate(rg[1])]
         for rg_i, rg in enumerate(fmd[4])
     ]
