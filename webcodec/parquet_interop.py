@@ -823,8 +823,13 @@ def _parse_schema_tree(elems: list[dict]):
     ``leaves`` is the flat per-leaf list in file order:
     ``{"path", "phys", "tlen", "max_rep", "max_def"}``. Standard 3-level
     LIST and MAP groups, arbitrary struct nesting, UNSHREDDED VARIANT
-    groups (exposed as their storage struct); legacy 2-level lists and
-    shredded variant raise NotImplementedError."""
+    groups (exposed as their storage struct), plus the LogicalTypes.md
+    backward-compatibility rules: legacy 2-level lists (repeated leaf
+    directly under the LIST group — old parquet-mr / Spark
+    writeLegacyFormat), repeated groups as list elements (multi-field, or
+    named ``array``/``<name>_tuple``), and UNANNOTATED repeated fields
+    (protobuf/thrift converters) as required list<required element>;
+    shredded variant raises NotImplementedError."""
     import pyarrow as pa
 
     leaves: list[dict] = []
@@ -833,10 +838,18 @@ def _parse_schema_tree(elems: list[dict]):
         n = e.get(4, b"")
         return n.decode() if isinstance(n, bytes) else n
 
-    def node(i: int, r: int, d: int, path: tuple):
+    def node(i: int, r: int, d: int, path: tuple, as_element: bool = False):
         e = elems[i]
         rep = e.get(3, 0)
         nullable = rep == 1
+        if rep == 2 and not as_element:
+            cv, lg = e.get(6), e.get(10) or {}
+            if not (cv in (1, 2, 3) or 2 in lg or 3 in lg):
+                # back-compat: a repeated field with no LIST/MAP annotation
+                # is a required list of required elements; the repeated node
+                # itself is the element (leaf or struct of its children)
+                et, _, ni = node(i, r, d, path, as_element=True)
+                return pa.list_(pa.field(name_of(e), et, False)), False, ni
         r2 = r + (1 if rep == 2 else 0)
         d2 = d + (1 if rep in (1, 2) else 0)
         n_children = e.get(5)
@@ -863,12 +876,19 @@ def _parse_schema_tree(elems: list[dict]):
             mid = elems[i + 1]
             if mid.get(3) != 2:
                 raise NotImplementedError("non-standard LIST layout")
-            mr, md_ = r2 + 1, d2 + 1
             mc = mid.get(5) or 0
-            if mc == 1:
-                et, en, ni = node(i + 2, mr, md_, p2 + (name_of(mid),))
-            else:  # legacy: repeated group holds the element struct inline
-                raise NotImplementedError("legacy 2-level LIST")
+            mid_name = name_of(mid)
+            if (not mc) or mc >= 2 or mid_name == "array" \
+                    or mid_name == nm + "_tuple":
+                # LogicalTypes.md back-compat: the repeated node ITSELF is
+                # the element — a 2-level list (repeated leaf: old
+                # parquet-mr / Spark writeLegacyFormat non-null elements)
+                # or a repeated element group (multi-field, or named
+                # array / <name>_tuple); elements are required
+                et, _, ni = node(i + 1, r2, d2, p2, as_element=True)
+                return pa.list_(pa.field(mid_name, et, False)), nullable, ni
+            mr, md_ = r2 + 1, d2 + 1
+            et, en, ni = node(i + 2, mr, md_, p2 + (mid_name,))
             return pa.list_(pa.field("element", et, en)), nullable, ni
         if conv in (1, 2) or 2 in logical:  # MAP -> repeated key_value(k, v)
             mid = elems[i + 1]
@@ -883,9 +903,8 @@ def _parse_schema_tree(elems: list[dict]):
             names = [name_of(elems[i + 1 + k]) for k in range(n_children)]
             if "typed_value" in names:
                 raise NotImplementedError("shredded VARIANT")
-        # plain struct group (or unshredded variant's storage struct)
-        if rep == 2:
-            raise NotImplementedError("legacy repeated group")
+        # plain struct group (or unshredded variant's storage struct, or a
+        # legacy repeated element group reached via as_element)
         fields = []
         j = i + 1
         for _ in range(n_children):
@@ -1026,4 +1045,6 @@ def read_table_arrow_native(path: str, columns: list[str] | None = None,
             parts.append(_assemble(field.type, 0, 0, streams, field.nullable))
         cols[name] = (pa.concat_arrays(parts) if parts
                       else pa.array([], field.type))
-    return pa.table(cols)
+    # carry per-field nullability/metadata (pa.table(dict) would default
+    # every field to nullable, diverging from pyarrow on required columns)
+    return pa.table(cols, schema=pa.schema([by_name[n] for n in names]))
