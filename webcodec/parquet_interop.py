@@ -889,7 +889,10 @@ def _parse_schema_tree(elems: list[dict]):
                 return pa.list_(pa.field(mid_name, et, False)), nullable, ni
             mr, md_ = r2 + 1, d2 + 1
             et, en, ni = node(i + 2, mr, md_, p2 + (mid_name,))
-            return pa.list_(pa.field("element", et, en)), nullable, ni
+            # keep the writer's element name (pyarrow "item", spec "element",
+            # Spark "element", ...) for exact schema parity
+            return pa.list_(
+                pa.field(name_of(elems[i + 2]), et, en)), nullable, ni
         if conv in (1, 2) or 2 in logical:  # MAP -> repeated key_value(k, v)
             mid = elems[i + 1]
             if mid.get(3) != 2 or (mid.get(5) or 0) != 2:
