@@ -953,6 +953,56 @@ def _rt_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.variant_get(F.col("v"), "$.k", "long").alias("k"))
 
 
+def _rt_variant_shredded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHREDDED variant interop read (r5, VariantShredding.md): Spark 4
+    writes variant columns shredded BY DEFAULT
+    (spark.sql.variant.writeShredding.enabled), splitting each value into
+    metadata + residual binaries plus typed_value columns — parquet files
+    pyarrow cannot even parse. Here the REFERENCE writer (Spark's own
+    parquet sink) shreds events.props; webcodec's interop reader
+    (parquet_interop + variant_shred) decodes the pages with our kernels
+    and reassembles the unshredded <metadata, value> pair per row, which
+    each task then surfaces via the PUBLIC pyspark variant codec. The
+    shredded layout is asserted, so this can't silently degrade to the
+    unshredded path. Read side is distributed: one task per part-file,
+    no driver materialization. Oracle: DuckDB json_extract."""
+    _prep(spark)
+    df = _src(spark, sf_dir, "events").select(
+        "event_id", F.parse_json(F.col("props")).alias("v"))
+    out = os.path.join(tempfile.mkdtemp(prefix="wcq_shred_"), "t")
+    df.write.mode("overwrite").parquet(out)
+    parts = sorted(
+        os.path.join(out, f) for f in os.listdir(out)
+        if f.endswith(".parquet"))
+    from webcodec.parquet_interop import read_footer_native
+
+    assert read_footer_native(parts[0])["variant_shredded"] == [("v",)], \
+        "expected Spark to shred events.props"
+    files_df = spark.createDataFrame([(p,) for p in parts], "path string") \
+        .repartition(len(parts))
+
+    def rd(batches):
+        import pyarrow as pa
+        from pyspark.sql.variant_utils import VariantUtils as VU
+
+        from webcodec.parquet_interop import read_table_arrow
+
+        for b in batches:
+            for p in b.column("path").to_pylist():
+                t = read_table_arrow(p)
+                ks = []
+                for sv in t.column("v").to_pylist():
+                    obj = (None if sv is None else VU.to_python(
+                        bytes(sv["value"]), bytes(sv["metadata"])))
+                    ks.append(None if obj is None else int(obj["k"]))
+                yield from pa.table({
+                    "event_id": t.column("event_id").combine_chunks(),
+                    "k": pa.array(ks, pa.int64()),
+                }).to_batches()
+
+    return files_df.mapInArrow(rd, "event_id long, k long")
+
+
 def _rt_deleted_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read positional deletes (r3, Iceberg v2 delete-file
     analogue): encode documents, `delete_where(lang == 'de')` writes
@@ -2112,7 +2162,7 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """64 queries; the driver records oracle rows for the FIRST 50, so the
+    """66 queries; the driver records oracle rows for the FIRST 50, so the
     dict is ordered by verification need and ROTATED each round: never/least
     -recently-verified and this-round-changed queries first, then the rest;
     the tail holds queries green in every previous round (r1-r4) whose code
@@ -2131,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_list_decimal": _rt_list_decimal,
         # new/changed in r5 (nested interop both ways, real media features)
         "rt_variant": _rt_variant,
+        "rt_variant_shredded": _rt_variant_shredded,
         "rt_geo": _rt_geo,
         "rt_export_parquet_deep": _rt_export_parquet_deep,
         "rt_import_parquet_nested": _rt_import_parquet_nested,
@@ -2804,6 +2855,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "rt_variant": (
+            "SELECT event_id, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events"
+        ),
+        "rt_variant_shredded": (
             "SELECT event_id, "
             "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
             "FROM events"

@@ -43,6 +43,24 @@ def test_duckdb_codecs(tmp_path, codec):
     _check(p)
 
 
+def test_duckdb_int_backed_decimals(tmp_path):
+    """DuckDB stores DECIMAL(p<=18) as INT32/INT64 physical with a DECIMAL
+    annotation — the stored ints are UNSCALED and must not be value-cast."""
+    p = str(tmp_path / "decint.parquet")
+    duckdb.sql(f"""
+        copy (select cast(range / 4.0 as decimal(8,2)) d4,
+                     cast(range / 3.0 as decimal(17,5)) d8,
+                     case when range % 5 = 2 then null
+                          else cast(-range as decimal(4,1)) end dn
+              from range(200))
+        to '{p}' (format parquet)
+    """)
+    t = _check(p)
+    import pyarrow as pa
+    assert t.schema.field("d4").type == pa.decimal128(8, 2)
+    assert str(t.column("d4")[4]) == "1.00"  # 4/4 = 1.00, not 100
+
+
 def test_pyarrow_item_named_lists(tmp_path):
     """pyarrow's legacy (non-compliant) nested mode names the element child
     ``item``; the parsed schema must carry that name through."""

@@ -459,6 +459,20 @@ def _leaf_arrow(vals, defs, max_def, target_type):
             return arr.cast(target_type)
         return arr.cast(target_type) if target_type != arr.type else arr
     vals = np.asarray(vals)
+    if pa.types.is_decimal(target_type):
+        # INT32/INT64-backed DECIMAL (precision <= 18): stored ints are the
+        # UNSCALED value — a plain arrow cast would scale 5 to 5.00 instead
+        # of 0.05
+        import decimal as _dec
+
+        sc = target_type.scale
+        if present is None:
+            py = [_dec.Decimal(int(v)).scaleb(-sc) for v in vals]
+        else:
+            it = iter(vals)
+            py = [_dec.Decimal(int(next(it))).scaleb(-sc) if p else None
+                  for p in present]
+        return pa.array(py, target_type)
     if (pa.types.is_date32(target_type) or pa.types.is_time32(target_type)) \
             and vals.dtype != np.int32:
         # v2 pages delta-decode INT32 leaves to int64; arrow has no
@@ -578,7 +592,13 @@ def read_column_arrow(path: str, row_group: int, column_name: str):
         if defs is None:  # required flat leaf: synthesize def 0s
             defs = np.zeros(meta.num_values, np.int64)
         streams.append({"vals": vals, "rep": reps, "def": defs})
-    return _assemble(field.type, 0, 0, streams, field.nullable)
+    arr = _assemble(field.type, 0, 0, streams, field.nullable)
+    for vp in ft.get("variant_shredded", ()):
+        if vp[0] == column_name:
+            from . import variant_shred
+
+            arr = variant_shred.unshred(arr, vp[1:])
+    return arr
 
 
 def read_table_arrow(path: str, columns: list[str] | None = None,
@@ -833,6 +853,7 @@ def _parse_schema_tree(elems: list[dict]):
     import pyarrow as pa
 
     leaves: list[dict] = []
+    variant_shredded: list[tuple] = []
 
     def name_of(e):
         n = e.get(4, b"")
@@ -902,10 +923,14 @@ def _parse_schema_tree(elems: list[dict]):
             kt, _kn, vi = node(i + 2, mr, md_, mp)
             vt, vn, ni = node(vi, mr, md_, mp)
             return (pa.map_(kt, pa.field("value", vt, vn)), nullable, ni)
-        if 16 in logical:  # VARIANT group: unshredded metadata/value only
+        if 16 in logical:  # VARIANT group (VariantShredding.md)
             names = [name_of(elems[i + 1 + k]) for k in range(n_children)]
             if "typed_value" in names:
-                raise NotImplementedError("shredded VARIANT")
+                # SHREDDED: parse the physical layout as a plain struct
+                # (metadata/value/typed_value subtree) and record the path;
+                # the read path reassembles rows into the unshredded
+                # <metadata, value> storage pair afterwards
+                variant_shredded.append(p2)
         # plain struct group (or unshredded variant's storage struct, or a
         # legacy repeated element group reached via as_element)
         fields = []
@@ -934,7 +959,7 @@ def _parse_schema_tree(elems: list[dict]):
                 md[b"PARQUET:crs"] = g["crs"].encode()
             f = f.with_metadata(md)
         fields.append(f)
-    return fields, leaves
+    return fields, leaves, variant_shredded
 
 
 def read_footer_native(path: str, kms_unwrap=None):
@@ -998,7 +1023,7 @@ def read_footer_native(path: str, kms_unwrap=None):
                 footer_gcm = AESGCM(footer_key)
     else:
         raise ValueError(f"not a parquet file: {path}")
-    fields, leaves = _parse_schema_tree(fmd[2])
+    fields, leaves, variant_shredded = _parse_schema_tree(fmd[2])
     row_groups = [
         # AAD row-group ordinal comes from RowGroup.ordinal (field 7) when
         # written, falling back to the list position (they always agree in
@@ -1011,7 +1036,7 @@ def read_footer_native(path: str, kms_unwrap=None):
         for rg_i, rg in enumerate(fmd[4])
     ]
     return {"fields": fields, "leaves": leaves, "row_groups": row_groups,
-            "buf": buf}
+            "buf": buf, "variant_shredded": variant_shredded}
 
 
 def read_table_arrow_native(path: str, columns: list[str] | None = None,
@@ -1048,6 +1073,15 @@ def read_table_arrow_native(path: str, columns: list[str] | None = None,
             parts.append(_assemble(field.type, 0, 0, streams, field.nullable))
         cols[name] = (pa.concat_arrays(parts) if parts
                       else pa.array([], field.type))
+    for vp in ft.get("variant_shredded", ()):
+        if vp[0] in cols:  # reassemble shredded VARIANT storage
+            from . import variant_shred
+
+            arr = variant_shred.unshred(cols[vp[0]], vp[1:])
+            cols[vp[0]] = arr
+            f = by_name[vp[0]]
+            by_name[vp[0]] = pa.field(f.name, arr.type, f.nullable,
+                                      f.metadata)
     # carry per-field nullability/metadata (pa.table(dict) would default
     # every field to nullable, diverging from pyarrow on required columns)
     return pa.table(cols, schema=pa.schema([by_name[n] for n in names]))
