@@ -11,6 +11,7 @@ The variant_bin codec itself is differentially pinned against VariantUtils
 here too (parse_json -> our walkers, our encoders -> VariantUtils decode).
 """
 
+import os
 import decimal
 import glob
 import json
@@ -168,6 +169,157 @@ def test_metadata_extension_keeps_residual_ids_valid():
     keys = vb.parse_metadata(md2)
     assert keys[ids["brand_new"]] == "brand_new"
     assert vb.value_extent(value) == len(value)
+
+
+def test_fuzz_random_objects(spark, tmp_path):
+    """Deterministic fuzz: 300 random JSON objects over a shared key pool
+    (so Spark shreds) with random per-field types, nested objects/arrays,
+    missing fields and null rows — our read must match Spark's exactly."""
+    import random
+
+    rng = random.Random(20260819)
+    pool = [f"f{i}" for i in range(8)]
+
+    def rand_scalar():
+        return rng.choice([
+            lambda: rng.randint(-2**40, 2**40),
+            lambda: rng.randint(-100, 100),
+            lambda: round(rng.uniform(-1e6, 1e6), 3),
+            lambda: "s" * rng.randint(0, 70),
+            lambda: rng.choice([True, False]),
+            lambda: None,
+        ])()
+
+    def rand_val(depth=0):
+        r = rng.random()
+        if depth < 2 and r < 0.15:
+            return {k: rand_val(depth + 1)
+                    for k in rng.sample(pool, rng.randint(1, 3))}
+        if depth < 2 and r < 0.3:
+            return [rand_val(depth + 1) for _ in range(rng.randint(0, 4))]
+        return rand_scalar()
+
+    rows = []
+    for i in range(300):
+        if i % 37 == 5:
+            rows.append((i, None))
+            continue
+        obj = {k: rand_val() for k in rng.sample(pool, rng.randint(1, 6))}
+        rows.append((i, json.dumps(obj)))
+    df = (spark.createDataFrame(rows, "id int, js string")
+          .select("id", F.parse_json("js").alias("v")))
+    _check(spark, df, tmp_path, "fuzz")
+
+
+# ----------------------------- write direction ------------------------------
+
+def _storage_rows(docs):
+    import pyarrow as pa
+
+    rows = []
+    for d in docs:
+        if d is None:
+            rows.append(None)
+            continue
+        v, m = VU.parse_json(d)
+        rows.append({"value": v, "metadata": m})
+    t = pa.struct([pa.field("metadata", pa.binary(), False),
+                   pa.field("value", pa.binary())])
+    return rows, pa.array(rows, t)
+
+
+def _py(sv):
+    return (None if sv is None
+            else VU.to_python(bytes(sv["value"]), bytes(sv["metadata"])))
+
+
+def test_shred_storage_roundtrip():
+    """shred_storage -> reassemble_storage is semantics-preserving over
+    objects with nested containers, missing/extra fields, conflicts, null
+    fields, variant-null rows and null slots."""
+    from webcodec import variant_shred as vs
+
+    docs = [
+        '{"a": 1, "b": "x", "c": {"d": 2.5, "e": [1, 2, 3]}, "extra": true}',
+        '{"a": -42, "c": {"d": -0.5, "e": []}}',
+        '{"a": 999999999999, "b": null}',
+        '{"b": "only-b", "other": {"deep": [1, {"k": "v"}]}}',
+        '{"a": "type-conflict"}',
+        "null", '{"a": 7}', None,
+    ]
+    rows, arr = _storage_rows(docs)
+    sh = vs.shred_storage(arr)
+    assert sh.type != arr.type  # it really shredded
+    back = vs.reassemble_storage(sh)
+    assert [_py(r) for r in back.to_pylist()] == [_py(r) for r in rows]
+
+
+def test_shred_storage_root_conflict_noop():
+    from webcodec import variant_shred as vs
+
+    rows, arr = _storage_rows(['{"a": 1}', "[1]", '"s"'])
+    assert vs.shred_storage(arr) is arr
+
+
+def test_write_parquet_shredded_spark_reads(spark, tmp_path):
+    """Our parquet EXPORT writes SHREDDED variant (write side of
+    VariantShredding.md); Spark — the reference reader for variant — must
+    restore every value exactly, and our own interop reader must agree."""
+    import pyarrow as pa
+
+    from webcodec.parquet_writer import write_parquet
+
+    docs = ['{"a": %d, "b": "s%d", "c": {"d": [%d, %.1f]}}'
+            % (i, i, i, i + 0.5) for i in range(40)]
+    docs += ["null", '{"a": 7}', '{"a": 1, "zz": 9.5}',
+             '{"c": {"d": [1], "x": false}}', None]
+    rows, arr = _storage_rows(docs)
+    t = pa.table({"id": pa.array(range(len(rows)), pa.int64()), "v": arr})
+    p = str(tmp_path / "shredded_export.parquet")
+    write_parquet(t, p, variant_columns={"v"}, shred_variants=True)
+
+    ft = pi.read_footer_native(p)
+    assert ft["variant_shredded"] == [("v",)]
+    back = pi.read_table_arrow(p)
+    assert [_py(r) for r in back.column("v").to_pylist()] == \
+        [_py(r) for r in rows]
+
+    got = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert dict(spark.read.parquet(p).dtypes)["v"] == "variant"
+    for i, r in enumerate(rows):
+        vv = got[i]
+        b = None if vv is None else VU.to_python(vv.value, vv.metadata)
+        assert b == _py(r), i
+
+
+def test_export_parquet_shredded_end_to_end(spark, tmp_path):
+    """events.props through the engine: DataSource write (variant .wcd
+    table) -> export_parquet(shred_variants=True) -> Spark reads shredded
+    files back value-exact."""
+    from pyspark.sql import functions as F
+
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.maintenance import export_parquet
+
+    spark.dataSource.register(WebcodecDataSource)
+    df = spark.createDataFrame(
+        [(i, '{"k": %d, "tag": "t%d"}' % (i, i % 3)) for i in range(200)],
+        "event_id long, props string",
+    ).select("event_id", F.parse_json("props").alias("v"))
+    table_dir = str(tmp_path / "t")
+    df.write.format("webcodec").mode("append") \
+        .option("path", table_dir).save()
+    out_dir = str(tmp_path / "exported")
+    export_parquet(spark, table_dir, out_dir, shred_variants=True)
+    files = [os.path.join(out_dir, f) for f in os.listdir(out_dir)
+             if f.endswith(".parquet")]
+    assert any(pi.read_footer_native(f)["variant_shredded"] for f in files)
+    back = spark.read.parquet(out_dir)
+    assert dict(back.dtypes)["v"] == "variant"
+    got = {r["event_id"]: r["k"] for r in back.select(
+        "event_id",
+        F.variant_get(F.col("v"), "$.k", "long").alias("k")).collect()}
+    assert got == {i: i for i in range(200)}
 
 
 @pytest.mark.parametrize("js", [

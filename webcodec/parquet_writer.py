@@ -1017,21 +1017,27 @@ def _nested_elems_child(name: str, t: pa.DataType, required=False) -> list[bytes
 
 def _variant_elems(name: str, t: pa.DataType) -> list[bytes]:
     """VARIANT(1)-annotated group (parquet-format VariantEncoding.md,
-    LogicalType union field 16 carrying specification_version=1): the
-    UNSHREDDED shape — binary ``metadata`` + binary ``value`` children.
-    The arrow storage type (Spark 4's VariantType over Arrow) must be
-    struct<value: binary, metadata: binary>; children keep the shredder's
-    optional repetition so the existing struct def-level streams apply."""
-    if not (pa.types.is_struct(t) and t.num_fields == 2
-            and {t.field(i).name for i in range(2)} == {"value", "metadata"}
-            and all(pa.types.is_binary(t.field(i).type) for i in range(2))):
+    LogicalType union field 16 carrying specification_version=1): either
+    the UNSHREDDED shape — binary ``metadata`` + binary ``value`` — or the
+    SHREDDED layout (VariantShredding.md) with an additional ``typed_value``
+    subtree produced by ``variant_shred.shred_storage``. The arrow storage
+    type (Spark 4's VariantType over Arrow) must be a struct of those
+    children; they keep the shredder's optional repetition so the existing
+    struct def-level streams apply."""
+    names = ({t.field(i).name for i in range(t.num_fields)}
+             if pa.types.is_struct(t) else set())
+    if not (pa.types.is_struct(t)
+            and {"value", "metadata"} <= names
+            and names <= {"value", "metadata", "typed_value"}
+            and all(pa.types.is_binary(t.field(n).type)
+                    for n in ("value", "metadata"))):
         raise TypeError(
             f"variant column {name!r} must be struct<value: binary, "
-            f"metadata: binary>, got {t}")
+            f"metadata: binary[, typed_value: ...]>, got {t}")
     ver = _TOut()
     _f_i8(ver, 0, 1, 1)  # VariantType.specification_version = 1
     _stop(ver)
-    out = [_schema_element(name, num_children=2, logical=16,
+    out = [_schema_element(name, num_children=t.num_fields, logical=16,
                            logical_payload=bytes(ver.buf))]
     for i in range(t.num_fields):
         out += _nested_elems_child(t.field(i).name, t.field(i).type)
@@ -1112,7 +1118,8 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                   encryption_key_metadata: bytes | None = None,
                   encryption_kms_wrap=None,
                   encryption_master_id: str = "webcodec",
-                  data_page_version: int = 1) -> None:
+                  data_page_version: int = 1,
+                  shred_variants: bool = False) -> None:
     """Write ``table`` as a standard parquet file (PLAIN or PLAIN_DICTIONARY
     per column chunk, optional columns with RLE def levels) using only
     webcodec kernels + the thrift serialization written here.
@@ -1127,6 +1134,20 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
     decode our bytes)."""
     if data_page_version not in (1, 2):
         raise ValueError(f"data_page_version must be 1 or 2, got {data_page_version!r}")
+    if shred_variants and variant_columns:
+        # VariantShredding.md write side (opt-in; what Spark 4 emits by
+        # default): split each variant into typed_value columns + residual
+        # binaries so downstream readers can prune/project; columns whose
+        # rows conflict at the root stay unshredded (shred_storage is a
+        # no-op then)
+        from .variant_shred import shred_storage
+
+        for name in variant_columns:
+            idx = table.schema.get_field_index(name)
+            shredded = shred_storage(table.column(idx))
+            f = table.schema.field(idx)
+            table = table.set_column(
+                idx, pa.field(name, shredded.type, f.nullable), shredded)
     n_rows = table.num_rows
     if row_group_rows is None or row_group_rows <= 0 or row_group_rows >= max(n_rows, 1):
         slices = [table]

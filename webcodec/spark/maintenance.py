@@ -727,6 +727,7 @@ def export_parquet(
     geometry_columns: dict | set | None = None,
     geography_columns: dict | set | None = None,
     data_page_version: int = 1,
+    shred_variants: bool = False,
 ) -> dict:
     """Transcode a webcodec table into STANDARD parquet files — decoded with
     webcodec kernels AND re-serialized with webcodec's own parquet writer
@@ -748,7 +749,12 @@ def export_parquet(
     ``geography_columns`` (set of names, or dict name -> crs) annotate
     binary WKB columns with the GEOMETRY/GEOGRAPHY logical types
     (parquet-format Geospatial.md; readers without geospatial support —
-    e.g. pyarrow 16 — reject the footer, DuckDB reads them as blobs)."""
+    e.g. pyarrow 16 — reject the footer, DuckDB reads them as blobs).
+    ``shred_variants`` emits variant columns SHREDDED (VariantShredding.md
+    — the layout Spark 4 writes by default): typed_value columns + residual
+    binaries from a per-file inferred shredding schema, so downstream
+    readers can prune and project variant fields; root-conflicting columns
+    fall back to the unshredded pair automatically."""
     src = SnapshotTable(table_dir)
     snap = src.read_snapshot()
     if snap is None:
@@ -822,6 +828,7 @@ def export_parquet(
                 write_parquet(t, out, codec=codec, row_group_rows=int(rg_rows),
                               column_encoding=col_enc,
                               variant_columns=variant_cols,
+                              shred_variants=shred_variants,
                               geometry_columns=geometry_columns,
                               geography_columns=geography_columns,
                               encryption_key=output_encryption_key,

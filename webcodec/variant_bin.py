@@ -167,6 +167,54 @@ def is_object(v: bytes, pos: int = 0) -> bool:
     return (v[pos] & 0x3) == 2
 
 
+def is_array(v: bytes, pos: int = 0) -> bool:
+    return (v[pos] & 0x3) == 3
+
+
+def decode_scalar(v: bytes, pos: int = 0):
+    """Non-container value -> ``(kind, python_value)``. Kinds: "null",
+    "bool", "int", "float", "double", "string", "binary", "date" (days),
+    "ts_tz"/"ts_ntz" (micros), ("decimal", scale) (unscaled int). Raw
+    integer forms are returned (days/micros/unscaled) — callers building
+    arrow arrays feed them straight to the typed constructors."""
+    basic = v[pos] & 0x3
+    info = v[pos] >> 2
+    if basic == 1:
+        return "string", bytes(v[pos + 1:pos + 1 + info]).decode()
+    if basic != 0:
+        raise ValueError("container value")
+    if info == NULL:
+        return "null", None
+    if info in (TRUE, FALSE):
+        return "bool", info == TRUE
+    if info in (INT8, INT16, INT32, INT64):
+        n = _PRIM_SIZES[info]
+        return "int", int.from_bytes(v[pos + 1:pos + 1 + n], "little",
+                                     signed=True)
+    if info == DOUBLE:
+        return "double", struct.unpack_from("<d", v, pos + 1)[0]
+    if info == FLOAT:
+        return "float", struct.unpack_from("<f", v, pos + 1)[0]
+    if info == DATE:
+        return "date", int.from_bytes(v[pos + 1:pos + 5], "little",
+                                      signed=True)
+    if info in (TIMESTAMP_TZ, TIMESTAMP_NTZ):
+        kind = "ts_tz" if info == TIMESTAMP_TZ else "ts_ntz"
+        return kind, int.from_bytes(v[pos + 1:pos + 9], "little", signed=True)
+    if info in (DECIMAL4, DECIMAL8, DECIMAL16):
+        n = _PRIM_SIZES[info] - 1
+        scale = v[pos + 1]
+        return (("decimal", scale),
+                int.from_bytes(v[pos + 2:pos + 2 + n], "little", signed=True))
+    if info == LONG_STR:
+        ln = _uint(v, pos + 1, 4)
+        return "string", bytes(v[pos + 5:pos + 5 + ln]).decode()
+    if info == BINARY:
+        ln = _uint(v, pos + 1, 4)
+        return "binary", bytes(v[pos + 5:pos + 5 + ln])
+    raise ValueError(f"unknown primitive type info {info}")
+
+
 # ------------------------------- encoding -----------------------------------
 
 def _hdr(basic: int, info: int) -> int:

@@ -108,7 +108,10 @@ def _rec(node_type, node: dict, ids: dict, keys: list):
         for i in range(tt.num_fields):
             f = tt.field(i)
             shredded_names.add(f.name)
-            enc = _rec(f.type, tv[f.name], ids, keys)
+            child = tv[f.name]
+            # a null field-node struct means the field is absent (same as
+            # value+typed_value both null)
+            enc = None if child is None else _rec(f.type, child, ids, keys)
             if enc is not None:
                 fields.append((ids[f.name], enc))
         if v is not None:
@@ -157,6 +160,175 @@ def reassemble_storage(arr):
     return pa.StructArray.from_arrays(
         [meta_arr, val_arr], fields=list(out_type),
         mask=pa.array(mask, pa.bool_()))
+
+
+# ------------------------- write direction (shredding) ----------------------
+# The inverse used by parquet EXPORT: infer a shredding schema from the
+# data, split each <metadata, value> row into typed columns + residual
+# binaries (the layout Spark 4 writes by default and can prune), keep the
+# metadata byte-identical so residual field ids stay valid with ZERO
+# re-encoding.
+
+_SCALAR_KINDS = {"bool", "int", "float", "double", "string", "binary",
+                 "date", "ts_tz", "ts_ntz"}
+_MAX_SHRED_DEPTH = 4
+
+
+def _kind_arrow(kind):
+    import pyarrow as pa
+
+    if isinstance(kind, tuple):  # ("decimal", scale)
+        return pa.decimal128(38, kind[1])
+    return {
+        "bool": pa.bool_(), "int": pa.int64(), "float": pa.float32(),
+        "double": pa.float64(), "string": pa.string(),
+        "binary": pa.binary(), "date": pa.date32(),
+        "ts_tz": pa.timestamp("us", tz="UTC"), "ts_ntz": pa.timestamp("us"),
+    }[kind]
+
+
+def _infer_node(pairs: list, depth: int) -> dict:
+    """Shredding spec for one node from ``[(encoded_value, dict_keys)]``
+    pairs (each row carries its own metadata, so field names must be
+    resolved per source row): {"kind": "object", "fields": {name: spec}} |
+    {"kind": "array", "elem": spec} | {"kind": "scalar", "stype": kind} |
+    {"kind": "value_only"} (conflicting shapes/types -> no typed_value)."""
+    if depth >= _MAX_SHRED_DEPTH:
+        return {"kind": "value_only"}
+    shapes = set()
+    scalar_kind = None
+    for v, _keys in pairs:
+        if vb.is_object(v):
+            shapes.add("object")
+        elif vb.is_array(v):
+            shapes.add("array")
+        else:
+            kind, _ = vb.decode_scalar(v)
+            if kind == "null":
+                continue  # variant null rides the value column anywhere
+            shapes.add("scalar")
+            if scalar_kind is None:
+                scalar_kind = kind
+            elif scalar_kind != kind:
+                return {"kind": "value_only"}
+    if len(shapes) != 1:
+        return {"kind": "value_only"}
+    shape = shapes.pop()
+    if shape == "scalar":
+        return {"kind": "scalar", "stype": scalar_kind}
+    if shape == "array":
+        elem_pairs = [(e, keys) for v, keys in pairs if vb.is_array(v)
+                      for e in vb.array_elems(v)]
+        return {"kind": "array", "elem": _infer_node(elem_pairs, depth + 1)}
+    by_name: dict[str, list] = {}
+    for v, keys in pairs:
+        if vb.is_object(v):
+            for fid, fb in vb.object_fields(v):
+                by_name.setdefault(keys[fid], []).append((fb, keys))
+    return {"kind": "object",
+            "fields": {n: _infer_node(ps, depth + 1)
+                       for n, ps in sorted(by_name.items())}}
+
+
+def _node_arrow_type(spec: dict):
+    """Arrow type of one shredding node struct<value?, typed_value?>."""
+    import pyarrow as pa
+
+    if spec["kind"] == "value_only":
+        return pa.struct([pa.field("value", pa.binary())])
+    if spec["kind"] == "scalar":
+        tv = _kind_arrow(spec["stype"])
+    elif spec["kind"] == "array":
+        tv = pa.list_(pa.field("element", _node_arrow_type(spec["elem"]),
+                               False))
+    else:  # object
+        tv = pa.struct([pa.field(n, _node_arrow_type(s), True)
+                        for n, s in spec["fields"].items()])
+    return pa.struct([pa.field("value", pa.binary()),
+                      pa.field("typed_value", tv)])
+
+
+def _scalar_py(kind, raw):
+    """decode_scalar raw -> python value for the typed arrow constructor."""
+    import decimal as _dec
+
+    if kind == "date":
+        return _EPOCH_DATE + datetime.timedelta(days=raw)
+    if isinstance(kind, tuple):  # decimal: unscaled int + scale
+        return _dec.Decimal(raw).scaleb(-kind[1])
+    return raw  # ints for ts (epoch micros) feed pa.timestamp directly
+
+
+def _split_node(spec: dict, v: bytes, keys: list):
+    """Encoded value -> python dict matching _node_arrow_type(spec)."""
+    if spec["kind"] == "value_only":
+        return {"value": v}
+    if spec["kind"] == "scalar":
+        if not (vb.is_object(v) or vb.is_array(v)):
+            kind, raw = vb.decode_scalar(v)
+            if kind == spec["stype"]:
+                return {"value": None, "typed_value": _scalar_py(kind, raw)}
+        return {"value": v, "typed_value": None}
+    if spec["kind"] == "array":
+        if not vb.is_array(v):
+            return {"value": v, "typed_value": None}
+        elems = [_split_node(spec["elem"], e, keys) for e in vb.array_elems(v)]
+        return {"value": None, "typed_value": elems}
+    # object
+    if not vb.is_object(v):
+        return {"value": v, "typed_value": None}
+    present = {keys[fid]: fb for fid, fb in vb.object_fields(v)}
+    typed = {}
+    for name, sub in spec["fields"].items():
+        if name in present:
+            typed[name] = _split_node(sub, present.pop(name), keys)
+        else:
+            # absent field: group PRESENT with both children null (the
+            # spec's required-group shape; Spark's reader rejects null
+            # field groups as malformed)
+            typed[name] = ({"value": None} if sub["kind"] == "value_only"
+                           else {"value": None, "typed_value": None})
+    residual = (vb.build_object(
+        [(keys.index(n), b) for n, b in present.items()], lambda i: keys[i])
+        if present else None)
+    return {"value": residual, "typed_value": typed}
+
+
+def shred_storage(arr):
+    """<metadata, value> StructArray -> shredded StructArray
+    struct<metadata, value?, typed_value?> per the inferred schema, or the
+    input unchanged when the rows conflict at the root (Spark's own
+    behavior). Metadata bytes pass through UNTOUCHED, so residual value
+    binaries splice verbatim."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    rows = arr.to_pylist()
+    live = [(bytes(r["value"]), vb.parse_metadata(bytes(r["metadata"])))
+            for r in rows
+            if r is not None and r["value"] is not None]
+    typed_any = any(vb.is_object(v) or vb.is_array(v)
+                    or vb.decode_scalar(v)[0] != "null" for v, _ in live)
+    spec = _infer_node(live, 0)
+    if spec["kind"] == "value_only" or not typed_any:
+        return arr  # root conflict (or all-null): stay unshredded
+    node_t = _node_arrow_type(spec)
+    out_type = pa.struct([pa.field("metadata", pa.binary(), False)]
+                         + list(node_t))
+    out_rows = []
+    for r in rows:
+        if r is None:
+            out_rows.append(None)
+            continue
+        md = bytes(r["metadata"])
+        if r["value"] is None:
+            out_rows.append({"metadata": md})
+            continue
+        split = _split_node(spec, bytes(r["value"]), vb.parse_metadata(md))
+        split["metadata"] = md
+        out_rows.append(split)
+    return pa.array(out_rows, out_type)
 
 
 def unshred(arr, path: tuple):
