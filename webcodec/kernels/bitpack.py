@@ -117,6 +117,35 @@ def unpack_legacy(data: bytes | memoryview, width: int, n: int) -> np.ndarray:
     return (bits.astype(_U64) << shifts).sum(axis=1, dtype=_U64)
 
 
+def pack_legacy_lsb(values: np.ndarray, width: int) -> bytes:
+    """BIT_PACKED with LSB-first bit order — the order Arrow C++/Impala use
+    for deprecated BIT_PACKED *levels* (their generic BitReader/BitWriter is
+    LSB-first), diverging from the spec's MSB-first prose that parquet-java
+    follows. Verified empirically: pyarrow 16 round-trips a hand-crafted
+    BIT_PACKED-levels page only in this order. The interop reader matches
+    pyarrow since it is the differential reference."""
+    n = len(values)
+    if width == 0 or n == 0:
+        return b""
+    v = values.astype(_U64, copy=False)
+    shifts = np.arange(width, dtype=_U64)  # LSB first
+    bits = ((v[:, None] >> shifts) & _U64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def unpack_legacy_lsb(data: bytes | memoryview, width: int, n: int) -> np.ndarray:
+    """Inverse of :func:`pack_legacy_lsb` (level decode parity with pyarrow)."""
+    if width == 0:
+        return np.zeros(n, dtype=_U64)
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    need = (n * width + 7) // 8
+    raw = np.frombuffer(data, dtype=np.uint8, count=need)
+    bits = np.unpackbits(raw, bitorder="little")[: n * width].reshape(n, width)
+    shifts = np.arange(width, dtype=_U64)
+    return (bits.astype(_U64) << shifts).sum(axis=1, dtype=_U64)
+
+
 def pack_bools(mask: np.ndarray) -> bytes:
     """Booleans at 1 bit/value LSB-first (reference: BooleanPlainValuesWriter, A2)."""
     if len(mask) == 0:

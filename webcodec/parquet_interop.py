@@ -268,19 +268,28 @@ def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
             lvl_enc = dph.get(3, _ENC_RLE)  # definition_level_encoding
             body = memoryview(_decompress(bytes(raw_page), codec, usize))
             if max_rep:
-                (rl,) = struct.unpack_from("<I", body, 0)
-                reps = rle.decode_spec(body[4 : 4 + rl], w_rep, n_values)
-                body = body[4 + rl :]
+                if dph.get(4, _ENC_RLE) == 4:  # deprecated BIT_PACKED reps
+                    from webcodec.kernels import bitpack
+
+                    nb = (n_values * w_rep + 7) // 8
+                    # LSB-first: Arrow C++/Impala bit order, see pack_legacy_lsb
+                    reps = bitpack.unpack_legacy_lsb(body[:nb], w_rep, n_values)
+                    body = body[nb:]
+                else:
+                    (rl,) = struct.unpack_from("<I", body, 0)
+                    reps = rle.decode_spec(body[4 : 4 + rl], w_rep, n_values)
+                    body = body[4 + rl :]
             if max_def:
                 if lvl_enc == _ENC_RLE:  # u32 length + hybrid stream
                     (lvl_len,) = struct.unpack_from("<I", body, 0)
                     defs = rle.decode_spec(body[4 : 4 + lvl_len], w_def, n_values)
                     body = body[4 + lvl_len :]
-                elif lvl_enc == 4:  # deprecated BIT_PACKED: MSB-first, no prefix
+                elif lvl_enc == 4:  # deprecated BIT_PACKED: no u32 prefix,
+                    # LSB-first per Arrow C++/Impala (see pack_legacy_lsb)
                     from webcodec.kernels import bitpack
 
                     nb = (n_values * w_def + 7) // 8
-                    defs = bitpack.unpack_legacy(body[:nb], w_def, n_values)
+                    defs = bitpack.unpack_legacy_lsb(body[:nb], w_def, n_values)
                     body = body[nb:]
                 else:
                     raise NotImplementedError(f"level encoding {lvl_enc}")
