@@ -1,16 +1,18 @@
 """Deprecated BIT_PACKED level encoding (parquet-format Encodings.md: legal
-only for rep/def levels, written by ancient parquet-mr/Impala): no modern
-writer emits it, so the fixture file is HAND-CRAFTED here — a v1 data page
-whose repetition AND definition levels are bit-packed (no u32 length
-prefix) — and then read by BOTH pyarrow (the reference reader keeps legacy
-support) and our interop reader, value-for-value.
+only for rep/def levels): no modern writer emits it, so the fixture files
+are HAND-CRAFTED here — a v1 data page whose repetition AND definition
+levels are bit-packed (no u32 length prefix).
 
-Bit order: Arrow C++ (and Impala, whose files are the only real-world
-source of BIT_PACKED levels pyarrow still reads) decodes these levels with
-its generic LSB-first BitReader, while the spec prose and parquet-java use
-MSB-first. Verified empirically: pyarrow 16 only accepts the LSB layout.
-We match pyarrow, the differential reference (kernels/bitpack.py
-pack_legacy_lsb)."""
+Bit order: the ecosystem DIVERGED. The spec prose and parquet-java
+(ByteBitPackingValuesReader, Packer.BIG_ENDIAN) are MSB-first, and old
+parquet-mr is the only writer that ever emitted this encoding — so genuine
+legacy files are MSB. Arrow C++ decodes these levels with its generic
+LSB-first BitReader (shipped header parquet/column_reader.h declares
+``bit_packed_decoder_`` as ``arrow::bit_util::BitReader``), so pyarrow 16
+accepts only the LSB layout — verified below. Our interop reader defaults
+to the spec/parquet-java MSB order (``pi.BIT_PACKED_LEVEL_ORDER``), with
+"lsb" as the knob for Arrow-order files; each order is tested against its
+matching reference (MSB: hand-computed expectation; LSB: pyarrow)."""
 
 import struct
 
@@ -47,11 +49,11 @@ def _page_header_bitpacked(n_values, usize, csize):
     return bytes(ph.buf)
 
 
-def _craft(path):
+def _craft(path, packer):
     import numpy as np
 
-    body = bytes(bitpack.pack_legacy_lsb(np.array(REPS, np.uint64), 1))
-    body += bytes(bitpack.pack_legacy_lsb(np.array(DEFS, np.uint64), 2))
+    body = bytes(packer(np.array(REPS, np.uint64), 1))
+    body += bytes(packer(np.array(DEFS, np.uint64), 2))
     body += struct.pack(f"<{len(VALS)}i", *VALS)
     page = _page_header_bitpacked(len(REPS), len(body), len(body)) + body
     t = pa.table({"a": pa.array(ROWS, pa.list_(pa.int32()))})
@@ -68,11 +70,49 @@ def _craft(path):
                 + struct.pack("<I", len(footer)) + b"PAR1")
 
 
-def test_bitpacked_levels_both_readers(tmp_path):
-    p = str(tmp_path / "bp.parquet")
-    _craft(p)
-    expect = pa.table({"a": pa.array(ROWS, pa.list_(pa.int32()))})
-    ref = pq.read_table(p)  # pyarrow keeps legacy BIT_PACKED support
-    assert ref.column("a").combine_chunks() == expect.column("a").combine_chunks()
+EXPECT = pa.table({"a": pa.array(ROWS, pa.list_(pa.int32()))})
+
+
+def test_bitpacked_msb_is_the_default(tmp_path):
+    """An MSB-packed file (what old parquet-mr actually wrote) decodes
+    correctly under the default order — this is the silent-wrong-data case
+    a pyarrow-only differential would miss, since pyarrow itself mis-reads
+    MSB files (Arrow's LSB BitReader)."""
+    p = str(tmp_path / "bp_msb.parquet")
+    _craft(p, bitpack.pack_legacy)
+    assert pi.BIT_PACKED_LEVEL_ORDER == "msb"
     mine = pi.read_table_arrow(p)
-    assert mine.column("a").combine_chunks() == expect.column("a").combine_chunks()
+    assert mine.column("a").combine_chunks() == EXPECT.column("a").combine_chunks()
+
+
+def test_bitpacked_lsb_knob_matches_pyarrow(tmp_path):
+    """The LSB knob reads Arrow-bit-order files; pyarrow is the reference
+    for exactly this layout (and ONLY this layout — asserted by showing
+    pyarrow returns the same rows for the LSB file)."""
+    p = str(tmp_path / "bp_lsb.parquet")
+    _craft(p, bitpack.pack_legacy_lsb)
+    ref = pq.read_table(p)  # pyarrow accepts the LSB layout
+    assert ref.column("a").combine_chunks() == EXPECT.column("a").combine_chunks()
+    old = pi.BIT_PACKED_LEVEL_ORDER
+    pi.BIT_PACKED_LEVEL_ORDER = "lsb"
+    try:
+        mine = pi.read_table_arrow(p)
+    finally:
+        pi.BIT_PACKED_LEVEL_ORDER = old
+    assert mine.column("a").combine_chunks() == EXPECT.column("a").combine_chunks()
+
+
+def test_pyarrow_diverges_on_msb_documented(tmp_path):
+    """Document the divergence this module's default exists for: pyarrow 16
+    CANNOT read the spec-order (MSB) file — on this fixture its LSB-order
+    misread yields inconsistent levels and it errors out (on other level
+    streams it would be silent wrong data). If a future pyarrow decodes the
+    file correctly, this test flags it and the default story should be
+    revisited."""
+    p = str(tmp_path / "bp_msb2.parquet")
+    _craft(p, bitpack.pack_legacy)
+    try:
+        ref = pq.read_table(p)
+    except Exception:
+        return  # pyarrow rejects the spec-order file outright
+    assert ref.column("a").combine_chunks() != EXPECT.column("a").combine_chunks()

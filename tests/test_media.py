@@ -222,3 +222,48 @@ def test_decode_image_stats_corrupt_blob_passthrough(spark):
         assert not rows[mid]["decoded"] and rows[mid]["format"] == "corrupt"
         assert rows[mid]["width"] == -1
     assert not rows[4]["decoded"] and rows[4]["format"] == "unknown"
+
+
+def test_text_lookalike_blobs_never_sniff_as_images(spark):
+    """2-byte ASCII magics: ordinary text starting with "BM"/"P6" must sniff
+    as 'unknown' (not bmp/ppm) in BOTH media paths — the strict structural
+    sniff (BMP reserved-zeros, PPM header grammar) rejects it. A truncated
+    REAL image still sniffs as its format and reports corrupt/undecoded."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webcodec.imaging import decode_image, encode_bmp, encode_ppm, sniff_image
+    from webcodec.spark.media import decode_image_stats, extract_media_features
+
+    texts = [b"BMW crash report: the vehicle " + b"x" * 64,
+             b"P6 spark plugs are rated for " + b"y" * 64,
+             b"P6 9mm rounds"]  # digit after ws: sniffs ppm, decodes corrupt
+    assert sniff_image(texts[0]) is None and decode_image(texts[0]) is None
+    assert sniff_image(texts[1]) is None and decode_image(texts[1]) is None
+    assert sniff_image(texts[2]) == "ppm"
+
+    good_bmp = encode_bmp(np.full((2, 2, 3), 9, np.uint8))
+    good_ppm = encode_ppm(np.full((3, 2, 3), 5, np.uint8))
+    assert sniff_image(good_bmp) == "bmp" and sniff_image(good_ppm) == "ppm"
+    assert sniff_image(good_bmp[:30]) == "bmp"  # truncated real image
+
+    t = pa.table({
+        "media_id": pa.array(list(range(5)), pa.int64()),
+        "blob": pa.array([texts[0], texts[1], good_bmp, good_ppm,
+                          good_bmp[:30]], pa.binary()),
+    })
+    df = spark.createDataFrame(t.to_pandas())
+    feats = {r["media_id"]: r
+             for r in extract_media_features(df, "media_id", "blob").collect()}
+    assert feats[0]["format"] == "unknown" and not feats[0]["decoded"]
+    assert feats[1]["format"] == "unknown" and not feats[1]["decoded"]
+    assert feats[2]["format"] == "bmp" and feats[2]["decoded"]
+    assert feats[3]["format"] == "ppm" and feats[3]["decoded"]
+    assert feats[4]["format"] == "bmp" and not feats[4]["decoded"]
+
+    stats = {r["media_id"]: r
+             for r in decode_image_stats(df, "media_id", "blob").collect()}
+    assert stats[0]["format"] == "unknown" and not stats[0]["decoded"]
+    assert stats[1]["format"] == "unknown" and not stats[1]["decoded"]
+    assert stats[2]["decoded"] and stats[2]["sum_r"] == 9 * 4
+    assert stats[4]["format"] == "corrupt" and not stats[4]["decoded"]

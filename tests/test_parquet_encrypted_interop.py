@@ -396,3 +396,15 @@ def test_gcm_ctr_tampered_page_detected_via_crc_or_decode(tmp_path, seed):
         except Exception:
             outcomes["raised"] += 1
     assert outcomes["raised"] + outcomes["read"] == 30
+
+
+def test_footer_key_column_without_kms_fails_loudly():
+    """A plaintext-footer file whose chunks use ENCRYPTION_WITH_FOOTER_KEY,
+    opened without kms_unwrap, must fail at metadata time with the actual
+    cause (missing key resolution) — not with an AttributeError on a None
+    GCM context deep inside page decode. CryptoFactory can't produce such a
+    file (it leaves unlisted columns plaintext), so the guard is probed at
+    the _chunk_crypto layer directly."""
+    cc = {3: {0: "meta"}, 8: {1: {}}}  # ColumnCryptoMetaData: footer-key arm
+    with pytest.raises(ValueError, match="kms_unwrap"):
+        parquet_interop._chunk_crypto(cc, None, b"", 0, 0, None)

@@ -1,9 +1,9 @@
 """Round-5 review fixes (ADVICE.md r4 + VERDICT r4 'what's wrong'):
 
-1. superseded AAD layouts rejected with a FORMAT-VERSION message — the
-   algorithm tag is now AES_GCM_V2 (the r4 full-header AAD change), and a
-   footer claiming AES_GCM_V1 raises "superseded AAD layout", never the
-   misleading "wrong key or tampered data";
+1. the algorithm tag is now AES_GCM_V2 (naming the r4 full-header AAD
+   layout), and — since the last V1-labeled writer already produced that
+   layout — V1-labeled files STAY readable; GCM failures on V1 files add a
+   format-version hint on top of the generic wrong-key/tampered message;
 2. rewrite_encoded mask_columns never reads/decodes the masked columns —
    a PII takedown of a large blob column pays zero decode for the data it
    destroys (probed via a corrupted masked-column page: the rewrite must
@@ -40,23 +40,44 @@ from webcodec.fixtures import webpages
 KEY = bytes(range(32))
 
 
-def test_superseded_aad_layout_rejected_with_version_error(tmp_path):
-    """A footer tagged with the old AES_GCM_V1 layout must fail with an
-    actionable format-version message, not a generic GCM failure."""
-    p = str(tmp_path / "t.wcd")
-    filefmt.write_table(webpages(50), p, EncoderConfig(encryption_key=KEY))
-    footer = filefmt.read_footer_path(p, encryption_key=KEY)
-    assert footer["encryption"]["algorithm"] == "AES_GCM_V2"
+def test_legacy_v1_label_still_reads(tmp_path, monkeypatch):
+    """The V1->V2 algorithm bump was a LABEL correction: the last V1-labeled
+    writer already produced the V2 AAD layout, so a V1-labeled file written
+    under the current layout MUST stay readable (no re-encode dead end).
+    Unknown algorithms are still rejected; a V1 file whose pages fail their
+    GCM check gets a format-version hint on top of the generic message."""
     from webcodec import crypto
 
-    fake = dict(footer)
-    fake["encryption"] = dict(footer["encryption"], algorithm="AES_GCM_V1")
-    with pytest.raises(ValueError, match="superseded AAD layout"):
-        crypto.reader_context(fake, KEY)
+    p = str(tmp_path / "t.wcd")
+    # simulate the immediately-prior writer revision: identical layout,
+    # old label stamped into the (signed) footer
+    monkeypatch.setattr(crypto, "ALGORITHM", "AES_GCM_V1")
+    filefmt.write_table(webpages(50), p, EncoderConfig(encryption_key=KEY))
+    monkeypatch.undo()
+    assert crypto.ALGORITHM == "AES_GCM_V2"
+
+    footer = filefmt.read_footer_path(p, encryption_key=KEY)
+    assert footer["encryption"]["algorithm"] == "AES_GCM_V1"
+    back = filefmt.read_table(p, encryption_key=KEY)
+    assert back.num_rows == 50
+    assert back.column("url").to_pylist() == webpages(50).column("url").to_pylist()
+
     with pytest.raises(ValueError, match="unsupported encryption algorithm"):
         crypto.reader_context(
-            dict(fake, encryption=dict(fake["encryption"],
-                                       algorithm="AES_GCM_V9")), KEY)
+            dict(footer, encryption=dict(footer["encryption"],
+                                         algorithm="AES_GCM_V9")), KEY)
+
+    # a V1-labeled context whose page GCM fails names the possible
+    # pre-V2-layout cause in the error (on-disk flips are caught earlier by
+    # the page CRC, so probe the decrypt layer directly)
+    ctx = crypto.reader_context(footer, KEY)
+    assert ctx.legacy_label
+    with pytest.raises(ValueError, match="AES_GCM_V1"):
+        ctx.decrypt_page(ctx.aad_base("url"), 0, 0, 1, b"\x00" * 40)
+    ctx_v2 = crypto.FileCrypto(b"k" * 32, b"p" * 8)
+    with pytest.raises(ValueError) as ei:
+        ctx_v2.decrypt_page(ctx_v2.aad_base("url"), 0, 0, 1, b"\x00" * 40)
+    assert "AES_GCM_V1" not in str(ei.value)
 
 
 def test_mask_columns_never_decode_masked_pages(spark, tmp_path):

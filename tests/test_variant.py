@@ -184,3 +184,29 @@ def test_maintenance_on_variant_table(spark, tmp_path):
     got = {r.id: r.k for r in back.select(
         "id", F.variant_get("v", "$.k", "long").alias("k")).collect()}
     assert got == {i: i for i in range(10, 30)}
+
+
+@pytest.mark.spark
+def test_mask_nullify_variant_column(spark, tmp_path):
+    """rewrite_encoded mask of a VARIANT column (GDPR nullify): the masked
+    column's null-fill type must be the variant storage struct — the generic
+    Spark-type-string parser has no 'variant' mapping, so this is the one
+    masked type that needs the special case (regression: r5 review)."""
+    from pyspark.sql import functions as F
+
+    from webcodec.spark.maintenance import rewrite_encoded
+
+    _register(spark)
+    d = str(tmp_path / "src")
+    df = spark.range(40).select(
+        "id", F.parse_json(F.format_string('{"k": %d}', "id")).alias("v"),
+        F.format_string("u%d", "id").alias("u"))
+    df.write.format("webcodec").mode("append").option("path", d).save()
+    d2 = str(tmp_path / "dst")
+    rewrite_encoded(spark, d, d2, mask_columns=["v"])
+    back = spark.read.format("webcodec").option("path", d2).load()
+    assert dict(back.dtypes)["v"] == "variant"
+    rows = back.orderBy("id").collect()
+    assert len(rows) == 40
+    assert all(r["v"] is None for r in rows)
+    assert [r["u"] for r in rows[:3]] == ["u0", "u1", "u2"]

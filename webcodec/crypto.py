@@ -47,11 +47,13 @@ import os
 import struct
 
 # V2 = the full-page-header AAD layout (encoding/codec/n_nulls/usize + group
-# ordinal in the chain). V1 files (pre-layout-change) carry a different AAD
-# and MUST be rejected with a format-version error, not a generic
-# wrong-key/tampered GCM failure.
+# ordinal in the chain). The V1->V2 bump was a LABEL correction only: the
+# last V1-labeled writer already produced the V2 layout, so V1-labeled files
+# stay readable (attempted with the current layout). Files from the earlier
+# true-V1 layout fail their GCM check and get a format-version hint instead
+# of only the generic wrong-key/tampered message.
 ALGORITHM = "AES_GCM_V2"
-_SUPERSEDED_ALGORITHMS = {"AES_GCM_V1"}
+_LEGACY_ALGORITHMS = {"AES_GCM_V1"}
 NONCE_LEN = 12
 TAG_LEN = 16
 PAGE_OVERHEAD = NONCE_LEN + TAG_LEN
@@ -74,8 +76,16 @@ def derive_dek(master_key: bytes, salt: bytes) -> bytes:
 
 
 @functools.lru_cache(maxsize=1024)
-def _cached_context(dek: bytes, prefix: bytes) -> "FileCrypto":
-    return FileCrypto(dek, prefix)
+def _cached_context(dek: bytes, prefix: bytes,
+                    legacy_label: bool = False) -> "FileCrypto":
+    return FileCrypto(dek, prefix, legacy_label=legacy_label)
+
+
+_LEGACY_HINT = (
+    "; note: this file is labeled AES_GCM_V1 — if it was written before the "
+    "V2 AAD layout it cannot be read by this version (the V1 page-AAD "
+    "construction is no longer implemented)"
+)
 
 
 def _aesgcm(key: bytes):
@@ -97,14 +107,16 @@ def check_key(key: bytes) -> bytes:
 class FileCrypto:
     """Per-file encryption context: the key + this file's random AAD prefix."""
 
-    __slots__ = ("key", "prefix", "_g")
+    __slots__ = ("key", "prefix", "_g", "legacy_label")
 
-    def __init__(self, key: bytes, prefix: bytes):
+    def __init__(self, key: bytes, prefix: bytes, *,
+                 legacy_label: bool = False):
         self.key = check_key(key)
         if len(prefix) != 8:
             raise ValueError("aad_prefix must be 8 bytes")
         self.prefix = bytes(prefix)
         self._g = _aesgcm(self.key)
+        self.legacy_label = legacy_label
 
     def aad_base(self, chunk_name: str, group_ordinal: int = 0) -> bytes:
         """AAD prefix for one chunk of one row GROUP: the group ordinal is in
@@ -146,6 +158,7 @@ class FileCrypto:
             raise ValueError(
                 "page decryption failed: wrong key, or the page was "
                 "tampered with / relocated (GCM tag mismatch)"
+                + (_LEGACY_HINT if self.legacy_label else "")
             ) from e
 
 
@@ -213,18 +226,15 @@ def reader_context(footer: dict, key: bytes | None) -> FileCrypto | None:
             f"file is encrypted (algorithm={enc.get('algorithm')!r}, "
             f"key_id={enc.get('key_id')!r}); pass encryption_key"
         )
-    if enc.get("algorithm") != ALGORITHM:
-        if enc.get("algorithm") in _SUPERSEDED_ALGORITHMS:
-            raise ValueError(
-                f"file was written with superseded AAD layout "
-                f"{enc.get('algorithm')!r} (current {ALGORITHM!r}); re-encode "
-                f"it with rewrite_encoded/transcode under the current writer"
-            )
-        raise ValueError(f"unsupported encryption algorithm {enc.get('algorithm')!r}")
+    alg = enc.get("algorithm")
+    if alg != ALGORITHM and alg not in _LEGACY_ALGORITHMS:
+        raise ValueError(f"unsupported encryption algorithm {alg!r}")
+    legacy = alg != ALGORITHM
     dek = derive_dek(bytes(key), base64.b64decode(enc["dek_salt"]))
     if enc.get("footer_mode") != FOOTER_MODE_ENCRYPTED:
         # plaintext-footer mode authenticates via the GCM signature; in
         # encrypted-footer mode the whole-footer GCM already did (a parsed
         # footer can only come out of a successful decrypt_footer_blob)
         verify_footer(dek, footer)
-    return _cached_context(dek, base64.b64decode(enc["aad_prefix"]))
+    return _cached_context(dek, base64.b64decode(enc["aad_prefix"]),
+                           legacy_label=legacy)

@@ -1165,21 +1165,23 @@ def _unwrap_footer(footer: dict, encryption_key: bytes | None) -> dict:
 
     from webcodec import crypto as wcrypto
 
-    if enc.get("algorithm") != wcrypto.ALGORITHM:
-        if enc.get("algorithm") in wcrypto._SUPERSEDED_ALGORITHMS:
-            raise ValueError(
-                f"file was written with superseded AAD layout "
-                f"{enc.get('algorithm')!r} (current {wcrypto.ALGORITHM!r}); "
-                f"re-encode it under the current writer"
-            )
-        raise ValueError(
-            f"unsupported encryption algorithm {enc.get('algorithm')!r}")
+    alg = enc.get("algorithm")
+    if alg != wcrypto.ALGORITHM and alg not in wcrypto._LEGACY_ALGORITHMS:
+        raise ValueError(f"unsupported encryption algorithm {alg!r}")
     dek = wcrypto.derive_dek(
         bytes(encryption_key), base64.b64decode(enc["dek_salt"])
     )
-    return json.loads(wcrypto.decrypt_footer_blob(
-        dek, base64.b64decode(enc["footer"])
-    ))
+    try:
+        return json.loads(wcrypto.decrypt_footer_blob(
+            dek, base64.b64decode(enc["footer"])
+        ))
+    except ValueError:
+        if alg != wcrypto.ALGORITHM:
+            raise ValueError(
+                "footer decryption failed: wrong key or tampered footer"
+                + wcrypto._LEGACY_HINT
+            ) from None
+        raise
 
 
 def sort_indices_for_key(table: pa.Table, sort_key: str):

@@ -122,12 +122,40 @@ def decode_ppm(blob: bytes | memoryview) -> np.ndarray:
     return np.frombuffer(b, np.uint8, count=need, offset=off).reshape(h, w, 3)
 
 
+def sniff_image(blob: bytes | memoryview) -> str | None:
+    """STRICT format sniff: 'bmp' / 'ppm' / None. Two ASCII letters alone
+    are not evidence ("BMW crash report" and "P6 spark plugs" are text, not
+    rasters), so the sniff also requires structure ordinary text can't have:
+    BMP's four reserved header bytes MUST be zero (Windows BITMAPFILEHEADER
+    spec) and the file must cover the 54-byte header; P6's magic MUST be
+    followed by a whitespace byte (netpbm header grammar)."""
+    b = memoryview(blob)
+    head = bytes(b[:2])
+    if head == b"BM":
+        # reserved zeros are the structural evidence (text has no NULs);
+        # a TRUNCATED real BMP still sniffs as bmp and fails decode loudly
+        return "bmp" if len(b) >= 10 and bytes(b[6:10]) == b"\x00" * 4 else None
+    if head == b"P6" and len(b) >= 4 and b[2] in b" \t\r\n":
+        # the first non-whitespace byte after the magic must open the
+        # netpbm header grammar (a width digit or a '#' comment) — plain
+        # text like "P6 spark plugs" fails here
+        i = 3
+        while i < len(b) and b[i] in b" \t\r\n":
+            i += 1
+        if i < len(b) and (0x30 <= b[i] <= 0x39 or b[i] == 0x23):
+            return "ppm"
+    return None
+
+
 def decode_image(blob: bytes | memoryview) -> np.ndarray | None:
     """Decode a BMP or PPM blob to (H, W, 3) uint8 RGB; None when the blob
-    is neither (callers fall back to their stub/opaque path)."""
-    head = bytes(memoryview(blob)[:2])
-    if head == b"BM":
+    sniffs as neither (callers fall back to their stub/opaque path). A blob
+    that SNIFFS as an image but has a corrupt/truncated body still raises
+    ValueError — that distinction ('corrupt image' vs 'not an image') is
+    what scraped-media pipelines act on."""
+    fmt = sniff_image(blob)
+    if fmt == "bmp":
         return decode_bmp(blob)
-    if head == b"P6":
+    if fmt == "ppm":
         return decode_ppm(blob)
     return None

@@ -191,6 +191,22 @@ def _delta_length_byte_array(body: memoryview, n: int) -> list:
     return [bytes(blob[s:e]) for s, e in zip(starts, ends)]
 
 
+# Deprecated BIT_PACKED rep/def levels: the ecosystem DIVERGED on bit order.
+# The spec (Encodings.md) and parquet-java (ByteBitPackingValuesReader,
+# Packer.BIG_ENDIAN) are MSB-first — and old parquet-mr is the only writer
+# that ever emitted this encoding, so real-world legacy files are MSB.
+# Arrow C++ instead decodes these levels with its generic LSB-first
+# BitReader (parquet/column_reader.h: bit_packed_decoder_), so pyarrow 16
+# mis-reads genuine parquet-mr BIT_PACKED files. Default to the spec order;
+# set "lsb" to read files produced by Arrow-BitReader-order writers.
+BIT_PACKED_LEVEL_ORDER = "msb"
+
+
+def _bit_packed_unpack(bitpack):
+    return (bitpack.unpack_legacy if BIT_PACKED_LEVEL_ORDER == "msb"
+            else bitpack.unpack_legacy_lsb)
+
+
 def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
                        max_def: int, type_length: int = 0):
     """Decode one LEAF column chunk to Dremel entry streams using only
@@ -272,8 +288,8 @@ def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
                     from webcodec.kernels import bitpack
 
                     nb = (n_values * w_rep + 7) // 8
-                    # LSB-first: Arrow C++/Impala bit order, see pack_legacy_lsb
-                    reps = bitpack.unpack_legacy_lsb(body[:nb], w_rep, n_values)
+                    reps = _bit_packed_unpack(bitpack)(
+                        body[:nb], w_rep, n_values)
                     body = body[nb:]
                 else:
                     (rl,) = struct.unpack_from("<I", body, 0)
@@ -284,12 +300,12 @@ def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
                     (lvl_len,) = struct.unpack_from("<I", body, 0)
                     defs = rle.decode_spec(body[4 : 4 + lvl_len], w_def, n_values)
                     body = body[4 + lvl_len :]
-                elif lvl_enc == 4:  # deprecated BIT_PACKED: no u32 prefix,
-                    # LSB-first per Arrow C++/Impala (see pack_legacy_lsb)
+                elif lvl_enc == 4:  # deprecated BIT_PACKED: no u32 prefix
                     from webcodec.kernels import bitpack
 
                     nb = (n_values * w_def + 7) // 8
-                    defs = bitpack.unpack_legacy_lsb(body[:nb], w_def, n_values)
+                    defs = _bit_packed_unpack(bitpack)(
+                        body[:nb], w_def, n_values)
                     body = body[nb:]
                 else:
                     raise NotImplementedError(f"level encoding {lvl_enc}")
@@ -759,6 +775,15 @@ def _chunk_crypto(cc: dict, footer_gcm, aad_unique: bytes, rg: int, col: int,
     if crypto_md is None:
         return cc[3], None
     if 1 in crypto_md:  # ENCRYPTION_WITH_FOOTER_KEY: metadata plaintext here
+        if footer_gcm is None:
+            # plaintext-footer files only resolve the footer key when
+            # kms_unwrap is passed (from footer_signing_key_metadata) —
+            # fail HERE with the cause, not with an AttributeError deep
+            # inside page decode
+            raise ValueError(
+                "column chunk is encrypted with the footer key but no "
+                "footer key was resolved: pass kms_unwrap (and ensure the "
+                "file carries footer_signing_key_metadata)")
         return cc[3], {"gcm": footer_gcm, "key": footer_key,
                        "aad_unique": aad_unique, "rg": rg, "col": col,
                        "ctr": ctr}

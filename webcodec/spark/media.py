@@ -26,6 +26,9 @@ FEATURE_SCHEMA = (
     "decoded boolean, feature array<float>"
 )
 
+# prefix-only magics (>= 3 distinctive bytes each); BMP/PPM have 2-byte
+# pure-ASCII magics that ordinary text can start with, so they use the
+# STRICT structural sniff in webcodec.imaging.sniff_image instead
 _MAGIC = {
     b"\xff\xd8\xff": "jpeg",
     b"\x89PNG": "png",
@@ -33,8 +36,6 @@ _MAGIC = {
     b"RIFF": "riff",
     b"<htm": "html",
     b"<!DO": "html",
-    b"BM": "bmp",
-    b"P6": "ppm",
 }
 _REAL_FORMATS = ("bmp", "ppm")  # dependency-free numpy decoders exist
 
@@ -43,7 +44,9 @@ def _sniff_format(prefix: bytes) -> str:
     for magic, name in _MAGIC.items():
         if prefix.startswith(magic):
             return name
-    return "unknown"
+    from webcodec.imaging import sniff_image
+
+    return sniff_image(prefix) or "unknown"
 
 
 def _decode_real(blob: bytes):
@@ -171,24 +174,48 @@ def extract_media_features(df: DataFrame, id_col: str, blob_col: str,
             blob = pc.fill_null(b.column("blob"), b"")
             n = len(blob)
             n_bytes = pc.binary_length(blob).to_numpy(zero_copy_only=False).astype(np.int64)
-            # vectorized 4-byte magic matrix (zero-padded)
-            head = pc.binary_slice(blob, 0, 4)
+            # vectorized 10-byte magic matrix (zero-padded): 4 bytes cover
+            # the prefix magics, 10 cover BMP's reserved-zeros strict check
+            head = pc.binary_slice(blob, 0, 10)
             offs = np.frombuffer(head.buffers()[1], dtype=np.int32, count=n + 1).astype(np.int64)
             hdata = (
                 np.frombuffer(head.buffers()[2], dtype=np.uint8, count=int(offs[-1]))
                 if head.buffers()[2] is not None else np.zeros(0, dtype=np.uint8)
             )
             hl = np.diff(offs)
-            m4 = np.zeros((n, 4), dtype=np.uint8)
+            m10 = np.zeros((n, 10), dtype=np.uint8)
             if hdata.size:
                 within = np.arange(int(hl.sum()), dtype=np.int64) - np.repeat(np.cumsum(hl) - hl, hl)
-                m4.reshape(-1)[np.repeat(np.arange(n, dtype=np.int64) * 4, hl) + within] = hdata
+                m10.reshape(-1)[np.repeat(np.arange(n, dtype=np.int64) * 10, hl) + within] = hdata
             fmt_codes = np.zeros(n, dtype=np.int64)  # 0 = unknown
-            names = ["unknown"] + list(_MAGIC.values())
+            names = ["unknown"] + list(_MAGIC.values()) + list(_REAL_FORMATS)
             for code, magic in enumerate(_MAGIC, start=1):
                 mm = np.frombuffer(magic, dtype=np.uint8)
-                hit = (m4[:, : len(mm)] == mm).all(axis=1) & (n_bytes >= len(mm))
+                hit = (m10[:, : len(mm)] == mm).all(axis=1) & (n_bytes >= len(mm))
                 fmt_codes = np.where((fmt_codes == 0) & hit, code, fmt_codes)
+            # STRICT bmp/ppm sniff (imaging.sniff_image, vectorized): the
+            # 2-byte ASCII magics alone would claim ordinary text
+            bmp_code = names.index("bmp")
+            ppm_code = names.index("ppm")
+            is_bmp = ((m10[:, 0] == 0x42) & (m10[:, 1] == 0x4D)
+                      & (n_bytes >= 10) & (m10[:, 6:10] == 0).all(axis=1))
+            ws = np.frombuffer(b" \t\r\n", np.uint8)
+            # first non-whitespace byte after "P6<ws>" must be a digit or
+            # '#' (netpbm header grammar) — scanned over the 10-byte window
+            seen_tok = np.zeros(n, bool)  # a non-ws byte was hit already
+            grammar_ok = np.zeros(n, bool)
+            for col in range(3, 10):
+                byte = m10[:, col]
+                is_ws = np.isin(byte, ws)
+                first_tok = ~seen_tok & ~is_ws
+                grammar_ok |= first_tok & (((byte >= 0x30) & (byte <= 0x39))
+                                           | (byte == 0x23))
+                seen_tok |= first_tok
+            is_ppm = ((m10[:, 0] == 0x50) & (m10[:, 1] == 0x36)
+                      & (n_bytes >= 4)
+                      & np.isin(m10[:, 2], ws) & grammar_ok)
+            fmt_codes = np.where((fmt_codes == 0) & is_bmp, bmp_code, fmt_codes)
+            fmt_codes = np.where((fmt_codes == 0) & is_ppm, ppm_code, fmt_codes)
             fmts = pa.DictionaryArray.from_arrays(
                 pa.array(fmt_codes, pa.int32()), pa.array(names)
             ).cast(pa.string())

@@ -277,20 +277,21 @@ def _split_node(spec: dict, v: bytes, keys: list):
     # object
     if not vb.is_object(v):
         return {"value": v, "typed_value": None}
-    present = {keys[fid]: fb for fid, fb in vb.object_fields(v)}
+    # keep each field's id alongside its bytes: residual fields reuse it
+    # directly instead of an O(dictionary) keys.index scan per field
+    present = {keys[fid]: (fid, fb) for fid, fb in vb.object_fields(v)}
     typed = {}
     for name, sub in spec["fields"].items():
         if name in present:
-            typed[name] = _split_node(sub, present.pop(name), keys)
+            typed[name] = _split_node(sub, present.pop(name)[1], keys)
         else:
             # absent field: group PRESENT with both children null (the
             # spec's required-group shape; Spark's reader rejects null
             # field groups as malformed)
             typed[name] = ({"value": None} if sub["kind"] == "value_only"
                            else {"value": None, "typed_value": None})
-    residual = (vb.build_object(
-        [(keys.index(n), b) for n, b in present.items()], lambda i: keys[i])
-        if present else None)
+    residual = (vb.build_object(list(present.values()), lambda i: keys[i])
+                if present else None)
     return {"value": residual, "typed_value": typed}
 
 
