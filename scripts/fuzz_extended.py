@@ -7,7 +7,11 @@ a process pool, so latent shape/encoding interactions surface before a user
 hits them. Any failing (family, seed) prints at the end — pin it as a
 regression seed in the matching test parametrize range.
 
-Usage: python scripts/fuzz_extended.py [N_PER_FAMILY] [N_WORKERS]
+Usage: python scripts/fuzz_extended.py [N_PER_FAMILY] [N_WORKERS] [SKIP]
+
+SKIP shifts every family's seed window forward (on top of the CI-pinned
+offset), so successive sweeps spend their budget on seeds no earlier sweep
+has visited: sweep k of size N runs with SKIP = k * N.
 """
 from __future__ import annotations
 
@@ -47,8 +51,9 @@ def _run_one(job: tuple[str, str, int]) -> tuple[str, int, str] | None:
 def main() -> int:
     n_per = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     workers = int(sys.argv[2]) if len(sys.argv) > 2 else max(mp.cpu_count() - 4, 4)
+    skip = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     jobs = [
-        (m, f, off + i)
+        (m, f, off + skip + i)
         for (m, f, off) in FAMILIES
         for i in range(n_per)
     ]
