@@ -400,11 +400,30 @@ def test_gcm_ctr_tampered_page_detected_via_crc_or_decode(tmp_path, seed):
 
 def test_footer_key_column_without_kms_fails_loudly():
     """A plaintext-footer file whose chunks use ENCRYPTION_WITH_FOOTER_KEY,
-    opened without kms_unwrap, must fail at metadata time with the actual
-    cause (missing key resolution) — not with an AttributeError on a None
+    opened without kms_unwrap, must NOT fail at metadata time (schema
+    listing and plaintext-column projections keep working keyless) — the
+    chunk carries an unresolved-crypto marker (gcm None) and the page
+    reader raises the actual cause (missing key resolution) only when a
+    caller projects THIS column's pages, never an AttributeError on a None
     GCM context deep inside page decode. CryptoFactory can't produce such a
-    file (it leaves unlisted columns plaintext), so the guard is probed at
-    the _chunk_crypto layer directly."""
+    file (it leaves unlisted columns plaintext), so both layers are probed
+    directly."""
     cc = {3: {0: "meta"}, 8: {1: {}}}  # ColumnCryptoMetaData: footer-key arm
+    # metadata time: no raise, unresolved marker returned
+    meta_bytes, crypto = parquet_interop._chunk_crypto(cc, None, b"", 0, 0, None)
+    assert meta_bytes == {0: "meta"}
+    assert crypto is not None and crypto["gcm"] is None
+
+    # page-read time: the loud, actionable failure
+    class _Meta:
+        compression = 0
+        dictionary_page_offset = None
+        data_page_offset = 0
+        total_compressed_size = 8
+        num_values = 1
+
+    m = _Meta()
+    m.crypto = crypto
     with pytest.raises(ValueError, match="kms_unwrap"):
-        parquet_interop._chunk_crypto(cc, None, b"", 0, 0, None)
+        parquet_interop._read_leaf_entries(memoryview(b"\x00" * 8), m,
+                                           "INT32", 0, 0)

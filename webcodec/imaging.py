@@ -122,27 +122,53 @@ def decode_ppm(blob: bytes | memoryview) -> np.ndarray:
     return np.frombuffer(b, np.uint8, count=need, offset=off).reshape(h, w, 3)
 
 
+# legal BITMAPINFOHEADER-family sizes (BITMAPCOREHEADER 12 through
+# BITMAPV5HEADER 124) — a 4-byte LE match at offset 14 is structural
+# evidence ASCII text can't produce (it would need "(\0\0\0" etc.)
+_BMP_DIB_SIZES = frozenset({12, 40, 52, 56, 64, 108, 124})
+
+
 def sniff_image(blob: bytes | memoryview) -> str | None:
     """STRICT format sniff: 'bmp' / 'ppm' / None. Two ASCII letters alone
     are not evidence ("BMW crash report" and "P6 spark plugs" are text, not
     rasters), so the sniff also requires structure ordinary text can't have:
-    BMP's four reserved header bytes MUST be zero (Windows BITMAPFILEHEADER
-    spec) and the file must cover the 54-byte header; P6's magic MUST be
-    followed by a whitespace byte (netpbm header grammar)."""
+    for BMP either the four reserved header bytes are zero (what every
+    common writer emits) or the DIB header size at offset 14 is a legal
+    BITMAPINFOHEADER-family value (covers writers that stamp the reserved
+    words); for P6 the magic must be followed by the netpbm header grammar
+    (whitespace/comments, then a width digit — exactly what decode_ppm's
+    tokenizer accepts)."""
     b = memoryview(blob)
     head = bytes(b[:2])
     if head == b"BM":
-        # reserved zeros are the structural evidence (text has no NULs);
         # a TRUNCATED real BMP still sniffs as bmp and fails decode loudly
-        return "bmp" if len(b) >= 10 and bytes(b[6:10]) == b"\x00" * 4 else None
-    if head == b"P6" and len(b) >= 4 and b[2] in b" \t\r\n":
-        # the first non-whitespace byte after the magic must open the
-        # netpbm header grammar (a width digit or a '#' comment) — plain
-        # text like "P6 spark plugs" fails here
-        i = 3
-        while i < len(b) and b[i] in b" \t\r\n":
-            i += 1
-        if i < len(b) and (0x30 <= b[i] <= 0x39 or b[i] == 0x23):
+        if len(b) >= 10 and bytes(b[6:10]) == b"\x00" * 4:
+            return "bmp"
+        if len(b) >= 18:
+            (dib,) = struct.unpack_from("<I", b, 14)
+            if dib in _BMP_DIB_SIZES:
+                return "bmp"
+        return None
+    if head == b"P6" and len(b) >= 3 and b[2] in b" \t\r\n#":
+        # after the magic the netpbm grammar allows whitespace and '#'
+        # comments (to end-of-line) before the width digit — mirror
+        # decode_ppm's tokenizer so the sniff never rejects what the
+        # decoder accepts; plain text like "P6 spark plugs" fails here
+        i = 2
+        while i < len(b):
+            if b[i] in b" \t\r\n":
+                i += 1
+            elif b[i] == 0x23:  # '#' comment runs to end of line
+                while i < len(b) and b[i] not in b"\r\n":
+                    i += 1
+            else:
+                break
+        if i < len(b) and 0x30 <= b[i] <= 0x39:
+            return "ppm"
+        # header entirely whitespace/comments so far (e.g. a truncated
+        # comment-first PPM): with a '#' present that is still grammar
+        # evidence text lacks; bare trailing whitespace is not
+        if i >= len(b) and 0x23 in bytes(b[2:]):
             return "ppm"
     return None
 

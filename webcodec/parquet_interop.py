@@ -231,6 +231,15 @@ def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
     crypto = getattr(meta, "crypto", None)
     page_ord = 0  # DATA page ordinal for module AADs (dict pages excluded)
     expect_dict = crypto is not None and meta.dictionary_page_offset is not None
+    if crypto is not None and crypto["gcm"] is None:
+        # ENCRYPTION_WITH_FOOTER_KEY chunk whose footer key was never
+        # resolved — deferred from _chunk_crypto so that footer parsing and
+        # plaintext-column reads work keyless; raising is correct only once
+        # a caller actually projects THIS column's pages
+        raise ValueError(
+            "column chunk is encrypted with the footer key but no footer "
+            "key was resolved: pass kms_unwrap (and ensure the file "
+            "carries footer_signing_key_metadata)")
     while pos < end and entries < meta.num_values:
         if crypto is not None:
             # every page is TWO length-prefixed AES-GCM modules: the thrift
@@ -775,15 +784,12 @@ def _chunk_crypto(cc: dict, footer_gcm, aad_unique: bytes, rg: int, col: int,
     if crypto_md is None:
         return cc[3], None
     if 1 in crypto_md:  # ENCRYPTION_WITH_FOOTER_KEY: metadata plaintext here
-        if footer_gcm is None:
-            # plaintext-footer files only resolve the footer key when
-            # kms_unwrap is passed (from footer_signing_key_metadata) —
-            # fail HERE with the cause, not with an AttributeError deep
-            # inside page decode
-            raise ValueError(
-                "column chunk is encrypted with the footer key but no "
-                "footer key was resolved: pass kms_unwrap (and ensure the "
-                "file carries footer_signing_key_metadata)")
+        # plaintext-footer files only resolve the footer key when kms_unwrap
+        # is passed (from footer_signing_key_metadata). A missing key is NOT
+        # an error yet: schema listing and plaintext-column projections must
+        # keep working — the chunk carries an unresolved-crypto marker and
+        # the page reader raises the cause only if these pages are actually
+        # decrypted (not an AttributeError deep inside page decode)
         return cc[3], {"gcm": footer_gcm, "key": footer_key,
                        "aad_unique": aad_unique, "rg": rg, "col": col,
                        "ctr": ctr}

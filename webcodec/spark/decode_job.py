@@ -85,6 +85,13 @@ def _arrow_type_of_spark(spark_type: str) -> pa.DataType:
     if s.startswith("decimal(") and s.endswith(")"):
         p, sc = s[8:-1].split(",")
         return pa.decimal128(int(p), int(sc))
+    if s == "variant":
+        # Spark VariantType's physical storage shape as handed to Python
+        # data sources (tests/test_variant.py) — needed wherever a null
+        # column of the CURRENT table schema is synthesized (added-column
+        # null fill here, mask/evolution fill in maintenance.rewrite_encoded)
+        return pa.struct([pa.field("value", pa.binary()),
+                          pa.field("metadata", pa.binary())])
     raise ValueError(f"unsupported Spark type string: {spark_type!r}")
 
 

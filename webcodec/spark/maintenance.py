@@ -612,15 +612,6 @@ def rewrite_encoded(
         )
         from webcodec.spark.encode_job import _write_one
 
-        def _null_fill_type(type_str: str) -> "pa.DataType":
-            # Spark VariantType has no simpleString the generic parser
-            # accepts; its physical storage shape is fixed (the struct
-            # Spark hands to Python data sources, tests/test_variant.py)
-            if type_str.strip() == "variant":
-                return pa.struct([pa.field("value", pa.binary()),
-                                  pa.field("metadata", pa.binary())])
-            return _arrow_type_of_spark(type_str)
-
         items = bc.value
         for b in batches:
             for i in b.column("id").to_pylist():
@@ -675,12 +666,12 @@ def rewrite_encoded(
                             # values are destroyed; the type comes from the
                             # CURRENT table schema (the column was excluded
                             # from the read set, so no decode was paid)
-                            at = _null_fill_type(types.get(name, "string"))
+                            at = _arrow_type_of_spark(types.get(name, "string"))
                             arrays.append(pa.nulls(table.num_rows, type=at))
                         elif name in lmap:
                             arrays.append(table.column(lmap[name]))
                         else:
-                            at = _null_fill_type(types.get(name, "string"))
+                            at = _arrow_type_of_spark(types.get(name, "string"))
                             arrays.append(pa.nulls(table.num_rows, type=at))
                     table = pa.Table.from_arrays(arrays, names=cols)
                 yield from _write_one(

@@ -40,15 +40,6 @@ _MAGIC = {
 _REAL_FORMATS = ("bmp", "ppm")  # dependency-free numpy decoders exist
 
 
-def _sniff_format(prefix: bytes) -> str:
-    for magic, name in _MAGIC.items():
-        if prefix.startswith(magic):
-            return name
-    from webcodec.imaging import sniff_image
-
-    return sniff_image(prefix) or "unknown"
-
-
 def _decode_real(blob: bytes):
     """Real decode path — only reachable when an image library exists."""
     from PIL import Image  # noqa: F401  (absent in this container)
@@ -193,29 +184,29 @@ def extract_media_features(df: DataFrame, id_col: str, blob_col: str,
                 mm = np.frombuffer(magic, dtype=np.uint8)
                 hit = (m10[:, : len(mm)] == mm).all(axis=1) & (n_bytes >= len(mm))
                 fmt_codes = np.where((fmt_codes == 0) & hit, code, fmt_codes)
-            # STRICT bmp/ppm sniff (imaging.sniff_image, vectorized): the
-            # 2-byte ASCII magics alone would claim ordinary text
+            # STRICT bmp/ppm sniff: candidate rows are selected vectorized
+            # (2-byte magic match — rare in real blob columns), then the
+            # SAME imaging.sniff_image the scalar path uses confirms each
+            # candidate, so the two media paths can never diverge on what
+            # counts as an image (a vectorized re-implementation drifted
+            # from the scalar grammar once already — PPM headers with long
+            # whitespace runs fell outside its fixed 10-byte window)
             bmp_code = names.index("bmp")
             ppm_code = names.index("ppm")
-            is_bmp = ((m10[:, 0] == 0x42) & (m10[:, 1] == 0x4D)
-                      & (n_bytes >= 10) & (m10[:, 6:10] == 0).all(axis=1))
-            ws = np.frombuffer(b" \t\r\n", np.uint8)
-            # first non-whitespace byte after "P6<ws>" must be a digit or
-            # '#' (netpbm header grammar) — scanned over the 10-byte window
-            seen_tok = np.zeros(n, bool)  # a non-ws byte was hit already
-            grammar_ok = np.zeros(n, bool)
-            for col in range(3, 10):
-                byte = m10[:, col]
-                is_ws = np.isin(byte, ws)
-                first_tok = ~seen_tok & ~is_ws
-                grammar_ok |= first_tok & (((byte >= 0x30) & (byte <= 0x39))
-                                           | (byte == 0x23))
-                seen_tok |= first_tok
-            is_ppm = ((m10[:, 0] == 0x50) & (m10[:, 1] == 0x36)
-                      & (n_bytes >= 4)
-                      & np.isin(m10[:, 2], ws) & grammar_ok)
-            fmt_codes = np.where((fmt_codes == 0) & is_bmp, bmp_code, fmt_codes)
-            fmt_codes = np.where((fmt_codes == 0) & is_ppm, ppm_code, fmt_codes)
+            cand = np.flatnonzero(
+                (fmt_codes == 0)
+                & (((m10[:, 0] == 0x42) & (m10[:, 1] == 0x4D))
+                   | ((m10[:, 0] == 0x50) & (m10[:, 1] == 0x36))))
+            if cand.size:
+                from webcodec.imaging import sniff_image
+
+                for j, raw in zip(cand,
+                                  blob.take(pa.array(cand)).to_pylist()):
+                    s = sniff_image(raw)
+                    if s == "bmp":
+                        fmt_codes[j] = bmp_code
+                    elif s == "ppm":
+                        fmt_codes[j] = ppm_code
             fmts = pa.DictionaryArray.from_arrays(
                 pa.array(fmt_codes, pa.int32()), pa.array(names)
             ).cast(pa.string())
