@@ -60,6 +60,7 @@ _ENC_DLBA, _ENC_DBA = 6, 7
 _ENC_RLE_DICT = 8  # v2 writer versions pair PLAIN dict pages with this
 _REP_REQUIRED, _REP_OPTIONAL, _REP_REPEATED = 0, 1, 2
 _CT_UTF8, _CT_DECIMAL, _CT_DATE, _CT_TS_MICROS, _CT_LIST = 0, 5, 6, 10, 3
+_CT_TIME_MILLIS, _CT_TIME_MICROS = 7, 8
 _CT_MAP = 1
 _CODEC = {"none": 0, "uncompressed": 0, "snappy": 1, "gzip": 2, "zstd": 6, "lz4": 7}
 def _decimal_flba_len(precision: int) -> int:
@@ -166,6 +167,19 @@ def _phys_of(t: pa.DataType):
         return _T_BYTE_ARRAY, None
     if pa.types.is_timestamp(t) and t.unit == "us":
         return _T_INT64, _CT_TS_MICROS
+    if pa.types.is_time32(t):
+        if t.unit != "ms":
+            # no TIME(SECONDS) exists in parquet; write_parquet pre-casts
+            # top-level time32[s] — a nested one must be cast by the caller
+            raise TypeError("parquet_writer: cast time32[s] to time32[ms]")
+        return _T_INT32, _CT_TIME_MILLIS
+    if pa.types.is_time64(t):
+        # ns has no converted_type; the TIME LogicalType (emitted for every
+        # unit in _leaf_element) carries it for modern readers
+        return _T_INT64, _CT_TIME_MICROS if t.unit == "us" else None
+    if pa.types.is_duration(t):
+        # parquet has no DURATION annotation: plain INT64 (pyarrow's stance)
+        return _T_INT64, None
     if pa.types.is_date32(t):
         return _T_INT32, _CT_DATE
     if pa.types.is_decimal(t):
@@ -225,9 +239,9 @@ def _plain_bytes(valid: pa.Array) -> bytes:
         return np.ascontiguousarray(
             b.reshape(n, 16)[:, ::-1][:, 16 - tl:]
         ).tobytes()
-    if pa.types.is_timestamp(t):
+    if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
         valid = valid.cast(pa.int64())
-    elif pa.types.is_date32(t):
+    elif pa.types.is_date32(t) or pa.types.is_time32(t):
         valid = valid.cast(pa.int32())
     return valid.to_numpy(zero_copy_only=False).tobytes()
 
@@ -337,9 +351,9 @@ def _delta_bp_bytes(valid: pa.Array, ptype: int) -> bytes:
     from webcodec.kernels import delta
 
     t = valid.type
-    if pa.types.is_timestamp(t):
+    if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
         valid = valid.cast(pa.int64())
-    elif pa.types.is_date32(t):
+    elif pa.types.is_date32(t) or pa.types.is_time32(t):
         valid = valid.cast(pa.int32())
     ints = valid.to_numpy(zero_copy_only=False).astype(np.int64)
     if ptype == _T_INT32 and len(ints) > 1:
@@ -409,9 +423,9 @@ def _bss_bytes(valid: pa.Array) -> bytes:
     from webcodec.kernels import bss
 
     t = valid.type
-    if pa.types.is_timestamp(t):
+    if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
         valid = valid.cast(pa.int64())
-    elif pa.types.is_date32(t):
+    elif pa.types.is_date32(t) or pa.types.is_time32(t):
         valid = valid.cast(pa.int32())
     return bss.encode(valid.to_numpy(zero_copy_only=False))
 
@@ -1148,6 +1162,13 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
             f = table.schema.field(idx)
             table = table.set_column(
                 idx, pa.field(name, shredded.type, f.nullable), shredded)
+    for i, f in enumerate(table.schema):
+        if pa.types.is_time32(f.type) and f.type.unit == "s":
+            # parquet has no TIME(SECONDS): store as TIME(MILLIS) (the cast
+            # multiplies; readers see the same wall-clock instants)
+            table = table.set_column(
+                i, pa.field(f.name, pa.time32("ms"), f.nullable),
+                table.column(i).cast(pa.time32("ms")))
     n_rows = table.num_rows
     if row_group_rows is None or row_group_rows <= 0 or row_group_rows >= max(n_rows, 1):
         slices = [table]
@@ -1331,6 +1352,23 @@ def _schema_element(name: str, *, ptype: int | None = None,
     return bytes(e.buf)
 
 
+_TIME_UNIT_FIELD = {"ms": 1, "us": 2, "ns": 3}  # TimeUnit union field ids
+
+
+def _time_logical_payload(unit: str) -> bytes:
+    """Serialized TimeType struct {1: isAdjustedToUTC=false, 2: unit} for
+    the TIME LogicalType (union field 7). Arrow time-of-day values are
+    wall-clock local, hence adjustedToUTC=false (pyarrow writes the same)."""
+    tu = _TOut()
+    _f_struct(tu, 0, _TIME_UNIT_FIELD[unit], b"\x00")  # empty unit variant
+    _stop(tu)
+    u = _TOut()
+    last = _field(u, 0, 1, 2)  # compact bool: type nibble 2 == FALSE
+    _f_struct(u, last, 2, bytes(tu.buf))
+    _stop(u)
+    return bytes(u.buf)
+
+
 def _leaf_element(name: str, t: pa.DataType,
                   repetition: int = _REP_OPTIONAL) -> bytes:
     ptype, conv = _phys_of(t)
@@ -1341,6 +1379,10 @@ def _leaf_element(name: str, t: pa.DataType,
         kw = {"tlen": t.byte_width}
     elif pa.types.is_float16(t):
         kw = {"tlen": 2, "logical": 15}  # LogicalType.FLOAT16
+    elif pa.types.is_time32(t) or pa.types.is_time64(t):
+        # TIME annotation: converted_type for ms/us legacy readers (set in
+        # _phys_of), LogicalType TIME{utc=false, unit} for modern ones
+        kw = {"logical": 7, "logical_payload": _time_logical_payload(t.unit)}
     return _schema_element(name, ptype=ptype, repetition=repetition,
                            conv=conv, **kw)
 

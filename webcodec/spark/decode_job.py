@@ -85,6 +85,10 @@ def _arrow_type_of_spark(spark_type: str) -> pa.DataType:
     if s.startswith("decimal(") and s.endswith(")"):
         p, sc = s[8:-1].split(",")
         return pa.decimal128(int(p), int(sc))
+    if s.startswith("time(") and s.endswith(")"):
+        # Spark 4.1 TimeType travels over the Arrow bridge as time64[ns]
+        # at every precision (observed via DataFrame.toArrow)
+        return pa.time64("ns")
     if s == "variant":
         # Spark VariantType's physical storage shape as handed to Python
         # data sources (tests/test_variant.py) — needed wherever a null

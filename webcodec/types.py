@@ -85,6 +85,12 @@ def widened(t: pa.DataType) -> pa.DataType | None:
     for nt, wt in _WIDEN_TO:
         if t.equals(nt):
             return wt
+    if pa.types.is_time32(t):
+        # parquet's TIME stance: the value IS the int (ms/s since midnight);
+        # the footer-preserved original type restores the unit on decode
+        return pa.int32()
+    if pa.types.is_time64(t) or pa.types.is_duration(t):
+        return pa.int64()
     if pa.types.is_fixed_size_binary(t):
         # parquet's UUID/FLBA stance inverted: FIXED_LEN_BYTE_ARRAY(n) stores
         # as variable BINARY (all lengths equal n, so DELTA_LENGTH's length
@@ -212,6 +218,12 @@ def arrow_type_from_json(s: str) -> pa.DataType:
             return pa.timestamp(unit, tz=tz)
         if inner in ("s", "ms", "us", "ns"):
             return pa.timestamp(inner)
+    # time-of-day and duration: values travel as int32/int64 (the TIME-
+    # over-INT32/INT64 parquet stance via widened()); unit restored here
+    for prefix, ctor in (("time32[", pa.time32), ("time64[", pa.time64),
+                         ("duration[", pa.duration)):
+        if s.startswith(prefix) and s.endswith("]"):
+            return ctor(s[len(prefix):-1])
     if s.startswith("decimal128(") and s.endswith(")"):
         p, sc = s[len("decimal128(") : -1].split(",")
         return pa.decimal128(int(p), int(sc))
