@@ -80,12 +80,21 @@ def _rand_column(pyrng, rng, n, kind):
                    _d.Decimal(int(rng.integers(-10**10, 10**10))).scaleb(-2)
                    for _ in range(i % 4)] for i in range(n)]),
             pa.list_(pa.decimal128(14, 2)))
+    if kind == "time":
+        unit_t = pyrng.choice([pa.time32("s"), pa.time32("ms"),
+                               pa.time64("us"), pa.time64("ns")])
+        per_day = {"s": 86_400, "ms": 86_400_000,
+                   "us": 86_400_000_000, "ns": 86_400_000_000_000}[unit_t.unit]
+        return pa.array(mask(rng.integers(0, per_day, n).tolist()), unit_t)
+    if kind == "duration":
+        return pa.array(mask(rng.integers(-(2**40), 2**40, n).tolist()),
+                        pa.duration(pyrng.choice(["s", "ms", "us", "ns"])))
     raise AssertionError(kind)
 
 
 _KINDS = ["int", "small_int", "monotone", "float", "string", "url", "binary",
           "ts", "bool", "list_int", "struct", "fsb", "large_list", "fsl",
-          "list_decimal"]
+          "list_decimal", "time", "duration"]
 
 
 def _rand_config(pyrng) -> EncoderConfig:
