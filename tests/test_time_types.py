@@ -111,6 +111,28 @@ def test_nested_time32_seconds_raises(tmp_path):
         parquet_writer.write_parquet(t, str(tmp_path / "x.parquet"))
 
 
+def test_datasource_and_compact_keep_timetype(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from webcodec.spark.datasource import WebcodecDataSource
+    from webcodec.spark.maintenance import compact
+
+    spark.dataSource.register(WebcodecDataSource)
+    rows = [(i, datetime.time(i % 24, i % 60, i % 60, i * 13 % 1_000_000)
+             if i % 4 else None) for i in range(300)]
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("tod", T.TimeType())])
+    df = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "t")
+    df.write.format("webcodec").mode("append").option("path", d).save()
+    back = spark.read.format("webcodec").option("path", d).load()
+    assert back.schema.simpleString() == "struct<id:bigint,tod:time(6)>"
+    assert {r["id"]: r["tod"] for r in back.collect()} == dict(rows)
+    compact(d, target_bytes=1 << 30)
+    back2 = spark.read.format("webcodec").option("path", d).load()
+    assert {r["id"]: r["tod"] for r in back2.collect()} == dict(rows)
+
+
 def test_spark_timetype_end_to_end(spark, tmp_path):
     from pyspark.sql import types as T
 
