@@ -133,6 +133,29 @@ def test_datasource_and_compact_keep_timetype(spark, tmp_path):
     assert {r["id"]: r["tod"] for r in back2.collect()} == dict(rows)
 
 
+def test_time_predicate_safe_and_exact(spark, tmp_path):
+    """A time-valued predicate must return exact rows. Stats pruning has no
+    unit context for TIME (stats store the widened int in the original
+    unit), so term_matches falls back to no-prune (TypeError -> True) and
+    the residual filter does the exact compare — safety pinned here."""
+    from pyspark.sql import types as T
+
+    from webcodec.spark.decode_job import read_encoded
+    from webcodec.spark.encode_job import encode_table
+
+    rows = [(i, datetime.time(i % 24, 0, 0)) for i in range(200)]
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("tod", T.TimeType())])
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "t")
+    encode_table(df, out, write_metrics=False)
+    got = read_encoded(
+        spark, out, predicate=[("tod", ">=", datetime.time(20, 0, 0))]
+    ).collect()
+    exp = {i for i, t in rows if t >= datetime.time(20, 0, 0)}
+    assert {r["id"] for r in got} == exp
+
+
 def test_spark_timetype_end_to_end(spark, tmp_path):
     from pyspark.sql import types as T
 
