@@ -89,12 +89,17 @@ def _rand_column(pyrng, rng, n, kind):
     if kind == "duration":
         return pa.array(mask(rng.integers(-(2**40), 2**40, n).tolist()),
                         pa.duration(pyrng.choice(["s", "ms", "us", "ns"])))
+    if kind == "uint64":
+        # straddle the sign boundary: bit-reinterpret storage must not
+        # value-shift, and unsigned stats must not mis-order
+        vals = (rng.integers(-(2**62), 2**62, n) + 2**63).astype("uint64")
+        return pa.array(mask(vals.tolist()), pa.uint64())
     raise AssertionError(kind)
 
 
 _KINDS = ["int", "small_int", "monotone", "float", "string", "url", "binary",
           "ts", "bool", "list_int", "struct", "fsb", "large_list", "fsl",
-          "list_decimal", "time", "duration"]
+          "list_decimal", "time", "duration", "uint64"]
 
 
 def _rand_config(pyrng) -> EncoderConfig:

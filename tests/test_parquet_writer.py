@@ -129,6 +129,11 @@ def test_randomized_fuzz_vs_reference_reader(tmp_path):
         pa.bool_(): lambda n: (rng.random(n) < 0.5).tolist(),
         pa.timestamp("us"): lambda n: (1_700_000_000_000_000 + rng.integers(0, 10**10, n)).tolist(),
         pa.date32(): lambda n: rng.integers(0, 30000, n).tolist(),
+        pa.int16(): lambda n: rng.integers(-(2**15), 2**15, n).tolist(),
+        pa.uint32(): lambda n: rng.integers(0, 2**32, n).tolist(),
+        pa.uint64(): lambda n: (rng.integers(-(2**62), 2**62, n) + 2**63)
+                               .astype("uint64").tolist(),
+        pa.time64("us"): lambda n: rng.integers(0, 86_400_000_000, n).tolist(),
     }
     for trial in range(60):
         n = pyrng.choice([0, 1, 9, 500, 3001])

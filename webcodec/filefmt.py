@@ -46,6 +46,7 @@ from webcodec.types import (
     arrow_type_from_json,
     arrow_type_json,
     phys_type_of,
+    restore_array,
     widen_array,
     widened,
 )
@@ -369,7 +370,8 @@ def _encode_chunk(
                 chunk["dict"] = None
                 dict_values = None
                 continue  # re-encode page 0 with the fallback
-        st = page_stats(sl, phys, config.statistics_truncate_length) if config.statistics_enabled else None
+        st = page_stats(sl, phys, config.statistics_truncate_length,
+                        unsigned64=orig_t.equals(pa.uint64())) if config.statistics_enabled else None
         p = _build_page(
             PAGE_DATA, encoding, codec, phys, e - s, n_nulls, validity, values,
             s, st, config.write_page_checksum, level, fcrypto, aad_base,
@@ -1535,7 +1537,7 @@ def _decode_chunk(
             mask = rle.decode_validity(validity, n_values)
             arr = _rebuild_with_nulls(arr, mask, work_type)
         if arr.type != arrow_type:
-            arr = arr.cast(arrow_type)
+            arr = restore_array(arr, arrow_type)
         if sub is not None and not sub.all():
             arr = arr.filter(pa.array(sub))
         parts.append(arr)
@@ -1571,12 +1573,25 @@ def _values_in_dict(buf: memoryview, pc_chunk: dict, values, verify_crc: bool) -
     import pyarrow.compute as _pc
 
     dvals = _decode_dict_page_only(buf, pc_chunk, verify_crc)
+    # compare in the ORIGINAL value domain: dict pages decode at the widened
+    # storage type (e.g. int64 for uint64 columns), where an untyped
+    # pa.scalar(2**63) overflows and a bit-pattern compare would be wrong
+    orig = arrow_type_from_json(pc_chunk["type"])
+    if not dvals.type.equals(orig):
+        try:
+            dvals = restore_array(dvals, orig)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            pass  # conservative: compare at the storage type as before
     for v in values:
-        scalar = pa.scalar(v)
-        if not scalar.type.equals(dvals.type):
+        try:
+            scalar = pa.scalar(v, type=dvals.type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, TypeError):
             try:
-                scalar = scalar.cast(dvals.type)
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                scalar = pa.scalar(v)
+                if not scalar.type.equals(dvals.type):
+                    scalar = scalar.cast(dvals.type)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                    OverflowError, TypeError):
                 return True  # incomparable: stay conservative
         if _pc.any(_pc.equal(dvals, scalar)).as_py():
             return True

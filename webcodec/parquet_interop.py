@@ -512,6 +512,13 @@ def _leaf_arrow(vals, defs, max_def, target_type):
         # v2 pages delta-decode INT32 leaves to int64; arrow has no
         # int64->date32/time32 cast, so narrow first (values fit by format)
         vals = vals.astype(np.int32)
+    if target_type in (pa.uint32(), pa.uint64()) and vals.dtype.kind == "i":
+        # UINT_32/UINT_64 store bit-reinterpreted in the signed lane: a
+        # checked cast raises on the negative patterns (values >= 2^31/63),
+        # so reinterpret the numpy buffer instead (delta-decoded INT32
+        # lanes arrive as int64 — wrap back to 32 bits first)
+        w = np.uint32 if target_type == pa.uint32() else np.uint64
+        vals = vals.astype(np.int32 if w is np.uint32 else np.int64).view(w)
     if present is None:
         arr = pa.array(vals)
     else:

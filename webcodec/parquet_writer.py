@@ -150,6 +150,27 @@ def _stop(out):
 # ------------------------------- value encode ---------------------------------
 
 
+# narrow/unsigned integer annotations: arrow type -> (physical, converted
+# type, bitWidth, isSigned) — ConvertedType ids INT_8=15 INT_16=16 UINT_8=11
+# UINT_16=12 UINT_32=13 UINT_64=14 (parquet.thrift); the INT(bitWidth,
+# signed) LogicalType is emitted alongside in _leaf_element
+_INT_ANNOTATED = [
+    (pa.int8(), _T_INT32, 15, 8, True),
+    (pa.int16(), _T_INT32, 16, 16, True),
+    (pa.uint8(), _T_INT32, 11, 8, False),
+    (pa.uint16(), _T_INT32, 12, 16, False),
+    (pa.uint32(), _T_INT32, 13, 32, False),
+    (pa.uint64(), _T_INT64, 14, 64, False),
+]
+
+
+def _int_annotation(t: pa.DataType):
+    for at, ptype, conv, width, signed in _INT_ANNOTATED:
+        if t.equals(at):
+            return ptype, conv, width, signed
+    return None
+
+
 def _phys_of(t: pa.DataType):
     if pa.types.is_boolean(t):
         return _T_BOOLEAN, None
@@ -157,6 +178,9 @@ def _phys_of(t: pa.DataType):
         return _T_INT32, None
     if pa.types.is_int64(t):
         return _T_INT64, None
+    ann = _int_annotation(t)
+    if ann is not None:
+        return ann[0], ann[1]
     if pa.types.is_float32(t):
         return _T_FLOAT, None
     if pa.types.is_float64(t):
@@ -191,6 +215,33 @@ def _phys_of(t: pa.DataType):
         # FLBA(2) little-endian IEEE half (parquet-format LogicalTypes.md)
         return _T_FLBA, None
     raise TypeError(f"parquet_writer: unsupported type {t}")
+
+
+def _bitcast_ints(valid: pa.Array, target: pa.DataType) -> pa.Array:
+    """Zero-copy unsigned->signed reinterpret (uint32->int32, uint64->int64):
+    same buffer layout, and exactly the bit pattern reference writers store
+    for UINT_32/UINT_64 over INT32/INT64 physical lanes."""
+    return pa.Array.from_buffers(target, len(valid), valid.buffers()[:2],
+                                 null_count=valid.null_count, offset=valid.offset)
+
+
+def _storage_cast(valid: pa.Array) -> pa.Array:
+    """Map a leaf array to its parquet physical lane: narrow ints widen to
+    INT32 (checked cast — values fit), unsigned 32/64 bit-reinterpret,
+    temporal types to their int lane. Identity for everything else."""
+    t = valid.type
+    if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
+        return valid.cast(pa.int64())
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return valid.cast(pa.int32())
+    for narrow in (pa.int8(), pa.int16(), pa.uint8(), pa.uint16()):
+        if t.equals(narrow):
+            return valid.cast(pa.int32())
+    if t.equals(pa.uint32()):
+        return _bitcast_ints(valid, pa.int32())
+    if t.equals(pa.uint64()):
+        return _bitcast_ints(valid, pa.int64())
+    return valid
 
 
 def _plain_bytes(valid: pa.Array) -> bytes:
@@ -239,10 +290,7 @@ def _plain_bytes(valid: pa.Array) -> bytes:
         return np.ascontiguousarray(
             b.reshape(n, 16)[:, ::-1][:, 16 - tl:]
         ).tobytes()
-    if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
-        valid = valid.cast(pa.int64())
-    elif pa.types.is_date32(t) or pa.types.is_time32(t):
-        valid = valid.cast(pa.int32())
+    valid = _storage_cast(valid)
     return valid.to_numpy(zero_copy_only=False).tobytes()
 
 
@@ -351,10 +399,7 @@ def _delta_bp_bytes(valid: pa.Array, ptype: int) -> bytes:
     from webcodec.kernels import delta
 
     t = valid.type
-    if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
-        valid = valid.cast(pa.int64())
-    elif pa.types.is_date32(t) or pa.types.is_time32(t):
-        valid = valid.cast(pa.int32())
+    valid = _storage_cast(valid)
     ints = valid.to_numpy(zero_copy_only=False).astype(np.int64)
     if ptype == _T_INT32 and len(ints) > 1:
         v32 = ints.astype(np.int32)
@@ -423,10 +468,7 @@ def _bss_bytes(valid: pa.Array) -> bytes:
     from webcodec.kernels import bss
 
     t = valid.type
-    if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
-        valid = valid.cast(pa.int64())
-    elif pa.types.is_date32(t) or pa.types.is_time32(t):
-        valid = valid.cast(pa.int32())
+    valid = _storage_cast(valid)
     return bss.encode(valid.to_numpy(zero_copy_only=False))
 
 
@@ -1383,6 +1425,16 @@ def _leaf_element(name: str, t: pa.DataType,
         # TIME annotation: converted_type for ms/us legacy readers (set in
         # _phys_of), LogicalType TIME{utc=false, unit} for modern ones
         kw = {"logical": 7, "logical_payload": _time_logical_payload(t.unit)}
+    elif _int_annotation(t) is not None:
+        _, _, width, signed = _int_annotation(t)
+        # INT(bitWidth, signed) LogicalType (union field 10: {1: i8
+        # bitWidth, 2: bool isSigned}) alongside the legacy converted_type
+        u = _TOut()
+        last = _field(u, 0, 1, 3)  # compact BYTE
+        u.buf.append(width & 0xFF)
+        _field(u, last, 2, 1 if signed else 2)  # compact bool true/false
+        _stop(u)
+        kw = {"logical": 10, "logical_payload": bytes(u.buf)}
     return _schema_element(name, ptype=ptype, repetition=repetition,
                            conv=conv, **kw)
 

@@ -123,12 +123,20 @@ def _term_mask(arr, op: str, value):
         ">": pc.greater, ">=": pc.greater_equal,
     }
     if op in ops:
-        scalar = pa.scalar(value)
-        if not scalar.type.equals(arr.type):
-            scalar = scalar.cast(arr.type)
+        try:
+            # build at the column's type directly (an untyped pa.scalar
+            # infers int64 and overflows for uint64 values >= 2^63)
+            scalar = pa.scalar(value, type=arr.type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, TypeError):
+            scalar = pa.scalar(value)
+            if not scalar.type.equals(arr.type):
+                scalar = scalar.cast(arr.type)
         return ops[op](arr, scalar)
     if op == "in":
-        vals = pa.array(list(value)).cast(arr.type)
+        try:
+            vals = pa.array(list(value), type=arr.type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, TypeError):
+            vals = pa.array(list(value)).cast(arr.type)
         return pc.is_in(arr, value_set=vals)
     if op == "isnull":
         return pc.is_null(arr)

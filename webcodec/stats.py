@@ -234,12 +234,22 @@ def decode_stat(v, phys: PhysType):
     return v
 
 
-def page_stats(arr: pa.Array, phys: PhysType, truncate: int = 64) -> dict:
-    """min/max/null_count for one page (truncated like the reference column index)."""
+def page_stats(arr: pa.Array, phys: PhysType, truncate: int = 64,
+               unsigned64: bool = False) -> dict:
+    """min/max/null_count for one page (truncated like the reference column
+    index). ``unsigned64``: the int64 page holds bit-reinterpreted uint64
+    values (types.widened) — min/max must be computed in the unsigned
+    domain or a page with values around 2^63 mis-orders and mis-prunes."""
     null_count = arr.null_count
     valid = arr.drop_null()
     if len(valid) == 0 or phys in (PhysType.LIST_FLOAT32, PhysType.LIST):
         return {"min": None, "max": None, "null_count": int(null_count)}
+    if unsigned64:
+        import numpy as np
+
+        u = valid.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        return {"min": int(u.min()), "max": int(u.max()),
+                "null_count": int(null_count)}
     mm = pc.min_max(valid)
     return {
         "min": _encode_stat(mm["min"].as_py(), phys, truncate),

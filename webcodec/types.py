@@ -91,6 +91,12 @@ def widened(t: pa.DataType) -> pa.DataType | None:
         return pa.int32()
     if pa.types.is_time64(t) or pa.types.is_duration(t):
         return pa.int64()
+    if t.equals(pa.uint64()):
+        # parquet's UINT_64-over-INT64 stance: the 8 bytes travel bit-exact
+        # (widen_array/restore_array reinterpret buffers, no value cast —
+        # values >= 2^63 would overflow a checked cast); stats for these
+        # columns are computed in the unsigned domain (stats.page_stats)
+        return pa.int64()
     if pa.types.is_fixed_size_binary(t):
         # parquet's UUID/FLBA stance inverted: FIXED_LEN_BYTE_ARRAY(n) stores
         # as variable BINARY (all lengths equal n, so DELTA_LENGTH's length
@@ -106,11 +112,28 @@ def widened(t: pa.DataType) -> pa.DataType | None:
     return None
 
 
+def _reinterpret64(arr: pa.Array, target: pa.DataType) -> pa.Array:
+    """Zero-copy int64<->uint64 bit reinterpret (same buffer layout)."""
+    return pa.Array.from_buffers(target, len(arr), arr.buffers()[:2],
+                                 null_count=arr.null_count, offset=arr.offset)
+
+
+def restore_array(arr: pa.Array, target: pa.DataType) -> pa.Array:
+    """``arr.cast(target)`` with a bit-reinterpret path for the uint64
+    storage stance (a checked int64->uint64 cast raises on the negative
+    bit patterns that represent values >= 2^63)."""
+    if target.equals(pa.uint64()) and arr.type.equals(pa.int64()):
+        return _reinterpret64(arr, pa.uint64())
+    return arr.cast(target)
+
+
 def widen_array(arr: pa.Array, target: pa.DataType) -> pa.Array:
     """``arr.cast(target)`` with a manual path for fixed_size_binary:
     pyarrow 16.1.0's FSB->binary cast kernel SEGFAULTS on arrays with a
     non-zero offset (any slice — e.g. a record-batch boundary), so build
     the variable-width array directly from the FSB buffer instead."""
+    if arr.type.equals(pa.uint64()) and target.equals(pa.int64()):
+        return _reinterpret64(arr, pa.int64())
     if not pa.types.is_fixed_size_binary(arr.type):
         return arr.cast(target)
     w = arr.type.byte_width
@@ -194,6 +217,7 @@ def arrow_type_from_json(s: str) -> pa.DataType:
         "uint8": pa.uint8(),
         "uint16": pa.uint16(),
         "uint32": pa.uint32(),
+        "uint64": pa.uint64(),
         "halffloat": pa.float16(),
         "int32": pa.int32(),
         "int64": pa.int64(),
