@@ -69,7 +69,7 @@ _ARROW_TO_PHYS = [
 # Narrow types travel widened — the parquet stance (INT_8/INT_16/UINT_*/
 # FLOAT16 are logical annotations over INT32/INT64/FLOAT physical storage).
 # The original arrow type is preserved in the chunk footer and restored by a
-# cast on decode; uint64 stays unsupported (no lossless signed widening).
+# cast on decode; uint64 widens by BIT REINTERPRET instead (see widened()).
 _WIDEN_TO = [
     (pa.int8(), pa.int32()),
     (pa.int16(), pa.int32()),
