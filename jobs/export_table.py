@@ -49,6 +49,11 @@ def main() -> None:
                     metavar="NAME[=CRS]",
                     help="annotate this binary WKB column as GEOGRAPHY "
                          "(repeatable; optional =CRS suffix)")
+    ap.add_argument("--annotate-column", action="append", default=[],
+                    metavar="NAME=KIND",
+                    help="stamp a semantic BYTE_ARRAY logical type on a "
+                         "string/binary column: KIND is json, bson or enum "
+                         "(repeatable)")
     args = ap.parse_args()
 
     def _geo(specs: list[str]) -> dict | None:
@@ -73,6 +78,9 @@ def main() -> None:
         output_encryption_key=okey,
         geometry_columns=_geo(args.geometry_column),
         geography_columns=_geo(args.geography_column),
+        annotation_columns=({k: v for k, v in
+                             (s.partition("=")[::2] for s in
+                              args.annotate_column)} or None),
         data_page_version=args.data_page_version)
     res["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(res))

@@ -872,7 +872,12 @@ def _leaf_arrow_type(e: dict):
     if phys == 5:
         return pa.float64()
     if phys == 6:  # BYTE_ARRAY
-        if conv == 0 or 1 in logical or 12 in logical or conv == 19:
+        # STRING plus the UTF-8-semantic annotations ENUM and JSON
+        # (LogicalTypes.md declares both to be UTF-8 data; DuckDB and
+        # arrow >= 17 read them as text — pyarrow 16 still says binary).
+        # BSON stays binary: its payload is not text.
+        if (conv in (0, 4, 19) or 1 in logical or 4 in logical
+                or 12 in logical):
             return pa.string()
         return pa.binary()
     if phys == 7:  # FLBA
@@ -936,6 +941,15 @@ def _parse_schema_tree(elems: list[dict]):
                         "kind": kind,
                         "crs": crs.decode() if isinstance(crs, bytes) else crs,
                     }
+            # semantic BYTE_ARRAY annotations (ENUM/JSON/BSON): the arrow
+            # type stays string/binary (pyarrow's stance) but callers see
+            # what the writer declared
+            for fid, kind in ((4, "ENUM"), (12, "JSON"), (13, "BSON")):
+                if fid in lg:
+                    leaf["annotation"] = kind
+            if "annotation" not in leaf and e.get(6) in (4, 19, 20):
+                leaf["annotation"] = {4: "ENUM", 19: "JSON",
+                                      20: "BSON"}[e.get(6)]
             leaves.append(leaf)
             return _leaf_arrow_type(e), nullable, i + 1
         conv = e.get(6)
@@ -1005,6 +1019,10 @@ def _parse_schema_tree(elems: list[dict]):
             if g["crs"]:
                 md[b"PARQUET:crs"] = g["crs"].encode()
             f = f.with_metadata(md)
+        elif (leaves and leaves[-1].get("annotation")
+                and leaves[-1]["path"] == f.name):
+            f = f.with_metadata(
+                {b"PARQUET:logical_type": leaves[-1]["annotation"].encode()})
         fields.append(f)
     return fields, leaves, variant_shredded
 

@@ -1121,6 +1121,39 @@ def _geo_element(name: str, t: pa.DataType, crs: str | None,
                            logical_payload=payload)
 
 
+# semantic BYTE_ARRAY annotations (parquet-format LogicalTypes.md):
+# kind -> (ConvertedType enum, LogicalType union field id, needs_utf8)
+_ANNOT_SPECS = {
+    "enum": (4, 4, True),    # ENUM: UTF-8 member names
+    "json": (19, 12, True),  # JSON: UTF-8 JSON document
+    "bson": (20, 13, False),  # BSON: opaque binary-encoded JSON
+}
+
+
+def _annotated_element(name: str, t: pa.DataType, kind: str) -> bytes:
+    """ENUM/JSON/BSON-annotated BYTE_ARRAY leaf. All three carry BOTH the
+    legacy ConvertedType and the modern LogicalType union member (empty
+    struct), like parquet-java; sort order stays unsigned byte-wise
+    (TYPE_ORDER), so chunk statistics remain valid."""
+    spec = _ANNOT_SPECS.get(str(kind).lower())
+    if spec is None:
+        raise ValueError(
+            f"unknown annotation {kind!r} for column {name!r}: "
+            f"expected one of {sorted(_ANNOT_SPECS)}")
+    conv, logical, needs_utf8 = spec
+    if needs_utf8:
+        ok = pa.types.is_string(t) or pa.types.is_large_string(t)
+        want = "string"
+    else:
+        ok = pa.types.is_binary(t) or pa.types.is_large_binary(t)
+        want = "binary"
+    if not ok:
+        raise TypeError(
+            f"{kind} column {name!r} must be {want}, got {t}")
+    return _schema_element(name, ptype=_T_BYTE_ARRAY, conv=conv,
+                           logical=logical)
+
+
 def _geo_crs_map(cols) -> dict[str, str | None]:
     """Normalize a geometry/geography column spec: a set/list of names (no
     crs) or a dict name -> crs string (None = unset)."""
@@ -1170,6 +1203,7 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                   variant_columns: set[str] | frozenset[str] | None = None,
                   uuid_columns: set[str] | frozenset[str] | None = None,
                   geometry_columns=None, geography_columns=None,
+                  annotation_columns: dict[str, str] | None = None,
                   encryption_key: bytes | None = None,
                   encryption_key_metadata: bytes | None = None,
                   encryption_kms_wrap=None,
@@ -1190,6 +1224,12 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
     decode our bytes)."""
     if data_page_version not in (1, 2):
         raise ValueError(f"data_page_version must be 1 or 2, got {data_page_version!r}")
+    for name, kind in (annotation_columns or {}).items():
+        # fail before any bytes land: unknown column / kind / wrong type
+        idx = table.schema.get_field_index(name)
+        if idx < 0:
+            raise KeyError(f"annotation column {name!r} not in table")
+        _annotated_element(name, table.schema.field(idx).type, kind)
     if shred_variants and variant_columns:
         # VariantShredding.md write side (opt-in; what Spark 4 emits by
         # default): split each variant into typed_value columns + residual
@@ -1324,7 +1364,8 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                                 frozenset(uuid_columns or ()),
                                 encrypted=gcm is not None,
                                 geometry_columns=_geo_crs_map(geometry_columns),
-                                geography_columns=_geo_crs_map(geography_columns))
+                                geography_columns=_geo_crs_map(geography_columns),
+                                annotation_columns=annotation_columns)
         if gcm is None:
             out.write(footer)
             out.write(struct.pack("<I", len(footer)))
@@ -1444,6 +1485,7 @@ def _schema_elements(schema: pa.Schema,
                      uuid_columns: frozenset[str] = frozenset(),
                      geometry_columns: dict[str, str | None] | None = None,
                      geography_columns: dict[str, str | None] | None = None,
+                     annotation_columns: dict[str, str] | None = None,
                      ) -> list[bytes]:
     """Flattened SchemaElement tree (depth-first, as the spec requires):
     root -> per-column leaf, or LIST 3-level group, or struct group."""
@@ -1458,6 +1500,9 @@ def _schema_elements(schema: pa.Schema,
         elif geography_columns and field.name in geography_columns:
             elems.append(_geo_element(field.name, field.type,
                                       geography_columns[field.name], 18))
+        elif annotation_columns and field.name in annotation_columns:
+            elems.append(_annotated_element(field.name, field.type,
+                                            annotation_columns[field.name]))
         elif field.name in uuid_columns:
             # UUID logical annotation (LogicalType union field 14, empty
             # struct) over FLBA(16) — parquet-format LogicalTypes.md
@@ -1480,9 +1525,11 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
                    encrypted: bool = False,
                    geometry_columns: dict[str, str | None] | None = None,
                    geography_columns: dict[str, str | None] | None = None,
+                   annotation_columns: dict[str, str] | None = None,
                    ) -> bytes:
     elems = _schema_elements(table.schema, variant_columns, uuid_columns,
-                             geometry_columns, geography_columns)
+                             geometry_columns, geography_columns,
+                             annotation_columns)
     # GEOMETRY/GEOGRAPHY columns carry no plain Statistics (their order is
     # undefined; the spec's GeospatialStatistics is a separate struct)
     geo_names = set(geometry_columns or ()) | set(geography_columns or ())

@@ -726,6 +726,7 @@ def export_parquet(
     output_key_metadata: bytes | None = None,
     geometry_columns: dict | set | None = None,
     geography_columns: dict | set | None = None,
+    annotation_columns: dict[str, str] | None = None,
     data_page_version: int = 1,
     shred_variants: bool = False,
 ) -> dict:
@@ -750,6 +751,9 @@ def export_parquet(
     binary WKB columns with the GEOMETRY/GEOGRAPHY logical types
     (parquet-format Geospatial.md; readers without geospatial support —
     e.g. pyarrow 16 — reject the footer, DuckDB reads them as blobs).
+    ``annotation_columns`` maps column -> "json" | "bson" | "enum" to stamp
+    the semantic BYTE_ARRAY logical types (LogicalTypes.md) on string/binary
+    columns — e.g. DuckDB surfaces a JSON-annotated export as its JSON type.
     ``shred_variants`` emits variant columns SHREDDED (VariantShredding.md
     — the layout Spark 4 writes by default): typed_value columns + residual
     binaries from a per-file inferred shredding schema, so downstream
@@ -831,6 +835,7 @@ def export_parquet(
                               shred_variants=shred_variants,
                               geometry_columns=geometry_columns,
                               geography_columns=geography_columns,
+                              annotation_columns=annotation_columns,
                               encryption_key=output_encryption_key,
                               encryption_key_metadata=output_key_metadata,
                               data_page_version=data_page_version)
