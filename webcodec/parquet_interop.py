@@ -208,12 +208,15 @@ def _bit_packed_unpack(bitpack):
 
 
 def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
-                       max_def: int, type_length: int = 0):
+                       max_def: int, type_length: int = 0,
+                       dict_values=None):
     """Decode one LEAF column chunk to Dremel entry streams using only
     webcodec kernels: (values, rep, def) where ``values`` holds the present
     values only (np array or python list of bytes), ``rep``/``def`` are
     int64 per-ENTRY level arrays (``rep`` is None when max_rep == 0;
-    ``def`` is None when max_def == 0)."""
+    ``def`` is None when max_def == 0). ``dict_values`` injects a
+    pre-decoded dictionary page for page-selective reads that start past
+    the chunk's own dictionary page."""
     codec = meta.compression
     start = meta.dictionary_page_offset
     if start is None:
@@ -221,8 +224,6 @@ def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
     end = start + meta.total_compressed_size
     w_def = max(max_def.bit_length(), 1)
     w_rep = max(max_rep.bit_length(), 1)
-
-    dict_values = None
     vals_parts: list = []
     rep_parts: list = []
     def_parts: list = []
@@ -643,15 +644,18 @@ def read_column_arrow(path: str, row_group: int, column_name: str):
 
 
 def read_table_arrow(path: str, columns: list[str] | None = None,
-                     kms_unwrap=None):
+                     kms_unwrap=None, filters=None):
     """Whole-file convenience: every (possibly nested) column of every row
     group assembled by webcodec kernels into one arrow Table — the
     interop-reader counterpart of filefmt.read_table for REFERENCE files.
     Since r5 this is fully self-contained: the footer is parsed by the same
     thrift compact reader as the page headers (``read_footer_native``), so
     no pyarrow metadata machinery is involved and files pyarrow's thrift
-    layer rejects (VARIANT-annotated exports) still decode."""
-    return read_table_arrow_native(path, columns, kms_unwrap=kms_unwrap)
+    layer rejects (VARIANT-annotated exports) still decode. ``filters``
+    prune row groups (chunk Statistics) and pages (ColumnIndex) before the
+    exact residual filter — see ``read_table_arrow_native``."""
+    return read_table_arrow_native(path, columns, kms_unwrap=kms_unwrap,
+                                   filters=filters)
 
 
 # ---------------------------- native footer -----------------------------------
@@ -679,9 +683,10 @@ class _ChunkMeta:
 
     __slots__ = ("compression", "dictionary_page_offset", "data_page_offset",
                  "total_compressed_size", "num_values", "path", "crypto",
-                 "statistics")
+                 "statistics", "offset_index_offset", "column_index_offset")
 
-    def __init__(self, md: dict, crypto: dict | None = None):
+    def __init__(self, md: dict, crypto: dict | None = None,
+                 cc: dict | None = None):
         self.compression = _CODEC_NAMES.get(md.get(4, 0), "uncompressed")
         self.dictionary_page_offset = md.get(11)
         self.data_page_offset = md[9]
@@ -698,6 +703,10 @@ class _ChunkMeta:
             "min_value": st.get(6),
             "max_value": st.get(5),
         }
+        # ColumnChunk page-index locations (fields 4/6); thrift structs are
+        # self-delimiting so the length fields (5/7) aren't needed
+        self.offset_index_offset = None if cc is None else cc.get(4)
+        self.column_index_offset = None if cc is None else cc.get(6)
 
 
 # parquet-format Encryption.md module types, verified against files the
@@ -1096,38 +1105,335 @@ def read_footer_native(path: str, kms_unwrap=None):
         [_ChunkMeta(*_chunk_crypto(cc, footer_gcm, aad_unique,
                                    rg.get(7, rg_i), col_i, kms_unwrap,
                                    footer_encrypted=head == b"PARE",
-                                   footer_key=footer_key, ctr=ctr_pages))
+                                   footer_key=footer_key, ctr=ctr_pages),
+                    cc=cc)
          for col_i, cc in enumerate(rg[1])]
         for rg_i, rg in enumerate(fmd[4])
     ]
+    rg_rows = [rg.get(3) for rg in fmd[4]]  # RowGroup.num_rows
     return {"fields": fields, "leaves": leaves, "row_groups": row_groups,
-            "buf": buf, "variant_shredded": variant_shredded}
+            "rg_rows": rg_rows, "buf": buf,
+            "variant_shredded": variant_shredded}
+
+
+# --------------------- predicate pruning (interop reader) --------------------
+# The read-side D2/D3 analogues applied ACROSS the interop boundary: row
+# groups prune on chunk Statistics (min_value/max_value/null_count, field 12)
+# and pages prune on ColumnIndex/OffsetIndex — the tiers parquet-java's
+# StatisticsFilter + ColumnIndexFilter evaluate. Pruning is always
+# conservative (unknown/undecodable stats keep the unit) and
+# webcodec.predicate.residual_filter re-applies the predicate exactly after
+# decode, so results never depend on stats precision.
+
+
+def _stat_to_py(raw, t, phys: str):
+    """PLAIN-decode one Statistics/ColumnIndex bound into a comparable
+    python value, honoring the column's TYPE_ORDER: unsigned annotated ints
+    decode in the unsigned domain, strings compare as raw UTF-8 bytes
+    (byte-wise unsigned == code-point order). None = unknown (keep)."""
+    import pyarrow as pa
+
+    if raw is None or raw == b"":
+        return None
+    try:
+        if phys == "INT32":
+            fmt = "<I" if pa.types.is_unsigned_integer(t) else "<i"
+            return struct.unpack(fmt, raw[:4])[0]
+        if phys == "INT64":
+            fmt = "<Q" if pa.types.is_unsigned_integer(t) else "<q"
+            return struct.unpack(fmt, raw[:8])[0]
+        if phys == "FLOAT":
+            v = struct.unpack("<f", raw[:4])[0]
+            return None if v != v else v  # NaN bound: unordered, keep
+        if phys == "DOUBLE":
+            v = struct.unpack("<d", raw[:8])[0]
+            return None if v != v else v
+        if phys == "BOOLEAN":
+            return bool(raw[0])
+        if phys in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+            if pa.types.is_decimal(t) or pa.types.is_float16(t):
+                return None  # FLBA orders we don't prune on
+            return bytes(raw)
+    except (struct.error, IndexError):
+        return None
+    return None  # INT96 and anything else: unknown order
+
+
+def _canon_one(v, t):
+    """Map one predicate value into the column's stat domain; (value, ok)."""
+    import pyarrow as pa
+
+    if v is None:
+        return None, False
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return (v.encode(), True) if isinstance(v, str) else (None, False)
+    if (pa.types.is_binary(t) or pa.types.is_large_binary(t)
+            or pa.types.is_fixed_size_binary(t)):
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            return bytes(v), True
+        return None, False
+    if pa.types.is_boolean(t):
+        return (v, True) if isinstance(v, bool) else (None, False)
+    if pa.types.is_integer(t):
+        if isinstance(v, bool) or not isinstance(v, int):
+            return None, False
+        return v, True
+    if pa.types.is_floating(t) and not pa.types.is_float16(t):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None, False
+        f = float(v)
+        return (f, True) if f == f else (None, False)  # NaN: unordered
+    if pa.types.is_date32(t) or pa.types.is_timestamp(t):
+        try:  # stats hold the raw epoch int in the column's unit
+            tgt = pa.int32() if pa.types.is_date32(t) else pa.int64()
+            return pa.scalar(v, type=t).cast(tgt).as_py(), True
+        except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError,
+                OverflowError, pa.ArrowNotImplementedError):
+            return None, False
+    return None, False
+
+
+def _canon_value(value, op: str, t):
+    """Canonicalize a conjunct's value(s) for stat comparison; ok=False
+    means the term cannot prune (but is still applied residually)."""
+    if op in ("isnull", "notnull"):
+        return None, True
+    if op == "in":
+        vs = []
+        for v in value:
+            cv, ok = _canon_one(v, t)
+            if not ok:
+                return None, False
+            vs.append(cv)
+        return vs, True
+    if op in ("startswith", "contains", "endswith"):
+        return None, False  # bytes-domain stats can't decide these here
+    return _canon_one(value, t)
+
+
+def _rg_may_match(rg: list, conj: list, by_name: dict, leaf_info: dict,
+                  n_rows: int) -> bool:
+    from webcodec import predicate as _pred
+
+    for col, op, value in conj:
+        meta = next((m for m in rg if m.path == col), None)
+        if meta is None or meta.statistics is None:
+            continue
+        t = by_name[col].type
+        cv, ok = _canon_value(value, op, t)
+        if not ok:
+            continue
+        phys = leaf_info[col]["phys"]
+        st = {"min": _stat_to_py(meta.statistics["min_value"], t, phys),
+              "max": _stat_to_py(meta.statistics["max_value"], t, phys),
+              "null_count": meta.statistics["null_count"]}
+        if not _pred.term_matches(st, op, cv, None, n_rows):
+            return False
+    return True
+
+
+def _parse_offset_index(buf, meta):
+    """[(offset, compressed_size, first_row_index)] per data page."""
+    st, _ = _read_struct(buf, meta.offset_index_offset)
+    return [(pl[1], pl[2], pl[3]) for pl in st[1]]
+
+
+def _merge_ranges(ranges):
+    out: list[tuple[int, int]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def _intersect_ranges(a, b):
+    out, i, j = [], 0, 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if lo < hi:
+            out.append((lo, hi))
+        if a[i][1] <= b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def _rg_page_ranges(buf, rg, conj, by_name, leaf_info, n_rows):
+    """Page tier: ColumnIndex bounds of each FILTER column -> kept global
+    row ranges within this row group. None = no usable page info (decode
+    everything); [] = no page can match (skip the group)."""
+    from webcodec import predicate as _pred
+
+    ranges = [(0, n_rows)]
+    usable = False
+    for col, op, value in conj:
+        meta = next((m for m in rg if m.path == col), None)
+        if (meta is None or meta.crypto is not None
+                or meta.column_index_offset is None
+                or meta.offset_index_offset is None):
+            continue
+        t = by_name[col].type
+        cv, ok = _canon_value(value, op, t)
+        if not ok:
+            continue
+        ci, _ = _read_struct(buf, meta.column_index_offset)
+        locs = _parse_offset_index(buf, meta)
+        if len(ci.get(1, ())) != len(locs):
+            continue  # malformed index pair: ignore, stay conservative
+        firsts = [loc[2] for loc in locs]
+        ends = firsts[1:] + [n_rows]
+        null_pages, mins, maxs = ci[1], ci[2], ci[3]
+        ncs = ci.get(5)
+        phys = leaf_info[col]["phys"]
+        col_ranges = []
+        for i in range(len(locs)):
+            pr = ends[i] - firsts[i]
+            if null_pages[i]:
+                st = {"min": None, "max": None, "null_count": pr}
+            else:
+                st = {"min": _stat_to_py(mins[i], t, phys),
+                      "max": _stat_to_py(maxs[i], t, phys),
+                      "null_count": ncs[i] if ncs else None}
+            if _pred.term_matches(st, op, cv, None, pr):
+                col_ranges.append((firsts[i], ends[i]))
+        usable = True
+        ranges = _intersect_ranges(ranges, _merge_ranges(col_ranges))
+        if not ranges:
+            return []
+    if not usable or ranges == [(0, n_rows)]:
+        return None
+    return ranges
+
+
+def _decode_dict_at(buf, meta, phys: str, tlen: int):
+    """Decode ONLY the chunk's dictionary page (unencrypted path)."""
+    header, pos = _read_struct(buf, meta.dictionary_page_offset)
+    usize, csize = header[2], header[3]
+    body = memoryview(_decompress(bytes(buf[pos:pos + csize]),
+                                  meta.compression, usize))
+    return _plain_values(body, header[7][1], phys, tlen)
+
+
+def _read_flat_ranges(buf, meta, field, lf, ranges, n_rows):
+    """Selective page decode of a FLAT unencrypted column restricted to the
+    kept row ranges: only pages overlapping a range are read (contiguous
+    kept pages decode as one run), then each run is sliced to the exact
+    ranges. Row spans come from OffsetIndex.first_row_index, never from
+    page header counts."""
+    import types as _types
+
+    import pyarrow as pa
+
+    locs = _parse_offset_index(buf, meta)
+    firsts = [loc[2] for loc in locs]
+    ends = firsts[1:] + [n_rows]
+    keep = [i for i in range(len(locs))
+            if any(lo < ends[i] and hi > firsts[i] for lo, hi in ranges)]
+    dict_values = None
+    if meta.dictionary_page_offset is not None:
+        dict_values = _decode_dict_at(buf, meta, lf["phys"], lf["tlen"])
+    out = []
+    i = 0
+    while i < len(keep):
+        j = i
+        while j + 1 < len(keep) and keep[j + 1] == keep[j] + 1:
+            j += 1
+        p0, p1 = keep[i], keep[j]
+        run_rows = ends[p1] - firsts[p0]
+        m2 = _types.SimpleNamespace(
+            compression=meta.compression, dictionary_page_offset=None,
+            data_page_offset=locs[p0][0],
+            total_compressed_size=(locs[p1][0] + locs[p1][1]) - locs[p0][0],
+            num_values=run_rows, crypto=None)
+        vals, reps, defs = _read_leaf_entries(
+            buf, m2, lf["phys"], 0, lf["max_def"], type_length=lf["tlen"],
+            dict_values=dict_values)
+        if defs is None:
+            defs = np.zeros(run_rows, np.int64)
+        arr = _assemble(field.type, 0, 0,
+                        [{"vals": vals, "rep": reps, "def": defs}],
+                        field.nullable)
+        s, e = firsts[p0], ends[p1]
+        for lo, hi in ranges:
+            lo2, hi2 = max(lo, s), min(hi, e)
+            if lo2 < hi2:
+                out.append(arr.slice(lo2 - s, hi2 - lo2))
+        i = j + 1
+    return (pa.concat_arrays(out) if out
+            else pa.array([], type=field.type))
 
 
 def read_table_arrow_native(path: str, columns: list[str] | None = None,
-                            kms_unwrap=None):
+                            kms_unwrap=None, filters=None):
     """Whole-file read with ZERO pyarrow-metadata involvement: footer thrift,
     page headers, levels and values all decoded by webcodec code; pyarrow is
     used only to hold the output arrays. Reads VARIANT-annotated exports
     (webcodec.parquet_writer ``variant_columns``) that pyarrow's own thrift
     layer rejects — variant columns come back as their storage struct
-    <value, metadata>."""
+    <value, metadata>.
+
+    ``filters`` is a conjunction of ``(column, op, value)`` triples over
+    flat top-level columns (webcodec.predicate ops: ==, <, <=, >, >=, in,
+    isnull, notnull, startswith, contains, endswith). Row groups prune on
+    chunk Statistics, pages on ColumnIndex/OffsetIndex, and the predicate
+    re-applies exactly after decode — same result as pyarrow reading the
+    whole file and filtering in memory, touching fewer bytes."""
     import pyarrow as pa
 
+    from webcodec import predicate as _pred
+
+    conj = _pred.normalize(filters)
     ft = read_footer_native(path, kms_unwrap=kms_unwrap)
     buf = ft["buf"]
     by_name = {f.name: f for f in ft["fields"]}
     leaf_info = {lf["path"]: lf for lf in ft["leaves"]}
     names = columns or [f.name for f in ft["fields"]]
+    read_names = list(names)
+    if conj:
+        for col, _, _ in conj:
+            if col not in by_name:
+                raise KeyError(f"filter column {col!r} not in schema")
+            if col not in leaf_info or leaf_info[col]["max_rep"] != 0:
+                raise ValueError(
+                    f"filters support flat top-level columns; {col!r} "
+                    "is nested")
+            if col not in read_names:
+                read_names.append(col)
+    kept: list[tuple[list, list | None, int]] = []
+    for rg_i, rg in enumerate(ft["row_groups"]):
+        n_rows = ft["rg_rows"][rg_i]
+        if n_rows is None:  # RowGroup.num_rows absent: flat leaf count
+            n_rows = next((m.num_values for m in rg
+                           if leaf_info[m.path]["max_rep"] == 0), 0)
+        if conj:
+            if not _rg_may_match(rg, conj, by_name, leaf_info, n_rows):
+                continue
+            ranges = _rg_page_ranges(buf, rg, conj, by_name, leaf_info,
+                                     n_rows)
+            if ranges == []:
+                continue
+        else:
+            ranges = None
+        kept.append((rg, ranges, n_rows))
     cols = {}
-    for name in names:
+    for name in read_names:
         field = by_name[name]
         parts = []
-        for rg in ft["row_groups"]:
+        for rg, ranges, n_rows in kept:
+            metas = [m for m in rg if m.path.split(".")[0] == name]
+            lf0 = leaf_info[metas[0].path] if metas else None
+            if (ranges is not None and len(metas) == 1
+                    and lf0["max_rep"] == 0 and metas[0].crypto is None
+                    and metas[0].offset_index_offset is not None):
+                parts.append(_read_flat_ranges(buf, metas[0], field, lf0,
+                                               ranges, n_rows))
+                continue
             streams = []
-            for meta in rg:
-                if meta.path.split(".")[0] != name:
-                    continue
+            for meta in metas:
                 lf = leaf_info[meta.path]
                 vals, reps, defs = _read_leaf_entries(
                     buf, meta, lf["phys"], lf["max_rep"], lf["max_def"],
@@ -1135,9 +1441,13 @@ def read_table_arrow_native(path: str, columns: list[str] | None = None,
                 if defs is None:
                     defs = np.zeros(meta.num_values, np.int64)
                 streams.append({"vals": vals, "rep": reps, "def": defs})
-            parts.append(_assemble(field.type, 0, 0, streams, field.nullable))
+            arr = _assemble(field.type, 0, 0, streams, field.nullable)
+            if ranges is not None:  # no page index on this column: slice
+                arr = pa.concat_arrays(
+                    [arr.slice(lo, hi - lo) for lo, hi in ranges])
+            parts.append(arr)
         cols[name] = (pa.concat_arrays(parts) if parts
-                      else pa.array([], field.type))
+                      else pa.array([], type=field.type))
     for vp in ft.get("variant_shredded", ()):
         if vp[0] in cols:  # reassemble shredded VARIANT storage
             from . import variant_shred
@@ -1149,4 +1459,9 @@ def read_table_arrow_native(path: str, columns: list[str] | None = None,
                                       f.metadata)
     # carry per-field nullability/metadata (pa.table(dict) would default
     # every field to nullable, diverging from pyarrow on required columns)
-    return pa.table(cols, schema=pa.schema([by_name[n] for n in names]))
+    tbl = pa.table(cols, schema=pa.schema([by_name[n] for n in read_names]))
+    if conj:
+        tbl = _pred.residual_filter(tbl, conj)
+        if read_names != names:  # filter-only columns drop from the output
+            tbl = tbl.select(names)
+    return tbl
