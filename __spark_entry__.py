@@ -470,6 +470,47 @@ def _rt_import_parquet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n long, kv_lang string, n_kv long")
 
 
+def _rt_import_parquet_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interop predicate pushdown through the driver gate (r5): each task
+    writes its document rows as a REFERENCE parquet file (pyarrow; small
+    PLAIN pages, row groups and page indexes so both pruning tiers have
+    something to skip), then reads it back with
+    parquet_interop.read_table_arrow(filters=...) — chunk-Statistics
+    row-group pruning, ColumnIndex/OffsetIndex page-selective decode and
+    the exact residual filter all run inside the task — and emits the
+    surviving rows. The union across tasks equals a plain SQL WHERE over
+    the table, which is exactly what the oracle checks."""
+    _prep(spark)
+    df = _src(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def rt(batches):
+        import os as _os
+        import tempfile as _tf
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from webcodec.parquet_interop import read_table_arrow
+
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            fd, path = _tf.mkstemp(suffix=".parquet")
+            _os.close(fd)
+            try:
+                pq.write_table(t, path, row_group_size=128,
+                               data_page_size=1024, write_page_index=True,
+                               use_dictionary=False, compression="zstd")
+                got = read_table_arrow(
+                    path, ["doc_id", "lang"],
+                    filters=[("lang", "in", ["en", "de"]),
+                             ("n_chars", ">", 320)])
+            finally:
+                _os.remove(path)
+            yield from got.to_batches()
+
+    return df.mapInArrow(rt, "doc_id long, lang string")
+
+
 def _rt_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GEOMETRY/GEOGRAPHY logical annotations (r5, parquet-format
     Geospatial.md): each task plants WKB points deterministically from its
@@ -2162,7 +2203,7 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """66 queries; the driver records oracle rows for the FIRST 50, so the
+    """67 queries; the driver records oracle rows for the FIRST 50, so the
     dict is ordered by verification need and ROTATED each round: never/least
     -recently-verified and this-round-changed queries first, then the rest;
     the tail holds queries green in every previous round (r1-r4) whose code
@@ -2185,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_geo": _rt_geo,
         "rt_export_parquet_deep": _rt_export_parquet_deep,
         "rt_import_parquet_nested": _rt_import_parquet_nested,
+        "rt_import_parquet_filtered": _rt_import_parquet_filtered,
         "rt_export_parquet": _rt_export_parquet,
         "rt_export_parquet_v2": _rt_export_parquet_v2,
         "rt_export_parquet_nested": _rt_export_parquet_nested,
@@ -2223,8 +2265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _text_repetition,
         "rt_documents": _rt_documents,
         "rt_events": _rt_events,
-        "rt_lineitem_q1": _rt_lineitem_q1,
         # ---- driver-row cutoff (50) — tail: green r1-r4, unchanged in r5 ----
+        "rt_lineitem_q1": _rt_lineitem_q1,
         "rt_join_orders": _rt_join_orders,
         "rt_embeddings": _rt_embeddings,
         "stats_minmax": _stats_minmax,
@@ -2820,6 +2862,10 @@ def oracle_sql() -> dict[str, str]:
             "ELSE list_aggregate(list_transform(string_split(text, ' ')[1:2], "
             "w -> length(w)), 'sum') END AS BIGINT) AS p_sum "
             "FROM documents"
+        ),
+        "rt_import_parquet_filtered": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE lang IN ('en', 'de') AND n_chars > 320"
         ),
         "rt_import_parquet_nested": (
             "SELECT doc_id, "
