@@ -54,6 +54,10 @@ def main() -> None:
                     help="stamp a semantic BYTE_ARRAY logical type on a "
                          "string/binary column: KIND is json, bson or enum "
                          "(repeatable)")
+    ap.add_argument("--bloom-column", action="append", default=[],
+                    metavar="NAME",
+                    help="write a parquet split-block bloom filter (XXH64) "
+                         "for this column's chunks (repeatable)")
     args = ap.parse_args()
 
     def _geo(specs: list[str]) -> dict | None:
@@ -81,6 +85,7 @@ def main() -> None:
         annotation_columns=({k: v for k, v in
                              (s.partition("=")[::2] for s in
                               args.annotate_column)} or None),
+        bloom_filter_columns=(set(args.bloom_column) or None),
         data_page_version=args.data_page_version)
     res["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(res))

@@ -1,0 +1,210 @@
+"""Parquet split-block bloom filters (SURVEY §2 C8 across the interop
+boundary; parquet-format BloomFilter.md). Write side:
+``write_parquet(bloom_filter_columns=...)`` emits a spec SBBF per chunk —
+XXH64 value hash (kernels/xxh.py, pinned to the published reference
+vectors), the spec's multiply-shift block mapping and 8-salt mask schedule,
+BloomFilterHeader thrift + uncompressed bitset between row-group data and
+the page indexes, offset/length in ColumnMetaData fields 14/15. Read side:
+the filter pushdown probes the bloom for ==/in conjuncts after the stats
+tier, dropping row groups whose stats overlap but whose value set provably
+misses — the tier stats alone cannot provide.
+
+No reference implementation in this sandbox consumes blooms (DuckDB 1.0
+and pyarrow 16 both predate support), so the evidence is: XXH64 reference
+vectors + scalar/vector differential, structural header parse-back,
+FPP measurement, no-false-negative sweeps, and unchanged readability of
+bloom-carrying files in pyarrow/DuckDB."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from webcodec import parquet_interop as pi
+from webcodec.kernels import bloom
+from webcodec.kernels.xxh import xxh64_scalar, xxh64_values
+from webcodec.parquet_writer import write_parquet
+
+
+def test_xxh64_reference_vectors():
+    # published xxHash reference results, seed = 0
+    assert xxh64_scalar(b"") == 0xEF46DB3751D8E999
+    assert xxh64_scalar(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64_scalar(b"abc") == 0x44BC2CF5AD770999
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_xxh64_vectorized_matches_scalar(seed):
+    rng = np.random.default_rng(seed)
+    lens = list(rng.integers(0, 130, 300)) + [0, 1, 3, 4, 7, 8, 31, 32,
+                                              33, 63, 64, 65, 1024]
+    vals = [rng.integers(0, 256, int(n), dtype=np.uint8).tobytes()
+            for n in lens]
+    data = np.frombuffer(b"".join(vals), np.uint8)
+    offs = np.zeros(len(vals) + 1, np.int64)
+    offs[1:] = np.cumsum([len(v) for v in vals])
+    got = xxh64_values(offs, data)
+    ref = np.array([xxh64_scalar(v) for v in vals], dtype=np.uint64)
+    assert (got == ref).all()
+
+
+def test_spec_bloom_no_false_negatives_and_fpp():
+    rng = np.random.default_rng(1)
+    vals = [f"k{int(v)}".encode() for v in rng.permutation(10_000)]
+    data = np.frombuffer(b"".join(vals), np.uint8)
+    offs = np.zeros(len(vals) + 1, np.int64)
+    offs[1:] = np.cumsum([len(v) for v in vals])
+    hs = xxh64_values(offs, data)
+    nbytes = bloom.spec_num_bytes(len(vals), 0.01)
+    bits = bloom.spec_build(hs, nbytes)
+    assert len(bits) == nbytes and nbytes % 32 == 0
+    # every inserted value answers yes
+    for h in hs[:500]:
+        assert bloom.spec_might_contain(bits, h)
+    # absent values answer yes at ~fpp
+    miss = [f"absent{i}".encode() for i in range(10_000)]
+    fp = sum(bloom.spec_might_contain(bits, xxh64_scalar(m)) for m in miss)
+    assert fp / len(miss) < 0.05
+
+
+def _two_group_table(n=60_000):
+    """Two row groups with OVERLAPPING stat ranges but DISJOINT value
+    sets (evens then odds) — stats cannot separate them, blooms can."""
+    ids = np.concatenate([np.arange(0, n, 2), np.arange(1, n, 2)])
+    return pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "url": pa.array([f"https://d{i % 977}.com/p{i}" for i in ids]),
+    })
+
+
+def test_bloom_written_file_still_readable_everywhere(tmp_path):
+    import duckdb
+
+    t = _two_group_table()
+    p = str(tmp_path / "b.parquet")
+    write_parquet(t, p, row_group_rows=t.num_rows // 2,
+                  bloom_filter_columns={"id", "url"})
+    assert pq.read_table(p).equals(t)
+    assert duckdb.execute(
+        f"select count(*) from '{p}'").fetchone()[0] == t.num_rows
+    ours = pi.read_table_arrow(p)
+    assert ours.equals(t)
+    ft = pi.read_footer_native(p)
+    for rg in ft["row_groups"]:
+        for m in rg:
+            assert m.bloom_offset is not None
+
+
+def test_bloom_prunes_row_group_stats_cannot(tmp_path, monkeypatch):
+    t = _two_group_table()
+    n = t.num_rows
+    p = str(tmp_path / "b.parquet")
+    write_parquet(t, p, row_group_rows=n // 2,
+                  bloom_filter_columns={"id", "url"})
+    seen = []
+    orig = pi._read_leaf_entries
+
+    def counting(buf, meta, *a, **k):
+        seen.append(meta.num_values)
+        return orig(buf, meta, *a, **k)
+
+    monkeypatch.setattr(pi, "_read_leaf_entries", counting)
+    # an ODD id lies inside group 0's [0, n-2] stat range; only its bloom
+    # proves absence, halving the decode
+    got = pi.read_table_arrow(p, filters=[("id", "==", 33333)])
+    assert got.num_rows == 1
+    assert got.column("url")[0].as_py().endswith("/p33333")
+    assert sum(seen) <= n  # one group's two chunks, not two groups'
+    # a value in NO group decodes nothing at all
+    seen.clear()
+    got = pi.read_table_arrow(p, filters=[("url", "==", "https://nope/")])
+    assert got.num_rows == 0 and sum(seen) == 0
+    # in-list with one present value keeps exactly the groups that hold it
+    seen.clear()
+    got = pi.read_table_arrow(p, filters=[("id", "in", [2, 10**9])])
+    assert got.column("id").to_pylist() == [2] and sum(seen) <= n
+
+
+def test_bloom_numeric_and_binary_lanes(tmp_path):
+    n = 4_000
+    rng = np.random.default_rng(3)
+    t = pa.table({
+        "i32": pa.array(rng.integers(-2**31, 2**31, n, dtype=np.int64)
+                        .astype(np.int32), pa.int32()),
+        "u64": pa.array(rng.integers(0, 2**63, n, dtype=np.uint64) * 2,
+                        pa.uint64()),
+        "f64": pa.array(rng.normal(size=n)),
+        "ts": pa.array((rng.integers(0, 2**40, n)).astype("datetime64[us]")),
+        "fsb": pa.array([bytes([i % 251, (i * 7) % 251]) for i in range(n)],
+                        pa.binary(2)),
+    })
+    p = str(tmp_path / "b.parquet")
+    write_parquet(t, p, bloom_filter_columns=set(t.column_names))
+    # present values hit, absent values prune the (single) group to zero
+    probes = [("i32", t.column("i32")[5].as_py(), np.int32(7).item()),
+              ("u64", t.column("u64")[6].as_py(), 3),
+              ("f64", t.column("f64")[7].as_py(), 12345.6789),
+              ("ts", t.column("ts")[8].as_py(), None),
+              ("fsb", t.column("fsb")[9].as_py(), b"\xff\xfe")]
+    for col, present, absent in probes:
+        got = pi.read_table_arrow(p, [col], filters=[(col, "==", present)])
+        assert got.num_rows >= 1, col
+        if absent is not None:
+            got = pi.read_table_arrow(p, [col],
+                                      filters=[(col, "==", absent)])
+            ref = t.filter(pa.compute.equal(t.column(col),
+                                            pa.scalar(absent, t.column(col).type)))
+            assert got.num_rows == ref.num_rows, col
+
+
+def test_bloom_validation(tmp_path):
+    t = pa.table({"b": pa.array([True, False]),
+                  "s": pa.array([1, 2], pa.int64())})
+    p = str(tmp_path / "x.parquet")
+    with pytest.raises(TypeError, match="unsupported"):
+        write_parquet(t, p, bloom_filter_columns={"b"})
+    with pytest.raises(KeyError, match="not in table"):
+        write_parquet(t, p, bloom_filter_columns={"nope"})
+    with pytest.raises(ValueError, match="encrypted"):
+        write_parquet(t, p, bloom_filter_columns={"s"},
+                      encryption_key=bytes(16))
+
+
+def test_malformed_bloom_header_is_conservative(tmp_path):
+    """A corrupted bloom region must never change results — the probe
+    returns maybe and stats/residual still govern."""
+    t = _two_group_table(8_000)
+    p = str(tmp_path / "b.parquet")
+    write_parquet(t, p, row_group_rows=4_000, bloom_filter_columns={"id"})
+    ft = pi.read_footer_native(p)
+    off = ft["row_groups"][0][0].bloom_offset
+    raw = bytearray(open(p, "rb").read())
+    raw[off] ^= 0xFF  # smash the header's first thrift byte
+    open(p, "wb").write(bytes(raw))
+    got = pi.read_table_arrow(p, filters=[("id", "==", 1001)])
+    assert got.column("id").to_pylist() == [1001]
+
+
+def test_export_parquet_bloom_passthrough(tmp_path, spark):
+    import glob
+
+    from webcodec.spark.encode_job import encode_table
+    from webcodec.spark.maintenance import export_parquet
+
+    t = pa.table({"id": pa.array(range(5_000), pa.int64()),
+                  "u": pa.array([f"u{i}" for i in range(5_000)])})
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(t, src)
+    d = tmp_path / "tbl"
+    encode_table(spark.read.parquet(src), str(d), sort_key="id",
+                 write_metrics=False)
+    res = export_parquet(spark, str(d), str(tmp_path / "pq"),
+                         bloom_filter_columns={"u"})
+    assert res["rows"] == 5_000
+    f = sorted(glob.glob(str(tmp_path / "pq" / "*.parquet")))[0]
+    ft = pi.read_footer_native(f)
+    blooms = [m.bloom_offset for rg in ft["row_groups"] for m in rg
+              if m.path == "u"]
+    assert blooms and all(b is not None for b in blooms)
+    got = pi.read_table_arrow(f, filters=[("u", "==", "u4321")])
+    assert got.column("id").to_pylist() == [4321]

@@ -110,3 +110,52 @@ def might_contain(filter_bytes: bytes | memoryview, h: np.uint64) -> bool:
     words = np.frombuffer(filter_bytes, dtype=np.uint32).reshape(-1, 8)
     block, masks = _block_masks(np.array([h], dtype=np.uint64), len(words))
     return bool(((words[block[0]] & masks[0]) == masks[0]).all())
+
+
+# ------------------------- parquet-SPEC split block ---------------------------
+# The .wcd filter above is self-consistent (private format). The functions
+# below are BIT-EXACT to parquet-format BloomFilter.md for interop files:
+# XXH64 value hash (kernels/xxh.py), block index by the spec's multiply-
+# shift range reduction ``((h >> 32) * nblocks) >> 32`` (NOT modulo), and
+# the same 8-salt mask schedule (_SALT — identical constants).
+
+
+def _spec_block_masks(h: np.ndarray, nblocks: int):
+    block = (((h >> np.uint64(32)) * np.uint64(nblocks))
+             >> np.uint64(32)).astype(np.int64)
+    x = (h & np.uint64(0xFFFFFFFF))[:, None] * _SALT[None, :]
+    bit = (x >> np.uint64(27)).astype(np.uint64) & np.uint64(31)
+    masks = (np.uint32(1) << bit.astype(np.uint32)).astype(np.uint32)
+    return block, masks
+
+
+def spec_num_bytes(ndv: int, fpp: float = 0.01,
+                   max_bytes: int = 1 << 20) -> int:
+    """Power-of-two byte size for ``ndv`` distinct values at ~``fpp``
+    (parquet-java BlockSplitBloomFilter.optimalNumOfBits rounds the
+    c*ndv bits up to a power of two within [32 bytes, max])."""
+    n = max(int(ndv), 1)
+    bits = -n * np.log(max(min(fpp, 0.5), 1e-9)) / (np.log(2) ** 2)
+    nbytes = 32
+    while nbytes * 8 < bits and nbytes < max_bytes:
+        nbytes *= 2
+    return min(nbytes, max_bytes)
+
+
+def spec_build(hashes: np.ndarray, nbytes: int) -> bytes:
+    """Spec split-block bitset of ``nbytes`` (multiple of 32) bytes."""
+    nblocks = max(nbytes // 32, 1)
+    words = np.zeros((nblocks, 8), dtype=np.uint32)
+    if len(hashes):
+        block, masks = _spec_block_masks(hashes.astype(np.uint64), nblocks)
+        for w in range(8):
+            np.bitwise_or.at(words[:, w], block, masks[:, w])
+    return words.tobytes()
+
+
+def spec_might_contain(filter_bytes: bytes | memoryview,
+                       h: int | np.uint64) -> bool:
+    words = np.frombuffer(filter_bytes, dtype=np.uint32).reshape(-1, 8)
+    block, masks = _spec_block_masks(
+        np.array([h], dtype=np.uint64), len(words))
+    return bool(((words[block[0]] & masks[0]) == masks[0]).all())

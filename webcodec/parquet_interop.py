@@ -683,7 +683,8 @@ class _ChunkMeta:
 
     __slots__ = ("compression", "dictionary_page_offset", "data_page_offset",
                  "total_compressed_size", "num_values", "path", "crypto",
-                 "statistics", "offset_index_offset", "column_index_offset")
+                 "statistics", "offset_index_offset", "column_index_offset",
+                 "bloom_offset")
 
     def __init__(self, md: dict, crypto: dict | None = None,
                  cc: dict | None = None):
@@ -707,6 +708,7 @@ class _ChunkMeta:
         # self-delimiting so the length fields (5/7) aren't needed
         self.offset_index_offset = None if cc is None else cc.get(4)
         self.column_index_offset = None if cc is None else cc.get(6)
+        self.bloom_offset = md.get(14)  # ColumnMetaData.bloom_filter_offset
 
 
 # parquet-format Encryption.md module types, verified against files the
@@ -1211,24 +1213,84 @@ def _canon_value(value, op: str, t):
     return _canon_one(value, t)
 
 
+def _plain_bytes_for_hash(cv, t, phys: str) -> bytes | None:
+    """PLAIN encoding of one canonicalized predicate value — the bytes the
+    writer's bloom hashed. None = not representable in this lane (the
+    stats tier has already had its say; keep)."""
+    import pyarrow as pa
+
+    try:
+        if isinstance(cv, bytes):
+            return cv
+        if phys == "INT32":
+            fmt = "<I" if pa.types.is_unsigned_integer(t) else "<i"
+            return struct.pack(fmt, cv)
+        if phys == "INT64":
+            fmt = "<Q" if pa.types.is_unsigned_integer(t) else "<q"
+            return struct.pack(fmt, cv)
+        if phys == "FLOAT":
+            return struct.pack("<f", cv)
+        if phys == "DOUBLE":
+            return struct.pack("<d", cv)
+    except (struct.error, OverflowError):
+        return None
+    return None
+
+
+def _bloom_might_contain(buf, meta, cv, t, phys: str) -> bool:
+    """Probe the chunk's spec split-block bloom filter for one == value (or
+    each value of an in-list). Conservative True on any malformed or
+    unsupported header (compressed bitsets, non-XXHASH)."""
+    from webcodec.kernels import bloom as _bloom
+    from webcodec.kernels.xxh import xxh64_scalar
+
+    try:
+        hdr, pos = _read_struct(buf, meta.bloom_offset)
+        nbytes = hdr.get(1)
+        # unions: algorithm BLOCK(1), hash XXHASH(1), compression
+        # UNCOMPRESSED(1) — anything else we can't evaluate
+        if (nbytes is None or nbytes <= 0 or nbytes % 32
+                or 1 not in hdr.get(2, {}) or 1 not in hdr.get(3, {})
+                or 1 not in hdr.get(4, {})):
+            return True
+        bitset = bytes(buf[pos:pos + nbytes])
+        if len(bitset) < nbytes:
+            return True
+    except (NotImplementedError, ValueError, IndexError, struct.error):
+        return True
+    values = cv if isinstance(cv, list) else [cv]
+    for v in values:
+        pb = _plain_bytes_for_hash(v, t, phys)
+        if pb is None:
+            return True
+        if _bloom.spec_might_contain(bitset, xxh64_scalar(pb)):
+            return True
+    return False
+
+
 def _rg_may_match(rg: list, conj: list, by_name: dict, leaf_info: dict,
-                  n_rows: int) -> bool:
+                  n_rows: int, buf=None) -> bool:
     from webcodec import predicate as _pred
 
     for col, op, value in conj:
         meta = next((m for m in rg if m.path == col), None)
-        if meta is None or meta.statistics is None:
+        if meta is None:
             continue
         t = by_name[col].type
         cv, ok = _canon_value(value, op, t)
         if not ok:
             continue
         phys = leaf_info[col]["phys"]
-        st = {"min": _stat_to_py(meta.statistics["min_value"], t, phys),
-              "max": _stat_to_py(meta.statistics["max_value"], t, phys),
-              "null_count": meta.statistics["null_count"]}
-        if not _pred.term_matches(st, op, cv, None, n_rows):
-            return False
+        if meta.statistics is not None:
+            st = {"min": _stat_to_py(meta.statistics["min_value"], t, phys),
+                  "max": _stat_to_py(meta.statistics["max_value"], t, phys),
+                  "null_count": meta.statistics["null_count"]}
+            if not _pred.term_matches(st, op, cv, None, n_rows):
+                return False
+        if (op in ("==", "in") and buf is not None
+                and meta.bloom_offset is not None and meta.crypto is None
+                and not _bloom_might_contain(buf, meta, cv, t, phys)):
+            return False  # definite miss: no page of this group can match
     return True
 
 
@@ -1410,7 +1472,8 @@ def read_table_arrow_native(path: str, columns: list[str] | None = None,
             n_rows = next((m.num_values for m in rg
                            if leaf_info[m.path]["max_rep"] == 0), 0)
         if conj:
-            if not _rg_may_match(rg, conj, by_name, leaf_info, n_rows):
+            if not _rg_may_match(rg, conj, by_name, leaf_info, n_rows,
+                                 buf=buf):
                 continue
             ranges = _rg_page_ranges(buf, rg, conj, by_name, leaf_info,
                                      n_rows)

@@ -1121,6 +1121,84 @@ def _geo_element(name: str, t: pa.DataType, crs: str | None,
                            logical_payload=payload)
 
 
+def _bloom_lane_dtype(t: pa.DataType):
+    """Arrow type -> (arrow cast target, struct pack fmt) for the PLAIN
+    physical lane whose bytes parquet bloom filters hash. None = type not
+    bloomable (boolean has 2 values; decimal/float16/nested orders are out
+    of scope, matching our pruning tiers)."""
+    import pyarrow as pa
+
+    if pa.types.is_date32(t):
+        return pa.int32(), "<i"
+    if pa.types.is_timestamp(t) or pa.types.is_time64(t) \
+            or pa.types.is_duration(t):
+        return pa.int64(), "<q"
+    if pa.types.is_time32(t):
+        return pa.int32(), "<i"
+    if pa.types.is_signed_integer(t):
+        return (pa.int32(), "<i") if t.bit_width <= 32 else (pa.int64(), "<q")
+    if pa.types.is_unsigned_integer(t):
+        return (pa.uint32(), "<I") if t.bit_width <= 32 \
+            else (pa.uint64(), "<Q")
+    if pa.types.is_float32(t):
+        return pa.float32(), "<f"
+    if pa.types.is_float64(t):
+        return pa.float64(), "<d"
+    return None
+
+
+def _bloom_hashes(arr) -> "np.ndarray":
+    """XXH64 of the PLAIN-encoded bytes of a column chunk's DISTINCT
+    non-null values (what parquet-java's BlockSplitBloomFilter inserts)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from webcodec.kernels.xxh import xxh64_values
+
+    u = pc.unique(arr)
+    u = u.drop_null()
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    t = u.type
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        b = u if pa.types.is_binary(t) else u.cast(pa.binary())
+        offs = np.frombuffer(b.buffers()[1], np.int32)[
+            b.offset: b.offset + len(b) + 1].astype(np.int64)
+        dbuf = b.buffers()[2]
+        data = (np.frombuffer(dbuf, np.uint8) if dbuf is not None
+                else np.zeros(0, np.uint8))
+        return xxh64_values(offs, data)
+    if pa.types.is_fixed_size_binary(t):
+        w = t.byte_width
+        data = np.frombuffer(u.buffers()[1], np.uint8)[
+            u.offset * w: (u.offset + len(u)) * w]
+        return xxh64_values(np.arange(len(u) + 1, dtype=np.int64) * w, data)
+    lane = _bloom_lane_dtype(t)
+    if lane is None:
+        raise TypeError(f"bloom filters unsupported for column type {t}")
+    v = np.ascontiguousarray(u.cast(lane[0]).to_numpy(zero_copy_only=False))
+    w = v.dtype.itemsize
+    return xxh64_values(np.arange(len(v) + 1, dtype=np.int64) * w,
+                        v.view(np.uint8))
+
+
+def _bloom_header_bytes(nbytes: int) -> bytes:
+    """Thrift BloomFilterHeader: numBytes + the three one-armed unions
+    (algorithm BLOCK, hash XXHASH, compression UNCOMPRESSED)."""
+    empty_union = _TOut()
+    _f_struct(empty_union, 0, 1, b"\x00")
+    _stop(empty_union)
+    eu = bytes(empty_union.buf)
+    h = _TOut()
+    last = _f_i32(h, 0, 1, nbytes)
+    last = _f_struct(h, last, 2, eu)
+    last = _f_struct(h, last, 3, eu)
+    last = _f_struct(h, last, 4, eu)
+    _stop(h)
+    return bytes(h.buf)
+
+
 # semantic BYTE_ARRAY annotations (parquet-format LogicalTypes.md):
 # kind -> (ConvertedType enum, LogicalType union field id, needs_utf8)
 _ANNOT_SPECS = {
@@ -1204,6 +1282,8 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                   uuid_columns: set[str] | frozenset[str] | None = None,
                   geometry_columns=None, geography_columns=None,
                   annotation_columns: dict[str, str] | None = None,
+                  bloom_filter_columns: set[str] | frozenset[str] | None = None,
+                  bloom_filter_fpp: float = 0.01,
                   encryption_key: bytes | None = None,
                   encryption_key_metadata: bytes | None = None,
                   encryption_kms_wrap=None,
@@ -1230,6 +1310,25 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
         if idx < 0:
             raise KeyError(f"annotation column {name!r} not in table")
         _annotated_element(name, table.schema.field(idx).type, kind)
+    bloom_cols = frozenset(bloom_filter_columns or ())
+    if bloom_cols and encryption_key is not None:
+        # encrypted blooms are their own AES-GCM module types (6/7,
+        # Encryption.md); not implemented — refuse rather than leak a
+        # plaintext value digest next to encrypted pages
+        raise ValueError("bloom filters on encrypted exports are not "
+                         "supported (plaintext bitsets would leak a "
+                         "digest of the encrypted values)")
+    for name in bloom_cols:
+        idx = table.schema.get_field_index(name)
+        if idx < 0:
+            raise KeyError(f"bloom column {name!r} not in table")
+        t = table.schema.field(idx).type
+        if pa.types.is_nested(t) or _bloom_lane_dtype(t) is None and not (
+                pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t)
+                or pa.types.is_fixed_size_binary(t)):
+            raise TypeError(f"bloom filters unsupported for column "
+                            f"{name!r} of type {t}")
     if shred_variants and variant_columns:
         # VariantShredding.md write side (opt-in; what Spark 4 emits by
         # default): split each variant into typed_value columns + residual
@@ -1333,10 +1432,30 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                         (column_encoding or {}).get(name), ectx=_ectx(),
                         page_version=data_page_version,
                     )
+                    if name in bloom_cols:
+                        cm["bloom_hashes"] = _bloom_hashes(arr)
                     col_meta.append(cm)
             for cm in col_meta:
                 cm["rows"] = sl.num_rows
             groups_meta.append(col_meta)
+        if gcm is None and bloom_cols:
+            # bloom filters land between the row-group data and the page
+            # indexes (parquet-java's BloomFilterWriteStore layout); the
+            # footer records offset+length per chunk (fields 14/15)
+            from webcodec.kernels import bloom as _bloom
+
+            for col_meta in groups_meta:
+                for c in col_meta:
+                    hs = c.pop("bloom_hashes", None)
+                    if hs is None:
+                        continue
+                    nbytes = _bloom.spec_num_bytes(len(hs), bloom_filter_fpp)
+                    bitset = _bloom.spec_build(hs, nbytes)
+                    hdr = _bloom_header_bytes(len(bitset))
+                    c["bloom"] = (offset, len(hdr) + len(bitset))
+                    out.write(hdr)
+                    out.write(bitset)
+                    offset += len(hdr) + len(bitset)
         if gcm is None:
             # page indexes (parquet-java layout: all ColumnIndexes, then all
             # OffsetIndexes, between the last row group and the footer).
@@ -1578,6 +1697,10 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
                     l2 = _f_binary(sb, l2, 6, st["min"])
                 _stop(sb)
                 last = _f_struct(md, last, 12, bytes(sb.buf))
+            bl = c.get("bloom")
+            if bl is not None:  # bloom_filter_offset / _length
+                last = _f_i64(md, last, 14, bl[0])
+                last = _f_i32(md, last, 15, bl[1])
             _stop(md)
             first_off = c["dict_offset"] if c.get("dict_offset") is not None else c["offset"]
             cc = _TOut()

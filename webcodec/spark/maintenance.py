@@ -727,6 +727,7 @@ def export_parquet(
     geometry_columns: dict | set | None = None,
     geography_columns: dict | set | None = None,
     annotation_columns: dict[str, str] | None = None,
+    bloom_filter_columns: set | frozenset | None = None,
     data_page_version: int = 1,
     shred_variants: bool = False,
 ) -> dict:
@@ -836,6 +837,7 @@ def export_parquet(
                               geometry_columns=geometry_columns,
                               geography_columns=geography_columns,
                               annotation_columns=annotation_columns,
+                              bloom_filter_columns=bloom_filter_columns,
                               encryption_key=output_encryption_key,
                               encryption_key_metadata=output_key_metadata,
                               data_page_version=data_page_version)
