@@ -32,6 +32,7 @@ FAMILIES = [
     ("test_parquet_writer", "test_deep_nested_export_fuzz", 20),
     ("test_parquet_writer", "test_nested_export_fuzz", 24),
     ("test_parquet_interop", "test_nested_assembly_fuzz", 12),
+    ("test_interop_filters", "test_filter_fuzz_vs_pyarrow", 8),
 ]
 
 

@@ -33,6 +33,17 @@ def test_xxh64_reference_vectors():
     assert xxh64_scalar(b"abc") == 0x44BC2CF5AD770999
 
 
+def test_xxh64_tiny_inputs():
+    """Total data < 8 bytes: the masked tail gathers must stay in bounds
+    (regression — one 3-byte value used to IndexError)."""
+    for vals in ([b"abc"], [b""], [b"a", b"bc"], [b"1234567"]):
+        data = np.frombuffer(b"".join(vals), np.uint8)
+        offs = np.zeros(len(vals) + 1, np.int64)
+        offs[1:] = np.cumsum([len(v) for v in vals])
+        got = xxh64_values(offs, data)
+        assert [int(h) for h in got] == [xxh64_scalar(v) for v in vals]
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_xxh64_vectorized_matches_scalar(seed):
     rng = np.random.default_rng(seed)

@@ -62,8 +62,10 @@ def xxh64_values(offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
 def _xxh64_impl(offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
     offsets = np.asarray(offsets, dtype=np.int64)
     data = np.asarray(data, dtype=np.uint8)
-    if data.size == 0:  # keep gathers in bounds for all-empty inputs
-        data = np.zeros(1, dtype=np.uint8)
+    if data.size < 8:
+        # masked-out tail gathers still read 8 bytes at offset 0; pad so
+        # they stay in bounds (padding is never part of any active lane)
+        data = np.concatenate([data, np.zeros(8 - data.size, np.uint8)])
     starts = offsets[:-1]
     lens = np.diff(offsets)
     m = len(lens)
