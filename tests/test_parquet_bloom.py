@@ -9,11 +9,16 @@ the filter pushdown probes the bloom for ==/in conjuncts after the stats
 tier, dropping row groups whose stats overlap but whose value set provably
 misses — the tier stats alone cannot provide.
 
-No reference implementation in this sandbox consumes blooms (DuckDB 1.0
-and pyarrow 16 both predate support), so the evidence is: XXH64 reference
-vectors + scalar/vector differential, structural header parse-back,
-FPP measurement, no-false-negative sweeps, and unchanged readability of
-bloom-carrying files in pyarrow/DuckDB."""
+Reference differential BOTH directions via Spark's parquet-mr 1.16 (the
+one in-sandbox implementation that writes AND reads spec blooms; DuckDB
+1.0 / pyarrow 16 predate support and just ignore ours):
+`test_parquet_java_written_blooms_probe_exactly` probes a parquet-java-
+written bitset with OUR XXH64 + multiply-shift math (every present value
+must hit — any hash/layout deviation fails immediately), and
+`test_spark_reads_our_blooms_with_filters` has parquet-mr's bloom-level
+row-group filtering read OUR bitsets (a layout bug would surface as lost
+rows). Plus: XXH64 reference vectors + scalar/vector differential,
+structural parse-back, FPP measurement, and no-false-negative sweeps."""
 
 import numpy as np
 import pyarrow as pa
@@ -194,6 +199,79 @@ def test_malformed_bloom_header_is_conservative(tmp_path):
     open(p, "wb").write(bytes(raw))
     got = pi.read_table_arrow(p, filters=[("id", "==", 1001)])
     assert got.column("id").to_pylist() == [1001]
+
+
+def test_parquet_java_written_blooms_probe_exactly(tmp_path, spark):
+    """REFERENCE DIFFERENTIAL (read side): Spark's parquet-java writer
+    emits spec SBBFs; our XXH64 + multiply-shift block math must probe
+    its bitsets exactly — 100% of present values hit (any deviation in
+    hash, block mapping or mask schedule breaks this), absent values at
+    ~fpp, and the e2e filtered read bloom-prunes the same file."""
+    import struct as _struct
+
+    import pyspark.sql.functions as F
+
+    from webcodec.kernels.xxh import xxh64_scalar
+
+    d = str(tmp_path / "sb")
+    df = spark.range(20_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        (F.col("id") * 2).alias("ev"))
+    (df.coalesce(1).write.mode("overwrite")
+     .option("parquet.bloom.filter.enabled#url", "true")
+     .option("parquet.bloom.filter.enabled#ev", "true")
+     .option("parquet.bloom.filter.expected.ndv#url", "20000")
+     .parquet(d))
+    import glob
+
+    f = glob.glob(d + "/*.parquet")[0]
+    ft = pi.read_footer_native(f)
+    buf = ft["buf"]
+
+    def bitset(path):
+        m = [m for rg in ft["row_groups"] for m in rg if m.path == path][0]
+        assert m.bloom_offset is not None
+        hdr, pos = pi._read_struct(buf, m.bloom_offset)
+        assert hdr[2] == {1: {}} and hdr[3] == {1: {}} and hdr[4] == {1: {}}
+        return bytes(buf[pos:pos + hdr[1]])
+
+    b_url = bitset("url")
+    present = [f"u{i}".encode() for i in range(0, 20_000, 7)]
+    assert all(bloom.spec_might_contain(b_url, xxh64_scalar(v))
+               for v in present)
+    absent = [f"nope{i}".encode() for i in range(4_000)]
+    fp = sum(bloom.spec_might_contain(b_url, xxh64_scalar(v))
+             for v in absent)
+    assert fp / len(absent) < 0.05
+    b_ev = bitset("ev")
+    assert all(bloom.spec_might_contain(b_ev, xxh64_scalar(
+        _struct.pack("<q", v))) for v in range(0, 40_000, 14))
+    # odd values were never written; parquet-java's bitset must miss them
+    miss = sum(bloom.spec_might_contain(b_ev, xxh64_scalar(
+        _struct.pack("<q", v))) for v in range(1, 40_000, 14))
+    assert miss / (40_000 // 14) < 0.05
+    # e2e: our filtered reader over the parquet-java file
+    got = pi.read_table_arrow(f, filters=[("url", "==", "u12345")])
+    assert got.to_pylist() == [{"url": "u12345", "ev": 24690}]
+    assert pi.read_table_arrow(
+        f, filters=[("ev", "==", 39_999)]).num_rows == 0
+
+
+def test_spark_reads_our_blooms_with_filters(tmp_path, spark):
+    """REFERENCE DIFFERENTIAL (write side): parquet-mr's bloom-level
+    row-group filtering reads OUR bitsets — a layout/hash bug would make
+    Spark silently DROP matching rows (bloom false negative), so exact
+    counts on present values are the strong check."""
+    t = _two_group_table(30_000)
+    p = str(tmp_path / "ours.parquet")
+    write_parquet(t, p, row_group_rows=t.num_rows // 2,
+                  bloom_filter_columns={"id", "url"})
+    df = spark.read.parquet(p)
+    present_url = f"https://d{12345 % 977}.com/p12345"
+    assert df.filter(df["url"] == present_url).count() == 1
+    assert df.filter(df["id"] == 13_333).count() == 1
+    assert df.filter(df["id"] == 29_998).count() == 1
+    assert df.filter(df["url"] == "https://zz/").count() == 0
 
 
 def test_export_parquet_bloom_passthrough(tmp_path, spark):
