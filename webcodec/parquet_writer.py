@@ -566,6 +566,12 @@ def _offset_index_bytes(pages: list[dict]) -> bytes:
         l2 = _f_i64(pl, l2, 3, p["first_row"])
         _stop(pl)
         o.buf += pl.buf
+    if all("var_bytes" in p for p in pages) and pages:
+        # OffsetIndex.unencoded_byte_array_data_bytes (field 2, per page —
+        # what parquet-java 1.14+ emits for BYTE_ARRAY chunks)
+        last = _f_list_header(o, last, 2, len(pages), 6)
+        for p in pages:
+            o.zigzag(p["var_bytes"])
     _stop(o)
     return bytes(o.buf)
 
@@ -752,7 +758,9 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
             pages_meta.append({
                 "off": page_off, "csize": offset - page_off, "first_row": a,
                 "n_valid": len(vs),
-                "stats": _chunk_stats(vs, (b - a) - len(vs))})
+                "stats": _chunk_stats(vs, (b - a) - len(vs)),
+                **({"var_bytes": _var_data_bytes(vs)}
+                   if ptype == _T_BYTE_ARRAY else {})})
         return (
             {
                 "name": name, "type": ptype, "conv": conv,
@@ -763,6 +771,7 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
                 "offset": data_page_offset,
                 "dict_offset": None,
                 "enc": enc,
+                "pv": page_version,
                 "_ectx": ectx,
                 **extra,
             },
@@ -833,7 +842,9 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
         pages_meta.append({
             "off": page_off, "csize": offset - page_off, "first_row": a,
             "n_valid": len(pvalid),
-            "stats": _chunk_stats(pvalid, (b - a) - len(pvalid))})
+            "stats": _chunk_stats(pvalid, (b - a) - len(pvalid)),
+            **({"var_bytes": _var_data_bytes(pvalid)}
+               if ptype == _T_BYTE_ARRAY else {})})
     return (
         {
             "name": name, "type": ptype, "conv": conv,
@@ -844,6 +855,7 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
             "offset": data_page_offset,
             "dict_offset": dict_page_offset,
             "enc": enc,
+            "pv": page_version,
             "_ectx": ectx,
             **extra,
         },
@@ -906,10 +918,20 @@ def _write_shredded_chunk(out, offset: int, path_names: list[str],
             "offset": data_page_offset,
             "dict_offset": None,
             "enc": _ENC_PLAIN,
+            "pv": page_version,
             "_ectx": ectx,
             "pages": [{"off": data_page_offset,
                        "csize": offset - data_page_offset, "first_row": 0,
-                       "n_valid": len(leaf), "stats": extra["stats"]}],
+                       "n_valid": len(leaf), "stats": extra["stats"],
+                       **({"var_bytes": _var_data_bytes(leaf)}
+                          if ptype == _T_BYTE_ARRAY else {})}],
+            # SizeStatistics level histograms (parquet-java semantics:
+            # rep when repeated, def only when not derivable from
+            # null_count, i.e. max_def > 1)
+            **({"rep_hist": np.bincount(rep, minlength=max_rep + 1)
+                .tolist()} if max_rep > 0 else {}),
+            **({"def_hist": np.bincount(defs, minlength=max_def + 1)
+                .tolist()} if max_def > 1 else {}),
             **extra,
         },
         offset,
@@ -1119,6 +1141,17 @@ def _geo_element(name: str, t: pa.DataType, crs: str | None,
         payload = bytes(p.buf)
     return _schema_element(name, ptype=_T_BYTE_ARRAY, logical=union_field,
                            logical_payload=payload)
+
+
+def _var_data_bytes(vs: pa.Array) -> int:
+    """Unencoded variable-width data bytes of the non-null values (the
+    SizeStatistics.unencoded_byte_array_data_bytes definition: value bytes
+    only, no 4-byte lengths)."""
+    if len(vs) == 0:
+        return 0
+    b = vs if pa.types.is_binary(vs.type) else vs.cast(pa.binary())
+    offs = np.frombuffer(b.buffers()[1], np.int32)
+    return int(offs[b.offset + len(b)] - offs[b.offset])
 
 
 def _bloom_lane_dtype(t: pa.DataType):
@@ -1697,10 +1730,49 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
                     l2 = _f_binary(sb, l2, 6, st["min"])
                 _stop(sb)
                 last = _f_struct(md, last, 12, bytes(sb.buf))
+            # encoding_stats (field 13): per-page-type encoding counts —
+            # the reference reader's all-dictionary detection input
+            pv2 = c.get("pv") == 2
+            estats = []
+            if c.get("dict_offset") is not None:
+                estats.append((2, _ENC_PLAIN if pv2 else _ENC_PLAIN_DICT, 1))
+            estats.append((3 if pv2 else 0, c["enc"],
+                           len(c.get("pages") or ()) or 1))
+            last = _f_list_header(md, last, 13, len(estats), 12)
+            for pt, e, cnt in estats:
+                ps = _TOut()
+                l3 = _f_i32(ps, 0, 1, pt)
+                l3 = _f_i32(ps, l3, 2, e)
+                l3 = _f_i32(ps, l3, 3, cnt)
+                _stop(ps)
+                md.buf += ps.buf
             bl = c.get("bloom")
             if bl is not None:  # bloom_filter_offset / _length
                 last = _f_i64(md, last, 14, bl[0])
                 last = _f_i32(md, last, 15, bl[1])
+            # SizeStatistics (field 16): unencoded BYTE_ARRAY bytes +
+            # level histograms (parquet-java 1.14+ parity)
+            var_total = None
+            if c["type"] == _T_BYTE_ARRAY:
+                pgs = c.get("pages") or []
+                if pgs and all("var_bytes" in p for p in pgs):
+                    var_total = sum(p["var_bytes"] for p in pgs)
+            rep_h, def_h = c.get("rep_hist"), c.get("def_hist")
+            if var_total is not None or rep_h or def_h:
+                ss = _TOut()
+                l3 = 0
+                if var_total is not None:
+                    l3 = _f_i64(ss, l3, 1, var_total)
+                if rep_h:
+                    l3 = _f_list_header(ss, l3, 2, len(rep_h), 6)
+                    for v in rep_h:
+                        ss.zigzag(v)
+                if def_h:
+                    l3 = _f_list_header(ss, l3, 3, len(def_h), 6)
+                    for v in def_h:
+                        ss.zigzag(v)
+                _stop(ss)
+                last = _f_struct(md, last, 16, bytes(ss.buf))
             _stop(md)
             first_off = c["dict_offset"] if c.get("dict_offset") is not None else c["offset"]
             cc = _TOut()
