@@ -106,6 +106,29 @@ def test_files_with_size_stats_read_everywhere(tmp_path):
     assert pi.read_table_arrow(p).equals(t)
 
 
+def test_reader_surfaces_size_statistics(tmp_path, spark):
+    """read_footer_native exposes SizeStatistics from parquet-java files
+    AND our own (the _ChunkMeta.size_statistics surface)."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "sp")
+    spark.range(500).select(
+        F.concat(F.lit("w"), F.col("id")).alias("s")) \
+        .coalesce(1).write.mode("overwrite").parquet(d)
+    for f in (glob.glob(d + "/*.parquet")[0],):
+        m = pi.read_footer_native(f)["row_groups"][0][0]
+        assert m.size_statistics["unencoded_bytes"] == sum(
+            len(f"w{i}") for i in range(500))
+    t = pa.table({"s": pa.array([f"w{i}" for i in range(500)])})
+    p = str(tmp_path / "ours.parquet")
+    write_parquet(t, p)
+    m = pi.read_footer_native(p)["row_groups"][0][0]
+    assert m.size_statistics["unencoded_bytes"] == sum(
+        len(f"w{i}") for i in range(500))
+
+
 def test_v2_pages_encoding_stats(tmp_path):
     t = pa.table({"k": pa.array([f"k{i % 50}" for i in range(10_000)])})
     p = str(tmp_path / "t.parquet")

@@ -684,7 +684,7 @@ class _ChunkMeta:
     __slots__ = ("compression", "dictionary_page_offset", "data_page_offset",
                  "total_compressed_size", "num_values", "path", "crypto",
                  "statistics", "offset_index_offset", "column_index_offset",
-                 "bloom_offset")
+                 "bloom_offset", "size_statistics")
 
     def __init__(self, md: dict, crypto: dict | None = None,
                  cc: dict | None = None):
@@ -709,6 +709,14 @@ class _ChunkMeta:
         self.offset_index_offset = None if cc is None else cc.get(4)
         self.column_index_offset = None if cc is None else cc.get(6)
         self.bloom_offset = md.get(14)  # ColumnMetaData.bloom_filter_offset
+        # SizeStatistics (field 16): {"unencoded_bytes", "rep_hist",
+        # "def_hist"} — parquet-java 1.14+ memory-planning metadata
+        ss = md.get(16)
+        self.size_statistics = None if ss is None else {
+            "unencoded_bytes": ss.get(1),
+            "rep_hist": ss.get(2),
+            "def_hist": ss.get(3),
+        }
 
 
 # parquet-format Encryption.md module types, verified against files the
