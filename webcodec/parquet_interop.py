@@ -209,7 +209,7 @@ def _bit_packed_unpack(bitpack):
 
 def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
                        max_def: int, type_length: int = 0,
-                       dict_values=None):
+                       dict_values=None, verify_crc: bool = False):
     """Decode one LEAF column chunk to Dremel entry streams using only
     webcodec kernels: (values, rep, def) where ``values`` holds the present
     values only (np array or python list of bytes), ``rep``/``def`` are
@@ -281,6 +281,14 @@ def _read_leaf_entries(buf: memoryview, meta, phys: str, max_rep: int,
             usize, csize = header[2], header[3]
             raw_page = buf[pos : pos + csize]
             pos += csize
+            if verify_crc and header.get(4) is not None:
+                import zlib
+
+                if zlib.crc32(bytes(raw_page)) != header[4] % (1 << 32):
+                    raise ValueError(
+                        "page CRC mismatch in chunk "
+                        f"{getattr(meta, 'path', '?')!r}: the compressed "
+                        "page bytes are corrupt")
         if ptype == _PAGE_DICT:
             dph = header[7]
             body = memoryview(_decompress(bytes(raw_page), codec, usize))
@@ -644,7 +652,8 @@ def read_column_arrow(path: str, row_group: int, column_name: str):
 
 
 def read_table_arrow(path: str, columns: list[str] | None = None,
-                     kms_unwrap=None, filters=None):
+                     kms_unwrap=None, filters=None,
+                     verify_checksums: bool = False):
     """Whole-file convenience: every (possibly nested) column of every row
     group assembled by webcodec kernels into one arrow Table — the
     interop-reader counterpart of filefmt.read_table for REFERENCE files.
@@ -655,7 +664,8 @@ def read_table_arrow(path: str, columns: list[str] | None = None,
     prune row groups (chunk Statistics) and pages (ColumnIndex) before the
     exact residual filter — see ``read_table_arrow_native``."""
     return read_table_arrow_native(path, columns, kms_unwrap=kms_unwrap,
-                                   filters=filters)
+                                   filters=filters,
+                                   verify_checksums=verify_checksums)
 
 
 # ---------------------------- native footer -----------------------------------
@@ -1388,7 +1398,8 @@ def _decode_dict_at(buf, meta, phys: str, tlen: int):
     return _plain_values(body, header[7][1], phys, tlen)
 
 
-def _read_flat_ranges(buf, meta, field, lf, ranges, n_rows):
+def _read_flat_ranges(buf, meta, field, lf, ranges, n_rows,
+                      verify_crc: bool = False):
     """Selective page decode of a FLAT unencrypted column restricted to the
     kept row ranges: only pages overlapping a range are read (contiguous
     kept pages decode as one run), then each run is sliced to the exact
@@ -1418,10 +1429,10 @@ def _read_flat_ranges(buf, meta, field, lf, ranges, n_rows):
             compression=meta.compression, dictionary_page_offset=None,
             data_page_offset=locs[p0][0],
             total_compressed_size=(locs[p1][0] + locs[p1][1]) - locs[p0][0],
-            num_values=run_rows, crypto=None)
+            num_values=run_rows, crypto=None, path=meta.path)
         vals, reps, defs = _read_leaf_entries(
             buf, m2, lf["phys"], 0, lf["max_def"], type_length=lf["tlen"],
-            dict_values=dict_values)
+            dict_values=dict_values, verify_crc=verify_crc)
         if defs is None:
             defs = np.zeros(run_rows, np.int64)
         arr = _assemble(field.type, 0, 0,
@@ -1438,7 +1449,8 @@ def _read_flat_ranges(buf, meta, field, lf, ranges, n_rows):
 
 
 def read_table_arrow_native(path: str, columns: list[str] | None = None,
-                            kms_unwrap=None, filters=None):
+                            kms_unwrap=None, filters=None,
+                            verify_checksums: bool = False):
     """Whole-file read with ZERO pyarrow-metadata involvement: footer thrift,
     page headers, levels and values all decoded by webcodec code; pyarrow is
     used only to hold the output arrays. Reads VARIANT-annotated exports
@@ -1501,14 +1513,15 @@ def read_table_arrow_native(path: str, columns: list[str] | None = None,
                     and lf0["max_rep"] == 0 and metas[0].crypto is None
                     and metas[0].offset_index_offset is not None):
                 parts.append(_read_flat_ranges(buf, metas[0], field, lf0,
-                                               ranges, n_rows))
+                                               ranges, n_rows,
+                                               verify_crc=verify_checksums))
                 continue
             streams = []
             for meta in metas:
                 lf = leaf_info[meta.path]
                 vals, reps, defs = _read_leaf_entries(
                     buf, meta, lf["phys"], lf["max_rep"], lf["max_def"],
-                    type_length=lf["tlen"])
+                    type_length=lf["tlen"], verify_crc=verify_checksums)
                 if defs is None:
                     defs = np.zeros(meta.num_values, np.int64)
                 streams.append({"vals": vals, "rep": reps, "def": defs})

@@ -323,7 +323,18 @@ def _compress(data: bytes, codec: str) -> bytes:
     return pa.compress(data, codec="lz4_raw" if c == "lz4" else c, asbytes=True)
 
 
-def _page_header(n_values: int, usize: int, csize: int, enc: int = _ENC_PLAIN) -> bytes:
+def _crc_i32(payload: bytes) -> int:
+    """PageHeader.crc (field 4): CRC-32 of the page payload after the
+    header — exactly what parquet-java stores (pinned against a
+    Spark-written page), as a signed thrift i32."""
+    import zlib
+
+    c = zlib.crc32(payload)
+    return c - (1 << 32) if c >= (1 << 31) else c
+
+
+def _page_header(n_values: int, usize: int, csize: int, enc: int = _ENC_PLAIN,
+                 crc: int | None = None) -> bytes:
     dph = _TOut()
     last = 0
     last = _f_i32(dph, last, 1, n_values)
@@ -336,6 +347,8 @@ def _page_header(n_values: int, usize: int, csize: int, enc: int = _ENC_PLAIN) -
     last = _f_i32(ph, last, 1, 0)  # DATA_PAGE
     last = _f_i32(ph, last, 2, usize)
     last = _f_i32(ph, last, 3, csize)
+    if crc is not None:
+        last = _f_i32(ph, last, 4, crc)
     last = _f_struct(ph, last, 5, bytes(dph.buf))
     _stop(ph)
     return bytes(ph.buf)
@@ -343,7 +356,7 @@ def _page_header(n_values: int, usize: int, csize: int, enc: int = _ENC_PLAIN) -
 
 def _page_header_v2(n_values: int, n_nulls: int, n_rows: int, enc: int,
                     def_len: int, rep_len: int, usize: int,
-                    csize: int) -> bytes:
+                    csize: int, crc: int | None = None) -> bytes:
     """DataPageHeaderV2 (PageHeader field 8, type DATA_PAGE_V2): level
     regions travel UNCOMPRESSED with their byte lengths in the header;
     usize/csize still cover the whole page (levels + values)."""
@@ -361,13 +374,16 @@ def _page_header_v2(n_values: int, n_nulls: int, n_rows: int, enc: int,
     last = _f_i32(ph, last, 1, 3)  # DATA_PAGE_V2
     last = _f_i32(ph, last, 2, usize)
     last = _f_i32(ph, last, 3, csize)
+    if crc is not None:
+        last = _f_i32(ph, last, 4, crc)
     last = _f_struct(ph, last, 8, bytes(d.buf))
     _stop(ph)
     return bytes(ph.buf)
 
 
 def _dict_page_header(n_values: int, usize: int, csize: int,
-                      enc: int = _ENC_PLAIN_DICT) -> bytes:
+                      enc: int = _ENC_PLAIN_DICT,
+                      crc: int | None = None) -> bytes:
     dph = _TOut()
     last = 0
     last = _f_i32(dph, last, 1, n_values)
@@ -378,6 +394,8 @@ def _dict_page_header(n_values: int, usize: int, csize: int,
     last = _f_i32(ph, last, 1, 2)  # DICTIONARY_PAGE
     last = _f_i32(ph, last, 2, usize)
     last = _f_i32(ph, last, 3, csize)
+    if crc is not None:
+        last = _f_i32(ph, last, 4, crc)
     last = _f_struct(ph, last, 7, bytes(dph.buf))
     _stop(ph)
     return bytes(ph.buf)
@@ -683,13 +701,15 @@ def _flat_page(out, offset: int, pg: int, n_page: int, n_valid: int,
         usz = len(lvl) + len(pvals)
         header = _page_header_v2(n_page, n_page - n_valid, n_page, enc,
                                  len(lvl), 0, usz,
-                                 len(payload) + (32 if ectx else 0))
+                                 len(payload) + (32 if ectx else 0),
+                                 crc=None if ectx else _crc_i32(payload))
     else:
         body = struct.pack("<I", len(lvl)) + lvl + pvals
         payload = _compress(body, codec)
         usz = len(body)
         header = _page_header(n_page, usz,
-                              len(payload) + (32 if ectx else 0), enc)
+                              len(payload) + (32 if ectx else 0), enc,
+                              crc=None if ectx else _crc_i32(payload))
     offset = _emit_page(out, offset, header, payload, ectx,
                         is_dict=False, page_ord=pg)
     return offset, len(header) + usz
@@ -801,7 +821,8 @@ def _write_column_chunk(out, offset: int, name: str, arr: pa.Array, codec: str,
         dcomp = _compress(dict_bytes, codec)
         dheader = _dict_page_header(
             n_dict, len(dict_bytes), len(dcomp) + (32 if ectx else 0),
-            enc=_ENC_PLAIN if page_version == 2 else _ENC_PLAIN_DICT)
+            enc=_ENC_PLAIN if page_version == 2 else _ENC_PLAIN_DICT,
+            crc=None if ectx else _crc_i32(dcomp))
         dict_page_offset = offset
         offset = _emit_page(out, offset, dheader, dcomp, ectx, is_dict=True)
         # v2 writer versions pair a PLAIN dict page with RLE_DICTIONARY
@@ -895,7 +916,8 @@ def _write_shredded_chunk(out, offset: int, path_names: list[str],
         n_rows = int((rep == 0).sum()) if max_rep > 0 else n_values
         header = _page_header_v2(n_values, n_values - len(leaf), n_rows,
                                  _ENC_PLAIN, len(def_b), len(rep_b), usz,
-                                 len(payload) + (32 if ectx else 0))
+                                 len(payload) + (32 if ectx else 0),
+                                 crc=None if ectx else _crc_i32(payload))
     else:
         parts = []
         if max_rep > 0:
@@ -906,7 +928,8 @@ def _write_shredded_chunk(out, offset: int, path_names: list[str],
         payload = _compress(body, codec)
         usz = len(body)
         header = _page_header(n_values, usz,
-                              len(payload) + (32 if ectx else 0), _ENC_PLAIN)
+                              len(payload) + (32 if ectx else 0), _ENC_PLAIN,
+                              crc=None if ectx else _crc_i32(payload))
     data_page_offset = offset
     offset = _emit_page(out, offset, header, payload, ectx, is_dict=False)
     return (
