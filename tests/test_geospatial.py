@@ -140,3 +140,73 @@ def test_geometry_export_parquet_passthrough(tmp_path, spark):
     assert geo == {"geom": {"kind": "GEOMETRY", "crs": "EPSG:3857"}}
     back = read_table_arrow_native(files[0])
     assert back.column("geom").to_pylist() == t.column("geom").to_pylist()
+
+
+# ---- GeospatialStatistics (ColumnMetaData field 17, r5 late) ----------------
+
+
+def _ls(pts):
+    return struct.pack("<BII", 1, 2, len(pts)) + b"".join(
+        struct.pack("<dd", *p) for p in pts)
+
+
+def _poly(rings):
+    out = struct.pack("<BII", 1, 3, len(rings))
+    for r in rings:
+        out += struct.pack("<I", len(r)) + b"".join(
+            struct.pack("<dd", *p) for p in r)
+    return out
+
+
+def _mp(pts):
+    return struct.pack("<BII", 1, 4, len(pts)) + b"".join(
+        _wkb_point(*p) for p in pts)
+
+
+def _pointz(x, y, z):
+    return struct.pack("<BIddd", 1, 1001, x, y, z)
+
+
+def test_geo_statistics_bbox_and_types(tmp_path):
+    """write_parquet computes GeospatialStatistics for annotated columns:
+    exact bbox over every coordinate of every geometry kind (Point/
+    LineString/Polygon/MultiPoint, XYZ variant) plus the WKB type-code
+    set; the native reader surfaces them per chunk."""
+    vals = [_wkb_point(1.5, -2.5), _ls([(0, 0), (10, 20)]),
+            _poly([[(-5, -5), (5, -5), (5, 5), (-5, -5)]]),
+            _mp([(100, 50), (-100, -50)]), None, _pointz(3, 4, 7)]
+    t = pa.table({"id": pa.array(range(len(vals)), pa.int64()),
+                  "g": pa.array(vals, pa.binary())})
+    p = str(tmp_path / "g.parquet")
+    write_parquet(t, p, geometry_columns={"g": "OGC:CRS84"})
+    m = [m for rg in read_footer_native(p)["row_groups"] for m in rg
+         if m.path == "g"][0]
+    assert m.geo_statistics == {
+        "bbox": {"xmin": -100.0, "xmax": 100.0, "ymin": -50.0,
+                 "ymax": 50.0, "zmin": 7.0, "zmax": 7.0},
+        "types": [1, 2, 3, 4, 1001],
+    }
+    # the plain id column carries none
+    mid = [m for rg in read_footer_native(p)["row_groups"] for m in rg
+           if m.path == "id"][0]
+    assert mid.geo_statistics is None
+    # values still round-trip and DuckDB still reads the file
+    import duckdb
+
+    assert read_table_arrow_native(p).column("g").to_pylist() == vals
+    assert duckdb.execute(
+        f"select count(*) from '{p}'").fetchone()[0] == len(vals)
+
+
+def test_geo_statistics_per_row_group_and_malformed(tmp_path):
+    """bbox is per row group; a chunk containing malformed WKB gets NO
+    stats (conservative) while good chunks keep theirs."""
+    vals = ([_wkb_point(float(i), float(-i)) for i in range(10)]
+            + [b"\x01\x63\x00\x00\x00garbage"] + [_wkb_point(0.0, 0.0)] * 9)
+    t = pa.table({"g": pa.array(vals, pa.binary())})
+    p = str(tmp_path / "g.parquet")
+    write_parquet(t, p, row_group_rows=10, geometry_columns={"g"})
+    ms = [m for rg in read_footer_native(p)["row_groups"] for m in rg]
+    assert ms[0].geo_statistics["bbox"] == {
+        "xmin": 0.0, "xmax": 9.0, "ymin": -9.0, "ymax": 0.0}
+    assert ms[1].geo_statistics is None

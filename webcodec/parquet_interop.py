@@ -694,7 +694,7 @@ class _ChunkMeta:
     __slots__ = ("compression", "dictionary_page_offset", "data_page_offset",
                  "total_compressed_size", "num_values", "path", "crypto",
                  "statistics", "offset_index_offset", "column_index_offset",
-                 "bloom_offset", "size_statistics")
+                 "bloom_offset", "size_statistics", "geo_statistics")
 
     def __init__(self, md: dict, crypto: dict | None = None,
                  cc: dict | None = None):
@@ -727,6 +727,20 @@ class _ChunkMeta:
             "rep_hist": ss.get(2),
             "def_hist": ss.get(3),
         }
+        # GeospatialStatistics (field 17): bbox doubles + WKB type codes
+        gs = md.get(17)
+        if gs is None:
+            self.geo_statistics = None
+        else:
+            bb = gs.get(1)
+            self.geo_statistics = {
+                "bbox": None if bb is None else {
+                    k: bb.get(i) for i, k in enumerate(
+                        ("xmin", "xmax", "ymin", "ymax",
+                         "zmin", "zmax", "mmin", "mmax"), start=1)
+                    if bb.get(i) is not None},
+                "types": gs.get(2),
+            }
 
 
 # parquet-format Encryption.md module types, verified against files the

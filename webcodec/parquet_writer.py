@@ -39,6 +39,7 @@ Deliberately small — the point is byte-format parity, not a second engine.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -117,6 +118,12 @@ def _f_i64(out, last, fid, v):
 def _f_i8(out, last, fid, v):
     last = _field(out, last, fid, 3)
     out.u8(v & 0xFF)
+    return last
+
+
+def _f_double(out, last, fid, v: float):
+    last = _field(out, last, fid, 7)
+    out.buf += struct.pack("<d", v)  # compact protocol: LE doubles
     return last
 
 
@@ -1288,6 +1295,91 @@ def _annotated_element(name: str, t: pa.DataType, kind: str) -> bytes:
                            logical=logical)
 
 
+def _wkb_geo_stats(arr) -> dict | None:
+    """GeospatialStatistics for a WKB binary column chunk (parquet-format
+    Geospatial.md): bbox over x/y (+z/m when present) and the set of WKB
+    geometry type codes. Walks standard ISO WKB — Point, LineString,
+    Polygon, the Multi* variants and GeometryCollection, XY/XYZ/XYM/XYZM,
+    both byte orders. Unparseable values make the whole chunk's stats
+    None (conservative: no stats beats wrong stats). NaN/empty-point
+    coordinates are skipped like parquet-java's NaN stats rule."""
+    mins = [math.inf] * 4  # x, y, z, m
+    maxs = [-math.inf] * 4
+    types: set[int] = set()
+
+    def upd(vals, dims):
+        # dims: 0=XY 1=XYZ 2=XYM 3=XYZM -> slot of each coordinate
+        slots = {0: (0, 1), 1: (0, 1, 2), 2: (0, 1, 3),
+                 3: (0, 1, 2, 3)}[dims]
+        for v, s in zip(vals, slots):
+            if v != v:  # NaN (WKB POINT EMPTY convention)
+                continue
+            if v < mins[s]:
+                mins[s] = v
+            if v > maxs[s]:
+                maxs[s] = v
+
+    def walk(mv, off):
+        fmt = "<" if mv[off] == 1 else ">"
+        (code,) = struct.unpack_from(fmt + "I", mv, off + 1)
+        base, dims = code % 1000, code // 1000
+        if dims > 3:
+            raise ValueError(f"WKB type {code}")
+        ndim = (2, 3, 3, 4)[dims]
+        types.add(code)
+        off += 5
+        if base == 1:  # Point
+            upd(struct.unpack_from(fmt + "d" * ndim, mv, off), dims)
+            return off + 8 * ndim
+        if base == 2:  # LineString: n points
+            (n,) = struct.unpack_from(fmt + "I", mv, off)
+            off += 4
+            upd_all = struct.unpack_from(fmt + "d" * (n * ndim), mv, off)
+            for i in range(n):
+                upd(upd_all[i * ndim:(i + 1) * ndim], dims)
+            return off + 8 * ndim * n
+        if base == 3:  # Polygon: n rings of n points
+            (nr,) = struct.unpack_from(fmt + "I", mv, off)
+            off += 4
+            for _ in range(nr):
+                (n,) = struct.unpack_from(fmt + "I", mv, off)
+                off += 4
+                coords = struct.unpack_from(fmt + "d" * (n * ndim), mv, off)
+                for i in range(n):
+                    upd(coords[i * ndim:(i + 1) * ndim], dims)
+                off += 8 * ndim * n
+            return off
+        if base in (4, 5, 6, 7):  # Multi* / GeometryCollection: n geoms
+            (n,) = struct.unpack_from(fmt + "I", mv, off)
+            off += 4
+            for _ in range(n):
+                off = walk(mv, off)
+            return off
+        raise ValueError(f"WKB geometry type {code}")
+
+    any_val = False
+    try:
+        for v in arr.drop_null():
+            b = v.as_py()
+            if not b:
+                continue
+            walk(memoryview(b), 0)
+            any_val = True
+    except (ValueError, struct.error, IndexError):
+        return None
+    if not any_val:
+        return None
+    out = {"types": sorted(types)}
+    if mins[0] <= maxs[0]:
+        out["bbox"] = {"xmin": mins[0], "xmax": maxs[0],
+                       "ymin": mins[1], "ymax": maxs[1]}
+        if mins[2] <= maxs[2]:
+            out["bbox"]["zmin"], out["bbox"]["zmax"] = mins[2], maxs[2]
+        if mins[3] <= maxs[3]:
+            out["bbox"]["mmin"], out["bbox"]["mmax"] = mins[3], maxs[3]
+    return out
+
+
 def _geo_crs_map(cols) -> dict[str, str | None]:
     """Normalize a geometry/geography column spec: a set/list of names (no
     crs) or a dict name -> crs string (None = unset)."""
@@ -1451,6 +1543,18 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
             }).encode()
             col_keys[name] = (AESGCM(dek), km)
     magic = MAGIC_ENCRYPTED if gcm is not None else MAGIC
+    # GEOMETRY/GEOGRAPHY chunks get GeospatialStatistics instead of plain
+    # min/max (their byte order is meaningless; Geospatial.md bbox + types)
+    geo_stat_names = (set(_geo_crs_map(geometry_columns))
+                      | set(_geo_crs_map(geography_columns)))
+    for name in geo_stat_names:  # fail before any bytes land
+        idx = table.schema.get_field_index(name)
+        if idx >= 0:
+            gt = table.schema.field(idx).type
+            if not (pa.types.is_binary(gt) or pa.types.is_large_binary(gt)):
+                raise TypeError(
+                    f"geospatial column {name!r} must be binary (WKB), "
+                    f"got {gt}")
     groups_meta: list[list[dict]] = []
     with open(path, "wb") as out:
         out.write(magic)
@@ -1490,6 +1594,8 @@ def write_parquet(table: pa.Table, path: str, codec: str = "zstd",
                     )
                     if name in bloom_cols:
                         cm["bloom_hashes"] = _bloom_hashes(arr)
+                    if name in geo_stat_names:
+                        cm["geo_stats"] = _wkb_geo_stats(arr)
                     col_meta.append(cm)
             for cm in col_meta:
                 cm["rows"] = sl.num_rows
@@ -1796,6 +1902,31 @@ def _file_metadata(table: pa.Table, groups_meta: list[list[dict]], codec: str,
                         ss.zigzag(v)
                 _stop(ss)
                 last = _f_struct(md, last, 16, bytes(ss.buf))
+            gs = c.get("geo_stats")
+            if gs is not None:  # GeospatialStatistics (field 17)
+                g = _TOut()
+                l3 = 0
+                bb = gs.get("bbox")
+                if bb:
+                    b = _TOut()
+                    l4 = 0
+                    l4 = _f_double(b, l4, 1, bb["xmin"])
+                    l4 = _f_double(b, l4, 2, bb["xmax"])
+                    l4 = _f_double(b, l4, 3, bb["ymin"])
+                    l4 = _f_double(b, l4, 4, bb["ymax"])
+                    if "zmin" in bb:
+                        l4 = _f_double(b, l4, 5, bb["zmin"])
+                        l4 = _f_double(b, l4, 6, bb["zmax"])
+                    if "mmin" in bb:
+                        l4 = _f_double(b, l4, 7, bb["mmin"])
+                        l4 = _f_double(b, l4, 8, bb["mmax"])
+                    _stop(b)
+                    l3 = _f_struct(g, l3, 1, bytes(b.buf))
+                l3 = _f_list_header(g, l3, 2, len(gs["types"]), 5)
+                for tcode in gs["types"]:
+                    g.zigzag(tcode)
+                _stop(g)
+                last = _f_struct(md, last, 17, bytes(g.buf))
             _stop(md)
             first_off = c["dict_offset"] if c.get("dict_offset") is not None else c["offset"]
             cc = _TOut()
