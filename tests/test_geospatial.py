@@ -210,3 +210,16 @@ def test_geo_statistics_per_row_group_and_malformed(tmp_path):
     assert ms[0].geo_statistics["bbox"] == {
         "xmin": 0.0, "xmax": 9.0, "ymin": -9.0, "ymax": 0.0}
     assert ms[1].geo_statistics is None
+
+
+def test_geo_types_are_top_level_only(tmp_path):
+    """A MultiPoint column's geospatial_types is [4], not [1, 4] — each
+    value contributes its OWN type code (review fix)."""
+    t = pa.table({"g": pa.array(
+        [_mp([(0.0, 0.0), (2.0, 3.0)]), _mp([(5.0, -1.0)])], pa.binary())})
+    p = str(tmp_path / "g.parquet")
+    write_parquet(t, p, geometry_columns={"g"})
+    m = [m for rg in read_footer_native(p)["row_groups"] for m in rg][0]
+    assert m.geo_statistics["types"] == [4]
+    assert m.geo_statistics["bbox"] == {
+        "xmin": 0.0, "xmax": 5.0, "ymin": -1.0, "ymax": 3.0}

@@ -240,3 +240,19 @@ def test_filter_fuzz_vs_pyarrow(tmp_path, seed):
     k = int(rng.integers(1, 4))
     filters = [ops[i] for i in rng.choice(len(ops), k, replace=False)]
     _check(p, t, filters)
+
+
+def test_corrupt_column_index_is_conservative(tmp_path):
+    """A damaged ColumnIndex must not fail the read — the page tier skips
+    it and results stay exact (review fix: KeyError escaped)."""
+    t = _table(20_000)
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p, row_group_size=10_000, data_page_size=8 * 1024,
+                   write_page_index=True, use_dictionary=False)
+    ft = pi.read_footer_native(p)
+    m = ft["row_groups"][0][0]
+    raw = bytearray(open(p, "rb").read())
+    raw[m.column_index_offset] = 0x00  # empty struct: fields 2/3 missing
+    open(p, "wb").write(bytes(raw))
+    got = pi.read_table_arrow(p, ["id"], filters=[("id", "<", 50)])
+    assert got.column("id").to_pylist() == list(range(50))

@@ -110,3 +110,30 @@ def test_spark_verifies_our_crcs(tmp_path, spark):
         assert "CRC" in str(ei.value) or "corrupt" in str(ei.value).lower()
     finally:
         hconf.set("parquet.page.verify-checksum.enabled", "false")
+
+
+def test_dict_page_crc_verified_in_filtered_fast_path(tmp_path):
+    """The page-selective read path decodes the dictionary via
+    _decode_dict_at — a corrupted dict page must fail verified reads
+    there too, not just in the sequential path (review fix)."""
+    t = pa.table({
+        "s": pa.array([f"val{i % 20:02d}" for i in range(50_000)]),
+        "n": pa.array(range(50_000)),
+    })
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p, data_page_size=8 * 1024, write_page_index=True,
+                   write_page_checksum=True)
+    # find the dict page of column s and flip one payload byte
+    with open(p, "rb") as fh:
+        buf = memoryview(fh.read())
+    (flen,) = struct.unpack("<I", buf[-8:-4])
+    fmd, _ = pi._read_struct(buf, len(buf) - 8 - flen)
+    md = fmd[4][0][1][0][3]
+    assert md.get(11) is not None  # dict-encoded
+    hdr, p2 = pi._read_struct(buf, md[11])
+    raw = bytearray(bytes(buf))
+    raw[p2 + 2] ^= 0x01
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        pi.read_table_arrow(p, ["s"], filters=[("n", "<", 3)],
+                            verify_checksums=True)

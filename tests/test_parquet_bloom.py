@@ -297,3 +297,32 @@ def test_export_parquet_bloom_passthrough(tmp_path, spark):
     assert blooms and all(b is not None for b in blooms)
     got = pi.read_table_arrow(f, filters=[("u", "==", "u4321")])
     assert got.column("id").to_pylist() == [4321]
+
+
+def test_bloom_signed_zero_equality(tmp_path):
+    """-0.0 and +0.0 are IEEE-equal: a chunk holding only -0.0 must NOT
+    be bloom-pruned for == 0.0 (and vice versa) — the probe hashes both
+    zero bit patterns (review fix)."""
+    t = pa.table({"x": pa.array([-0.0, -0.0, -0.0], pa.float64()),
+                  "y": pa.array([0.0, 0.0, 0.0], pa.float32())})
+    p = str(tmp_path / "z.parquet")
+    write_parquet(t, p, bloom_filter_columns={"x", "y"})
+    assert pi.read_table_arrow(p, filters=[("x", "==", 0.0)]).num_rows == 3
+    assert pi.read_table_arrow(p, filters=[("x", "==", -0.0)]).num_rows == 3
+    assert pi.read_table_arrow(p, filters=[("y", "==", -0.0)]).num_rows == 3
+
+
+def test_spec_num_bytes_matches_parquet_java_formula():
+    """parquet-java's k=8 split-block sizing (-8n/ln(1-p^(1/8))), not the
+    classic bloom formula: at fpp=0.01 that is ~9.68 bits/value, and the
+    Spark-written 20k-ndv filter earlier in this file is 32768 bytes —
+    our sizing must agree."""
+    assert bloom.spec_num_bytes(20_000, 0.01) == 32_768
+    # boundary case the classic formula under-sizes: 9.57n bits fits
+    # 2^18 while parquet-java's 9.68n does not
+    n_boundary = 27_000
+    bits_pj = -8.0 * n_boundary / np.log(1.0 - 0.01 ** 0.125)
+    want = 32
+    while want * 8 < bits_pj:
+        want *= 2
+    assert bloom.spec_num_bytes(n_boundary, 0.01) == want

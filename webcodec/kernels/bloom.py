@@ -131,11 +131,14 @@ def _spec_block_masks(h: np.ndarray, nblocks: int):
 
 def spec_num_bytes(ndv: int, fpp: float = 0.01,
                    max_bytes: int = 1 << 20) -> int:
-    """Power-of-two byte size for ``ndv`` distinct values at ~``fpp``
-    (parquet-java BlockSplitBloomFilter.optimalNumOfBits rounds the
-    c*ndv bits up to a power of two within [32 bytes, max])."""
+    """Power-of-two byte size for ``ndv`` distinct values at ~``fpp``,
+    using parquet-java's split-block formula (BlockSplitBloomFilter.
+    optimalNumOfBits): bits = -8n / ln(1 - fpp^(1/8)) — the k=8 fixed-
+    hash variant, slightly larger than the classic -n*ln(p)/ln(2)^2 —
+    rounded up to a power of two within [32 bytes, max]."""
     n = max(int(ndv), 1)
-    bits = -n * np.log(max(min(fpp, 0.5), 1e-9)) / (np.log(2) ** 2)
+    p = max(min(fpp, 0.5), 1e-9)
+    bits = -8.0 * n / np.log(1.0 - p ** (1.0 / 8.0))
     nbytes = 32
     while nbytes * 8 < bits and nbytes < max_bytes:
         nbytes *= 2

@@ -1245,25 +1245,32 @@ def _canon_value(value, op: str, t):
     return _canon_one(value, t)
 
 
-def _plain_bytes_for_hash(cv, t, phys: str) -> bytes | None:
-    """PLAIN encoding of one canonicalized predicate value — the bytes the
-    writer's bloom hashed. None = not representable in this lane (the
-    stats tier has already had its say; keep)."""
+def _plain_bytes_for_hash(cv, t, phys: str) -> list[bytes] | None:
+    """PLAIN encodings of one canonicalized predicate value — every bit
+    pattern the writer's bloom may have hashed for values that compare
+    equal. Floats return BOTH zero patterns when cv == 0.0 (+0.0 and -0.0
+    are IEEE-equal, so a -0.0-only chunk must not be pruned for == 0.0).
+    None = not representable in this lane (stats already had their say;
+    keep)."""
     import pyarrow as pa
 
     try:
         if isinstance(cv, bytes):
-            return cv
+            return [cv]
         if phys == "INT32":
             fmt = "<I" if pa.types.is_unsigned_integer(t) else "<i"
-            return struct.pack(fmt, cv)
+            return [struct.pack(fmt, cv)]
         if phys == "INT64":
             fmt = "<Q" if pa.types.is_unsigned_integer(t) else "<q"
-            return struct.pack(fmt, cv)
+            return [struct.pack(fmt, cv)]
         if phys == "FLOAT":
-            return struct.pack("<f", cv)
+            if cv == 0.0:
+                return [struct.pack("<f", 0.0), struct.pack("<f", -0.0)]
+            return [struct.pack("<f", cv)]
         if phys == "DOUBLE":
-            return struct.pack("<d", cv)
+            if cv == 0.0:
+                return [struct.pack("<d", 0.0), struct.pack("<d", -0.0)]
+            return [struct.pack("<d", cv)]
     except (struct.error, OverflowError):
         return None
     return None
@@ -1292,11 +1299,12 @@ def _bloom_might_contain(buf, meta, cv, t, phys: str) -> bool:
         return True
     values = cv if isinstance(cv, list) else [cv]
     for v in values:
-        pb = _plain_bytes_for_hash(v, t, phys)
-        if pb is None:
+        pbs = _plain_bytes_for_hash(v, t, phys)
+        if pbs is None:
             return True
-        if _bloom.spec_might_contain(bitset, xxh64_scalar(pb)):
-            return True
+        for pb in pbs:
+            if _bloom.spec_might_contain(bitset, xxh64_scalar(pb)):
+                return True
     return False
 
 
@@ -1374,13 +1382,20 @@ def _rg_page_ranges(buf, rg, conj, by_name, leaf_info, n_rows):
         cv, ok = _canon_value(value, op, t)
         if not ok:
             continue
-        ci, _ = _read_struct(buf, meta.column_index_offset)
-        locs = _parse_offset_index(buf, meta)
-        if len(ci.get(1, ())) != len(locs):
+        try:
+            ci, _ = _read_struct(buf, meta.column_index_offset)
+            locs = _parse_offset_index(buf, meta)
+        except (NotImplementedError, ValueError, IndexError, KeyError,
+                struct.error):
+            continue  # unparseable index: ignore, stay conservative
+        null_pages = ci.get(1)
+        mins, maxs = ci.get(2), ci.get(3)
+        if (null_pages is None or mins is None or maxs is None
+                or not (len(null_pages) == len(mins) == len(maxs)
+                        == len(locs))):
             continue  # malformed index pair: ignore, stay conservative
         firsts = [loc[2] for loc in locs]
         ends = firsts[1:] + [n_rows]
-        null_pages, mins, maxs = ci[1], ci[2], ci[3]
         ncs = ci.get(5)
         phys = leaf_info[col]["phys"]
         col_ranges = []
@@ -1403,12 +1418,20 @@ def _rg_page_ranges(buf, rg, conj, by_name, leaf_info, n_rows):
     return ranges
 
 
-def _decode_dict_at(buf, meta, phys: str, tlen: int):
+def _decode_dict_at(buf, meta, phys: str, tlen: int,
+                    verify_crc: bool = False):
     """Decode ONLY the chunk's dictionary page (unencrypted path)."""
     header, pos = _read_struct(buf, meta.dictionary_page_offset)
     usize, csize = header[2], header[3]
-    body = memoryview(_decompress(bytes(buf[pos:pos + csize]),
-                                  meta.compression, usize))
+    raw = buf[pos:pos + csize]
+    if verify_crc and header.get(4) is not None:
+        import zlib
+
+        if zlib.crc32(bytes(raw)) != header[4] % (1 << 32):
+            raise ValueError(
+                f"page CRC mismatch in chunk {meta.path!r}: the "
+                "compressed dictionary page bytes are corrupt")
+    body = memoryview(_decompress(bytes(raw), meta.compression, usize))
     return _plain_values(body, header[7][1], phys, tlen)
 
 
@@ -1430,7 +1453,8 @@ def _read_flat_ranges(buf, meta, field, lf, ranges, n_rows,
             if any(lo < ends[i] and hi > firsts[i] for lo, hi in ranges)]
     dict_values = None
     if meta.dictionary_page_offset is not None:
-        dict_values = _decode_dict_at(buf, meta, lf["phys"], lf["tlen"])
+        dict_values = _decode_dict_at(buf, meta, lf["phys"], lf["tlen"],
+                                      verify_crc=verify_crc)
     out = []
     i = 0
     while i < len(keep):

@@ -1319,14 +1319,17 @@ def _wkb_geo_stats(arr) -> dict | None:
             if v > maxs[s]:
                 maxs[s] = v
 
-    def walk(mv, off):
+    def walk(mv, off, top=False):
         fmt = "<" if mv[off] == 1 else ">"
         (code,) = struct.unpack_from(fmt + "I", mv, off + 1)
         base, dims = code % 1000, code // 1000
         if dims > 3:
             raise ValueError(f"WKB type {code}")
         ndim = (2, 3, 3, 4)[dims]
-        types.add(code)
+        if top:
+            # geospatial_types records each VALUE's own type (parquet-java
+            # semantics) — a MultiPoint column lists 4, not also 1
+            types.add(code)
         off += 5
         if base == 1:  # Point
             upd(struct.unpack_from(fmt + "d" * ndim, mv, off), dims)
@@ -1363,7 +1366,7 @@ def _wkb_geo_stats(arr) -> dict | None:
             b = v.as_py()
             if not b:
                 continue
-            walk(memoryview(b), 0)
+            walk(memoryview(b), 0, top=True)
             any_val = True
     except (ValueError, struct.error, IndexError):
         return None
