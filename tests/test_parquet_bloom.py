@@ -326,3 +326,43 @@ def test_spec_num_bytes_matches_parquet_java_formula():
     while want * 8 < bits_pj:
         want *= 2
     assert bloom.spec_num_bytes(n_boundary, 0.01) == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_bloom_fuzz_no_lost_rows(tmp_path, seed):
+    """Randomized layouts/types: equality probes on PRESENT values must
+    never lose rows through the bloom tier (false negatives are the
+    correctness failure mode; false positives only cost decode)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(500, 4_000))
+    kind = ("int64", "int32", "string", "float64", "binary")[seed % 5]
+    if kind == "int64":
+        vals = rng.integers(-10**12, 10**12, n)
+        arr = pa.array(vals, pa.int64())
+    elif kind == "int32":
+        arr = pa.array(rng.integers(-2**31, 2**31, n).astype(np.int32),
+                       pa.int32())
+    elif kind == "string":
+        arr = pa.array([f"s{int(v)}" for v in rng.integers(0, 10**9, n)])
+    elif kind == "float64":
+        arr = pa.array(rng.normal(size=n)
+                       * 10.0 ** float(rng.integers(-3, 6)))
+    else:
+        arr = pa.array([rng.integers(0, 256, int(k), dtype=np.uint8)
+                        .tobytes() for k in rng.integers(0, 24, n)],
+                       pa.binary())
+    mask = rng.random(n) < 0.07
+    arr = pa.array([None if m else v.as_py()
+                    for m, v in zip(mask, arr)], arr.type)
+    t = pa.table({"v": arr, "k": pa.array(range(n), pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    write_parquet(t, p, row_group_rows=max(n // 3, 1),
+                  bloom_filter_columns={"v"},
+                  bloom_filter_fpp=float(rng.choice([0.3, 0.01, 0.001])))
+    import pyarrow.compute as pc
+
+    present = [v for v in arr.drop_null().to_pylist()[:40]]
+    for v in present:
+        got = pi.read_table_arrow(p, filters=[("v", "==", v)])
+        ref = t.filter(pc.equal(t.column("v"), pa.scalar(v, arr.type)))
+        assert got.num_rows == ref.num_rows, (kind, v)
